@@ -1,0 +1,56 @@
+"""Benchmark: run the registry's headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Methodology: each query runs to a ``write.format("noop")`` terminal
+action, which executes the complete physical plan (scan, shuffle, agg)
+and materializes every output row without driver-side collection
+overhead — the fairest proxy for sink throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iot_sensor_data_pipeline_spark.plans import REGISTRY
+from iot_sensor_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+
+    names = [n for n, q in sorted(REGISTRY.items()) if q.bench]
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    REGISTRY[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

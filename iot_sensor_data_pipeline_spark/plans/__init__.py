@@ -1,0 +1,9 @@
+"""Query plans: the registry of named queries with their DuckDB oracle
+SQL. Importing this package populates the registry."""
+
+from iot_sensor_data_pipeline_spark.plans.registry import REGISTRY, RegisteredQuery, register
+
+# populate the registry (import order = SURVEY.md §7 milestone order)
+from iot_sensor_data_pipeline_spark.plans import queries_reference  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "RegisteredQuery", "register"]

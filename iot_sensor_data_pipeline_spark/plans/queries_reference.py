@@ -1,0 +1,172 @@
+"""Reference-parity queries (SURVEY.md §2) over the driver's `events`
+table, which stands in for the sensor stream in batch form
+(FIXTURES.md §2: ts = event time, props = JSON payload, event_type +
+value drive the rule engine and the windowed agg).
+
+Each query exercises one operator family from the reference:
+- P1-P4 JSON parse/flatten        -> events_json_flatten
+- P5-P11 rule engine CASE chains  -> events_alert_rules
+- F1-F5 filters/predicates        -> events_filter_predicates
+- A1-A7 event-time windowed agg   -> events_window_agg (flagship)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.functions.rules import (
+    AlertRule,
+    attribute_sql,
+    classification_sql,
+)
+from iot_sensor_data_pipeline_spark.operators.window_agg import windowed_agg
+from iot_sensor_data_pipeline_spark.plans.registry import register
+from iot_sensor_data_pipeline_spark.schema import EVENT_PROPS_SCHEMA
+from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# A1-A7: event-time tumbling-window aggregation (the reference aggregator,
+# data_agregator.py:74-95, in batch form). Flagship query.
+# ---------------------------------------------------------------------------
+
+_WINDOW_AGG_ORACLE = """
+SELECT
+  time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+  event_type,
+  round(avg(value), 4)                                 AS avg_value,
+  min(value)                                           AS min_value,
+  max(value)                                           AS max_value,
+  count(*)                                             AS n
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_window_agg", oracle=_WINDOW_AGG_ORACLE, tags=("reference", "A1-A7"), bench=True)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window x event_type -> avg/min/max/count."""
+    events = load_table(spark, sf_dir, "events")
+    return windowed_agg(
+        events,
+        ts_col="ts",
+        keys=["event_type"],
+        value_col="value",
+        window_duration="1 hour",
+        round_avg=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P4: JSON schema-on-read parse + flatten (data_persistance.py:75-89).
+# `props` is the JSON payload column; PERMISSIVE nulls on corrupt input.
+# ---------------------------------------------------------------------------
+
+_JSON_FLATTEN_ORACLE = """
+SELECT
+  event_id,
+  event_type,
+  CAST(props->>'k' AS INTEGER) AS k
+FROM events
+"""
+
+
+@register("events_json_flatten", oracle=_JSON_FLATTEN_ORACLE, tags=("reference", "P1-P4"))
+def events_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read: parse the props JSON string, flatten field k."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.from_json(F.col("props"), EVENT_PROPS_SCHEMA).getField("k").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5-P11: the rule engine, instantiated on events. Same machinery as the
+# sensor rules (functions/rules.py, reference alert_detector.py:100-208);
+# the SQL text below is GENERATED from the same rule records Spark runs,
+# so both engines execute identical rule semantics.
+# ---------------------------------------------------------------------------
+
+EVENT_RULES: tuple[AlertRule, ...] = (
+    AlertRule("error_critical", "event_type = 'error' AND value > 150", 150, "Error volume critical"),
+    AlertRule("error_warning", "event_type = 'error' AND value > 80", 80, "Error volume elevated"),
+    AlertRule("purchase_critical", "event_type = 'purchase' AND (value < 5 OR value > 180)", 180, "Purchase value anomalous"),
+    AlertRule("purchase_warning", "event_type = 'purchase' AND value > 150", 150, "Purchase value high"),
+    AlertRule("signup_spike", "event_type = 'signup' AND value > 120", 120, "Signup burst"),
+    AlertRule("click_floor", "event_type = 'click' AND value < 2", 2, "Click value floor"),
+)
+
+
+def _alerts_oracle(rules: tuple[AlertRule, ...]) -> str:
+    return f"""
+WITH classified AS (
+  SELECT event_id, event_type, user_id, value,
+         {classification_sql(rules)} AS alert_type
+  FROM events
+)
+SELECT
+  event_id, event_type, user_id,
+  alert_type,
+  {attribute_sql(rules, "severity")} AS severity,
+  CAST({attribute_sql(rules, "threshold_value")} AS DOUBLE) AS threshold_value,
+  value AS actual_value,
+  {attribute_sql(rules, "message")} AS message
+FROM classified
+WHERE alert_type IS NOT NULL
+"""
+
+
+@register("events_alert_rules", oracle=_alerts_oracle(EVENT_RULES), tags=("reference", "P5-P11", "F1"))
+def events_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins rule classification + attribute derivation."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("alert_type", F.expr(classification_sql(EVENT_RULES)))
+        .where(F.col("alert_type").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "alert_type",
+            F.expr(attribute_sql(EVENT_RULES, "severity")).alias("severity"),
+            F.expr(attribute_sql(EVENT_RULES, "threshold_value"))
+            .cast("double")
+            .alias("threshold_value"),
+            F.col("value").alias("actual_value"),
+            F.expr(attribute_sql(EVENT_RULES, "message")).alias("message"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-F5: filter/predicate surface (comparisons, boolean algebra, LIKE,
+# IN-set, null checks) in one query (reference alert_detector.py:107-157,
+# gestionnaire_mail.py:80-81).
+# ---------------------------------------------------------------------------
+
+_FILTER_ORACLE = """
+SELECT event_id, event_type, user_id, value
+FROM events
+WHERE event_type IN ('purchase', 'error')
+  AND (value > 100 OR (value < 10 AND user_id % 2 = 0))
+  AND event_type LIKE '%r%'
+  AND value IS NOT NULL
+"""
+
+
+@register("events_filter_predicates", oracle=_FILTER_ORACLE, tags=("reference", "F1-F5"))
+def events_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite predicate: isin + comparison + boolean algebra + LIKE."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select("event_id", "event_type", "user_id", "value").where(
+        F.col("event_type").isin("purchase", "error")
+        & (
+            (F.col("value") > 100)
+            | ((F.col("value") < 10) & (F.col("user_id") % 2 == 0))
+        )
+        & F.col("event_type").like("%r%")
+        & F.col("value").isNotNull()
+    )

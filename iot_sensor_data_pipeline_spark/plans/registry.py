@@ -1,0 +1,51 @@
+"""Registry of named queries.
+
+Each entry pairs a Spark implementation (SparkSession, sf_dir) ->
+DataFrame with the equivalent ANSI SQL a DuckDB oracle can run on the
+same parquet tables. The driver's correctness gate compares the two at
+sf0.01 (row count + schema + order-insensitive value hash, columns
+sorted by name) — so every computed column is aliased identically on
+both sides, and float aggregates are rounded identically on both sides
+to absorb summation-order differences.
+
+Queries whose semantics SQL can't express (streaming state, iterative
+algorithms) register with ``oracle=None`` -> rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+    bench: bool = False  #: include in bench.py headline set
+
+
+REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = RegisteredQuery(name, fn, oracle, tags, bench)
+        return fn
+
+    return deco

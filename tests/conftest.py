@@ -1,0 +1,32 @@
+"""Shared test fixtures: one session-scoped SparkSession, testdata dirs."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iot_sensor_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("tests", shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF0001
+
+
+@pytest.fixture(scope="session")
+def sf_dir_mid():
+    return SF001
