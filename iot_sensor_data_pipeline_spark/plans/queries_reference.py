@@ -59,6 +59,49 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A2 variant: SLIDING window (reference only has tumbling; SURVEY.md §2.4
+# lists sliding windows as a gap the new engine fills). Each row belongs
+# to width/slide consecutive windows; the oracle replicates Spark's
+# epoch-aligned window assignment by exploding each row into its
+# width/slide buckets.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH exploded AS (
+  SELECT
+    event_type, value,
+    time_bucket(INTERVAL '30 minutes', ts) - (t.i * INTERVAL '30 minutes') AS window_start
+  FROM events
+  CROSS JOIN (SELECT range AS i FROM range(0, 2)) t
+)
+SELECT
+  window_start,
+  window_start + INTERVAL '1 hour' AS window_end,
+  event_type,
+  round(avg(value), 4) AS avg_value,
+  count(*)             AS n
+FROM exploded
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_sliding_window_agg", oracle=_SLIDING_ORACLE, tags=("streaming-parity", "A2"))
+def events_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes x event_type."""
+    events = load_table(spark, sf_dir, "events")
+    return windowed_agg(
+        events,
+        ts_col="ts",
+        keys=["event_type"],
+        value_col="value",
+        window_duration="1 hour",
+        slide_duration="30 minutes",
+        aggs=("avg", "count"),
+        round_avg=4,
+    )
+
+
+# ---------------------------------------------------------------------------
 # P1-P4: JSON schema-on-read parse + flatten (data_persistance.py:75-89).
 # `props` is the JSON payload column; PERMISSIVE nulls on corrupt input.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,81 @@
+"""JSON schema-on-read path (P1-P4, P12-P14): parse, flatten,
+PERMISSIVE null semantics, re-nest + serialize roundtrip."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.sources.json_ingest import (
+    ingest_readings,
+    renest_reading,
+    serialize_json,
+)
+
+GOOD = {
+    "sensor_id": "A_1_100_temperature",
+    "sensor_type": "temperature",
+    "location": {"building": "A", "floor": 1, "room": "100"},
+    "timestamp": "2026-08-13T03:46:00.123456",
+    "value": 22.47,
+    "unit": "celsius",
+    "metadata": {"battery_level": 87, "signal_strength": -55},
+}
+
+
+def _df(spark, payloads):
+    return spark.createDataFrame([(p,) for p in payloads], "value string")
+
+
+def test_parse_flatten_good_row(spark):
+    row = ingest_readings(_df(spark, [json.dumps(GOOD)])).collect()[0]
+    assert row.sensor_id == "A_1_100_temperature"
+    assert row.value == 22.47
+    assert row.building == "A" and row.floor == 1 and row.room == "100"
+    assert row.battery_level == 87 and row.signal_strength == -55
+    assert row.timestamp.isoformat().startswith("2026-08-13T03:46:00.123456")
+
+
+def test_permissive_corrupt_json_yields_nulls(spark):
+    # the reference's entire bad-record story (SURVEY.md §1.2): corrupt
+    # JSON -> null struct -> null fields, no exception
+    rows = ingest_readings(_df(spark, ["{not json", json.dumps(GOOD)])).collect()
+    bad = [r for r in rows if r.sensor_id is None]
+    good = [r for r in rows if r.sensor_id is not None]
+    assert len(bad) == 1 and len(good) == 1
+    assert all(v is None for v in bad[0].asDict().values())
+
+
+def test_permissive_missing_fields_yield_nulls(spark):
+    partial = {"sensor_id": "X", "value": 1.5}
+    row = ingest_readings(_df(spark, [json.dumps(partial)])).collect()[0]
+    assert row.sensor_id == "X" and row.value == 1.5
+    assert row.unit is None and row.building is None and row.battery_level is None
+
+
+def test_type_mismatch_nulls_only_that_field(spark):
+    bad_value = dict(GOOD, value="not-a-number")
+    row = ingest_readings(_df(spark, [json.dumps(bad_value)])).collect()[0]
+    assert row.value is None
+    assert row.sensor_id == "A_1_100_temperature"  # other fields survive
+
+
+def test_renest_serialize_roundtrip(spark):
+    flat = ingest_readings(_df(spark, [json.dumps(GOOD)]))
+    wire = serialize_json(renest_reading(flat), key_col="sensor_id").collect()[0]
+    assert wire.key == "A_1_100_temperature"
+    payload = json.loads(wire.value)
+    assert payload["location"] == {"building": "A", "floor": 1, "room": "100"}
+    assert payload["metadata"] == {"battery_level": 87, "signal_strength": -55}
+    assert payload["value"] == 22.47
+
+
+def test_ingest_collapses_to_single_projection(spark):
+    # Catalyst collapses parse -> flatten -> select into ONE Project of
+    # from_json(...).field extractions over the source: no intermediate
+    # struct materialization, single parse per row
+    df = ingest_readings(_df(spark, [json.dumps(GOOD)])).select("sensor_id")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") == 1
+    assert plan.count("Project") == 1
