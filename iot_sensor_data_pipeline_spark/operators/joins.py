@@ -1,0 +1,109 @@
+"""Join operators.
+
+The reference contains ZERO joins (SURVEY.md §2.4 gap list); a
+same-capabilities engine needs the full join surface. Everything here
+is built-in DataFrame joins — Catalyst + AQE pick broadcast vs
+sort-merge vs shuffled-hash at runtime — plus one genuinely missing
+operator (as-of join) composed from built-ins.
+
+Scale notes:
+- `broadcast_join` pins the small side as a broadcast hash join: no
+  shuffle of the big side. Use for dimension tables (region, nation,
+  part at 100 TB fact scale).
+- semi/anti joins ship only the join keys of the right side — prefer
+  them over inner-join+distinct for existence checks.
+- the as-of join is ONE shuffle (by the equi-key) + ONE sort within
+  partitions — the same cost profile as a sort-merge join, with no
+  Python in the path. This beats the per-group `merge_asof` pandas
+  approach (which pays Arrow serialization) and is skew-tolerant via
+  AQE like any other exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_join(
+    big: DataFrame, small: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Equi-join with the small side broadcast (no big-side shuffle)."""
+    return big.join(F.broadcast(small), on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS: rows of ``left`` with at least one match in ``right``."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS: rows of ``left`` with no match in ``right``."""
+    return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` keys (inclusive,
+    matching DuckDB/kdb ASOF semantics).
+
+    Spark has no native as-of join; this composes one from a union +
+    ordered window with `last(..., ignorenulls)`:
+
+    1. tag both inputs and union them (right rows carry their values,
+       left rows carry nulls),
+    2. per equi-key, order by (ts, side) — right rows sort before left
+       rows at equal timestamps so `<=` is inclusive,
+    3. `last(value, ignorenulls=True)` over rows-unbounded-preceding
+       propagates the most recent right value onto every left row,
+    4. keep only left rows.
+
+    Cost: one shuffle on ``on`` + one sort — identical to sort-merge
+    join, fully JVM-side, streaming-friendly frame (no full-partition
+    buffering).
+    """
+    on = list(on)
+    lcols = left.columns
+    tagged_left = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols if c not in on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_vals],
+    )
+    tagged_right = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols if c not in on],
+        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = tagged_left.unionByName(tagged_right)
+    for c in right_vals:
+        merged = merged.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+
+    out = merged.where(F.col("__side") == 1).select(
+        *on,
+        F.col("__ts").alias(left_ts),
+        *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on and c != left_ts],
+        *[F.col(f"__r_{c}").alias(c) for c in right_vals],
+    )
+    if how == "inner":
+        out = out.where(F.col(right_vals[0]).isNotNull())
+    return out

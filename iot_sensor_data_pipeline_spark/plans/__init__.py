@@ -6,5 +6,6 @@ from iot_sensor_data_pipeline_spark.plans.registry import REGISTRY, RegisteredQu
 # populate the registry (import order = SURVEY.md §7 milestone order)
 from iot_sensor_data_pipeline_spark.plans import queries_reference  # noqa: E402,F401
 from iot_sensor_data_pipeline_spark.plans import queries_scalars  # noqa: E402,F401
+from iot_sensor_data_pipeline_spark.plans import queries_relational  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "RegisteredQuery", "register"]

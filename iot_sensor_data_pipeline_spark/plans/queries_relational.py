@@ -1,0 +1,520 @@
+"""General relational surface (SURVEY.md §7 milestone 2): joins,
+top-k, window functions, set ops, rollup/cube/grouping sets, pivot,
+subqueries, statistical aggregates — the capabilities the reference
+lacks entirely (SURVEY.md §2.4 gap list) that a same-capabilities
+engine must provide.
+
+Float policy for oracle parity: row-level arithmetic is bit-identical
+IEEE across engines (no rounding); SUM/AVG aggregates round at a
+precision where the true decimal value is exact but summation-order
+noise (~1e-9) cannot straddle a rounding boundary (sums of 2-dp money
+-> round 2; discounted products, exact at 4 dp -> round 4; avg ->
+round 4; variance-family -> round 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    broadcast_join,
+    semi_join,
+)
+from iot_sensor_data_pipeline_spark.operators.setops import difference, intersect
+from iot_sensor_data_pipeline_spark.operators.topk import top_k, top_k_per_group
+from iot_sensor_data_pipeline_spark.plans.registry import register
+from iot_sensor_data_pipeline_spark.sources.tables import load_table, register_views
+
+# ---------------------------------------------------------------------------
+# TPC-H-style Q1: full-scan group-by with 8 aggregates
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  sum(l_quantity)                                           AS sum_qty,
+  round(sum(l_extendedprice), 2)                            AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4)         AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  round(avg(l_quantity), 4)                                 AS avg_qty,
+  round(avg(l_extendedprice), 4)                            AS avg_price,
+  round(avg(l_discount), 4)                                 AS avg_disc,
+  count(*)                                                  AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing_summary", oracle=_Q1_ORACLE, tags=("relational", "agg"), bench=True)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style Q3: 3-way join + agg + deterministic top-10
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("tpch_q3_top_orders", oracle=_Q3_ORACLE, tags=("relational", "join", "topk"), bench=True)
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    joined = li.join(
+        orders.join(broadcast_join(orders, cust, orders.o_custkey == cust.c_custkey).select("o_orderkey").distinct(), "o_orderkey"),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+    return top_k(
+        agg, [F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")], 10
+    ).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style Q5: 6-way join with dimension broadcast
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+  n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("tpch_q5_regional_revenue", oracle=_Q5_ORACLE, tags=("relational", "join"), bench=True)
+def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    # dims are tiny -> broadcast; facts join on shuffled keys with AQE
+    nr = broadcast_join(
+        t["nation"], t["region"].where(F.col("r_name") == "ASIA"), t["nation"].n_regionkey == t["region"].r_regionkey
+    ).select("n_nationkey", "n_name")
+    sup = broadcast_join(t["supplier"], nr, t["supplier"].s_nationkey == nr.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    joined = (
+        t["lineitem"]
+        .join(orders, t["lineitem"].l_orderkey == orders.o_orderkey)
+        .join(sup, t["lineitem"].l_suppkey == sup.s_suppkey)
+        .join(
+            t["customer"],
+            (orders.o_custkey == t["customer"].c_custkey)
+            & (sup.s_nationkey == t["customer"].c_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti / outer joins
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 400000
+)
+"""
+
+
+@register("customers_semi_join", oracle=_SEMI_ORACLE, tags=("relational", "join"))
+def customers_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return semi_join(cust, big_orders, cust.c_custkey == big_orders.o_custkey).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("customers_anti_join", oracle=_ANTI_ORACLE, tags=("relational", "join"))
+def customers_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return anti_join(cust, orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+_LEFT_ORACLE = """
+SELECT
+  c_custkey,
+  count(o_orderkey)                         AS n_orders,
+  round(coalesce(sum(o_totalprice), 0), 2)  AS total_spend
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+@register("customers_left_join_agg", oracle=_LEFT_ORACLE, tags=("relational", "join"))
+def customers_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: ranking, lag/lead, running frames
+# ---------------------------------------------------------------------------
+
+_WINDOW_FN_ORACLE = """
+SELECT
+  o_orderkey, o_custkey, o_orderdate, o_totalprice,
+  row_number() OVER w                                    AS rn,
+  rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+  lag(o_totalprice)  OVER w                              AS prev_price,
+  lead(o_totalprice) OVER w                              AS next_price,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)    AS moving_avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("orders_window_functions", oracle=_WINDOW_FN_ORACLE, tags=("relational", "window"), bench=True)
+def orders_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_rank).alias("price_rank"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k (WindowGroupLimit pushdown)
+# ---------------------------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT * FROM (
+  SELECT
+    o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@register("orders_topk_per_customer", oracle=_TOPK_GROUP_ORACLE, tags=("relational", "topk"))
+def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return top_k_per_group(
+        orders,
+        group_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each error event, the user's most recent purchase
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH errors AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
+), purchases AS (
+  SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts, e.value, p.p_ts AS last_purchase_ts, p.p_value AS last_purchase_value
+FROM errors e
+ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.p_ts
+"""
+
+
+@register("events_asof_join", oracle=_ASOF_ORACLE, tags=("relational", "asof"), bench=True)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join composed from union + ordered window (operators/joins.py):
+    one shuffle, no Python — Spark's answer to DuckDB's native ASOF."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select("event_id", "user_id", "ts", "value")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_vals=["p_ts", "p_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("p_ts").alias("last_purchase_ts"),
+        F.col("p_value").alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+WITH asia_nations AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+), cust_nations AS (
+  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer WHERE c_acctbal > 9000
+)
+SELECT n_nationkey, 'both' AS src FROM (SELECT * FROM asia_nations INTERSECT SELECT * FROM cust_nations)
+UNION ALL
+SELECT n_nationkey, 'asia_only' AS src FROM (SELECT * FROM asia_nations EXCEPT SELECT * FROM cust_nations)
+"""
+
+
+@register("nations_set_ops", oracle=_SETOPS_ORACLE, tags=("relational", "setops"))
+def nations_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    asia = broadcast_join(
+        nation, region.where(F.col("r_name") == "ASIA"), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    rich = cust.where(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    both = intersect(asia, rich).withColumn("src", F.lit("both"))
+    asia_only = difference(asia, rich).withColumn("src", F.lit("asia_only"))
+    return both.unionByName(asia_only)
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  o_orderstatus, o_orderpriority,
+  round(sum(o_totalprice), 2) AS total,
+  count(*)                    AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("orders_rollup", oracle=_ROLLUP_ORACLE, tags=("relational", "grouping"))
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  count(*)        AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_cube", oracle=_CUBE_ORACLE, tags=("relational", "grouping"))
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT
+  o_orderstatus, o_orderpriority,
+  count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("orders_grouping_sets", oracle=_GROUPING_SETS_ORACLE, tags=("relational", "grouping"))
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demonstrates the SQL API surface (spark.sql over registered views)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT
+  l_returnflag,
+  sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_open,
+  sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_filled,
+  count(*)        FILTER (WHERE l_linestatus = 'O') AS n_open,
+  count(*)        FILTER (WHERE l_linestatus = 'F') AS n_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_pivot", oracle=_PIVOT_ORACLE, tags=("relational", "pivot"))
+def lineitem_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("O_qty").alias("qty_open"),
+        F.col("F_qty").alias("qty_filled"),
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates + distinct counting
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT
+  l_returnflag,
+  round(stddev_samp(l_quantity), 6)              AS qty_stddev,
+  round(var_samp(l_extendedprice), 2)            AS price_var,
+  round(corr(l_extendedprice, l_quantity), 6)    AS price_qty_corr,
+  round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+  count(DISTINCT l_partkey)                      AS n_parts,
+  round(quantile_cont(l_quantity, 0.5), 4)       AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_stats_agg", oracle=_STATS_ORACLE, tags=("relational", "agg"))
+def lineitem_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+    )
+
+
+@register("lineitem_approx_distinct", oracle=None, tags=("relational", "approx"))
+def lineitem_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct counting — algorithm-specific estimates, so no
+    cross-engine oracle (rows-only check); accuracy asserted in unit tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_quantity, 0.5)").alias("approx_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array ops: split + explode + re-aggregate
+# ---------------------------------------------------------------------------
+
+_TOKENS_ORACLE = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+@register("documents_token_counts", oracle=_TOKENS_ORACLE, tags=("relational", "array", "text"))
+def documents_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

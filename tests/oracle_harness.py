@@ -71,11 +71,11 @@ def compare_query(spark, sf_dir: str, fn, oracle: str) -> tuple[bool, str]:
         return False, f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
 
     s_set = sorted(
-        tuple(_norm(row[c]) for c in spark_cols) for row in spark_rows
+        (tuple(_norm(row[c]) for c in spark_cols) for row in spark_rows), key=repr
     )
     idx = {c: i for i, c in enumerate(duck_cols_raw)}
     d_set = sorted(
-        tuple(_norm(row[idx[c]]) for c in duck_cols) for row in duck_rows
+        (tuple(_norm(row[idx[c]]) for c in duck_cols) for row in duck_rows), key=repr
     )
     if s_set != d_set:
         diffs = [(a, b) for a, b in zip(s_set, d_set) if a != b][:3]

@@ -1,0 +1,76 @@
+"""Unit tests for composed operators: as-of join semantics, per-group
+top-k ties, approx aggregates accuracy."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.operators.joins import asof_join
+from iot_sensor_data_pipeline_spark.operators.topk import top_k_per_group
+
+T0 = dt.datetime(2026, 1, 1)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(30), "b"), (2, ts(5), "c")],
+        "user int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), 100.0), (1, ts(20), 200.0), (2, ts(50), 900.0)],
+        "user int, rts timestamp, rv double",
+    )
+    out = {
+        r.tag: (r.rts, r.rv)
+        for r in asof_join(
+            left, right, on=["user"], left_ts="ts", right_ts="rts", right_vals=["rts", "rv"]
+        ).collect()
+    }
+    assert out["a"] == (ts(0), 100.0)     # latest right <= 10min is 0min
+    assert out["b"] == (ts(20), 200.0)    # latest right <= 30min is 20min
+    assert out["c"] == (None, None)       # user 2's only right row is later
+
+
+def test_asof_join_inclusive_equal_ts(spark):
+    # DuckDB/kdb ASOF semantics: right row AT the left timestamp matches
+    left = spark.createDataFrame([(1, ts(10), "x")], "user int, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, ts(10), 7.0)], "user int, rts timestamp, rv double")
+    row = asof_join(
+        left, right, on=["user"], left_ts="ts", right_ts="rts", right_vals=["rv"]
+    ).collect()[0]
+    assert row.rv == 7.0
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    left = spark.createDataFrame([(1, ts(10)), (2, ts(10))], "user int, ts timestamp")
+    right = spark.createDataFrame([(1, ts(0), 1.0)], "user int, rts timestamp, rv double")
+    rows = asof_join(
+        left, right, on=["user"], left_ts="ts", right_ts="rts", right_vals=["rv"], how="inner"
+    ).collect()
+    assert [r.user for r in rows] == [1]
+
+
+def test_top_k_per_group_rank_keeps_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 3.0, 1), ("g", 3.0, 2), ("g", 1.0, 3)], "grp string, v double, id int"
+    )
+    rn = top_k_per_group(df, ["grp"], [F.col("v").desc()], 1, method="row_number").count()
+    rk = top_k_per_group(df, ["grp"], [F.col("v").desc()], 1, method="rank").count()
+    assert rn == 1 and rk == 2
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact, approx = li.agg(
+        F.countDistinct("l_partkey").alias("e"),
+        F.approx_count_distinct("l_partkey").alias("a"),
+    ).collect()[0]
+    assert abs(approx - exact) / exact < 0.05  # HLL default rsd ~2.3%
