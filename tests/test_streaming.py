@@ -1,0 +1,173 @@
+"""Streaming semantics (SURVEY.md §7 hard part 1): the FIXTURES.md §3
+golden scenario — watermark finalization, append-mode emit-once, late
+rows dropped — plus single-read multi-sink fan-out and
+dropDuplicatesWithinWatermark.
+
+Micro-batch boundaries are controlled by writing one JSON-lines file
+per batch and calling processAllAvailable() between writes: the text
+file source + full ingest path is exactly the Kafka wire path minus
+the broker.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from iot_sensor_data_pipeline_spark.sources.json_ingest import ingest_readings
+from iot_sensor_data_pipeline_spark.streaming.jobs import (
+    dedup_within_watermark,
+    start_aggregator,
+    start_alerts,
+)
+
+T0 = "2026-01-01T00:00:"
+
+
+def reading_json(mm_ss: str, value: float, battery: int = 80, signal: int = -55):
+    m, s = mm_ss.split(":")
+    return json.dumps(
+        {
+            "sensor_id": "A_1_100_temperature",
+            "sensor_type": "temperature",
+            "location": {"building": "A", "floor": 1, "room": "100"},
+            "timestamp": f"2026-01-01T00:{m}:{s}",
+            "value": value,
+            "unit": "celsius",
+            "metadata": {"battery_level": battery, "signal_strength": signal},
+        }
+    )
+
+
+def write_batch(dirpath, name, lines):
+    # write-then-rename so the file source never sees a partial file
+    tmp = dirpath / f".{name}.tmp"
+    tmp.write_text("\n".join(lines) + "\n")
+    tmp.rename(dirpath / name)
+    time.sleep(0.05)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return src, str(tmp_path / "chk"), tmp_path
+
+
+def test_golden_watermark_append_scenario(spark, stream_dirs):
+    """FIXTURES.md §3: window [T, T+4m) finalizes once with r1-r5 only;
+    r7 (late beyond watermark) is dropped silently."""
+    src, chk, tmp = stream_dirs
+    collected: list = []
+
+    raw = spark.readStream.text(str(src))
+    q = start_aggregator(
+        raw,
+        sinks=[lambda df: collected.extend(df.collect())],
+        checkpoint=chk,
+        window_duration="4 minutes",
+        watermark="1 minute",
+    )
+    try:
+        # batch 1: r1-r5 (all inside [T, T+4m)) -> nothing finalized
+        write_batch(
+            src,
+            "b1.json",
+            [
+                reading_json("00:10", 22.0),
+                reading_json("01:10", 28.0),
+                reading_json("02:10", 31.0),
+                reading_json("02:20", 22.0, battery=15),
+                reading_json("02:30", 31.0, battery=15),
+            ],
+        )
+        q.processAllAvailable()
+        assert collected == []  # append mode: window still open
+
+        # batch 2: r6 at T+5:30 -> watermark advances to T+4:30 > window end
+        write_batch(src, "b2.json", [reading_json("05:30", 23.0)])
+        q.processAllAvailable()
+        # batch 3: r7 late (T+3:00 < watermark) -> dropped; also flushes
+        # the finalized window if it wasn't already emitted in batch 2
+        write_batch(src, "b3.json", [reading_json("03:00", 99.0)])
+        q.processAllAvailable()
+
+        windows = [r for r in collected if r.window_start.minute == 0]
+        assert len(windows) == 1  # emit-once
+        w = windows[0]
+        assert w.n == 5
+        assert w.min_value == 22.0
+        assert w.max_value == 31.0  # NOT 99.0: the late r7 never entered
+        assert round(w.avg_value, 4) == 26.8
+    finally:
+        q.stop()
+
+
+def test_alert_stream_single_read_multi_sink(spark, stream_dirs):
+    """One source read fans out to two sinks from the same batch
+    (fixes the reference's double Kafka subscription, SURVEY.md §3.3)."""
+    src, chk, tmp = stream_dirs
+    sink_a: list = []
+    sink_b: list = []
+
+    raw = spark.readStream.text(str(src))
+    q = start_alerts(
+        raw,
+        sinks=[
+            lambda df: sink_a.extend(df.collect()),
+            lambda df: sink_b.extend(r.alert_type for r in df.collect()),
+        ],
+        checkpoint=chk,
+    )
+    try:
+        write_batch(
+            src,
+            "b1.json",
+            [reading_json("00:10", 22.0), reading_json("01:10", 28.0), reading_json("02:10", 31.0)],
+        )
+        q.processAllAvailable()
+        assert sorted(r.alert_type for r in sink_a) == ["temperature_critical", "temperature_warning"]
+        assert sorted(sink_b) == ["temperature_critical", "temperature_warning"]
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark(spark, stream_dirs):
+    """Duplicate readings (same sensor_id+timestamp) inside the
+    watermark are emitted once — the reference's unimplemented email
+    dedup (gestionnaire_mail.py:19)."""
+    src, chk, tmp = stream_dirs
+    out: list = []
+
+    raw = spark.readStream.text(str(src))
+    deduped = dedup_within_watermark(
+        ingest_readings(raw), keys=["sensor_id", "timestamp"], ts_col="timestamp", watermark="10 minutes"
+    )
+    q = (
+        deduped.writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        dup = reading_json("01:00", 28.0)
+        write_batch(src, "b1.json", [dup, dup, reading_json("02:00", 22.0)])
+        q.processAllAvailable()
+        write_batch(src, "b2.json", [dup])  # same key again, later batch, in-watermark
+        q.processAllAvailable()
+        assert len(out) == 2  # one per distinct (sensor_id, timestamp)
+    finally:
+        q.stop()
+
+
+def test_streaming_batch_share_transform(spark, stream_dirs):
+    """The SAME detect_alerts/ingest pipeline runs in batch mode with
+    identical results — unified API, zero code duplication."""
+    from iot_sensor_data_pipeline_spark.functions.rules import detect_alerts
+
+    lines = [reading_json("00:10", 22.0), reading_json("01:10", 28.0)]
+    batch_df = spark.createDataFrame([(line,) for line in lines], "value string")
+    alerts = detect_alerts(ingest_readings(batch_df)).collect()
+    assert [a.alert_type for a in alerts] == ["temperature_warning"]
