@@ -1,0 +1,106 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, document fingerprinting.
+
+All pure built-in column expressions (split/filter/transform/regexp/
+md5) — codegen'd, shuffle-free, embarrassingly parallel at 100 TB.
+Every helper returns a Column so callers compose them into any
+projection; the canonical "document features" relation is
+``text_features``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny built-in stopword lists for the language-ID heuristic.
+#: Deliberately short (highest-frequency function words only): the
+#: heuristic scores token overlap per language and picks the argmax.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "in", "to", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"),
+    "es": ("el", "la", "los", "de", "y", "es", "un", "una", "en", "por"),
+}
+
+#: a BPE-ish token proxy: runs of word chars OR single non-space
+#: symbols — approximates subword tokenizer counts within ~10% on
+#: natural text without shipping a vocab file.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty-string artifacts filtered)."""
+    return F.filter(F.split(text, " ", -1), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish tokens (regexp-based subword proxy)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hits; 'und' when nothing hits.
+
+    Ties break in the fixed order en > de > fr > es (greatest-first
+    CASE scan), so results are deterministic. A production system
+    would swap in a trained classifier via pandas_udf; the Spark-side
+    contract (one string column in, one out) is identical.
+    """
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.when(best <= 0, "und")
+    for lang in STOPWORDS:  # insertion order = tie priority
+        expr = expr.when(hits[lang] == best, lang)
+    return expr
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[.,!?;:]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def digit_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[0-9]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length saturation x
+    (1 - punctuation density) x (1 - digit density) x stopword
+    presence — the standard cheap pre-filter before expensive dedup/
+    classification stages in a data pipeline."""
+    length_sat = F.least(token_count(text), F.lit(200)) / 200.0
+    stop_sat = F.least(stopword_hits(text, "en"), F.lit(10)) / 10.0
+    return length_sat * (1 - punct_ratio(text)) * (1 - digit_ratio(text)) * (0.5 + 0.5 * stop_sat)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (hex md5)."""
+    return F.md5(text)
+
+
+def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The canonical per-document feature relation."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(digit_ratio(t), 6).alias("digit_ratio"),
+        stopword_hits(t, "en").alias("en_stopwords"),
+        lang_id(t).alias("lang_pred"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,267 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest-first — the standard dedup funnel at 100 TB:
+
+1. exact        — hash group-by on content (one shuffle on the hash)
+2. simhash      — 64-bit near-dup sketch, pigeonhole-banded join
+3. minhash-LSH  — Jaccard near-dup, band-bucketed candidate join
+4. ngram-Jaccard exact verification — quadratic; run ONLY on the
+   candidate pairs the sketches emit (or small data), never globally
+
+Scale notes: every stage is expressed as shuffles on derived keys
+(content hash / band hash / shingle), so the cluster distributes
+candidate generation; nothing collects to the driver. The LSH band
+join is the canonical replacement for the O(n^2) all-pairs loop — at
+n documents it touches only colliding buckets. Skewed buckets (a
+boilerplate shingle shared by millions of docs) are the classic
+hazard: `shingles()` can cap per-shingle fan-out via
+``max_shingle_freq`` exactly like production dedup pipelines drop
+too-common shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# a Mersenne-ish prime > 2^31 for the universal hash family
+_MINHASH_PRIME = 2_147_483_647
+
+
+def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct content.
+
+    Implemented as groupBy on the content columns (map-side partial
+    aggregation collapses duplicates before the shuffle). Returns
+    (content_cols..., keeper id, n_copies).
+    """
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    ``max_shingle_freq`` drops shingles occurring in more than that
+    many documents — the skew guard for band joins at scale.
+    """
+    words = F.split(F.col(text_col), " ", -1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        freq = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("__freq"))
+        out = (
+            out.join(freq.where(F.col("__freq") <= max_shingle_freq), "shingle")
+            .drop("__freq")
+        )
+    return out
+
+
+def ngram_jaccard_pairs(
+    shingle_df: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (i < j) from a (id, shingle) relation.
+
+    Without ``candidates`` this is the quadratic all-pairs path (only
+    for small inputs / oracle checks); with it, only candidate (i, j)
+    pairs are verified — the cheap second phase after LSH.
+    """
+    counts = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["i", "j"], "left_semi")
+    ca = counts.select(F.col("id").alias("i"), F.col("n_sh").alias("n_i"))
+    cb = counts.select(F.col("id").alias("j"), F.col("n_sh").alias("n_j"))
+    return (
+        common.join(ca, "i")
+        .join(cb, "j")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_i") + F.col("n_j") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("i", "j", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a*x + b) % p."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (2**63)
+        a = (state % (_MINHASH_PRIME - 1)) + 1
+        state = (state * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (2**63)
+        b = state % _MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per id: (id, mh0..mh{k-1}).
+
+    One aggregation: k mins over the universal-hash family applied to
+    the 32-bit shingle hash (all JVM expressions; partial aggregation
+    shrinks the shuffle to k longs per id).
+    """
+    base = F.pmod(F.hash("shingle"), F.lit(_MINHASH_PRIME)).cast("long")
+    aggs = [
+        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME))).alias(f"mh{k}")
+        for k, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    return shingle_df.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: ids sharing any band bucket become candidates (i<j).
+
+    Bands are hashed to one long each and exploded -> the join key is
+    (band_index, band_hash): a pure shuffle join, no driver state.
+    """
+    sig_cols = [c for c in signatures.columns if c.startswith("mh")]
+    n_bands = len(sig_cols) // rows_per_band
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(sig_cols[band * rows_per_band + r]) for r in range(rows_per_band)])
+            for band in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(
+        "id", F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
+    candidate join -> EXACT Jaccard verification of candidates only.
+
+    Output (i, j, jaccard) with jaccard >= threshold. Recall is the
+    banding probability 1-(1-t^r)^b (unit-tested against the exact
+    quadratic pairs); precision is exact by construction.
+    """
+    sh = shingles(df, id_col, text_col, n=shingle_n, max_shingle_freq=max_shingle_freq)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)
+    return ngram_jaccard_pairs(sh, threshold, candidates=cands)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document over distinct whitespace tokens.
+
+    bit_b(doc) = sign of sum over tokens of (+1 if bit b of
+    xxhash64(token) else -1); assembled into one long column
+    ``simhash``. All JVM expressions, one aggregation.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " ", -1))).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        contrib = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+        sim = contrib if sim is None else sim + contrib
+    return sums.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    simhash_df: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit hash into ``n_chunks`` pieces;
+    any pair within hamming <= n_chunks-1 shares at least one identical
+    chunk, so an equi-join per chunk finds all candidates, then the
+    exact popcount(XOR) filter keeps true matches. Same join shape as
+    LSH -> same scale profile.
+
+    ``n_chunks`` defaults to max_hamming+1 — the minimum that makes the
+    pigeonhole guarantee hold (fewer chunks silently lose recall;
+    more chunks only add candidate volume).
+    """
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole requires n_chunks > max_hamming (got {n_chunks} <= {max_hamming})"
+        )
+    chunk_bits = 64 // n_chunks
+    # all-ones for a full-width chunk (2^64-1 overflows a signed long)
+    mask = (1 << chunk_bits) - 1 if chunk_bits < 64 else -1
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+            for i in range(n_chunks)
+        ]
+    )
+    exploded = simhash_df.select(
+        "id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

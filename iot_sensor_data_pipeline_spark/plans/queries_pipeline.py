@@ -1,0 +1,215 @@
+"""Training-data pipeline queries (SURVEY.md §7 milestone 4 /
+BASELINE.json north star): dedup, similarity search, text analysis —
+over the driver's `documents` and `embeddings` tables.
+
+Oracle coverage: exact dedup, fingerprinting, n-gram Jaccard pairs,
+text features, and brute-force cosine top-k all have DuckDB oracles.
+MinHash-LSH, SimHash, and RP-LSH are hash-family-specific (no
+cross-engine SQL equivalent) -> rows-only checks here, with recall
+unit tests against the exact operators in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.functions.text import STOPWORDS, text_features
+from iot_sensor_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from iot_sensor_data_pipeline_spark.operators.similarity import cosine_topk, rp_lsh_topk
+from iot_sensor_data_pipeline_spark.plans.registry import register
+from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup + fingerprinting
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+
+@register("documents_dedup_exact", oracle=_DEDUP_EXACT_ORACLE, tags=("pipeline", "dedup"))
+def documents_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["text"], "doc_id")
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(text) AS fp, count(*) OVER (PARTITION BY md5(text)) AS fp_group_size
+FROM documents
+"""
+
+
+@register("documents_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("pipeline", "dedup"))
+def documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    return fp.withColumn(
+        "fp_group_size", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (the oracle-checkable ground truth
+# the sketch-based dedups are unit-tested against)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, (SELECT range AS i FROM range(1, 100000)) r
+  WHERE i + 2 <= len(w)
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i, j, round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = i
+JOIN counts cb ON cb.doc_id = j
+WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.2
+"""
+
+
+@register("documents_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("pipeline", "dedup"))
+def documents_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(shingles(docs, "doc_id", "text", n=3), threshold=0.2)
+
+
+@register("documents_minhash_dedup", oracle=None, tags=("pipeline", "dedup"), bench=True)
+def documents_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (hash-family specific -> rows-only;
+    recall vs the exact pairs is asserted in tests/test_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
+
+
+@register("documents_simhash_pairs", oracle=None, tags=("pipeline", "dedup"))
+def documents_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 near-dup pairs (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(docs, "doc_id", "text"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _list_sql(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_TEXT_FEATURES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t != '') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), feat AS (
+  SELECT
+    doc_id,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+    n_chars,
+    (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / n_chars AS punct_r,
+    (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / n_chars AS digit_r,
+    len(list_filter(toks, t -> t IN ({_list_sql(STOPWORDS["en"])}))) AS en_stopwords,
+    {" ".join(
+        f"len(list_filter(toks, t -> t IN ({_list_sql(ws)}))) AS hits_{lang},"
+        for lang, ws in STOPWORDS.items()
+    ).rstrip(",")}
+  FROM base
+)
+SELECT
+  doc_id, n_tokens, n_bpe_tokens, n_chars,
+  round(punct_r, 6) AS punct_ratio,
+  round(digit_r, 6) AS digit_ratio,
+  en_stopwords,
+  CASE
+    WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0 THEN 'und'
+    WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+    WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+    WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred,
+  round(
+    (least(n_tokens, 200) / 200.0) * (1 - punct_r) * (1 - digit_r)
+      * (0.5 + 0.5 * (least(en_stopwords, 10) / 10.0)),
+    6
+  ) AS quality,
+  md5((SELECT text FROM documents d WHERE d.doc_id = feat.doc_id)) AS fingerprint
+FROM feat
+"""
+
+
+@register("documents_text_features", oracle=_TEXT_FEATURES_ORACLE, tags=("pipeline", "text"), bench=True)
+def documents_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts (whitespace + BPE-ish), punctuation/digit ratios,
+    stopword hits, language-ID heuristic, quality score, fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), q AS (
+  SELECT * FROM e WHERE vec_id % 100 = 0
+), pairs AS (
+  SELECT
+    q.vec_id AS qid,
+    c.vec_id AS nid,
+    round(
+      list_dot_product(q.emb, c.emb)
+        / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))),
+      6
+    ) AS score
+  FROM q CROSS JOIN e c
+  WHERE q.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INTEGER) AS rn
+  FROM pairs
+)
+SELECT qid, nid, score, rn FROM ranked WHERE rn <= 10
+"""
+
+
+@register("embeddings_knn_brute_force", oracle=_KNN_ORACLE, tags=("pipeline", "similarity"), bench=True)
+def embeddings_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for every 100th vector as query set —
+    broadcast queries x full corpus scan, JVM fold for the dot product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return cosine_topk(queries, emb, k=10)
+
+
+@register("embeddings_knn_lsh", oracle=None, tags=("pipeline", "similarity"))
+def embeddings_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (bucketed candidates + exact re-rank);
+    recall vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return rp_lsh_topk(queries, emb, k=10, dim=64)

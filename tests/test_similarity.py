@@ -1,0 +1,66 @@
+"""Similarity search: brute-force vs DuckDB is covered by the oracle
+tests; here LSH recall vs brute force, and vector-math primitives."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    rp_lsh_topk,
+)
+from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+
+def test_cosine_primitive(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([1.0, 0.0], [-1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [round(r.c, 9) for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got == [0.0, 1.0, -1.0]
+
+
+def test_lsh_recall_vs_brute_force_isotropic_worst_case(spark, sf_dir_mid):
+    emb = load_table(spark, sf_dir_mid, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(queries, emb, k=10)
+    approx = rp_lsh_topk(queries, emb, k=10, dim=64, n_planes=5)
+
+    e = {(r.qid, r.nid) for r in exact.collect()}
+    a = {(r.qid, r.nid) for r in approx.collect()}
+    n_queries = queries.count()
+    assert len(e) == 10 * n_queries
+    recall = len(e & a) / len(e)
+    # isotropic random embeddings are RP-LSH's worst case (no cluster
+    # structure, top-10 cosines are only ~0.3-0.5) — assert the floor
+    assert recall >= 0.3, f"recall {recall:.2f}"
+
+
+def test_lsh_high_recall_on_clustered_data(spark):
+    """Real embedding spaces are clustered; there LSH recall should be
+    near-perfect: members of a tight cluster share the bucket."""
+    import math
+    import random
+
+    rnd = random.Random(7)
+    centers = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [x + rnd.gauss(0, 0.05) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    exact = cosine_topk(df.where(F.col("vec_id") < 4), df, k=5)
+    approx = rp_lsh_topk(df.where(F.col("vec_id") < 4), df, k=5, dim=16, n_planes=4)
+    e = {(r.qid, r.nid) for r in exact.collect()}
+    a = {(r.qid, r.nid) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9
+
+
+def test_lsh_self_bucket_sanity(spark):
+    # a vector is always a candidate of an identical query vector
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = rp_lsh_topk(df, df, k=3, dim=8, n_planes=4)
+    assert out.count() > 0
