@@ -80,8 +80,19 @@ def ngram_jaccard_pairs(
     pairs are verified — the cheap second phase after LSH.
     """
     counts = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingle_df.alias("a")
-    b = shingle_df.alias("b")
+    left, right = shingle_df, shingle_df
+    if candidates is not None:
+        # restrict the shingle join to candidate documents BEFORE the
+        # self-join — this keeps verification linear in the candidate
+        # set instead of quadratic in the corpus
+        left = shingle_df.join(
+            candidates.select(F.col("i").alias("id")).distinct(), "id", "left_semi"
+        )
+        right = shingle_df.join(
+            candidates.select(F.col("j").alias("id")).distinct(), "id", "left_semi"
+        )
+    a = left.alias("a")
+    b = right.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))

@@ -99,10 +99,9 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
     )
-    joined = li.join(
-        orders.join(broadcast_join(orders, cust, orders.o_custkey == cust.c_custkey).select("o_orderkey").distinct(), "o_orderkey"),
-        li.l_orderkey == orders.o_orderkey,
-    )
+    # customer (filtered to one segment) broadcasts; orders scans once
+    o_c = broadcast_join(orders, cust.select("c_custkey"), orders.o_custkey == cust.c_custkey)
+    joined = li.join(o_c, li.l_orderkey == o_c.o_orderkey)
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
     )
