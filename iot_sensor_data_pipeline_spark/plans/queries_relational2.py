@@ -1,0 +1,224 @@
+"""Relational surface, part 2: sessionization, ordered string
+aggregation, arg-max aggregates, date arithmetic, null-handling,
+subquery forms, distinct variants.
+
+Same oracle discipline as queries_relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.plans.registry import register
+from iot_sensor_data_pipeline_spark.sources.tables import load_table, register_views
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch): gap > 30 min starts a new session per user.
+# The lag + cumulative-sum idiom — one shuffle on user, one sort.
+# (Streaming uses F.session_window instead; tests/test_streaming2.py.)
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT
+    user_id, event_id, ts,
+    CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT
+  user_id,
+  CAST(session_id AS BIGINT) AS session_id,
+  min(ts)  AS session_start,
+  max(ts)  AS session_end,
+  count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize", oracle=_SESSIONIZE_ORACLE, tags=("relational", "session"), bench=True)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        # MICROSECOND, not SECOND: a 1800.5s gap must start a session,
+        # and second-granularity diffs truncate that to 1800
+        F.when(F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") <= 1_800_000_000, 0)
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation
+# ---------------------------------------------------------------------------
+
+_STRINGAGG_ORACLE = """
+SELECT
+  n_regionkey,
+  string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("nation_string_agg", oracle=_STRINGAGG_ORACLE, tags=("relational", "agg"))
+def nation_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+# ---------------------------------------------------------------------------
+# arg-max / arg-min aggregates
+# ---------------------------------------------------------------------------
+
+_MAXBY_ORACLE = """
+SELECT
+  o_orderstatus,
+  arg_max(o_orderkey, o_totalprice) AS biggest_order,
+  arg_min(o_orderkey, o_totalprice) AS smallest_order,
+  max(o_totalprice)                 AS max_price,
+  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("orders_arg_max", oracle=_MAXBY_ORACLE, tags=("relational", "agg"))
+def orders_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic
+# ---------------------------------------------------------------------------
+
+_DATE_ARITH_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INTEGER) AS days_to_y2k,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)  AS month_end,
+  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+  CAST(quarter(o_orderdate) AS INTEGER) AS q
+FROM orders
+"""
+
+
+@register("orders_date_arithmetic", oracle=_DATE_ARITH_ORACLE, tags=("scalars", "datetime"))
+def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+        F.add_months(F.col("o_orderdate"), 3).cast("timestamp_ntz").alias("plus_3m"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.quarter("o_orderdate").alias("q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-handling functions
+# ---------------------------------------------------------------------------
+
+_NULLS_ORACLE = """
+WITH lj AS (
+  SELECT c_custkey, c_acctbal, o_totalprice
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 450000
+)
+SELECT
+  c_custkey,
+  coalesce(o_totalprice, 0.0)             AS price_or_zero,
+  nullif(c_acctbal, 0.0)                  AS bal_nullif,
+  CASE WHEN o_totalprice IS NULL THEN 'none' ELSE 'big' END AS has_big,
+  ifnull(o_totalprice, c_acctbal)         AS price_or_bal
+FROM lj
+"""
+
+
+@register("customers_null_handling", oracle=_NULLS_ORACLE, tags=("scalars", "nulls"))
+def customers_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    lj = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return lj.select(
+        "c_custkey",
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+        F.nullif("c_acctbal", F.lit(0.0)).alias("bal_nullif"),
+        F.when(F.col("o_totalprice").isNull(), "none").otherwise("big").alias("has_big"),
+        F.ifnull("o_totalprice", "c_acctbal").alias("price_or_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subquery forms through the SQL API: IN, scalar, correlated
+# ---------------------------------------------------------------------------
+
+_SUBQUERY_SQL = """
+SELECT
+  c_custkey,
+  c_acctbal,
+  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE c.c_nationkey IN (
+        SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+  AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
+@register("customers_subqueries", oracle=_SUBQUERY_SQL, tags=("relational", "subquery"))
+def customers_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery + correlated scalar subquery + uncorrelated scalar
+    subquery — Catalyst decorrelates these into joins; same SQL text
+    runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUBQUERY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT variants
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+@register("orders_distinct", oracle=_DISTINCT_ORACLE, tags=("relational", "distinct"))
+def orders_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()

@@ -1,0 +1,95 @@
+"""Pipeline orchestrator — the reference's main.py re-done correctly.
+
+The reference starts its four jobs then blocks forever inside the mail
+consumer's ``for msg in consumer`` loop, so its liveness poll is
+unreachable (reference main.py:40-53, SURVEY.md §3.1 step 4). Here
+every job is a StreamingQuery handle; the orchestrator owns a single
+poll loop, propagates the first failure, and stops everything cleanly.
+
+The notification sink (the reference's SMTP consumer) is just another
+foreachBatch sink on the alert stream — in-process, checkpointed,
+restart-safe — not an out-of-band Kafka consumer.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from iot_sensor_data_pipeline_spark.streaming.jobs import (
+    BatchSink,
+    start_aggregator,
+    start_alerts,
+    start_persistence,
+)
+
+
+class Pipeline:
+    """Owns the engine's streaming queries; context-manager lifecycle."""
+
+    def __init__(self) -> None:
+        self.queries: dict[str, StreamingQuery] = {}
+
+    def add(self, name: str, query: StreamingQuery) -> None:
+        self.queries[name] = query
+
+    def start_standard_jobs(
+        self,
+        raw_factory: Callable[[], DataFrame],
+        checkpoint_root: str,
+        readings_sinks: Sequence[BatchSink],
+        alerts_sinks: Sequence[BatchSink],
+        agg_sinks: Sequence[BatchSink],
+        **agg_kw,
+    ) -> "Pipeline":
+        """Start the reference's three jobs. ``raw_factory`` builds one
+        source DataFrame per job — separate checkpointed subscriptions,
+        each reading the source exactly once for ALL its sinks."""
+        self.add(
+            "persistence",
+            start_persistence(raw_factory(), readings_sinks, f"{checkpoint_root}/persistence"),
+        )
+        self.add(
+            "alerts",
+            start_alerts(raw_factory(), alerts_sinks, f"{checkpoint_root}/alerts"),
+        )
+        self.add(
+            "aggregator",
+            start_aggregator(raw_factory(), agg_sinks, f"{checkpoint_root}/aggregator", **agg_kw),
+        )
+        return self
+
+    def await_all(self, poll_seconds: float = 1.0, timeout: float | None = None) -> None:
+        """Liveness loop (the one the reference never reaches): returns
+        when every query stops; raises the first query exception."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            active = [q for q in self.queries.values() if q.isActive]
+            for name, q in self.queries.items():
+                if not q.isActive and q.exception() is not None:
+                    self.stop_all()
+                    raise RuntimeError(f"query '{name}' failed") from q.exception()
+            if not active:
+                return
+            if deadline is not None and time.monotonic() > deadline:
+                return
+            time.sleep(poll_seconds)
+
+    def process_all_available(self) -> None:
+        """Drain every query synchronously (test/batch-drive mode)."""
+        for q in self.queries.values():
+            q.processAllAvailable()
+
+    def stop_all(self) -> None:
+        for q in self.queries.values():
+            if q.isActive:
+                q.stop()
+
+    def __enter__(self) -> "Pipeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop_all()

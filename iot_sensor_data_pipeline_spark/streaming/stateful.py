@@ -1,0 +1,118 @@
+"""Custom stateful streaming operators.
+
+Where built-in watermark aggregation isn't enough, Structured Streaming
+exposes arbitrary per-key state via ``applyInPandasWithState`` (Arrow
+batches in/out, state in the state store — RocksDB-backed per
+session.py, so keyspace size is disk-bound, not heap-bound).
+
+``debounce_alerts`` is the flagship: the reference emails EVERY alert
+occurrence (one SMTP send per reading, gestionnaire_mail.py:80-82) and
+left its intended dedup unimplemented (``last_sensor_state`` dict,
+:19). Here: a keyed state machine that emits only TRANSITIONS
+(None -> alert, alert A -> alert B, recovery), which is what a paging
+system actually wants.
+
+``session_window_agg`` covers gap-based session windows with the
+built-in session_window function (works batch + streaming).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEBOUNCE_OUTPUT = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("alert_type", T.StringType()),  # null = recovered
+        T.StructField("prev_alert_type", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("transition", T.StringType()),  # raised|changed|recovered
+    ]
+)
+
+DEBOUNCE_STATE = T.StructType([T.StructField("last_alert_type", T.StringType())])
+
+
+def _debounce_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (sensor_id,) = key
+    last: str | None = state.get[0] if state.exists else None
+    out: list[dict[str, Any]] = []
+    rows: list[tuple] = []
+    for pdf in pdfs:
+        rows.extend(pdf[["alert_type", "timestamp"]].itertuples(index=False))
+    rows.sort(key=lambda r: r.timestamp)
+    for r in rows:
+        cur = r.alert_type if isinstance(r.alert_type, str) else None
+        if cur == last:
+            continue
+        transition = (
+            "raised" if last is None else ("recovered" if cur is None else "changed")
+        )
+        out.append(
+            {
+                "sensor_id": sensor_id,
+                "alert_type": cur,
+                "prev_alert_type": last,
+                "timestamp": r.timestamp,
+                "transition": transition,
+            }
+        )
+        last = cur
+    state.update((last,))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def debounce_alerts(classified: DataFrame) -> DataFrame:
+    """Emit one row per alert-state TRANSITION per sensor.
+
+    Input: a stream with (sensor_id, alert_type nullable, timestamp) —
+    i.e. classified readings BEFORE the isNotNull filter, so recoveries
+    are visible. Works on batch DataFrames too (state spans the whole
+    batch per key).
+    """
+    keyed = classified.select("sensor_id", "alert_type", "timestamp").groupBy("sensor_id")
+    return keyed.applyInPandasWithState(
+        _debounce_fn,
+        outputStructType=DEBOUNCE_OUTPUT,
+        stateStructType=DEBOUNCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows (built-in session_window): a session
+    closes after ``gap`` of silence per key. Batch + streaming."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n",
+            "avg_value",
+        )
+    )

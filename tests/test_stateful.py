@@ -1,0 +1,110 @@
+"""Custom stateful operators: alert debounce (applyInPandasWithState)
+and session windows — streaming with controlled micro-batches."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.functions.rules import classify
+from iot_sensor_data_pipeline_spark.sources.json_ingest import ingest_readings
+from iot_sensor_data_pipeline_spark.streaming.stateful import (
+    debounce_alerts,
+    session_window_agg,
+)
+from tests.test_streaming import reading_json, write_batch
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return src, str(tmp_path / "chk")
+
+
+def _classified(raw):
+    flat = ingest_readings(raw)
+    return flat.withColumn("alert_type", classify(flat))
+
+
+def test_debounce_emits_transitions_only(spark, stream_dirs):
+    src, chk = stream_dirs
+    out = []
+    raw = spark.readStream.text(str(src))
+    q = (
+        debounce_alerts(_classified(raw))
+        .writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        # batch 1: normal -> warning -> warning (dup) -> critical
+        write_batch(
+            src,
+            "b1.json",
+            [
+                reading_json("00:10", 22.0),
+                reading_json("01:00", 28.0),
+                reading_json("01:30", 28.5),
+                reading_json("02:00", 31.0),
+            ],
+        )
+        q.processAllAvailable()
+        # batch 2: still critical (dup across BATCHES -> state store), then recover
+        write_batch(src, "b2.json", [reading_json("03:00", 32.0), reading_json("04:00", 22.0)])
+        q.processAllAvailable()
+
+        got = [(r.transition, r.prev_alert_type, r.alert_type) for r in sorted(out, key=lambda r: r.timestamp)]
+        assert got == [
+            ("raised", None, "temperature_warning"),
+            ("changed", "temperature_warning", "temperature_critical"),
+            ("recovered", "temperature_critical", None),
+        ]
+    finally:
+        q.stop()
+
+
+def test_session_window_batch(spark):
+    import datetime as dt
+
+    T0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("s1", T0, 1.0),
+        ("s1", T0 + dt.timedelta(minutes=10), 2.0),     # same session (gap 10m < 30m)
+        ("s1", T0 + dt.timedelta(minutes=50), 3.0),     # new session (gap 40m)
+        ("s2", T0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "sensor_id string, ts timestamp, value double")
+    out = session_window_agg(df, "ts", ["sensor_id"], "value", gap="30 minutes")
+    got = {(r.sensor_id, r.n, r.avg_value) for r in out.collect()}
+    assert got == {("s1", 2, 1.5), ("s1", 1, 3.0), ("s2", 1, 5.0)}
+
+
+def test_session_window_streaming_append(spark, stream_dirs):
+    src, chk = stream_dirs
+    out = []
+    raw = spark.readStream.text(str(src))
+    flat = ingest_readings(raw)
+    agg = session_window_agg(flat, "timestamp", ["sensor_id"], "value", gap="2 minutes", watermark="1 minute")
+    q = (
+        agg.writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        write_batch(src, "b1.json", [reading_json("00:10", 22.0), reading_json("01:00", 24.0)])
+        q.processAllAvailable()
+        # silence > gap, then a much later reading to push the watermark past session close
+        write_batch(src, "b2.json", [reading_json("10:00", 23.0)])
+        q.processAllAvailable()
+        write_batch(src, "b3.json", [reading_json("20:00", 23.0)])
+        q.processAllAvailable()
+        sessions = [(r.n, r.avg_value) for r in out]
+        assert (2, 23.0) in sessions  # first session: the two early readings
+    finally:
+        q.stop()
