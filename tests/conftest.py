@@ -17,7 +17,13 @@ SF001 = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("tests", shuffle_partitions=8)
+    import tempfile
+
+    spark = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")},
+    )
     yield spark
     spark.stop()
 
