@@ -213,3 +213,91 @@ def embeddings_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return rp_lsh_topk(queries, emb, k=10, dim=64)
+
+
+_COSINE_NEAR_DUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT
+  a.vec_id AS i,
+  b.vec_id AS j,
+  round(
+    list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+    6
+  ) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+"""
+
+
+@register("embeddings_cosine_near_dup", oracle=_COSINE_NEAR_DUP_ORACLE, tags=("pipeline", "dedup", "similarity"))
+def embeddings_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs variant
+    (the oracle-checkable ground truth for the LSH-bucketed variant)."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+@register("embeddings_cosine_near_dup_lsh", oracle=None, tags=("pipeline", "dedup", "similarity"))
+def embeddings_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup (scale path; rows-only — recall vs
+    the exact variant asserted in tests/test_similarity.py)."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=6)
+
+
+@register("embeddings_knn_ivf", oracle=None, tags=("pipeline", "similarity"))
+def embeddings_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + probe-and-rerank); recall vs
+    brute force asserted in tests/test_similarity.py."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk(queries, emb, k=10, n_centroids=16, n_probe=4)
+
+
+_NORM_ORACLE = """
+SELECT
+  vec_id,
+  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+  label
+FROM embeddings
+"""
+
+
+@register("embeddings_l2_norm_pandas_udf", oracle=_NORM_ORACLE, tags=("pipeline", "udf"))
+def embeddings_l2_norm_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized UDF path, oracle-checked: numpy L2 norms
+    over Arrow batches. Exists to pin the pandas_udf plumbing — for a
+    pure norm the built-in fold (operators/similarity.l2_norm) is the
+    better plan (no Python at all)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _l2(v):  # pd.Series -> pd.Series; hints omitted — inference
+        # rejects the stringized hints `from __future__ import
+        # annotations` produces, so the Series contract lives here
+        # sequential (cumsum) summation to match the oracle's
+        # sequential list_dot_product (np.dot's pairwise order differs)
+        return pd.Series(
+            [
+                float(np.cumsum(np.square(np.asarray(x, dtype="float64")))[-1]) ** 0.5
+                for x in v
+            ]
+        )
+
+    l2 = pandas_udf(_l2, "double")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(l2(F.col("embedding")), 6).alias("l2_norm"), "label"
+    )

@@ -1,0 +1,83 @@
+"""MERGE/SCD2 emulation and skew-mitigation operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.operators.merge import scd2_apply, upsert_snapshot
+from iot_sensor_data_pipeline_spark.operators.skew import salted_agg, salted_join
+
+T0 = dt.datetime(2026, 1, 1)
+
+
+def test_upsert_snapshot(spark):
+    current = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    out = {r.id: r.v for r in upsert_snapshot(current, updates, ["id"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_scd2_apply_closes_and_appends(spark):
+    history = spark.createDataFrame(
+        [(1, "x", T0, None, True), (2, "y", T0, None, True)],
+        "id int, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "x2", T0 + dt.timedelta(days=5))], "id int, v string, ts timestamp"
+    )
+    out = scd2_apply(history, updates, ["id"], "ts")
+    rows = {(r.id, r.v): r for r in out.collect()}
+    assert len(rows) == 3
+    old = rows[(1, "x")]
+    assert old.is_current is False and old.valid_to == T0 + dt.timedelta(days=5)
+    new = rows[(1, "x2")]
+    assert new.is_current is True and new.valid_from == T0 + dt.timedelta(days=5)
+    assert rows[(2, "y")].is_current is True  # untouched key unchanged
+
+
+def test_scd2_multiple_updates_sequence(spark):
+    history = spark.createDataFrame(
+        [(1, "x", T0, None, True)],
+        "id int, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "x2", T0 + dt.timedelta(days=1)), (1, "x3", T0 + dt.timedelta(days=2))],
+        "id int, v string, ts timestamp",
+    )
+    out = scd2_apply(history, updates, ["id"], "ts").orderBy("valid_from").collect()
+    assert [(r.v, r.is_current) for r in out] == [("x", False), ("x2", False), ("x3", True)]
+    assert out[1].valid_to == T0 + dt.timedelta(days=2)  # chained close-out
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    salted = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        ["k"],
+        n_salts=4,
+    ).count()
+    assert salted == plain
+
+
+def test_salted_agg_matches_plain_agg(spark, sf_dir):
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: (round(r.s, 4), r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (round(r.sum_l_quantity, 4), r.n)
+        for r in salted_agg(li, ["l_returnflag"], sum_cols=["l_quantity"]).collect()
+    }
+    assert salted == plain

@@ -58,6 +58,31 @@ def test_lsh_high_recall_on_clustered_data(spark):
     assert len(e & a) / len(e) >= 0.9
 
 
+def test_cosine_near_dup_lsh_recall(spark, sf_dir_mid):
+    from iot_sensor_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir_mid, "embeddings")
+    exact = {(r.i, r.j) for r in cosine_near_dup_pairs(emb, 0.4).collect()}
+    approx = {(r.i, r.j) for r in cosine_near_dup_pairs(emb, 0.4, n_planes=6, n_tables=6).collect()}
+    assert exact
+    assert approx <= exact  # candidates are exactly re-scored
+    # 6 independent tables amplify per-table ~30% recall at theta~63deg
+    # to 1-(1-p)^6 — expect the large majority of true pairs
+    assert len(approx & exact) / len(exact) >= 0.7
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir_mid):
+    from iot_sensor_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir_mid, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    e = {(r.qid, r.nid) for r in cosine_topk(queries, emb, k=10).collect()}
+    a = {(r.qid, r.nid) for r in ivf_topk(queries, emb, k=10, n_centroids=16, n_probe=4).collect()}
+    # probing 4/16 centroids scans ~25% of the corpus; on isotropic
+    # data recall tracks the scanned fraction — assert above it
+    assert len(e & a) / len(e) >= 0.3
+
+
 def test_lsh_self_bucket_sanity(spark):
     # a vector is always a candidate of an identical query vector
     rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
