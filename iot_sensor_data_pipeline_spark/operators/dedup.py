@@ -41,6 +41,17 @@ def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism before explode-heavy
+    work. A small parquet file arrives as ONE partition; exploding it
+    50x on one core serializes the whole pipeline — the shuffle here is
+    cheap, the parallelism is not optional."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def shingles(
     df: DataFrame,
     id_col: str,
@@ -53,6 +64,7 @@ def shingles(
     ``max_shingle_freq`` drops shingles occurring in more than that
     many documents — the skew guard for band joins at scale.
     """
+    df = _widen(df)
     words = F.split(F.col(text_col), " ", -1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
@@ -194,7 +206,10 @@ def minhash_dedup_pairs(
     banding probability 1-(1-t^r)^b (unit-tested against the exact
     quadratic pairs); precision is exact by construction.
     """
-    sh = shingles(df, id_col, text_col, n=shingle_n, max_shingle_freq=max_shingle_freq)
+    # persisted: the shingle relation feeds the signature agg AND both
+    # sides of candidate verification — without it the parse+explode
+    # lineage recomputes four times
+    sh = shingles(df, id_col, text_col, n=shingle_n, max_shingle_freq=max_shingle_freq).persist()
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)
     return ngram_jaccard_pairs(sh, threshold, candidates=cands)
@@ -207,7 +222,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     xxhash64(token) else -1); assembled into one long column
     ``simhash``. All JVM expressions, one aggregation.
     """
-    toks = df.select(
+    toks = _widen(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " ", -1))).alias("tok"),
     ).where(F.col("tok") != "")

@@ -253,6 +253,19 @@ def embeddings_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=6)
 
 
+@register("embeddings_knn_gemm", oracle=None, tags=("pipeline", "similarity", "udf"))
+def embeddings_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow+BLAS brute force (mapInPandas GEMM per corpus partition) —
+    the large-query-set path; equality with the JVM fold variant pinned
+    in tests/test_similarity.py (rows-only here: normalized-matrix op
+    order can differ from the oracle's fold in the 6th decimal)."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import cosine_topk_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return cosine_topk_gemm(queries, emb, k=10)
+
+
 @register("embeddings_knn_ivf", oracle=None, tags=("pipeline", "similarity"))
 def embeddings_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probe-and-rerank); recall vs

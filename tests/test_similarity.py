@@ -83,6 +83,19 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir_mid):
     assert len(e & a) / len(e) >= 0.3
 
 
+def test_gemm_topk_matches_fold_topk(spark, sf_dir_mid):
+    from iot_sensor_data_pipeline_spark.operators.similarity import cosine_topk_gemm
+
+    emb = load_table(spark, sf_dir_mid, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    fold = cosine_topk(queries, emb, k=10)
+    gemm = cosine_topk_gemm(queries, emb, k=10)
+    f = {(r.qid, r.nid): r.score for r in fold.collect()}
+    g = {(r.qid, r.nid): r.score for r in gemm.collect()}
+    assert set(f) == set(g)  # identical neighbor sets + ranking survivors
+    assert all(abs(f[p] - g[p]) < 1e-5 for p in f)  # scores agree to rounding
+
+
 def test_lsh_self_bucket_sanity(spark):
     # a vector is always a candidate of an identical query vector
     rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
