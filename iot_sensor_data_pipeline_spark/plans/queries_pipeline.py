@@ -170,6 +170,59 @@ def documents_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF: classic text weighting, fully relational (no ML pipeline
+# object needed), so it is oracle-checkable end to end.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT
+    tf.doc_id, tf.token,
+    round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tfidf, rn FROM ranked WHERE rn <= 5
+"""
+
+
+@register("documents_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("pipeline", "text"))
+def documents_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf, ln((N+1)/(df+1))+1).
+    Three aggs + one broadcastable join — no ML pipeline object, no UDF."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " ", -1), lambda t: t != "")).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 

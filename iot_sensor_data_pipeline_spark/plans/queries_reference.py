@@ -249,3 +249,44 @@ def events_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("event_type").like("%r%")
         & F.col("value").isNotNull()
     )
+
+
+# ---------------------------------------------------------------------------
+# Composition: the reference's full dataflow in ONE query — parse (P2),
+# classify (P5), filter (F1), window-aggregate (A2-A5). Alert counts
+# per hour per alert type.
+# ---------------------------------------------------------------------------
+
+_ALERTS_PER_WINDOW_ORACLE = f"""
+WITH classified AS (
+  SELECT ts, value, {classification_sql(EVENT_RULES)} AS alert_type
+  FROM events
+)
+SELECT
+  time_bucket(INTERVAL '1 hour', ts)    AS window_start,
+  alert_type,
+  count(*)                              AS n_alerts,
+  round(avg(value), 4)                  AS avg_actual
+FROM classified
+WHERE alert_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("events_alerts_per_window", oracle=_ALERTS_PER_WINDOW_ORACLE, tags=("reference", "composition"))
+def events_alerts_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule engine composed with windowed aggregation — the alert-rate
+    dashboard query (and the shape of the reference's whole pipeline
+    as one batch plan)."""
+    events = load_table(spark, sf_dir, "events")
+    classified = events.withColumn(
+        "alert_type", F.expr(classification_sql(EVENT_RULES))
+    ).where(F.col("alert_type").isNotNull())
+    return (
+        classified.groupBy(F.window("ts", "1 hour").alias("w"), "alert_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.round(F.avg("value"), 4).alias("avg_actual"),
+        )
+        .select(F.col("w.start").alias("window_start"), "alert_type", "n_alerts", "avg_actual")
+    )

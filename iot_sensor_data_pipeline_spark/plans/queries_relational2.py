@@ -224,6 +224,42 @@ def orders_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
 
+_NTILE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT
+  o_custkey,
+  total_spend,
+  CAST(ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS INTEGER) AS spend_quartile,
+  round(percent_rank() OVER (ORDER BY total_spend, o_custkey), 6) AS spend_pct_rank,
+  round(cume_dist() OVER (ORDER BY total_spend, o_custkey), 6) AS spend_cume_dist
+FROM spend
+"""
+
+
+@register("customers_spend_quartiles", oracle=_NTILE_ORACLE, tags=("relational", "window"))
+def customers_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile/percent_rank/cume_dist over
+    per-customer spend. (Global ORDER BY window = single-partition
+    window at scale — use bucketed percentiles instead at 100 TB;
+    registered for the operator surface.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w_desc = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
+    w_asc = Window.orderBy("total_spend", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.ntile(4).over(w_desc).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w_asc), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(w_asc), 6).alias("spend_cume_dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style Q6: the pure scan-filter-sum pushdown showcase
 # ---------------------------------------------------------------------------
