@@ -1,0 +1,185 @@
+"""Property-based differential tests (hypothesis): the engine's
+operators vs independent Python/pandas reference implementations on
+randomized inputs. Complements the DuckDB oracle (fixed datasets) with
+adversarial small cases: boundary values, ties, empty groups.
+
+Examples are kept low (Spark round-trip per example) but each example
+carries many rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iot_sensor_data_pipeline_spark.functions.rules import SENSOR_RULES, detect_alerts
+from iot_sensor_data_pipeline_spark.operators.joins import asof_join
+from iot_sensor_data_pipeline_spark.operators.window_agg import windowed_agg
+
+T0 = dt.datetime(2026, 1, 1)
+
+SENSOR_KINDS = [
+    ("temperature", "celsius"),
+    ("humidity", "percent"),
+    ("pressure", "hPa"),
+]
+
+
+def expected_alert(sensor_type, unit, value, battery, signal):
+    """Independent Python mirror of SURVEY.md §2.6 (priority order,
+    first match wins) — NOT derived from functions/rules.py."""
+    if sensor_type == "temperature" and unit == "celsius":
+        if value < 15 or value > 30:
+            return "temperature_critical"
+        if value > 27:
+            return "temperature_warning"
+    if sensor_type == "humidity" and unit == "percent":
+        if value < 30 or value > 70:
+            return "humidity_critical"
+        if value < 35 or value > 60:
+            return "humidity_warning"
+    if sensor_type == "pressure" and unit == "hPa":
+        if value < 980 or value > 1040:
+            return "pressure_critical"
+        if value < 995 or value > 1030:
+            return "pressure_warning"
+    if battery < 20:
+        return "battery_critical"
+    if battery < 40:
+        return "battery_warning"
+    if signal < -75:
+        return "weak_signal_critical"
+    if signal < -70:
+        return "weak_signal_warning"
+    return None
+
+
+readings_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(range(len(SENSOR_KINDS))),
+        # boundary-heavy value distribution across all three domains
+        st.one_of(
+            st.sampled_from([14.9, 15.0, 27.0, 27.1, 30.0, 30.1, 29.9, 35.0, 60.0, 70.0, 980.0, 995.0, 1030.0, 1040.0]),
+            st.floats(min_value=-10, max_value=1100, allow_nan=False, width=32),
+        ),
+        st.integers(min_value=0, max_value=100),      # battery
+        st.integers(min_value=-95, max_value=-40),    # signal
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
+@given(readings_strategy)
+def test_rule_engine_matches_python_reference(spark, rows):
+    data = []
+    for i, (kind_i, value, battery, signal) in enumerate(rows):
+        sensor_type, unit = SENSOR_KINDS[kind_i]
+        data.append(
+            (f"s{i}", sensor_type, "A", 1, "100", T0 + dt.timedelta(seconds=i),
+             float(value), unit, battery, signal)
+        )
+    df = spark.createDataFrame(
+        data,
+        "sensor_id string, sensor_type string, building string, floor int, room string, "
+        "timestamp timestamp, value double, unit string, battery_level int, signal_strength int",
+    )
+    got = {r.sensor_id: r.alert_type for r in detect_alerts(df).collect()}
+    for row in data:
+        want = expected_alert(row[1], row[7], row[6], row[8], row[9])
+        assert got.get(row[0]) == want, (row, got.get(row[0]), want)
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, ts_offset_s)
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=1, max_size=60
+    ),
+    st.lists(  # right: (key, ts_offset_s, value)
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(-1000, 1000)),
+        min_size=0,
+        max_size=60,
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
+@given(asof_strategy)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(k, T0 + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left_rows)],
+        "k int, ts timestamp, row_id int",
+    )
+    right = spark.createDataFrame(
+        [(k, T0 + dt.timedelta(seconds=s), float(v)) for k, s, v in right_rows],
+        "k int, rts timestamp, rv double",
+    ) if right_rows else spark.createDataFrame([], "k int, rts timestamp, rv double")
+
+    got = {
+        r.row_id: r.rv
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", right_vals=["rv"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, T0 + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left_rows)],
+        columns=["k", "ts", "row_id"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, T0 + dt.timedelta(seconds=s), float(v)) for k, s, v in right_rows],
+        columns=["k", "rts", "rv"],
+    ).sort_values("rts", kind="stable")
+    if len(rp):
+        merged = pd.merge_asof(
+            lp, rp, left_on="ts", right_on="rts", by="k", direction="backward"
+        )
+        want = {int(r.row_id): (None if pd.isna(r.rv) else r.rv) for r in merged.itertuples()}
+    else:
+        want = {int(r.row_id): None for r in lp.itertuples()}
+
+    # ties: pandas merge_asof takes the LAST right row at equal ts for
+    # the same key; our implementation takes the last in (ts, side)
+    # order too (right rows sort before left, later right rows win)
+    assert got == want
+
+
+agg_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 7200), st.integers(-100, 100)),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
+@given(agg_strategy)
+def test_windowed_agg_matches_pandas(spark, rows):
+    df = spark.createDataFrame(
+        [(f"k{k}", T0 + dt.timedelta(seconds=s), float(v)) for k, s, v in rows],
+        "key string, ts timestamp, value double",
+    )
+    out = windowed_agg(df, "ts", ["key"], "value", "10 minutes")
+    got = {
+        (r.key, r.window_start): (r.n, r.min_value, r.max_value, round(r.avg_value, 9))
+        for r in out.collect()
+    }
+
+    pdf = pd.DataFrame(
+        [(f"k{k}", T0 + dt.timedelta(seconds=s), float(v)) for k, s, v in rows],
+        columns=["key", "ts", "value"],
+    )
+    pdf["window_start"] = pdf["ts"].dt.floor("10min")
+    want = {}
+    for (key, ws), grp in pdf.groupby(["key", "window_start"]):
+        want[(key, ws.to_pydatetime())] = (
+            len(grp),
+            grp["value"].min(),
+            grp["value"].max(),
+            round(grp["value"].mean(), 9),
+        )
+    assert got == want
