@@ -66,12 +66,13 @@ def lang_id(text: Column) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     stripped = F.regexp_replace(text, r"[.,!?;:]", "")
-    return (F.length(text) - F.length(stripped)) / F.length(text)
+    # nullif: empty text -> null ratio, not DIVIDE_BY_ZERO (ANSI mode)
+    return (F.length(text) - F.length(stripped)) / F.nullif(F.length(text), F.lit(0))
 
 
 def digit_ratio(text: Column) -> Column:
     stripped = F.regexp_replace(text, r"[0-9]", "")
-    return (F.length(text) - F.length(stripped)) / F.length(text)
+    return (F.length(text) - F.length(stripped)) / F.nullif(F.length(text), F.lit(0))
 
 
 def quality_score(text: Column) -> Column:

@@ -130,8 +130,8 @@ WITH base AS (
     len(toks) AS n_tokens,
     len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
     n_chars,
-    (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / n_chars AS punct_r,
-    (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / n_chars AS digit_r,
+    (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / nullif(n_chars, 0) AS punct_r,
+    (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / nullif(n_chars, 0) AS digit_r,
     len(list_filter(toks, t -> t IN ({_list_sql(STOPWORDS["en"])}))) AS en_stopwords,
     {" ".join(
         f"len(list_filter(toks, t -> t IN ({_list_sql(ws)}))) AS hits_{lang},"

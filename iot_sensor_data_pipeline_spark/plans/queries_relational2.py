@@ -224,6 +224,78 @@ def orders_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
 
+# ---------------------------------------------------------------------------
+# Higher-order array functions: collect -> sort -> transform/filter/
+# reduce/exists, all inside the engine (no explode round-trip).
+# ---------------------------------------------------------------------------
+
+_ARRAY_HOF_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT
+  l_orderkey,
+  qtys[1]                                               AS min_qty,
+  len(qtys)                                             AS n_items,
+  round(list_sum(list_transform(qtys, q -> q * 2.5)), 4) AS transformed_sum,
+  len(list_filter(qtys, q -> q > 25))                   AS n_large,
+  CAST(len(list_filter(qtys, q -> q > 45)) > 0 AS BOOLEAN) AS has_huge
+FROM per_order
+"""
+
+
+@register("lineitem_array_hof", oracle=_ARRAY_HOF_ORACLE, tags=("relational", "array"))
+def lineitem_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list -> array_sort -> transform/filter/aggregate/exists —
+    the higher-order-function surface over grouped arrays."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.element_at("qtys", 1).alias("min_qty"),
+        F.size("qtys").alias("n_items"),
+        F.round(
+            F.aggregate(
+                F.transform("qtys", lambda q: q * 2.5), F.lit(0.0), lambda acc, v: acc + v
+            ),
+            4,
+        ).alias("transformed_sum"),
+        F.size(F.filter("qtys", lambda q: q > 25)).alias("n_large"),
+        F.exists("qtys", lambda q: q > 45).alias("has_huge"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long). Oracle written as UNION ALL for portability.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount' AS measure, l_discount AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax'      AS measure, l_tax      AS val FROM lineitem
+"""
+
+
+@register("lineitem_unpivot", oracle=_UNPIVOT_ORACLE, tags=("relational", "pivot"))
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long via DataFrame.unpivot (a.k.a. melt)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn(
+        "measure",
+        F.col("measure").substr(F.lit(3), F.length("measure")),  # l_quantity -> quantity
+    )
+
+
 _NTILE_ORACLE = """
 WITH spend AS (
   SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
