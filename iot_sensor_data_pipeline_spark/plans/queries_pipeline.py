@@ -170,6 +170,50 @@ def documents_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal: binary content column + typed metadata through the real
+# mapInPandas decode stage. The binary table is synthesized
+# deterministically from documents (content = utf-8 bytes of text), so
+# the metadata outputs are oracle-checkable while the feature
+# extraction itself (stub codec) is covered by unit tests.
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT
+  doc_id AS item_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+FROM documents
+"""
+
+
+@register("documents_multimodal_meta", oracle=_MULTIMODAL_ORACLE, tags=("pipeline", "multimodal"))
+def documents_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary + media-metadata columns through the Arrow decode stage
+    (operators/multimodal.extract_features), projecting the
+    oracle-comparable metadata; the stubbed feature vectors are pinned
+    by tests/test_multimodal.py."""
+    from iot_sensor_data_pipeline_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("kind"),
+            F.lit("raw").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("media"),
+    )
+    return extract_features(media).select("item_id", "kind", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF: classic text weighting, fully relational (no ML pipeline
 # object needed), so it is oracle-checkable end to end.
 # ---------------------------------------------------------------------------

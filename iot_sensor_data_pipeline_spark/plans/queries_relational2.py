@@ -225,6 +225,52 @@ def orders_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# session_window (built-in) cross-validated against an INDEPENDENT SQL
+# sessionization (lag + cumsum): same gap semantics, different
+# algorithms — a strong differential check. session_window's end =
+# last event + gap, mirrored in the oracle.
+# ---------------------------------------------------------------------------
+
+_SESSION_WINDOW_ORACLE = """
+WITH marked AS (
+  SELECT
+    user_id, event_id, ts,
+    CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT
+  user_id,
+  min(ts)                           AS session_start,
+  max(ts) + INTERVAL '30 minutes'   AS session_end,
+  count(*)                          AS n
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@register("events_session_window", oracle=_SESSION_WINDOW_ORACLE, tags=("relational", "session"))
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (gap 30 min) in batch mode — the oracle
+    recomputes sessions with the unrelated lag+cumsum algorithm."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Higher-order array functions: collect -> sort -> transform/filter/
 # reduce/exists, all inside the engine (no explode round-trip).
 # ---------------------------------------------------------------------------
