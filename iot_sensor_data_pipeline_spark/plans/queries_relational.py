@@ -300,7 +300,8 @@ WITH errors AS (
 ), purchases AS (
   SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase'
 )
-SELECT e.event_id, e.user_id, e.ts, e.value, p.p_ts AS last_purchase_ts, p.p_value AS last_purchase_value
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
+       CAST(p.p_ts AS TIMESTAMP) AS last_purchase_ts, p.p_value AS last_purchase_value
 FROM errors e
 ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.p_ts
 """

@@ -34,8 +34,8 @@ WITH marked AS (
 SELECT
   user_id,
   CAST(session_id AS BIGINT) AS session_id,
-  min(ts)  AS session_start,
-  max(ts)  AS session_end,
+  CAST(min(ts) AS TIMESTAMP) AS session_start,
+  CAST(max(ts) AS TIMESTAMP) AS session_end,
   count(*) AS n_events
 FROM sessions
 GROUP BY user_id, session_id
@@ -245,9 +245,9 @@ WITH marked AS (
 )
 SELECT
   user_id,
-  min(ts)                           AS session_start,
-  max(ts) + INTERVAL '30 minutes'   AS session_end,
-  count(*)                          AS n
+  CAST(min(ts) AS TIMESTAMP)                          AS session_start,
+  CAST(max(ts) AS TIMESTAMP) + INTERVAL '30 minutes'   AS session_end,
+  count(*)                                             AS n
 FROM sessions
 GROUP BY user_id, sid
 """

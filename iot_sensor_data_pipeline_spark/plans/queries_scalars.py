@@ -32,7 +32,7 @@ SELECT
   CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
   CAST(ts AS DATE) AS event_date,
   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
-  ts + INTERVAL '90 minutes' AS ts_plus
+  CAST(ts AS TIMESTAMP) + INTERVAL '90 minutes' AS ts_plus
 FROM events
 """
 
