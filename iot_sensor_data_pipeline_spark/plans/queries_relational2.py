@@ -225,6 +225,42 @@ def orders_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-style Q14: promo revenue share — broadcast dim join +
+# conditional aggregation into one scalar.
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT
+  round(
+    100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      / sum(l_extendedprice * (1 - l_discount)),
+    4
+  ) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+@register("tpch_q14_promo_revenue", oracle=_Q14_ORACLE, tags=("relational", "join", "agg"))
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0)) / F.sum(net),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # session_window (built-in) cross-validated against an INDEPENDENT SQL
 # sessionization (lag + cumsum): same gap semantics, different
 # algorithms — a strong differential check. session_window's end =
