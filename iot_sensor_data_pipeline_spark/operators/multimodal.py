@@ -125,16 +125,18 @@ def frame_sample(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, blobs = [], [], []
-            for _, row in pdf.iterrows():
-                media = row[media_col]
-                payload = row[content_col]
+            # zip over columns, not iterrows (iterrows boxes every row
+            # into a Series — ~10x slower on wide binary batches)
+            for item_id, payload, media in zip(
+                pdf[id_col], pdf[content_col], pdf[media_col]
+            ):
                 if media is None or media["kind"] != "video" or not media["n_frames"]:
-                    ids.append(row[id_col]); idxs.append(-1); blobs.append(payload)
+                    ids.append(item_id); idxs.append(-1); blobs.append(payload)
                     continue
                 n = int(media["n_frames"])
                 step = max(len(payload) // max(n, 1), 1)
                 for f in range(0, n, every_n):
-                    ids.append(row[id_col])
+                    ids.append(item_id)
                     idxs.append(f)
                     blobs.append(payload[f * step : (f + 1) * step])
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_bytes": blobs})

@@ -252,6 +252,29 @@ def events_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Throughput proxy: the reference's hot path (JSON wire -> parse ->
+# flatten -> rule engine) over generated messages. The reference's
+# simulator offers ~8 msg/s (BASELINE.md); this runs the identical
+# transform shape over 200k messages per bench invocation, so the
+# BENCH json directly reports ingest+classify throughput.
+# ---------------------------------------------------------------------------
+
+
+@register("sensor_wire_ingest_alerts", oracle=None, tags=("reference", "throughput"), bench=True)
+def sensor_wire_ingest_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """200k synthetic wire messages through ingest + alert detection
+    (batch mode of the streaming jobs' exact transforms). Rows-only:
+    the rule semantics are oracle-checked on `events` and unit-tested
+    on the golden scenario; this entry exists to measure the path."""
+    from iot_sensor_data_pipeline_spark.functions.rules import detect_alerts
+    from iot_sensor_data_pipeline_spark.sources.json_ingest import ingest_readings
+    from iot_sensor_data_pipeline_spark.sources.synthetic import reading_batch
+
+    wire = reading_batch(spark, 200_000).select(F.to_json(F.struct("*")).alias("value"))
+    return detect_alerts(ingest_readings(wire))
+
+
+# ---------------------------------------------------------------------------
 # Composition: the reference's full dataflow in ONE query — parse (P2),
 # classify (P5), filter (F1), window-aggregate (A2-A5). Alert counts
 # per hour per alert type.

@@ -225,6 +225,54 @@ def orders_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouped-map UDF (applyInPandas): per-user inter-event gap statistics
+# computed in pandas per group, oracle-checked against the lag-based
+# SQL formulation — pins the Arrow grouped-map path end to end.
+# ---------------------------------------------------------------------------
+
+_GAP_STATS_ORACLE = """
+WITH gaps AS (
+  SELECT
+    user_id,
+    CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT
+  user_id,
+  count(*)                                       AS n_events,
+  round(avg(epoch(gap)), 4)                      AS avg_gap_s,
+  round(max(epoch(gap)), 4)                      AS max_gap_s
+FROM gaps
+GROUP BY user_id
+"""
+
+
+@register("events_user_gap_stats", oracle=_GAP_STATS_ORACLE, tags=("relational", "udf"))
+def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped map: one pandas DataFrame per user computes
+    inter-event gap stats — the UDAF-via-grouped-map pattern. One
+    shuffle on user_id, Arrow both ways."""
+    import pandas as pd
+
+    def gap_stats(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "avg_gap_s": [round(float(gaps.mean()), 4) if len(gaps) else None],
+                "max_gap_s": [round(float(gaps.max()), 4) if len(gaps) else None],
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return events.groupBy("user_id").applyInPandas(
+        gap_stats, "user_id bigint, n_events bigint, avg_gap_s double, max_gap_s double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style Q14: promo revenue share — broadcast dim join +
 # conditional aggregation into one scalar.
 # ---------------------------------------------------------------------------
