@@ -71,6 +71,11 @@ def asof_join(
     Cost: one shuffle on ``on`` + one sort — identical to sort-merge
     join, fully JVM-side, streaming-friendly frame (no full-partition
     buffering).
+
+    Ties: multiple RIGHT rows with the same (key, right_ts) resolve to
+    an arbitrary one of them (same ambiguity as pandas merge_asof,
+    which silently takes input order) — dedupe the right side first if
+    that matters.
     """
     on = list(on)
     lcols = left.columns

@@ -177,7 +177,9 @@ def ivf_topk(
     c = corpus.select(
         F.col(corpus_id).alias("nid"), as_double_array(F.col(vec_col)).alias("cv")
     )
-    train = c.select(array_to_vector("cv").alias("features"))
+    # quantizer training needs only a sample — cap it so fitting cost
+    # stays constant as the corpus grows (standard IVF practice)
+    train = c.select(array_to_vector("cv").alias("features")).limit(200_000)
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
