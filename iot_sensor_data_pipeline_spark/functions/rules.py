@@ -129,8 +129,10 @@ def attribute_sql(rules: tuple[AlertRule, ...], attr: str, alert_col: str = "ale
     return f"CASE {' '.join(branches)} ELSE NULL END"
 
 
-def classify(df: DataFrame, rules: tuple[AlertRule, ...] = SENSOR_RULES) -> Column:
-    """Spark column assigning the first matching rule's alert_type."""
+def classify(rules: tuple[AlertRule, ...] = SENSOR_RULES) -> Column:
+    """Spark column assigning the first matching rule's alert_type
+    (pure expression — attach with ``withColumn`` to any DataFrame
+    exposing the columns the rule conditions reference)."""
     return F.expr(classification_sql(rules))
 
 
@@ -196,8 +198,23 @@ def detect_alerts(
 
     Pure narrow transformation — safe for batch and streaming alike.
     """
-    out = (
-        df.withColumn("alert_type", classify(df, rules))
+    audit_cols = []
+    if with_audit_cols:
+        # resolved against the INPUT df (before the projection below),
+        # so context_cols need not include the timestamp column
+        triggered = (
+            F.col("timestamp").cast("timestamp")
+            if "timestamp" in df.columns
+            else F.lit(None).cast("timestamp")
+        )
+        audit_cols = [
+            triggered.alias("triggered_at"),
+            F.lit(None).cast("timestamp").alias("resolved_at"),
+            F.lit("active").alias("status"),
+            F.current_timestamp().alias("created_at"),
+        ]
+    return (
+        df.withColumn("alert_type", classify(rules))
         .where(F.col("alert_type").isNotNull())
         .select(
             *context_cols,
@@ -208,17 +225,6 @@ def detect_alerts(
             .alias("threshold_value"),
             F.col(value_col).alias("actual_value"),
             F.expr(attribute_sql(rules, "message")).alias("message"),
+            *audit_cols,
         )
     )
-    if with_audit_cols:
-        ts = "timestamp" if "timestamp" in df.columns else None
-        out = (
-            out.withColumn(
-                "triggered_at",
-                F.col(ts).cast("timestamp") if ts else F.lit(None).cast("timestamp"),
-            )
-            .withColumn("resolved_at", F.lit(None).cast("timestamp"))
-            .withColumn("status", F.lit("active"))
-            .withColumn("created_at", F.current_timestamp())
-        )
-    return out

@@ -208,7 +208,9 @@ def minhash_dedup_pairs(
     """
     # persisted: the shingle relation feeds the signature agg AND both
     # sides of candidate verification — without it the parse+explode
-    # lineage recomputes four times
+    # lineage recomputes four times. No explicit unpersist handle is
+    # returned; Spark's ContextCleaner reclaims the cached blocks once
+    # the returned DataFrame (and this lineage) is garbage collected.
     sh = shingles(df, id_col, text_col, n=shingle_n, max_shingle_freq=max_shingle_freq).persist()
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)

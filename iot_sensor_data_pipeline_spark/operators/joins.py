@@ -25,6 +25,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def broadcast_join(
@@ -79,19 +80,24 @@ def asof_join(
     """
     on = list(on)
     lcols = left.columns
+    # right values travel as ONE struct: last(ignorenulls) then skips
+    # whole unmatched (left) rows but keeps matched rows even when
+    # individual value columns are NULL — per-column propagation would
+    # skip NULL VALUES and blend columns from different right rows
+    rstruct_type = T.StructType([right.schema[c] for c in right_vals])
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols if c not in on],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_vals],
+        F.lit(None).cast(rstruct_type).alias("__rvals"),
     )
     tagged_right = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols if c not in on],
-        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+        F.struct(*right_vals).alias("__rvals"),
     )
 
     w = (
@@ -99,16 +105,16 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = tagged_left.unionByName(tagged_right)
-    for c in right_vals:
-        merged = merged.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    merged = tagged_left.unionByName(tagged_right).withColumn(
+        "__rvals", F.last("__rvals", ignorenulls=True).over(w)
+    )
 
-    out = merged.where(F.col("__side") == 1).select(
+    out = merged.where(F.col("__side") == 1)
+    if how == "inner":
+        out = out.where(F.col("__rvals").isNotNull())
+    return out.select(
         *on,
         F.col("__ts").alias(left_ts),
         *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on and c != left_ts],
-        *[F.col(f"__r_{c}").alias(c) for c in right_vals],
+        *[F.col(f"__rvals.{c}").alias(c) for c in right_vals],
     )
-    if how == "inner":
-        out = out.where(F.col(right_vals[0]).isNotNull())
-    return out

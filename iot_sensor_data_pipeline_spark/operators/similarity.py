@@ -244,7 +244,9 @@ def cosine_topk_gemm(
     shuffle carries k*P rows per query, not |C|.
 
     Equality with cosine_topk is pinned in tests (same rounding, same
-    tie-break).
+    tie-break — the local selection orders by the rounded score too).
+    Ids must be integral (the Arrow schema pins them to long); use
+    cosine_topk for string-keyed vectors.
     """
     import numpy as np
     import pandas as pd
@@ -270,13 +272,17 @@ def cosine_topk_gemm(
             nids = pdf["nid"].to_numpy()
             cm = np.array(list(pdf["cv"]), dtype="float64")
             cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-            scores = qm @ cm.T  # |Q| x |batch|
+            # local selection uses the SAME (rounded score desc, nid)
+            # order as the global rank window — raw-score argpartition
+            # could cut a neighbor that ties only after rounding
+            scores = np.round(qm @ cm.T, round_score)  # |Q| x |batch|
             take = min(k + 1, scores.shape[1])  # +1 absorbs self-matches
-            idx = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            order = np.lexsort((np.broadcast_to(nids, scores.shape), -scores), axis=1)
+            idx = order[:, :take]
             rows = {
                 "qid": np.repeat(qids, take),
                 "nid": nids[idx.ravel()],
-                "score": np.round(np.take_along_axis(scores, idx, axis=1).ravel(), round_score),
+                "score": np.take_along_axis(scores, idx, axis=1).ravel(),
             }
             yield pd.DataFrame(rows)
 

@@ -31,10 +31,22 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with the key salted n ways (hot-key spreading)."""
+    """Equi-join with the key salted n ways (hot-key spreading).
+
+    Only left-preserving joins are legal: the right side is replicated
+    per salt value, so right/full-outer would emit every unmatched
+    right row n_salts times.
+
+    The salt is a deterministic function of the whole left row (not a
+    random/partition-dependent id): task retries recompute the SAME
+    salt, so no rows migrate between (key, salt) buckets mid-shuffle —
+    the classic nondeterministic-shuffle-key hazard.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports left-preserving joins only, got {how!r}")
     on = list(on)
     salted_left = left.withColumn(
-        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+        "__salt", F.pmod(F.hash(*left.columns), F.lit(n_salts))
     )
     salt_values = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     salted_right = right.select("*", salt_values)
@@ -55,7 +67,7 @@ def salted_agg(
     """
     keys = list(keys)
     salted = df.withColumn(
-        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+        "__salt", F.pmod(F.hash(*df.columns), F.lit(n_salts))
     )
     partial_aggs = [F.sum(c).alias(f"__p_sum_{c}") for c in sum_cols]
     if count:

@@ -448,12 +448,15 @@ def lineitem_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
     )
+    # pivot yields NULL counts for absent (flag, status) combos; the
+    # oracle's count(*) FILTER yields 0 — coalesce so both agree on
+    # datasets where a combination is missing
     return pivoted.select(
         "l_returnflag",
         F.col("O_qty").alias("qty_open"),
         F.col("F_qty").alias("qty_filled"),
-        F.col("O_n").alias("n_open"),
-        F.col("F_n").alias("n_filled"),
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_filled"),
     )
 
 

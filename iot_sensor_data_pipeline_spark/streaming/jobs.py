@@ -20,6 +20,7 @@ list of batch sinks (callables DataFrame -> None) fanned out from one
 
 from __future__ import annotations
 
+import inspect
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
@@ -29,22 +30,45 @@ from iot_sensor_data_pipeline_spark.functions.rules import SENSOR_RULES, detect_
 from iot_sensor_data_pipeline_spark.operators.window_agg import windowed_agg
 from iot_sensor_data_pipeline_spark.sources.json_ingest import ingest_readings
 
-BatchSink = Callable[[DataFrame], None]
+#: a sink takes the batch DataFrame, optionally also the epoch id —
+#: epoch-aware sinks (sources.jdbc idempotent append) need it for
+#: replay deduplication
+BatchSink = Callable[[DataFrame], None] | Callable[[DataFrame, int], None]
+
+
+def _wants_epoch(sink: BatchSink) -> bool:
+    try:
+        params = inspect.signature(sink).parameters.values()
+        positional = [
+            p
+            for p in params
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        return len(positional) >= 2 or any(
+            p.kind == p.VAR_POSITIONAL for p in params
+        )
+    except (TypeError, ValueError):
+        return False
 
 
 def _fanout(sinks: Sequence[BatchSink]) -> Callable[[DataFrame, int], None]:
     """One foreachBatch callback feeding every sink from ONE computed
     batch. The batch is persisted so N sinks don't recompute the
     lineage N times (the reference recomputed per count() call,
-    reference data_persistance.py:41,55)."""
+    reference data_persistance.py:41,55). Sinks declaring a second
+    parameter receive the epoch id (replay-dedup key)."""
+    epoch_aware = [(sink, _wants_epoch(sink)) for sink in sinks]
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch_df.persist()
         try:
-            for sink in sinks:
-                sink(batch_df)
+            for sink, wants_epoch in epoch_aware:
+                if wants_epoch:
+                    sink(batch_df, epoch_id)
+                else:
+                    sink(batch_df)
         finally:
             batch_df.unpersist()
 

@@ -38,7 +38,9 @@ class MetricsCollector(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
         metric = BatchMetric(
-            query_name=p.name or p.id,
+            # p.id is a uuid.UUID in PySpark 4 — stringify or the JSONL
+            # dump raises (and Spark swallows listener exceptions)
+            query_name=str(p.name or p.id),
             batch_id=p.batchId,
             num_input_rows=p.numInputRows,
             input_rows_per_second=p.inputRowsPerSecond or 0.0,

@@ -47,6 +47,33 @@ def test_asof_join_inclusive_equal_ts(spark):
     assert row.rv == 7.0
 
 
+def test_asof_join_null_values_in_matched_row_propagate(spark):
+    # a matched right row whose VALUE is NULL must yield NULL (that
+    # row's content), not fall back to an older non-null value, and
+    # must not blend columns from different right rows
+    left = spark.createDataFrame([(1, ts(30), "x")], "user int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, ts(0), 5.0, "a"), (1, ts(20), None, "b")],
+        "user int, rts timestamp, rv double, rlabel string",
+    )
+    row = asof_join(
+        left, right, on=["user"], left_ts="ts", right_ts="rts", right_vals=["rv", "rlabel"]
+    ).collect()[0]
+    assert row.rv is None and row.rlabel == "b"  # the t=20 row, as-is
+
+
+def test_asof_join_inner_keeps_matched_row_with_null_first_value(spark):
+    left = spark.createDataFrame([(1, ts(30))], "user int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(20), None, "lbl")], "user int, rts timestamp, rv double, rlabel string"
+    )
+    rows = asof_join(
+        left, right, on=["user"], left_ts="ts", right_ts="rts",
+        right_vals=["rv", "rlabel"], how="inner",
+    ).collect()
+    assert len(rows) == 1 and rows[0].rlabel == "lbl"  # matched despite rv NULL
+
+
 def test_asof_join_inner_drops_unmatched(spark):
     left = spark.createDataFrame([(1, ts(10)), (2, ts(10))], "user int, ts timestamp")
     right = spark.createDataFrame([(1, ts(0), 1.0)], "user int, rts timestamp, rv double")

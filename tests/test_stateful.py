@@ -27,7 +27,7 @@ def stream_dirs(tmp_path):
 
 def _classified(raw):
     flat = ingest_readings(raw)
-    return flat.withColumn("alert_type", classify(flat))
+    return flat.withColumn("alert_type", classify())
 
 
 def test_debounce_emits_transitions_only(spark, stream_dirs):

@@ -134,6 +134,34 @@ def test_alert_stream_single_read_multi_sink(spark, stream_dirs):
         q.stop()
 
 
+def test_epoch_aware_sink_receives_epoch_id(spark, stream_dirs):
+    """Sinks declaring a second parameter get the foreachBatch epoch id
+    (the replay-dedup key the idempotent JDBC sink stamps)."""
+    src, chk, tmp = stream_dirs
+    plain: list = []
+    epochs: list = []
+
+    def epoch_sink(df, epoch_id):
+        epochs.append((epoch_id, df.count()))
+
+    raw = spark.readStream.text(str(src))
+    q = start_alerts(
+        raw,
+        sinks=[lambda df: plain.extend(df.collect()), epoch_sink],
+        checkpoint=chk,
+    )
+    try:
+        write_batch(src, "b1.json", [reading_json("00:10", 31.0)])
+        q.processAllAvailable()
+        write_batch(src, "b2.json", [reading_json("01:00", 32.0)])
+        q.processAllAvailable()
+        assert len(plain) == 2
+        assert [n for _, n in epochs] == [1, 1]
+        assert epochs[0][0] != epochs[1][0]  # distinct epoch ids delivered
+    finally:
+        q.stop()
+
+
 def test_dedup_within_watermark(spark, stream_dirs):
     """Duplicate readings (same sensor_id+timestamp) inside the
     watermark are emitted once — the reference's unimplemented email
