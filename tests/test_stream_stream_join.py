@@ -12,6 +12,33 @@ from iot_sensor_data_pipeline_spark.sources.json_ingest import ingest_readings
 from tests.test_streaming import reading_json, write_batch
 
 
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: enrich streaming readings with a static
+    (broadcast) dimension table — no watermark needed on the static
+    side, the standard reference-data pattern."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out: list = []
+
+    rooms = spark.createDataFrame(
+        [("100", "server-room"), ("101", "office")], "room string, room_kind string"
+    )
+    enriched = ingest_readings(spark.readStream.text(str(src))).join(
+        F.broadcast(rooms), "room", "left"
+    )
+    q = (
+        enriched.writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "chk_ss"))
+        .start()
+    )
+    try:
+        write_batch(src, "b1.json", [reading_json("00:10", 22.0)])
+        q.processAllAvailable()
+        assert len(out) == 1 and out[0].room_kind == "server-room"
+    finally:
+        q.stop()
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
