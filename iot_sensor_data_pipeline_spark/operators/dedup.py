@@ -217,6 +217,59 @@ def minhash_dedup_pairs(
     return ngram_jaccard_pairs(sh, threshold, candidates=cands)
 
 
+def duplicate_clusters(
+    ids: DataFrame, pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    gets a ``cluster`` id (the minimum member id), so dedup keeps one
+    canonical doc per cluster — the standard final step after pairwise
+    similarity (pairs alone can chain: a~b, b~c => {a,b,c} even if a
+    and c are not directly similar).
+
+    Algorithm: iterative min-label propagation (each round every node
+    takes the min label among itself and its neighbors), converging in
+    O(component diameter) rounds — near-dup clusters are shallow, so
+    a handful of join rounds suffices. Each round is one broadcast-or-
+    shuffle join + one aggregation; no driver-side graph state. Stops
+    early when labels stop changing.
+
+    ``ids``: one column ``id``; ``pairs``: columns ``i``, ``j``.
+    """
+    edges = (
+        pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
+        .unionByName(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
+        .distinct()
+    )
+    labels = ids.select(F.col("id"), F.col("id").alias("cluster"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("cluster").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document over distinct whitespace tokens.
 

@@ -170,6 +170,56 @@ def documents_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over the exact Jaccard
+# pairs — iterative min-label propagation in Spark, RECURSIVE CTE in
+# the oracle (two unrelated algorithms, same fixpoint).
+# ---------------------------------------------------------------------------
+
+_DUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, (SELECT range AS i FROM range(1, 100000)) r
+  WHERE i + 2 <= len(w)
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), prs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sim_pairs AS (
+  SELECT i, j FROM prs
+  JOIN counts ca ON ca.doc_id = i
+  JOIN counts cb ON cb.doc_id = j
+  WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.2
+), edges AS (
+  SELECT i AS a, j AS b FROM sim_pairs
+  UNION
+  SELECT j AS a, i AS b FROM sim_pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id, min(r) AS cluster FROM reach GROUP BY id
+"""
+
+
+@register("documents_dup_clusters", oracle=_DUP_CLUSTERS_ORACLE, tags=("pipeline", "dedup", "iterative"))
+def documents_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate clustering (cluster = min member
+    id) — iterative join-based label propagation, checked against a
+    recursive-CTE reachability oracle."""
+    from iot_sensor_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(shingles(docs, "doc_id", "text", n=3), threshold=0.2)
+    return duplicate_clusters(docs.select(F.col("doc_id").alias("id")), pairs)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: binary content column + typed metadata through the real
 # mapInPandas decode stage. The binary table is synthesized
 # deterministically from documents (content = utf-8 bytes of text), so
@@ -211,6 +261,28 @@ def documents_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("media"),
     )
     return extract_features(media).select("item_id", "kind", "n_bytes")
+
+
+@register("documents_topic_clusters", oracle=None, tags=("pipeline", "text", "ml"))
+def documents_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML pipeline integration: Tokenizer -> HashingTF -> IDF ->
+    KMeans topic clusters per document. Rows-only (iterative ML
+    training has no SQL equivalent); shape asserted in tests."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import HashingTF, IDF, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    pipeline = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="words"),
+            HashingTF(inputCol="words", outputCol="tf", numFeatures=256),
+            IDF(inputCol="tf", outputCol="features"),
+            KMeans(k=5, seed=42, featuresCol="features", predictionCol="topic"),
+        ]
+    )
+    model = pipeline.fit(docs)
+    return model.transform(docs).select("doc_id", "lang", F.col("topic").cast("int").alias("topic"))
 
 
 # ---------------------------------------------------------------------------
