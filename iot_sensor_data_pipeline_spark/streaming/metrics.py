@@ -60,3 +60,21 @@ class MetricsCollector(StreamingQueryListener):
 
     def total_rows(self) -> int:
         return sum(b.num_input_rows for b in self.batches)
+
+
+def with_quality_metrics(df, name: str = "quality"):
+    """Attach observed metrics to a (batch or streaming) DataFrame:
+    row count, null-value count, min/max event value — collected for
+    free during execution via ``Dataset.observe`` (no extra pass over
+    the data, unlike a separate count()). Read them from
+    ``QueryExecutionListener`` / ``StreamingQueryProgress.observedMetrics``.
+    """
+    from pyspark.sql import functions as F
+
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null_values"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

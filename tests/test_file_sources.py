@@ -34,6 +34,15 @@ def test_json_roundtrip_explicit_schema(spark, tmp_path):
     assert sorted(back.collect()) == sorted(df.collect())
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "orc")
+    df.write.orc(path)
+    back = spark.read.orc(path)
+    assert sorted(back.collect()) == sorted(df.collect())
+    assert back.schema == SCHEMA
+
+
 def test_json_corrupt_line_permissive(spark, tmp_path):
     path = tmp_path / "data"
     path.mkdir()

@@ -38,6 +38,28 @@ def test_metrics_collector_records_batches(spark, tmp_path):
         spark.streams.removeListener(collector)
 
 
+def test_observed_metrics_in_streaming_progress(spark, tmp_path):
+    from iot_sensor_data_pipeline_spark.streaming.metrics import with_quality_metrics
+
+    src = tmp_path / "src"
+    src.mkdir()
+    observed = with_quality_metrics(ingest_readings(spark.readStream.text(str(src))))
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "chk_o"))
+        .start()
+    )
+    try:
+        write_batch(src, "b1.json", [reading_json("00:10", 22.0), reading_json("00:20", 31.0)])
+        q.processAllAvailable()
+        metrics = q.lastProgress["observedMetrics"]["quality"]
+        assert metrics["n_rows"] == 2
+        assert metrics["n_null_values"] == 0
+        assert metrics["min_value"] == 22.0 and metrics["max_value"] == 31.0
+    finally:
+        q.stop()
+
+
 def test_available_now_trigger_processes_then_stops(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
