@@ -16,7 +16,7 @@ from iot_sensor_data_pipeline_spark.sources.tables import load_table, register_v
 # ---------------------------------------------------------------------------
 # Sessionization (batch): gap > 30 min starts a new session per user.
 # The lag + cumulative-sum idiom — one shuffle on user, one sort.
-# (Streaming uses F.session_window instead; tests/test_streaming2.py.)
+# (Streaming uses F.session_window instead; tests/test_stateful.py.)
 # ---------------------------------------------------------------------------
 
 _SESSIONIZE_ORACLE = """
