@@ -225,6 +225,77 @@ def orders_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bag (duplicate-preserving) set operations: INTERSECT ALL / EXCEPT ALL
+# — the multiset semantics the plain variants lose.
+# ---------------------------------------------------------------------------
+
+_BAG_SETOPS_ORACLE = """
+WITH y96 AS (
+  SELECT o_orderstatus, o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+), y97 AS (
+  SELECT o_orderstatus, o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_orderstatus, o_orderpriority, 'common' AS src FROM (
+  SELECT * FROM y96 INTERSECT ALL SELECT * FROM y97
+)
+UNION ALL
+SELECT o_orderstatus, o_orderpriority, 'y96_extra' AS src FROM (
+  SELECT * FROM y96 EXCEPT ALL SELECT * FROM y97
+)
+"""
+
+
+@register("orders_bag_set_ops", oracle=_BAG_SETOPS_ORACLE, tags=("relational", "setops"))
+def orders_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll / exceptAll: per-row multiplicity is min(counts) /
+    count difference — verified against ANSI INTERSECT ALL / EXCEPT ALL."""
+    from iot_sensor_data_pipeline_spark.operators.setops import difference, intersect
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_slice(lo: str, hi: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+        ).select("o_orderstatus", "o_orderpriority")
+
+    y96 = year_slice("1996-01-01", "1997-01-01")
+    y97 = year_slice("1997-01-01", "1998-01-01")
+    common = intersect(y96, y97, keep_duplicates=True).withColumn("src", F.lit("common"))
+    extra = difference(y96, y97, keep_duplicates=True).withColumn("src", F.lit("y96_extra"))
+    return common.unionByName(extra)
+
+
+# ---------------------------------------------------------------------------
+# Regex scalar surface (kept to RE2-and-Java-compatible patterns).
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = """
+SELECT
+  doc_id,
+  regexp_extract(text, '([a-z]+) ([a-z]+)', 2)             AS second_word,
+  CAST(len(regexp_extract_all(text, 'da[a-z]+')) AS INTEGER) AS n_da_words,
+  regexp_replace(text, '[aeiou]', '', 'g')[1:20]           AS devoweled_head,
+  CASE WHEN regexp_matches(text, '^the ') THEN 1 ELSE 0 END AS starts_the
+FROM documents
+"""
+
+
+@register("documents_regex_scalars", oracle=_REGEX_ORACLE, tags=("scalars", "regex"))
+def documents_regex_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"da[a-z]+"), 0)).alias("n_da_words"),
+        F.substring(F.regexp_replace("text", r"[aeiou]", ""), 1, 20).alias("devoweled_head"),
+        F.when(F.col("text").rlike(r"^the "), 1).otherwise(0).alias("starts_the"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grouped-map UDF (applyInPandas): per-user inter-event gap statistics
 # computed in pandas per group, oracle-checked against the lag-based
 # SQL formulation — pins the Arrow grouped-map path end to end.

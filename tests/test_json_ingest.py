@@ -71,6 +71,35 @@ def test_renest_serialize_roundtrip(spark):
     assert payload["value"] == 22.47
 
 
+def test_maptype_schema_on_read(spark):
+    # schema-on-read into MapType: unknown/dynamic JSON keys land in a
+    # map instead of a fixed struct — the other half of P2's surface
+    from pyspark.sql import types as T
+
+    payloads = ['{"a": 1.5, "b": 2.0}', '{"x": 9.0}']
+    df = spark.createDataFrame([(p,) for p in payloads], "value string").select(
+        F.from_json("value", T.MapType(T.StringType(), T.DoubleType())).alias("m")
+    )
+    rows = df.select(
+        F.map_keys("m").alias("ks"),
+        F.element_at("m", "a").alias("a"),
+        F.size("m").alias("n"),
+    ).collect()
+    assert sorted(rows[0].ks) == ["a", "b"] and rows[0].a == 1.5 and rows[0].n == 2
+    assert rows[1].ks == ["x"] and rows[1].a is None
+
+
+def test_map_transform_functions(spark):
+    df = spark.createDataFrame([({"a": 1, "b": 2},)], "m map<string,int>")
+    out = df.select(
+        F.map_filter("m", lambda k, v: v > 1).alias("big"),
+        F.transform_values("m", lambda k, v: v * 10).alias("scaled"),
+        F.explode("m"),  # -> key, value rows
+    ).collect()
+    assert out[0].big == {"b": 2}
+    assert out[0].scaled == {"a": 10, "b": 20}
+
+
 def test_ingest_collapses_to_single_projection(spark):
     # Catalyst collapses parse -> flatten -> select into ONE Project of
     # from_json(...).field extractions over the source: no intermediate
