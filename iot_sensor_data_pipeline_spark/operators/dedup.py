@@ -46,6 +46,8 @@ def _widen(df: DataFrame) -> DataFrame:
     work. A small parquet file arrives as ONE partition; exploding it
     50x on one core serializes the whole pipeline — the shuffle here is
     cheap, the parallelism is not optional."""
+    if df.isStreaming:  # partition introspection needs a batch RDD
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
@@ -215,6 +217,39 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)
     return ngram_jaccard_pairs(sh, threshold, candidates=cands)
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: a new batch against the corpus's seen-
+    fingerprint table — the production flow where the corpus is too big
+    to re-scan per increment.
+
+    Returns (fresh_docs, fingerprint_delta): rows of ``new_docs`` that
+    are new both within the batch (min-id survivor) and against
+    ``seen_fingerprints`` (one column ``fp``), plus the fingerprint
+    rows to append to the seen table. Two anti-join-able shuffles on
+    the 128-bit fingerprint, never on the text payload.
+    """
+    fp = F.md5(F.col(text_col))
+    within_batch = (
+        new_docs.withColumn("fp", fp)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy(F.col(id_col))
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    fresh = within_batch.join(seen_fingerprints, "fp", "left_anti")
+    delta = fresh.select("fp")
+    return fresh.drop("fp"), delta
 
 
 def duplicate_clusters(

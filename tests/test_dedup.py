@@ -41,6 +41,25 @@ def test_shingle_freq_cap_drops_boilerplate(spark):
     assert "common boiler plate" not in {r.shingle for r in capped.collect()}
 
 
+def test_dedup_incremental_flow(spark):
+    from iot_sensor_data_pipeline_spark.operators.dedup import dedup_incremental
+
+    seen = spark.createDataFrame([("x",)], "text string").select(F.md5("text").alias("fp"))
+    batch = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "y"), (4, "z")], "id int, text string"
+    )
+    fresh, delta = dedup_incremental(batch, seen, "id", "text")
+    rows = {r.id: r.text for r in fresh.collect()}
+    # "x" already seen; "y" deduped within batch to min id; "z" new
+    assert rows == {2: "y", 4: "z"}
+    assert delta.count() == 2  # fingerprints of y and z to append
+
+    # second increment against the updated seen table: nothing fresh
+    seen2 = seen.unionByName(delta)
+    fresh2, _ = dedup_incremental(batch, seen2, "id", "text")
+    assert fresh2.count() == 0
+
+
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir_mid):
     """The LSH pipeline must recover nearly all exact Jaccard>=0.2 pairs
     (banding probability at t=0.2, r=2, b=32 is ~0.73; at the observed
