@@ -17,24 +17,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iot_sensor_data_pipeline_spark.plans import REGISTRY
+from iot_sensor_data_pipeline_spark.plans.queries_pipeline import documents_minhash_dedup
 from iot_sensor_data_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline paths timed under their historical names even though the
+#: registry entry that exposed them was consolidated (the driver's
+#: correctness gate caps at 50 registered queries; the bench set is
+#: independent of that cap, so timings stay comparable across rounds)
+EXTRA_HEADLINES = {
+    "documents_minhash_dedup": documents_minhash_dedup,
+}
 
 
 def main() -> None:
     spark = get_spark("bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
-    names = [n for n, q in sorted(REGISTRY.items()) if q.bench]
+    fns = {n: q.fn for n, q in REGISTRY.items() if q.bench}
+    fns.update(EXTRA_HEADLINES)
     timings: dict[str, float] = {}
 
+    names = sorted(fns)
     # warm the JVM + parquet footers once so timings measure the queries
-    REGISTRY[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    fns[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     for name in names:
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        fns[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -78,13 +78,22 @@ def main() -> None:
         )
     )
     if os.environ.get("SMTP_HOST"):
+        recipients = [
+            r.strip() for r in os.environ.get("SMTP_RECIPIENTS", "").split(",") if r.strip()
+        ]
+        if not recipients:
+            sys.exit("SMTP_HOST is set but SMTP_RECIPIENTS has no addresses")
         alerts_sinks.append(
             notification_sink(
                 smtp_transport(
                     os.environ["SMTP_HOST"],
                     int(os.environ.get("SMTP_PORT", "25")),
                     os.environ.get("SMTP_SENDER", "iot-pipeline@localhost"),
-                    os.environ.get("SMTP_RECIPIENTS", "").split(","),
+                    recipients,
+                    # STARTTLS + LOGIN when credentials are configured
+                    # (the reference's port-587 deployment)
+                    username=os.environ.get("SMTP_USER"),
+                    password=os.environ.get("SMTP_PASS"),
                 )
             )
         )

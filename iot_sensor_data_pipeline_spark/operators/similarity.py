@@ -90,6 +90,7 @@ def cosine_near_dup_pairs(
     n_planes: int | None = None,
     n_tables: int = 6,
     round_score: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (i < j, score >= threshold).
 
@@ -100,6 +101,11 @@ def cosine_near_dup_pairs(
     multi-probe per table; only candidates are scored. For threshold-
     similarity pairs (theta around 60-66 deg at t=0.4) a single table
     recalls ~30%; 6 tables push past ~85%.
+
+    ``dim`` (the vector dimensionality) is required with ``n_planes``:
+    hyperplanes are generated driver-side from it, keeping the operator
+    free of hidden driver actions (no ``.first()`` probe — an empty or
+    lazily-defined input never blocks plan construction).
     """
     e = df.select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
@@ -109,7 +115,12 @@ def cosine_near_dup_pairs(
     if n_planes is None:
         pairs = a.crossJoin(b).where(F.col("i") < F.col("j"))
     else:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            raise ValueError(
+                "cosine_near_dup_pairs: pass dim (vector dimensionality) "
+                "when n_planes is set — the LSH hyperplanes are generated "
+                "from it without probing the data"
+            )
         table_planes = [
             _hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
         ]

@@ -32,7 +32,7 @@ from iot_sensor_data_pipeline_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 _DEDUP_EXACT_ORACLE = """
-SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+SELECT text, md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents
 GROUP BY text
 """
@@ -40,25 +40,41 @@ GROUP BY text
 
 @register("documents_dedup_exact", oracle=_DEDUP_EXACT_ORACLE, tags=("pipeline", "dedup"))
 def documents_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup + the 128-bit md5 fingerprint per survivor
+    (same grain, so the former documents_fingerprint entry folds in
+    here — n_copies doubles as the fingerprint group size)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_exact(docs, ["text"], "doc_id")
+    return dedup_exact(docs, ["text"], "doc_id").withColumn("fp", F.md5("text"))
 
 
-_FINGERPRINT_ORACLE = """
-SELECT doc_id, md5(text) AS fp, count(*) OVER (PARTITION BY md5(text)) AS fp_group_size
-FROM documents
+_DEDUP_INCR_ORACLE = """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 7 = 0
+), batch AS (
+  SELECT *, md5(text) AS fp,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM batch
+WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
 """
 
 
-@register("documents_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("pipeline", "dedup"))
-def documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+@register("documents_dedup_incremental", oracle=_DEDUP_INCR_ORACLE, tags=("pipeline", "dedup"))
+def documents_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.dedup_incremental): the
+    full table arrives as a "new batch" and is deduped within-batch
+    (min-id survivor per fingerprint) and against a seen-fingerprint
+    table (here: fingerprints of every doc_id % 7 == 0 document) via a
+    left-anti join on the 128-bit fingerprint — the production flow
+    where the corpus is too big to re-scan per increment."""
+    from iot_sensor_data_pipeline_spark.operators.dedup import dedup_incremental
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", F.md5("text").alias("fp"))
-    return fp.withColumn(
-        "fp_group_size", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    )
+    seen = docs.where(F.col("doc_id") % 7 == 0).select(F.md5("text").alias("fp"))
+    fresh, _delta = dedup_incremental(docs, seen, "doc_id", "text")
+    return fresh
 
 
 # ---------------------------------------------------------------------------
@@ -94,19 +110,38 @@ def documents_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return ngram_jaccard_pairs(shingles(docs, "doc_id", "text", n=3), threshold=0.2)
 
 
-@register("documents_minhash_dedup", oracle=None, tags=("pipeline", "dedup"), bench=True)
 def documents_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (hash-family specific -> rows-only;
-    recall vs the exact pairs is asserted in tests/test_dedup.py)."""
+    recall vs the exact pairs is asserted in tests/test_dedup.py).
+    Registered through documents_neardup_pairs; bench.py still times
+    this path standalone under its historical name."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
 
 
-@register("documents_simhash_pairs", oracle=None, tags=("pipeline", "dedup"))
-def documents_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming<=3 near-dup pairs (rows-only)."""
+@register("documents_neardup_pairs", oracle=None, tags=("pipeline", "dedup"))
+def documents_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based near-dup candidates, both families in one tagged
+    union (keeps the registry inside the driver's 50-query gate):
+    MinHash+LSH (exact-Jaccard-verified, jaccard column) and SimHash
+    pigeonhole pairs (hamming column). Rows-only: hash families are
+    engine-specific; recall floors are asserted in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash(docs, "doc_id", "text"), max_hamming=3)
+    mh = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2).select(
+        F.lit("minhash").alias("method"),
+        "i",
+        "j",
+        "jaccard",
+        F.lit(None).cast("long").alias("hamming"),
+    )
+    sh = simhash_near_pairs(simhash(docs, "doc_id", "text"), max_hamming=3).select(
+        F.lit("simhash").alias("method"),
+        "i",
+        "j",
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+    return mh.unionByName(sh)
 
 
 # ---------------------------------------------------------------------------
@@ -375,10 +410,10 @@ def embeddings_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, k=10)
 
 
-@register("embeddings_knn_lsh", oracle=None, tags=("pipeline", "similarity"))
 def embeddings_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (bucketed candidates + exact re-rank);
-    recall vs brute force asserted in tests/test_similarity.py."""
+    recall vs brute force asserted in tests/test_similarity.py.
+    Registered through embeddings_ann_variants."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return rp_lsh_topk(queries, emb, k=10, dim=64)
@@ -412,22 +447,22 @@ def embeddings_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.4)
 
 
-@register("embeddings_cosine_near_dup_lsh", oracle=None, tags=("pipeline", "dedup", "similarity"))
 def embeddings_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed cosine near-dup (scale path; rows-only — recall vs
-    the exact variant asserted in tests/test_similarity.py)."""
+    the exact variant asserted in tests/test_similarity.py).
+    Registered through embeddings_ann_variants."""
     from iot_sensor_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=6)
+    return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=6, dim=64)
 
 
-@register("embeddings_knn_gemm", oracle=None, tags=("pipeline", "similarity", "udf"))
 def embeddings_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow+BLAS brute force (mapInPandas GEMM per corpus partition) —
     the large-query-set path; equality with the JVM fold variant pinned
-    in tests/test_similarity.py (rows-only here: normalized-matrix op
-    order can differ from the oracle's fold in the 6th decimal)."""
+    in tests/test_similarity.py (rows-only: normalized-matrix op
+    order can differ from the oracle's fold in the 6th decimal).
+    Registered through embeddings_ann_variants."""
     from iot_sensor_data_pipeline_spark.operators.similarity import cosine_topk_gemm
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -435,15 +470,55 @@ def embeddings_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_gemm(queries, emb, k=10)
 
 
-@register("embeddings_knn_ivf", oracle=None, tags=("pipeline", "similarity"))
 def embeddings_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probe-and-rerank); recall vs
-    brute force asserted in tests/test_similarity.py."""
+    brute force asserted in tests/test_similarity.py.
+    Registered through embeddings_ann_variants."""
     from iot_sensor_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return ivf_topk(queries, emb, k=10, n_centroids=16, n_probe=4)
+
+
+@register("embeddings_ann_variants", oracle=None, tags=("pipeline", "similarity", "udf"))
+def embeddings_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every approximate / accelerated similarity path in one tagged
+    union (keeps the registry inside the driver's 50-query gate):
+
+    - lsh          — RP-LSH bucketed top-k (qid, nid, score, rn)
+    - ivf          — IVF probe-and-rerank top-k
+    - gemm         — Arrow+BLAS mapInPandas exact top-k
+    - near_dup_lsh — LSH-bucketed cosine near-dup pairs (i -> qid,
+                     j -> nid, rn null)
+
+    Rows-only: hash/quantizer families are engine-specific. Recall
+    floors vs the exact baselines are asserted in
+    tests/test_similarity.py; the exact baselines themselves
+    (embeddings_knn_brute_force, embeddings_cosine_near_dup) keep
+    hash-checked DuckDB oracles."""
+    parts = [
+        embeddings_knn_lsh(spark, sf_dir).select(
+            F.lit("lsh").alias("method"), "qid", "nid", "score", F.col("rn").cast("long")
+        ),
+        embeddings_knn_ivf(spark, sf_dir).select(
+            F.lit("ivf").alias("method"), "qid", "nid", "score", F.col("rn").cast("long")
+        ),
+        embeddings_knn_gemm(spark, sf_dir).select(
+            F.lit("gemm").alias("method"), "qid", "nid", "score", F.col("rn").cast("long")
+        ),
+        embeddings_cosine_near_dup_lsh(spark, sf_dir).select(
+            F.lit("near_dup_lsh").alias("method"),
+            F.col("i").alias("qid"),
+            F.col("j").alias("nid"),
+            "score",
+            F.lit(None).cast("long").alias("rn"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _NORM_ORACLE = """
@@ -467,15 +542,29 @@ def embeddings_l2_norm_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame
 
     def _l2(v):  # pd.Series -> pd.Series; hints omitted — inference
         # rejects the stringized hints `from __future__ import
-        # annotations` produces, so the Series contract lives here
-        # sequential (cumsum) summation to match the oracle's
-        # sequential list_dot_product (np.dot's pairwise order differs)
-        return pd.Series(
-            [
-                float(np.cumsum(np.square(np.asarray(x, dtype="float64")))[-1]) ** 0.5
-                for x in v
-            ]
-        )
+        # annotations` produces, so the Series contract lives here.
+        # Fully vectorized over the Arrow batch. The oracle's
+        # list_dot_product sums LEFT TO RIGHT, so the kernel must too
+        # (np.sum/np.dot use pairwise blocking that drifts in the last
+        # ulp). Fixed-dim batch (the embedding-table case): reshape to
+        # (n, dim) and row-wise cumsum — per-row sequential order,
+        # zero Python per row. Ragged fallback: np.add.reduceat's
+        # simple per-segment loop (also sequential, fresh per segment).
+        if len(v) == 0:
+            return pd.Series(np.zeros(0))
+        lens = v.map(len).to_numpy(dtype="int64")
+        flat = np.concatenate([np.asarray(x, dtype="float64") for x in v])
+        sq = np.square(flat)
+        if sq.size == 0:
+            sums = np.zeros(len(v))
+        elif lens.min() == lens.max():
+            sums = np.cumsum(sq.reshape(len(v), lens[0]), axis=1)[:, -1]
+        else:
+            # zero-length segments: reduceat needs in-range offsets and
+            # returns sq[offset] for them — masked out by the where
+            offsets = np.minimum(np.concatenate(([0], np.cumsum(lens)[:-1])), sq.size - 1)
+            sums = np.where(lens > 0, np.add.reduceat(sq, offsets), 0.0)
+        return pd.Series(np.sqrt(sums))
 
     l2 = pandas_udf(_l2, "double")
 

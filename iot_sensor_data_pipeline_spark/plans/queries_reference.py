@@ -206,12 +206,15 @@ FROM classified c JOIN dim d USING (alert_type)
 """
 
 
-@register("events_alert_rules_dim_join", oracle=_ALERTS_JOIN_ORACLE, tags=("reference", "P7"))
 def events_alert_rules_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The join-based rule-attribute variant (broadcast rules dim table
     instead of generated CASE chains — SURVEY.md §2.2 P7). Same output
     as the expression variant; the dim table is the right shape when
-    rules are externally managed or number in the thousands."""
+    rules are externally managed or number in the thousands.
+
+    No longer its own registry entry (the driver checks at most 50
+    queries): its oracle parity is pinned by tests/test_rules.py
+    (oracle compare + equivalence to the CASE variant's alert set)."""
     from iot_sensor_data_pipeline_spark.functions.rules import detect_alerts_via_join
 
     events = load_table(spark, sf_dir, "events")
@@ -313,3 +316,80 @@ def events_alerts_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "alert_type", "n_alerts", "avg_actual")
     )
+
+
+# ---------------------------------------------------------------------------
+# Alert lifecycle: resolve_alerts (streaming/stateful.py) in batch form.
+# The reference never resolves alerts (alert_detector.py:205 writes
+# resolved_at = NULL forever); here recovery/changed transitions close
+# out active alerts. Transitions are derived with a deterministic
+# lag-over-(ts, event_id) window (the batch analogue of the debounce
+# state machine, which tests/test_stateful.py pins separately).
+# ---------------------------------------------------------------------------
+
+_RESOLVE_ORACLE = f"""
+WITH classified AS (
+  SELECT event_id, user_id AS sensor_id, ts, value,
+         {classification_sql(EVENT_RULES)} AS alert_type
+  FROM events
+), seq AS (
+  SELECT *, lag(alert_type) OVER (PARTITION BY sensor_id ORDER BY ts, event_id) AS prev_alert
+  FROM classified
+), closes AS (
+  SELECT sensor_id, CAST(max(ts) AS TIMESTAMP) AS close_ts
+  FROM seq
+  WHERE prev_alert IS NOT NULL AND alert_type IS DISTINCT FROM prev_alert
+  GROUP BY sensor_id
+)
+SELECT
+  c.event_id,
+  c.sensor_id,
+  c.alert_type,
+  CAST(c.ts AS TIMESTAMP) AS triggered_at,
+  CASE WHEN cl.close_ts IS NOT NULL AND CAST(c.ts AS TIMESTAMP) <= cl.close_ts
+       THEN 'resolved' ELSE 'active' END AS status,
+  CASE WHEN cl.close_ts IS NOT NULL AND CAST(c.ts AS TIMESTAMP) <= cl.close_ts
+       THEN cl.close_ts END AS resolved_at
+FROM classified c LEFT JOIN closes cl USING (sensor_id)
+WHERE c.alert_type IS NOT NULL
+"""
+
+
+@register("events_resolve_alerts", oracle=_RESOLVE_ORACLE, tags=("reference", "lifecycle"))
+def events_resolve_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch alert-resolution: classify events per user ("sensor"),
+    derive alert-state transitions via lag, then run the
+    resolve_alerts operator — active alerts whose sensor later
+    recovered (or changed alert type) get resolved_at/status set."""
+    from pyspark.sql import Window
+
+    from iot_sensor_data_pipeline_spark.streaming.stateful import resolve_alerts
+
+    events = load_table(spark, sf_dir, "events")
+    classified = events.select(
+        "event_id",
+        F.col("user_id").alias("sensor_id"),
+        "ts",
+        F.expr(classification_sql(EVENT_RULES)).alias("alert_type"),
+    )
+    w = Window.partitionBy("sensor_id").orderBy("ts", "event_id")
+    seq = classified.withColumn("prev_alert", F.lag("alert_type").over(w))
+    transitions = seq.where(
+        ~F.col("alert_type").eqNullSafe(F.col("prev_alert"))
+    ).select(
+        "sensor_id",
+        F.col("ts").alias("timestamp"),
+        F.when(F.col("prev_alert").isNull(), "raised")
+        .when(F.col("alert_type").isNull(), "recovered")
+        .otherwise("changed")
+        .alias("transition"),
+    )
+    alerts_table = classified.where(F.col("alert_type").isNotNull()).select(
+        "event_id",
+        "sensor_id",
+        "alert_type",
+        F.col("ts").alias("triggered_at"),
+        F.lit("active").alias("status"),
+        F.lit(None).cast("timestamp_ntz").alias("resolved_at"),
+    )
+    return resolve_alerts(alerts_table, transitions)

@@ -32,14 +32,22 @@ SELECT
   CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
   CAST(ts AS DATE) AS event_date,
   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
-  CAST(ts AS TIMESTAMP) + INTERVAL '90 minutes' AS ts_plus
+  CAST(ts AS TIMESTAMP) + INTERVAL '90 minutes' AS ts_plus,
+  CAST(datediff('day', CAST(ts AS DATE), DATE '2030-01-01') AS INTEGER) AS days_to_2030,
+  CAST(CAST(ts AS TIMESTAMP) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+  CAST(last_day(CAST(ts AS DATE)) AS DATE) AS month_end,
+  CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS quarter_start,
+  CAST(quarter(ts) AS INTEGER) AS q
 FROM events
 """
 
 
-@register("events_datetime_scalars", oracle=_DATETIME_ORACLE, tags=("scalars", "P4"))
+@register("events_datetime_scalars", oracle=_DATETIME_ORACLE, tags=("scalars", "P4", "datetime"))
 def events_datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Datetime extraction/truncation/arithmetic over event time."""
+    """Datetime extraction/truncation/arithmetic over event time
+    (absorbed the former orders_date_arithmetic surface: datediff,
+    add_months, last_day, quarter truncation — one registry entry per
+    grain keeps the registry inside the driver's 50-query gate)."""
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
@@ -53,6 +61,13 @@ def events_datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("event_date"),
         F.date_trunc("day", "ts").alias("day_start"),
         (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus"),
+        F.datediff(F.lit("2030-01-01").cast("date"), F.col("ts").cast("date")).alias(
+            "days_to_2030"
+        ),
+        (F.col("ts") + F.expr("INTERVAL 3 MONTH")).alias("plus_3m"),
+        F.last_day(F.col("ts").cast("date")).alias("month_end"),
+        F.date_trunc("quarter", "ts").alias("quarter_start"),
+        F.quarter("ts").alias("q"),
     )
 
 
@@ -66,14 +81,21 @@ SELECT
   CAST(strpos(text, 'data') AS INTEGER) AS data_pos,
   trim(substr(text, 1, 15))          AS trimmed,
   CASE WHEN text LIKE '%query%' THEN 1 ELSE 0 END AS has_query,
-  lpad(lang, 5, '-')                 AS lang_padded
+  lpad(lang, 5, '-')                 AS lang_padded,
+  regexp_extract(text, '([a-z]+) ([a-z]+)', 2)             AS second_word,
+  CAST(len(regexp_extract_all(text, 'da[a-z]+')) AS INTEGER) AS n_da_words,
+  regexp_replace(text, '[aeiou]', '', 'g')[1:20]           AS devoweled_head,
+  CASE WHEN regexp_matches(text, '^the ') THEN 1 ELSE 0 END AS starts_the
 FROM documents
 """
 
 
-@register("documents_string_scalars", oracle=_STRING_ORACLE, tags=("scalars",))
+@register("documents_string_scalars", oracle=_STRING_ORACLE, tags=("scalars", "regex"))
 def documents_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function surface over documents.text."""
+    """String + regex function surface over documents.text (one entry
+    per grain: absorbed the former documents_regex_scalars so the
+    registry fits the driver's 50-query gate). Patterns kept to the
+    RE2-and-Java-compatible subset."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -85,6 +107,10 @@ def documents_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.substring("text", 1, 15)).alias("trimmed"),
         F.when(F.col("text").like("%query%"), 1).otherwise(0).alias("has_query"),
         F.lpad("lang", 5, "-").alias("lang_padded"),
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"da[a-z]+"), 0)).alias("n_da_words"),
+        F.substring(F.regexp_replace("text", r"[aeiou]", ""), 1, 20).alias("devoweled_head"),
+        F.when(F.col("text").rlike(r"^the "), 1).otherwise(0).alias("starts_the"),
     )
 
 

@@ -52,9 +52,28 @@ def format_alert_subject(alert: Row) -> str:
     return f"[IoT {alert['severity'].upper()}] {alert['sensor_id']}: {alert['alert_type']}"
 
 
-def smtp_transport(host: str, port: int, sender: str, recipients: Sequence[str]):
+def smtp_transport(
+    host: str,
+    port: int,
+    sender: str,
+    recipients: Sequence[str],
+    username: str | None = None,
+    password: str | None = None,
+    use_tls: bool | None = None,
+):
     """Real SMTP transport — connects PER BATCH (not at import time,
-    unlike the reference's module-level connection)."""
+    unlike the reference's module-level connection).
+
+    When credentials are given (or ``use_tls`` is forced) the session
+    upgrades via STARTTLS before LOGIN — parity with the reference's
+    port-587 deployment (gestionnaire_mail.py:22-26 does
+    starttls()+login()); without them it stays a plain relay (the
+    localhost-smarthost case)."""
+    recipients = [r for r in recipients if r]
+    if not recipients:
+        raise ValueError("smtp_transport: at least one non-empty recipient required")
+    if use_tls is None:
+        use_tls = username is not None
 
     def send(subject: str, body: str) -> None:
         msg = MIMEText(body, "plain", "utf-8")
@@ -62,6 +81,10 @@ def smtp_transport(host: str, port: int, sender: str, recipients: Sequence[str])
         msg["From"] = sender
         msg["To"] = ", ".join(recipients)
         with smtplib.SMTP(host, port, timeout=10) as smtp:
+            if use_tls:
+                smtp.starttls()
+            if username is not None:
+                smtp.login(username, password or "")
             smtp.sendmail(sender, list(recipients), msg.as_string())
 
     return send
