@@ -57,7 +57,7 @@ WITH seen AS (
 )
 SELECT doc_id, text, lang, source, n_chars
 FROM batch
-WHERE rn = 1 AND fp NOT IN (SELECT fp FROM seen)
+WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = batch.fp)
 """
 
 
@@ -530,43 +530,50 @@ FROM embeddings
 """
 
 
+def _l2_kernel(v):  # pd.Series -> pd.Series; hints omitted — inference
+    # rejects the stringized hints `from __future__ import
+    # annotations` produces, so the Series contract lives here.
+    # Fully vectorized over the Arrow batch. The oracle's
+    # list_dot_product sums LEFT TO RIGHT, so the kernel must too
+    # (np.sum/np.dot use pairwise blocking that drifts in the last
+    # ulp). Fixed-dim batch (the embedding-table case): reshape to
+    # (n, dim) and row-wise cumsum — per-row sequential order,
+    # zero Python per row. Ragged fallback: np.add.reduceat's
+    # simple per-segment loop (also sequential, fresh per segment).
+    import numpy as np
+    import pandas as pd
+
+    if len(v) == 0:
+        return pd.Series(np.zeros(0))
+    lens = v.map(len).to_numpy(dtype="int64")
+    flat = np.concatenate([np.asarray(x, dtype="float64") for x in v])
+    sq = np.square(flat)
+    if sq.size == 0:
+        sums = np.zeros(len(v))
+    elif lens.min() == lens.max():
+        sums = np.cumsum(sq.reshape(len(v), lens[0]), axis=1)[:, -1]
+    else:
+        # zero-length segments: pad sq with one trailing 0.0 so every
+        # raw offset (max = sum(lens)) is in range — clamping instead
+        # would fold a trailing empty segment's boundary into the
+        # previous segment and truncate its sum. reduceat returns
+        # sq[offset] for equal successive offsets — masked by the where.
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        padded = np.append(sq, 0.0)
+        sums = np.where(lens > 0, np.add.reduceat(padded, offsets), 0.0)
+    return pd.Series(np.sqrt(sums))
+
+
 @register("embeddings_l2_norm_pandas_udf", oracle=_NORM_ORACLE, tags=("pipeline", "udf"))
 def embeddings_l2_norm_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-vectorized UDF path, oracle-checked: numpy L2 norms
-    over Arrow batches. Exists to pin the pandas_udf plumbing — for a
-    pure norm the built-in fold (operators/similarity.l2_norm) is the
-    better plan (no Python at all)."""
-    import numpy as np
-    import pandas as pd
+    over Arrow batches (kernel: _l2_kernel, ragged-batch-safe — see
+    tests/test_similarity.py). Exists to pin the pandas_udf plumbing —
+    for a pure norm the built-in fold (operators/similarity.l2_norm) is
+    the better plan (no Python at all)."""
     from pyspark.sql.functions import pandas_udf
 
-    def _l2(v):  # pd.Series -> pd.Series; hints omitted — inference
-        # rejects the stringized hints `from __future__ import
-        # annotations` produces, so the Series contract lives here.
-        # Fully vectorized over the Arrow batch. The oracle's
-        # list_dot_product sums LEFT TO RIGHT, so the kernel must too
-        # (np.sum/np.dot use pairwise blocking that drifts in the last
-        # ulp). Fixed-dim batch (the embedding-table case): reshape to
-        # (n, dim) and row-wise cumsum — per-row sequential order,
-        # zero Python per row. Ragged fallback: np.add.reduceat's
-        # simple per-segment loop (also sequential, fresh per segment).
-        if len(v) == 0:
-            return pd.Series(np.zeros(0))
-        lens = v.map(len).to_numpy(dtype="int64")
-        flat = np.concatenate([np.asarray(x, dtype="float64") for x in v])
-        sq = np.square(flat)
-        if sq.size == 0:
-            sums = np.zeros(len(v))
-        elif lens.min() == lens.max():
-            sums = np.cumsum(sq.reshape(len(v), lens[0]), axis=1)[:, -1]
-        else:
-            # zero-length segments: reduceat needs in-range offsets and
-            # returns sq[offset] for them — masked out by the where
-            offsets = np.minimum(np.concatenate(([0], np.cumsum(lens)[:-1])), sq.size - 1)
-            sums = np.where(lens > 0, np.add.reduceat(sq, offsets), 0.0)
-        return pd.Series(np.sqrt(sums))
-
-    l2 = pandas_udf(_l2, "double")
+    l2 = pandas_udf(_l2_kernel, "double")
 
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(

@@ -213,8 +213,11 @@ def events_alert_rules_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules are externally managed or number in the thousands.
 
     No longer its own registry entry (the driver checks at most 50
-    queries): its oracle parity is pinned by tests/test_rules.py
-    (oracle compare + equivalence to the CASE variant's alert set)."""
+    queries): its oracle parity is pinned by
+    tests/test_rules.py::test_dim_join_variant_oracle_parity (DuckDB
+    compare via _ALERTS_JOIN_ORACLE) and
+    tests/test_rules.py::test_dim_join_variant_matches_case_variant
+    (alert-set equivalence to the CASE variant)."""
     from iot_sensor_data_pipeline_spark.functions.rules import detect_alerts_via_join
 
     events = load_table(spark, sf_dir, "events")

@@ -340,9 +340,9 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The built-in session_window operator (formerly its own registry entry,
 # events_session_window) is cross-validated against events_sessionize's
-# independent lag+cumsum algorithm in tests/test_operators.py — one
-# sessionization entry keeps the registry inside the driver's 50-query
-# gate; the streaming path is covered in tests/test_stateful.py.
+# independent lag+cumsum algorithm in tests/test_stateful.py:98,114 —
+# one sessionization entry keeps the registry inside the driver's
+# 50-query gate; the streaming path is covered there too.
 # ---------------------------------------------------------------------------
 
 

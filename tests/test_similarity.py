@@ -63,7 +63,7 @@ def test_cosine_near_dup_lsh_recall(spark, sf_dir_mid):
 
     emb = load_table(spark, sf_dir_mid, "embeddings")
     exact = {(r.i, r.j) for r in cosine_near_dup_pairs(emb, 0.4).collect()}
-    approx = {(r.i, r.j) for r in cosine_near_dup_pairs(emb, 0.4, n_planes=6, n_tables=6).collect()}
+    approx = {(r.i, r.j) for r in cosine_near_dup_pairs(emb, 0.4, n_planes=6, n_tables=6, dim=64).collect()}
     assert exact
     assert approx <= exact  # candidates are exactly re-scored
     # 6 independent tables amplify per-table ~30% recall at theta~63deg
@@ -94,6 +94,31 @@ def test_gemm_topk_matches_fold_topk(spark, sf_dir_mid):
     g = {(r.qid, r.nid): r.score for r in gemm.collect()}
     assert set(f) == set(g)  # identical neighbor sets + ranking survivors
     assert all(abs(f[p] - g[p]) < 1e-5 for p in f)  # scores agree to rounding
+
+
+def test_l2_kernel_ragged_batches():
+    """The pandas-UDF L2 kernel must be exact on ragged Arrow batches,
+    including zero-length vectors in every position (the trailing-empty
+    case truncated the previous segment's sum before the pad fix)."""
+    import math
+
+    import pandas as pd
+
+    from iot_sensor_data_pipeline_spark.plans.queries_pipeline import _l2_kernel
+
+    cases = [
+        ([[3.0, 4.0], []], [5.0, 0.0]),  # trailing empty — the repro
+        ([[], [3.0, 4.0]], [0.0, 5.0]),  # leading empty
+        ([[1.0], [], [2.0, 2.0, 1.0]], [1.0, 0.0, 3.0]),  # middle empty
+        ([[], [], []], [0.0, 0.0, 0.0]),  # all empty
+        ([[6.0, 8.0]], [10.0]),  # single
+        ([], []),  # empty batch
+        ([[1.0, 2.0, 2.0], [2.0, 3.0, 6.0]], [3.0, 7.0]),  # fixed-dim fast path
+    ]
+    for vecs, want in cases:
+        got = _l2_kernel(pd.Series(vecs)).tolist()
+        assert len(got) == len(want)
+        assert all(math.isclose(g, w, abs_tol=1e-12) for g, w in zip(got, want)), (vecs, got)
 
 
 def test_lsh_self_bucket_sanity(spark):
