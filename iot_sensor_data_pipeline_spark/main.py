@@ -29,7 +29,7 @@ import sys
 
 from iot_sensor_data_pipeline_spark.session import get_spark
 from iot_sensor_data_pipeline_spark.sources.jdbc import jdbc_batch_sink
-from iot_sensor_data_pipeline_spark.sources.json_ingest import renest_reading, serialize_json
+from iot_sensor_data_pipeline_spark.sources.json_ingest import alert_wire_frame
 from iot_sensor_data_pipeline_spark.sources.kafka import kafka_batch_sink, read_stream
 from iot_sensor_data_pipeline_spark.streaming.notifications import (
     notification_sink,
@@ -73,9 +73,7 @@ def main() -> None:
     # Kafka alert fan-out happens in the SAME foreachBatch as JDBC —
     # one source subscription, unlike the reference's second stream
     alerts_sinks.append(
-        lambda df: kafka_batch_sink(bootstrap, alert_topic)(
-            serialize_json(renest_reading(df), key_col="sensor_id")
-        )
+        lambda df: kafka_batch_sink(bootstrap, alert_topic)(alert_wire_frame(df))
     )
     if os.environ.get("SMTP_HOST"):
         recipients = [

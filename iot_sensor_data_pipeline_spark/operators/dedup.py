@@ -269,6 +269,13 @@ def duplicate_clusters(
     early when labels stop changing.
 
     ``ids``: one column ``id``; ``pairs``: columns ``i``, ``j``.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iterations`` rounds (a component whose diameter exceeds the
+    budget): returning the intermediate labels would silently split one
+    true cluster into several. Raise the budget for unusually chainy
+    pair sets — rounds are O(diameter), so 20 covers any realistic
+    near-dup graph.
     """
     edges = (
         pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
@@ -276,6 +283,7 @@ def duplicate_clusters(
         .distinct()
     )
     labels = ids.select(F.col("id"), F.col("id").alias("cluster"))
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
@@ -302,6 +310,12 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            "iterations (a component's diameter exceeds the budget); "
+            "raise max_iterations"
+        )
     return labels
 
 

@@ -160,6 +160,36 @@ def cosine_near_dup_pairs(
     )
 
 
+#: above this many centroids the all-literal JVM assignment expression
+#: is replaced by the Arrow GEMM kernel (the expression tree grows as
+#: n_centroids x dim literals — fine at 16, codegen poison at 256+)
+IVF_LITERAL_CEILING = 32
+
+
+def _nearest_centroids_udf(centroids, n: int):
+    """Arrow-vectorized centroid assignment for LARGE quantizers: the
+    (n_centroids x dim) matrix ships ONCE per task inside the closure
+    (no per-row literals, no shuffle), and each Arrow batch is one
+    numpy GEMM: d = |x|^2 - 2 x.C^T + |c|^2. Stable argsort ties break
+    by centroid id, matching the literal path's (distance, cid) sort."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")  # (m, dim)
+    csq = np.einsum("ij,ij->i", C, C)
+
+    def _assign(v):  # pd.Series[array<double>] -> pd.Series[array<int>]
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        X = np.stack(v.to_numpy())  # fixed-dim vectors (the IVF contract)
+        d = np.einsum("ij,ij->i", X, X)[:, None] - 2.0 * (X @ C.T) + csq[None, :]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype("int32")
+        return pd.Series(list(idx))
+
+    return pandas_udf(_assign, "array<int>")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -176,10 +206,13 @@ def ivf_topk(
     posting lists -> probe the ``n_probe`` nearest centroids per query
     -> exact cosine re-rank of those lists.
 
-    The quantizer trains once (Spark ML KMeans on a sample); centroids
-    are tiny and ship to executors as literal expressions, so query
-    assignment is shuffle-free. Corpus scan cost per query drops from
-    |C| to ~ n_probe/n_centroids * |C|. The right default for clustered
+    The quantizer trains once (Spark ML KMeans on a sample). Centroids
+    ship to executors without a shuffle either way: as constant-folded
+    literal expressions up to IVF_LITERAL_CEILING (pure JVM codegen),
+    and as a numpy matrix inside an Arrow GEMM kernel above it (a
+    256x768 quantizer is ~1.5 MB of closure, but would be ~200k literal
+    nodes as an expression). Corpus scan cost per query drops from |C|
+    to ~ n_probe/n_centroids * |C|. The right default for clustered
     embedding spaces; for isotropic data prefer rp_lsh_topk.
     """
     from pyspark.ml.clustering import KMeans
@@ -194,8 +227,9 @@ def ivf_topk(
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
-    def nearest_centroids(vec: Column, n: int) -> Column:
-        """Array of the n closest centroid ids (squared L2)."""
+    def nearest_centroids_expr(vec: Column, n: int) -> Column:
+        """Array of the n closest centroid ids (squared L2), as one
+        JVM expression — small-quantizer path only."""
         dists = F.array(
             *[
                 F.struct(
@@ -215,10 +249,19 @@ def ivf_topk(
         )
         return F.slice(F.array_sort(dists), 1, n).getField("cid")
 
-    c_assigned = c.withColumn("cid", nearest_centroids(F.col("cv"), 1)[0])
+    if n_centroids <= IVF_LITERAL_CEILING:
+        assign_one = lambda vec: nearest_centroids_expr(vec, 1)[0]  # noqa: E731
+        assign_probe = lambda vec: nearest_centroids_expr(vec, n_probe)  # noqa: E731
+    else:
+        one_udf = _nearest_centroids_udf(centroids, 1)
+        probe_udf = _nearest_centroids_udf(centroids, n_probe)
+        assign_one = lambda vec: one_udf(vec)[0]  # noqa: E731
+        assign_probe = probe_udf
+
+    c_assigned = c.withColumn("cid", assign_one(F.col("cv")))
     q = queries.select(
         F.col(query_id).alias("qid"), as_double_array(F.col(vec_col)).alias("qv")
-    ).select("qid", "qv", F.explode(nearest_centroids(F.col("qv"), n_probe)).alias("cid"))
+    ).select("qid", "qv", F.explode(assign_probe(F.col("qv"))).alias("cid"))
 
     pairs = (
         q.join(c_assigned, "cid")

@@ -442,11 +442,25 @@ FROM spend
 @register("customers_spend_quartiles", oracle=_NTILE_ORACLE, tags=("relational", "window", "join"))
 def customers_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT JOIN + aggregation (the former customers_left_join_agg —
-    customers with no orders keep spend 0) feeding distribution window
-    functions: ntile/percent_rank/cume_dist over per-customer spend.
-    (Global ORDER BY window = single-partition window at scale — use
-    bucketed percentiles instead at 100 TB; registered for the
-    operator surface.)"""
+    customers with no orders keep spend 0) feeding distribution
+    analytics: ntile/percent_rank/cume_dist over per-customer spend.
+
+    SCALE-SAFE: a bare ``Window.orderBy`` would funnel every customer
+    through one partition; instead the exact global rank comes from
+    operators.ranking.global_row_number (range repartition + local
+    row_number + broadcast offsets) and the three distribution
+    functions are derived arithmetically from it — the plan contains
+    no ``Exchange SinglePartition`` (pinned by tests/test_plans.py).
+    The composite sort key (total_spend, c_custkey) is unique, so the
+    derived values equal the window-function definitions exactly.
+    """
+    from iot_sensor_data_pipeline_spark.operators.ranking import (
+        cume_dist_from_rank,
+        global_row_number,
+        ntile_from_rank,
+        percent_rank_from_rank,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     spend = (
@@ -457,15 +471,20 @@ def customers_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
         )
     )
-    w_desc = Window.orderBy(F.col("total_spend").desc(), "c_custkey")
-    w_asc = Window.orderBy("total_spend", "c_custkey")
-    return spend.select(
+    n_rows = spend.count()
+    ranked = global_row_number(
+        spend, [F.col("total_spend").asc(), F.col("c_custkey").asc()], "rank_asc"
+    )
+    ranked = global_row_number(
+        ranked, [F.col("total_spend").desc(), F.col("c_custkey").asc()], "rank_desc"
+    )
+    return ranked.select(
         "c_custkey",
         "n_orders",
         "total_spend",
-        F.ntile(4).over(w_desc).alias("spend_quartile"),
-        F.round(F.percent_rank().over(w_asc), 6).alias("spend_pct_rank"),
-        F.round(F.cume_dist().over(w_asc), 6).alias("spend_cume_dist"),
+        ntile_from_rank(F.col("rank_desc"), n_rows, 4).alias("spend_quartile"),
+        F.round(percent_rank_from_rank(F.col("rank_asc"), n_rows), 6).alias("spend_pct_rank"),
+        F.round(cume_dist_from_rank(F.col("rank_asc"), n_rows), 6).alias("spend_cume_dist"),
     )
 
 

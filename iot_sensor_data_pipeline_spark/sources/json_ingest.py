@@ -25,6 +25,10 @@ from pyspark.sql import types as T
 
 from iot_sensor_data_pipeline_spark.schema import SENSOR_READING_SCHEMA
 
+#: schema field that receives the raw text of malformed records when
+#: quarantine is enabled (Spark's columnNameOfCorruptRecord contract)
+CORRUPT_COL = "_corrupt_record"
+
 
 def parse_json_column(
     df: DataFrame,
@@ -32,12 +36,53 @@ def parse_json_column(
     schema: T.StructType,
     out_col: str = "data",
     mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    """Parse a string/binary JSON column into a typed struct column."""
+    """Parse a string/binary JSON column into a typed struct column.
+
+    With ``corrupt_col`` set, malformed records are CAPTURED instead of
+    silently nulled: the schema gains a string field of that name and
+    ``columnNameOfCorruptRecord`` routes the raw text there (clean rows
+    get null). The reference silently nulls corrupt rows
+    (data_persistance.py:76); this keeps that default but offers the
+    production-grade capture path — pair with :func:`split_quarantine`.
+    """
+    options = {"mode": mode}
+    if corrupt_col is not None:
+        schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+        )
+        options["columnNameOfCorruptRecord"] = corrupt_col
     return df.withColumn(
         out_col,
-        F.from_json(F.col(json_col).cast("string"), schema, {"mode": mode}),
+        F.from_json(F.col(json_col).cast("string"), schema, options),
     )
+
+
+def split_quarantine(
+    df: DataFrame,
+    json_col: str = "value",
+    data_col: str = "data",
+    corrupt_col: str = CORRUPT_COL,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a corrupt-capturing parse (``parse_json_column(...,
+    corrupt_col=...)``) into (clean flat readings, dead-letter rows).
+
+    Dead-letter rows carry the raw wire text plus a quarantine
+    timestamp — enough to replay after a schema fix. A null parse
+    result (null/empty input) is quarantined too: nothing is silently
+    dropped. Both halves are narrow projections of the same parsed
+    frame, so under foreachBatch a single persist serves both.
+    """
+    is_bad = F.col(f"{data_col}.{corrupt_col}").isNotNull() | F.col(
+        data_col
+    ).isNull()
+    dead = df.filter(is_bad).select(
+        F.col(json_col).cast("string").alias("raw_value"),
+        F.current_timestamp().alias("quarantined_at"),
+    )
+    clean = flatten_reading(df.filter(~is_bad))
+    return clean, dead
 
 
 def flatten_reading(df: DataFrame, data_col: str = "data") -> DataFrame:
@@ -85,3 +130,36 @@ def serialize_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
         F.to_json(F.struct(*cols)).alias("value"),
     )
     return out
+
+
+#: top-level fields of the reference's alert wire payload, IN ORDER
+#: (reference alert_detector.py:216-241) — sensor_id appears in both
+#: the Kafka key and the payload; resolved_at/created_at are
+#: database-only audit columns and never go on the wire.
+ALERT_WIRE_FIELDS = (
+    "sensor_id",
+    "sensor_type",
+    "timestamp",
+    "location",
+    "metadata",
+    "alert_type",
+    "severity",
+    "threshold_value",
+    "actual_value",
+    "message",
+    "triggered_at",
+    "status",
+)
+
+
+def alert_wire_frame(alerts: DataFrame) -> DataFrame:
+    """The alert topic's exact (key, value) frame: key = sensor_id cast
+    to string, value = to_json of the reference's 12-field struct with
+    location/metadata re-nested (alert_detector.py:216-241). Field
+    ORDER is preserved so payload bytes match a reference consumer's
+    expectations; pinned by tests/test_sink_payloads.py."""
+    nested = renest_reading(alerts)
+    return nested.select(
+        F.col("sensor_id").cast("string").alias("key"),
+        F.to_json(F.struct(*ALERT_WIRE_FIELDS)).alias("value"),
+    )

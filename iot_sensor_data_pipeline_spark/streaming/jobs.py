@@ -28,7 +28,13 @@ from pyspark.sql.streaming import StreamingQuery
 
 from iot_sensor_data_pipeline_spark.functions.rules import SENSOR_RULES, detect_alerts
 from iot_sensor_data_pipeline_spark.operators.window_agg import windowed_agg
-from iot_sensor_data_pipeline_spark.sources.json_ingest import ingest_readings
+from iot_sensor_data_pipeline_spark.schema import SENSOR_READING_SCHEMA
+from iot_sensor_data_pipeline_spark.sources.json_ingest import (
+    CORRUPT_COL,
+    ingest_readings,
+    parse_json_column,
+    split_quarantine,
+)
 
 #: a sink takes the batch DataFrame, optionally also the epoch id —
 #: epoch-aware sinks (sources.jdbc idempotent append) need it for
@@ -82,9 +88,10 @@ def _start(
     output_mode: str = "append",
     trigger: str | None = None,
     query_name: str | None = None,
+    foreach_batch: Callable[[DataFrame, int], None] | None = None,
 ) -> StreamingQuery:
     writer = (
-        df.writeStream.foreachBatch(_fanout(sinks))
+        df.writeStream.foreachBatch(foreach_batch or _fanout(sinks))
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
     )
@@ -95,12 +102,66 @@ def _start(
     return writer.start()
 
 
+def _fanout_quarantined(
+    sinks: Sequence[BatchSink], dead_letter: BatchSink
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback over a corrupt-capturing parsed stream:
+    one persisted batch split into clean readings (fanned to ``sinks``)
+    and quarantined raw rows (to ``dead_letter``). Clean rows are never
+    blocked or dropped by bad wire data — the capture semantics the
+    reference lacks (it silently nulls, data_persistance.py:76)."""
+    epoch_aware = [(sink, _wants_epoch(sink)) for sink in sinks]
+    dl_wants_epoch = _wants_epoch(dead_letter)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.persist()
+        try:
+            clean, dead = split_quarantine(batch_df)
+            if not dead.isEmpty():
+                if dl_wants_epoch:
+                    dead_letter(dead, epoch_id)
+                else:
+                    dead_letter(dead)
+            if not clean.isEmpty():
+                for sink, wants_epoch in epoch_aware:
+                    if wants_epoch:
+                        sink(clean, epoch_id)
+                    else:
+                        sink(clean)
+        finally:
+            batch_df.unpersist()
+
+    return write
+
+
 def start_persistence(
-    raw: DataFrame, sinks: Sequence[BatchSink], checkpoint: str, **kw
+    raw: DataFrame,
+    sinks: Sequence[BatchSink],
+    checkpoint: str,
+    dead_letter: BatchSink | None = None,
+    **kw,
 ) -> StreamingQuery:
     """Job 1 (reference data_persistance.py): raw JSON -> flat readings
-    -> sinks."""
-    return _start(ingest_readings(raw), sinks, checkpoint, **kw)
+    -> sinks.
+
+    With ``dead_letter`` set, malformed wire records are captured and
+    routed there (raw text + quarantine timestamp) instead of flowing
+    through as all-null readings — see sources.json_ingest.
+    """
+    if dead_letter is None:
+        return _start(ingest_readings(raw), sinks, checkpoint, **kw)
+    parsed = parse_json_column(
+        raw, "value", SENSOR_READING_SCHEMA, corrupt_col=CORRUPT_COL
+    )
+    return _start(
+        parsed,
+        sinks,
+        checkpoint,
+        foreach_batch=_fanout_quarantined(sinks, dead_letter),
+        **kw,
+    )
 
 
 def start_alerts(

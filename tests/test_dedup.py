@@ -104,3 +104,29 @@ def test_simhash_identical_docs_zero_hamming(spark):
     df = spark.createDataFrame([(1, "same text here"), (2, "same text here")], "id int, text string")
     pairs = simhash_near_pairs(simhash(df, "id", "text"), max_hamming=0).collect()
     assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+def test_duplicate_clusters_chain_converges(spark):
+    """A pure chain (worst-case diameter) resolves to one cluster with
+    min-id labels when the iteration budget covers the diameter."""
+    from iot_sensor_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "i long, j long")
+    got = duplicate_clusters(ids, pairs, max_iterations=n)
+    assert {(r.id, r.cluster) for r in got.collect()} == {(i, 0) for i in range(n)}
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """ADVICE r01 #3 guard: a component whose diameter exceeds the
+    budget must RAISE, not silently return split clusters."""
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    n = 12  # chain diameter 11 > 3 iterations
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "i long, j long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(ids, pairs, max_iterations=3)

@@ -63,3 +63,67 @@ def test_text_features_no_shuffle_no_python(spark):
     plan = plan_of(spark, "documents_text_features")
     assert plan.count("Exchange") == 0
     assert "EvalPython" not in plan
+
+
+def test_spend_quartiles_no_single_partition_exchange(spark, sf_dir):
+    """customers_spend_quartiles must not contain the global-window
+    scale-killer: ranks come from range repartition + local windows,
+    so no Exchange SinglePartition anywhere in the physical plan."""
+    from iot_sensor_data_pipeline_spark.plans.queries_relational2 import (
+        customers_spend_quartiles,
+    )
+
+    df = customers_spend_quartiles(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_spend_quartiles_oracle_parity(spark, sf_dir):
+    """The arithmetic ntile/percent_rank/cume_dist derivation equals
+    the window-function definitions (DuckDB oracle hash-compare)."""
+    from iot_sensor_data_pipeline_spark.plans.queries_relational2 import (
+        _NTILE_ORACLE,
+        customers_spend_quartiles,
+    )
+    from tests.oracle_harness import compare_query
+
+    ok, msg = compare_query(spark, sf_dir, customers_spend_quartiles, _NTILE_ORACLE)
+    assert ok, msg
+
+
+def test_global_row_number_and_derived_rank_functions(spark):
+    """operators.ranking vs Spark's own window functions on a small
+    frame with heavy ties on the leading key (unique composite key)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from iot_sensor_data_pipeline_spark.operators.ranking import (
+        cume_dist_from_rank,
+        global_row_number,
+        ntile_from_rank,
+        percent_rank_from_rank,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 3, 3, 3, 8, 1, 5, 5, 2, 9, 0, 0])]
+    df = spark.createDataFrame(rows, "id long, x double")
+    n = len(rows)
+
+    order = [F.col("x").asc(), F.col("id").asc()]
+    got = global_row_number(df, order, "rn", num_partitions=4)
+    for tiles in (1, 3, 4, 5, 12, 20):
+        got = got.withColumn(f"t{tiles}", ntile_from_rank(F.col("rn"), n, tiles))
+    got = got.withColumn("pr", F.round(percent_rank_from_rank(F.col("rn"), n), 9))
+    got = got.withColumn("cd", F.round(cume_dist_from_rank(F.col("rn"), n), 9))
+
+    w = W.orderBy(*order)
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        *[F.ntile(t).over(w).alias(f"t{t}") for t in (1, 3, 4, 5, 12, 20)],
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+    cols = want.columns
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -127,3 +127,47 @@ def test_lsh_self_bucket_sanity(spark):
     df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
     out = rp_lsh_topk(df, df, k=3, dim=8, n_planes=4)
     assert out.count() > 0
+
+
+def test_ivf_recall_large_quantizer(spark, sf_dir_mid):
+    """n_centroids=256 > IVF_LITERAL_CEILING exercises the Arrow GEMM
+    assignment path (closure-shipped centroid matrix, no literal
+    expression blowup); recall must still clear the scanned-fraction
+    floor. 256 centroids over 500 vectors makes most lists singletons,
+    so probe wide to keep the scanned fraction comparable."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        IVF_LITERAL_CEILING,
+        ivf_topk,
+    )
+
+    assert 256 > IVF_LITERAL_CEILING
+    emb = load_table(spark, sf_dir_mid, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    e = {(r.qid, r.nid) for r in cosine_topk(queries, emb, k=10).collect()}
+    a = {
+        (r.qid, r.nid)
+        for r in ivf_topk(queries, emb, k=10, n_centroids=256, n_probe=64).collect()
+    }
+    assert len(e & a) / len(e) >= 0.3
+
+
+def test_ivf_small_and_large_paths_agree_on_exhaustive_probe(spark, sf_dir_mid):
+    """Probing EVERY centroid makes IVF exact regardless of the
+    assignment implementation — both paths must return the brute-force
+    ids (the literal expression and the GEMM kernel assign via the
+    same (distance, cid) order)."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir_mid, "embeddings").where(F.col("vec_id") < 200)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    e = {(r.qid, r.nid) for r in cosine_topk(queries, emb, k=5).collect()}
+    small = {
+        (r.qid, r.nid)
+        for r in ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    large = {
+        (r.qid, r.nid)
+        for r in ivf_topk(queries, emb, k=5, n_centroids=40, n_probe=40).collect()
+    }
+    assert small == e
+    assert large == e
