@@ -90,6 +90,39 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD '03 — the MOSS algorithm): hash every character k-gram,
+    slide a window of ``w`` hashes, keep each window's minimum; the
+    distinct selected hashes are the document's fingerprint set
+    (``array<long>``).
+
+    Guarantee: any two documents sharing a substring of length
+    >= w + k - 1 share at least one fingerprint, while only ~2/(w+1)
+    of all k-gram hashes are kept. Pure JVM higher-order expressions
+    (substr/xxhash64/slice/array_min) — no UDF, no shuffle; pair the
+    exploded output with a group-by join for plagiarism-style overlap
+    detection at corpus scale.
+    """
+    empty = F.array().cast("array<bigint>")
+    # sequence(1, n) DESCENDS for n < 1, so short inputs need guards
+    n_grams = F.length(text) - (k - 1)
+    gram_hashes = F.when(n_grams < 1, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.xxhash64(F.substr(text, i, F.lit(k))),
+        )
+    )
+    n_windows = F.size(gram_hashes) - (w - 1)
+    selected = F.when(n_windows < 1, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda i: F.array_min(F.slice(gram_hashes, i, w)),
+        )
+    )
+    return F.array_distinct(selected)
+
+
 def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """The canonical per-document feature relation."""
     t = F.col(text_col)

@@ -103,11 +103,14 @@ def _start(
 
 
 def _fanout_quarantined(
-    sinks: Sequence[BatchSink], dead_letter: BatchSink
+    sinks: Sequence[BatchSink],
+    dead_letter: BatchSink,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback over a corrupt-capturing parsed stream:
-    one persisted batch split into clean readings (fanned to ``sinks``)
-    and quarantined raw rows (to ``dead_letter``). Clean rows are never
+    one persisted batch split into clean readings (optionally run
+    through ``transform`` ONCE, then fanned to ``sinks``) and
+    quarantined raw rows (to ``dead_letter``). Clean rows are never
     blocked or dropped by bad wire data — the capture semantics the
     reference lacks (it silently nulls, data_persistance.py:76)."""
     epoch_aware = [(sink, _wants_epoch(sink)) for sink in sinks]
@@ -124,6 +127,8 @@ def _fanout_quarantined(
                     dead_letter(dead, epoch_id)
                 else:
                     dead_letter(dead)
+            if transform is not None:
+                clean = transform(clean)
             if not clean.isEmpty():
                 for sink, wants_epoch in epoch_aware:
                     if wants_epoch:
@@ -169,12 +174,36 @@ def start_alerts(
     sinks: Sequence[BatchSink],
     checkpoint: str,
     rules=SENSOR_RULES,
+    dead_letter: BatchSink | None = None,
     **kw,
 ) -> StreamingQuery:
     """Job 2 (reference alert_detector.py): rule-engine alerts, ONE
     source read fanned to all sinks (JDBC + Kafka in production) —
-    fixing the reference's double Kafka subscription (SURVEY.md §3.3)."""
-    return _start(detect_alerts(ingest_readings(raw), rules), sinks, checkpoint, **kw)
+    fixing the reference's double Kafka subscription (SURVEY.md §3.3).
+
+    ``dead_letter`` captures malformed wire records like
+    :func:`start_persistence` (the rule engine is stateless, so
+    detection moves into the per-batch fan-out unchanged). The
+    aggregator job has no such option: its windowed aggregation is a
+    CONTINUOUS stateful operator that must live in the streaming plan,
+    and a second dead-letter query would mean a second source
+    subscription — the exact anti-pattern this module removes. Corrupt
+    rows there parse to all-null keys and fall out of the aggregates.
+    """
+    if dead_letter is None:
+        return _start(detect_alerts(ingest_readings(raw), rules), sinks, checkpoint, **kw)
+    parsed = parse_json_column(
+        raw, "value", SENSOR_READING_SCHEMA, corrupt_col=CORRUPT_COL
+    )
+    return _start(
+        parsed,
+        sinks,
+        checkpoint,
+        foreach_batch=_fanout_quarantined(
+            sinks, dead_letter, transform=lambda df: detect_alerts(df, rules)
+        ),
+        **kw,
+    )
 
 
 def start_aggregator(

@@ -130,3 +130,36 @@ def test_streaming_without_dead_letter_keeps_reference_semantics(spark, tmp_path
         "A_1_100_temperature",
         None,
     ]
+
+
+def test_alerts_job_dead_letter_sink(spark, tmp_path):
+    """start_alerts(dead_letter=...): corrupt wire rows quarantine,
+    clean rows still run the rule engine — one source read, the
+    detection transform applied once per batch."""
+    from iot_sensor_data_pipeline_spark.streaming.jobs import start_alerts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    alerts: list = []
+    dead_rows: list = []
+
+    hot = json.loads(GOOD)
+    hot["value"] = 31.0  # temperature_critical (> 30)
+    q = start_alerts(
+        spark.readStream.text(str(src)),
+        sinks=[lambda df: alerts.extend(df.collect())],
+        checkpoint=str(tmp_path / "chk"),
+        dead_letter=lambda df: dead_rows.extend(df.collect()),
+    )
+    try:
+        tmp = src / ".b1.tmp"
+        tmp.write_text("\n".join([json.dumps(hot), BAD_SYNTAX, GOOD]) + "\n")
+        tmp.rename(src / "b1.json")
+        time.sleep(0.05)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert [r.raw_value for r in dead_rows] == [BAD_SYNTAX]
+    assert len(alerts) == 1  # only the hot reading alerts (22.0 does not)
+    assert alerts[0].alert_type == "temperature_critical"
