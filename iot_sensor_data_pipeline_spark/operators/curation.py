@@ -63,23 +63,39 @@ def deterministic_split(
     weights: dict[str, float],
     seed: int = 42,
     out_col: str = "split",
+    bucket_expr=None,
 ) -> DataFrame:
     """Stable train/val/test assignment: bucket = xxhash64(id, seed)
     mod 1_000_000 mapped onto cumulative weight ranges. A document's
     split never changes with cluster size, partitioning, or the rest of
     the corpus — the property random() sampling loses. Zero shuffle.
+
+    ``bucket_expr``: optional Column in [0, 1_000_000) overriding the
+    xxhash64 bucket — e.g. an md5-prefix bucket when the assignment must
+    be reproducible on engines without xxhash64 (see
+    ``md5_bucket_expr``).
     """
     total = sum(weights.values())
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
     expr = None
     acc = 0.0
     for name, wt in weights.items():
         acc += wt / total
-        cond = bucket < int(round(acc * 1_000_000))
+        cond = bucket_expr < int(round(acc * 1_000_000))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     # float rounding can leave the last bucket boundary < 1_000_000
     last = list(weights)[-1]
     return df.withColumn(out_col, expr.otherwise(last))
+
+
+def md5_bucket_expr(id_col: str) -> "F.Column":
+    """Portable split bucket in [0, 1_000_000): the first 8 hex chars
+    of md5(id) parsed as a 32-bit int, scaled down. Any engine with md5
+    reproduces it exactly (the cross-engine variant of the xxhash64
+    default — used by oracle-checked splits)."""
+    hex8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") * 1_000_000 / F.lit(2**32)).cast("long")
 
 
 def stratified_sample_exact(
@@ -101,6 +117,94 @@ def stratified_sample_exact(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over word
+    n-grams (Rae et al. 2021 §A1.1 use these as quality filters):
+
+    - ``n_grams``         total n-gram occurrences
+    - ``top_gram_frac``   occurrences of the single most frequent
+                          n-gram / total (catches "buy now buy now ...")
+    - ``dup_gram_frac``   occurrences belonging to any n-gram seen more
+                          than once / total
+    - ``distinct_frac``   distinct n-grams / total (type-token ratio)
+
+    Shape: explode n-grams -> count per (doc, gram) -> re-aggregate per
+    doc. Both shuffles key on doc_id(+gram) — uniformly distributed, no
+    hot keys, map-side partial aggregation; scales linearly in corpus
+    size. Documents with fewer than ``n`` words produce no n-grams and
+    are absent from the output (nothing to measure).
+    """
+    words = F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != "")
+    n_grams_in_doc = F.size(words) - (n - 1)
+    # sequence(1, k) DESCENDS for k < 1 -> guard short docs with an
+    # empty array instead of clamping (slice(words, 0, n) is an error)
+    grams = F.when(n_grams_in_doc < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams_in_doc, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+    per_gram = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_gram.groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("__top"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("__dup"),
+            F.count(F.lit(1)).alias("__distinct"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            F.round(F.col("__top") / F.col("n_grams"), 6).alias("top_gram_frac"),
+            F.round(F.col("__dup") / F.col("n_grams"), 6).alias("dup_gram_frac"),
+            F.round(F.col("__distinct") / F.col("n_grams"), 6).alias("distinct_frac"),
+        )
+    )
+
+
+def contamination_tags(
+    corpus_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    n-gram shingles also occur in the eval/benchmark set — train/test
+    overlap detection before a training run (the n-gram-overlap
+    procedure described in the GPT-3 and PaLM dataset cards).
+
+    Inputs are (id, shingle) relations (see ``operators.dedup.shingles``).
+    Output: (id, n_shared_grams) for every corpus id with >= 1 shared
+    shingle, where shared means the shingle occurs in an eval document
+    with a DIFFERENT id (so running the eval set against itself doesn't
+    self-flag).
+
+    Shape: distinct eval shingles (small side — eval sets are orders of
+    magnitude smaller than the corpus) equi-joined on shingle, then one
+    count-distinct per doc. ``max_shingle_freq`` drops boilerplate
+    shingles on the corpus side first — same skew guard as LSH.
+    """
+    if max_shingle_freq is not None:
+        freq = corpus_shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+        corpus_shingles = (
+            corpus_shingles.join(freq.where(F.col("__f") <= max_shingle_freq), "shingle")
+            .drop("__f")
+        )
+    ev = eval_shingles.select(F.col("id").alias("eval_id"), "shingle").distinct()
+    return (
+        corpus_shingles.join(ev, "shingle")
+        .where(F.col("id") != F.col("eval_id"))
+        .groupBy("id")
+        .agg(F.count_distinct("shingle").alias("n_shared_grams"))
     )
 
 

@@ -65,9 +65,14 @@ def shingles(
     """
     df = _widen(df)
     words = F.split(F.col(text_col), " ", -1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    n_grams_in_doc = F.size(words) - (n - 1)
+    # sequence(1, k) DESCENDS for k < 1, and slice(words, 0, n) is a
+    # runtime error -> docs shorter than n words get an empty gram set
+    grams = F.when(n_grams_in_doc < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams_in_doc, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
     )
     out = df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")

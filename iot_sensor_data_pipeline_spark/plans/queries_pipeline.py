@@ -579,3 +579,194 @@ def embeddings_l2_norm_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame
     return emb.select(
         "vec_id", F.round(l2(F.col("embedding")), 6).alias("l2_norm"), "label"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: deterministic split + stratified sample + PII
+# (operators/curation.py), oracle-checked as one tagged union
+# ---------------------------------------------------------------------------
+
+_PII_SQL_CHAIN = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),"
+    " '\\b(?:\\d[ -]?){13,16}\\b', '<CARD>', 'g'),"
+    " '(?:\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b', '<PHONE>', 'g'),"
+    " '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g')"
+)
+
+_PII_HITS_SQL = (
+    "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))"
+    " + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))"
+    " + len(regexp_extract_all(text, '\\b(?:\\d[ -]?){13,16}\\b'))"
+    " + len(regexp_extract_all(text, '(?:\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b'))"
+    " + len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))"
+)
+
+_CURATION_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           * 1000000 // 4294967296 AS bucket
+  FROM documents
+)
+SELECT 'split' AS section, doc_id,
+       CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS str_val,
+       CAST(bucket AS BIGINT) AS num_val
+FROM b
+UNION ALL
+SELECT 'sample' AS section, doc_id, lang AS str_val, CAST(NULL AS BIGINT) AS num_val
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) s
+WHERE rn <= 20
+UNION ALL
+SELECT 'pii' AS section, doc_id,
+       {_PII_SQL_CHAIN} AS str_val,
+       CAST({_PII_HITS_SQL} AS BIGINT) AS num_val
+FROM documents
+"""
+
+
+@register("documents_curation", oracle=_CURATION_ORACLE, tags=("pipeline", "curation"))
+def documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation surface (operators/curation.py) as one tagged union:
+
+    - 'split'  — deterministic 80/10/10 train/val/test assignment.
+      Uses the md5-prefix bucket (md5_bucket_expr) instead of the
+      xxhash64 default so the assignment reproduces bit-for-bit on any
+      engine with md5 — the xxhash64 path is pinned separately in
+      tests/test_curation.py (partition-invariance + proportions).
+    - 'sample' — stratified_sample_exact: exactly 20 docs per lang,
+      chosen by md5 order (deterministic, engine-independent).
+    - 'pii'    — pii_redact'ed text + total PII hit count per doc
+      (patterns are RE2-compatible by construction, so Java regex and
+      DuckDB RE2 agree — that cross-engine property is exactly what
+      this oracle asserts).
+    """
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        PII_PATTERNS,
+        deterministic_split,
+        md5_bucket_expr,
+        pii_redact,
+        stratified_sample_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_bucket_expr("doc_id")
+
+    split = deterministic_split(
+        docs.select("doc_id"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        bucket_expr=bucket,
+    ).select(
+        F.lit("split").alias("section"),
+        "doc_id",
+        F.col("split").alias("str_val"),
+        bucket.alias("num_val"),
+    )
+
+    sample = stratified_sample_exact(
+        docs.select("doc_id", "lang"), "lang", 20, "doc_id"
+    ).select(
+        F.lit("sample").alias("section"),
+        "doc_id",
+        F.col("lang").alias("str_val"),
+        F.lit(None).cast("long").alias("num_val"),
+    )
+
+    hits = None
+    for _, pat, _ in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        hits = c if hits is None else hits + c
+    pii = docs.select(
+        F.lit("pii").alias("section"),
+        "doc_id",
+        pii_redact(F.col("text")).alias("str_val"),
+        hits.cast("long").alias("num_val"),
+    )
+
+    return split.unionByName(sample).unionByName(pii)
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality metrics + benchmark decontamination (one row per
+# document with >= 1 word 2-gram)
+# ---------------------------------------------------------------------------
+
+_REP_CONTAM_ORACLE = """
+WITH toksf AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+  FROM toksf, (SELECT range AS i FROM range(1, 100000)) r
+  WHERE i + 1 <= len(w)
+), per_gram AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         round(max(cnt) * 1.0 / sum(cnt), 6) AS top_gram_frac,
+         round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 6) AS dup_gram_frac,
+         round(count(*) * 1.0 / sum(cnt), 6) AS distinct_frac
+  FROM per_gram GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, (SELECT range AS i FROM range(1, 100000)) r
+  WHERE i + 2 <= len(w)
+), contam AS (
+  SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared_grams
+  FROM sh c
+  JOIN (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 13 = 0) e
+    ON c.shingle = e.shingle AND c.doc_id != e.eval_id
+  GROUP BY c.doc_id
+)
+SELECT r.doc_id, n_grams, top_gram_frac, dup_gram_frac, distinct_frac,
+       coalesce(n_shared_grams, 0) AS n_shared_grams,
+       (coalesce(n_shared_grams, 0) > 0) AS contaminated
+FROM rep r LEFT JOIN contam USING (doc_id)
+"""
+
+
+@register(
+    "documents_repetition_contamination",
+    oracle=_REP_CONTAM_ORACLE,
+    tags=("pipeline", "curation"),
+)
+def documents_repetition_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (operators/curation.
+    repetition_metrics — Gopher-style top/dup 2-gram fractions) joined
+    with benchmark-decontamination tags (contamination_tags: 3-gram
+    shingle overlap against the eval subset doc_id % 13 == 0, self
+    excluded). One row per doc that has at least one 2-gram."""
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        contamination_tags,
+        repetition_metrics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_metrics(docs, "doc_id", "text", n=2).withColumnRenamed(
+        "id", "doc_id"
+    )
+    sh = shingles(docs, "doc_id", "text", n=3)
+    ev = sh.where(F.col("id") % 13 == 0)
+    contam = contamination_tags(sh, ev).withColumnRenamed("id", "doc_id")
+    return rep.join(contam, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "top_gram_frac",
+        "dup_gram_frac",
+        "distinct_frac",
+        F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -342,7 +342,7 @@ def nations_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_ANALYTICS_ORACLE = """
 SELECT
-  o_orderstatus, o_orderpriority,
+  o_orderstatus AS k1, o_orderpriority AS k2,
   round(sum(o_totalprice), 2) AS total,
   count(*)                    AS n,
   'rollup' AS src
@@ -350,17 +350,25 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 UNION ALL
 SELECT
-  o_orderstatus, o_orderpriority,
+  o_orderstatus AS k1, o_orderpriority AS k2,
   round(sum(o_totalprice), 2) AS total,
   count(*)                    AS n,
   'gsets' AS src
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+UNION ALL
+SELECT
+  l_returnflag AS k1, l_linestatus AS k2,
+  round(sum(l_quantity), 2) AS total,
+  count(*)                  AS n,
+  'cube' AS src
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 _GSETS_SQL = """
 SELECT
-  o_orderstatus, o_orderpriority,
+  o_orderstatus AS k1, o_orderpriority AS k2,
   round(sum(o_totalprice), 2) AS total,
   count(*)                    AS n
 FROM orders
@@ -370,10 +378,13 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 
 @register("orders_grouping_analytics", oracle=_GROUPING_ANALYTICS_ORACLE, tags=("relational", "grouping"))
 def orders_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP (DataFrame .rollup API) + GROUPING SETS (SQL surface) in
-    one tagged union — both grouping-analytics operators in one registry
-    entry (keeps the registry inside the driver's 50-query gate; the
-    rollup branch subsumes the former grand-total grouping set)."""
+    """ROLLUP (DataFrame .rollup API) + GROUPING SETS (SQL surface) +
+    CUBE (DataFrame .cube API, over lineitem — formerly the standalone
+    lineitem_cube entry) in one tagged union: all three grouping-
+    analytics operators under one oracle, keys harmonized to (k1, k2)
+    so the branches union (keeps the registry inside the driver's
+    50-query gate; the rollup branch subsumes the former grand-total
+    grouping set)."""
     orders = load_table(spark, sf_dir, "orders")
     rollup = (
         orders.rollup("o_orderstatus", "o_orderpriority")
@@ -381,75 +392,35 @@ def orders_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
             F.count(F.lit(1)).alias("n"),
         )
+        .withColumnsRenamed({"o_orderstatus": "k1", "o_orderpriority": "k2"})
         .withColumn("src", F.lit("rollup"))
     )
     register_views(spark, sf_dir)
     gsets = spark.sql(_GSETS_SQL).withColumn("src", F.lit("gsets"))
-    return rollup.unionByName(gsets)
-
-
-_CUBE_ORACLE = """
-SELECT
-  l_returnflag, l_linestatus,
-  sum(l_quantity) AS sum_qty,
-  count(*)        AS n
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
-
-@register("lineitem_cube", oracle=_CUBE_ORACLE, tags=("relational", "grouping"))
-def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").alias("sum_qty"),
-        F.count(F.lit(1)).alias("n"),
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumnsRenamed({"l_returnflag": "k1", "l_linestatus": "k2"})
+        .withColumn("src", F.lit("cube"))
     )
+    return rollup.unionByName(gsets).unionByName(cube)
 
 
 # ---------------------------------------------------------------------------
 # Pivot (conditional aggregation)
 # ---------------------------------------------------------------------------
 
-_PIVOT_ORACLE = """
+_PIVOT_STATS_ORACLE = """
 SELECT
   l_returnflag,
   sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_open,
   sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_filled,
   count(*)        FILTER (WHERE l_linestatus = 'O') AS n_open,
-  count(*)        FILTER (WHERE l_linestatus = 'F') AS n_filled
-FROM lineitem
-GROUP BY l_returnflag
-"""
-
-
-@register("lineitem_pivot", oracle=_PIVOT_ORACLE, tags=("relational", "pivot"))
-def lineitem_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    pivoted = (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
-    )
-    # pivot yields NULL counts for absent (flag, status) combos; the
-    # oracle's count(*) FILTER yields 0 — coalesce so both agree on
-    # datasets where a combination is missing
-    return pivoted.select(
-        "l_returnflag",
-        F.col("O_qty").alias("qty_open"),
-        F.col("F_qty").alias("qty_filled"),
-        F.coalesce("O_n", F.lit(0)).alias("n_open"),
-        F.coalesce("F_n", F.lit(0)).alias("n_filled"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Statistical aggregates + distinct counting
-# ---------------------------------------------------------------------------
-
-_STATS_ORACLE = """
-SELECT
-  l_returnflag,
+  count(*)        FILTER (WHERE l_linestatus = 'F') AS n_filled,
   round(stddev_samp(l_quantity), 6)              AS qty_stddev,
   round(var_samp(l_extendedprice), 2)            AS price_var,
   round(corr(l_extendedprice, l_quantity), 6)    AS price_qty_corr,
@@ -461,10 +432,31 @@ GROUP BY l_returnflag
 """
 
 
-@register("lineitem_stats_agg", oracle=_STATS_ORACLE, tags=("relational", "agg"))
-def lineitem_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("lineitem_pivot_stats", oracle=_PIVOT_STATS_ORACLE, tags=("relational", "pivot", "agg"))
+def lineitem_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation via the .pivot operator) joined
+    with the statistical-aggregate surface (stddev/var/corr/covar/
+    count-distinct/exact median) — formerly the separate lineitem_pivot
+    and lineitem_stats_agg entries; same l_returnflag grain, so they
+    merge into one wide relation (equi-join of two 3-row aggregates,
+    broadcast-trivial) under one oracle."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
+    )
+    # pivot yields NULL counts for absent (flag, status) combos; the
+    # oracle's count(*) FILTER yields 0 — coalesce so both agree on
+    # datasets where a combination is missing
+    pivoted = pivoted.select(
+        "l_returnflag",
+        F.col("O_qty").alias("qty_open"),
+        F.col("F_qty").alias("qty_filled"),
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_filled"),
+    )
+    stats = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
@@ -472,6 +464,7 @@ def lineitem_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
     )
+    return pivoted.join(stats, "l_returnflag")
 
 
 @register("lineitem_approx_distinct", oracle=None, tags=("relational", "approx"))

@@ -158,3 +158,88 @@ def test_stratified_sample_duckdb_differential(spark, sf_dir_mid):
 
     ok, msg = compare_query(spark, sf_dir_mid, q, oracle)
     assert ok, msg
+
+
+def test_md5_bucket_matches_xxhash_split_api(spark, sf_dir_mid):
+    """The md5 bucket override produces a valid split (all rows
+    assigned, proportions near weights) and differs from the xxhash64
+    default only in WHICH docs land where, not in the contract."""
+    from iot_sensor_data_pipeline_spark.operators.curation import md5_bucket_expr
+
+    docs = load_table(spark, sf_dir_mid, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = deterministic_split(
+        docs, "doc_id", w, bucket_expr=md5_bucket_expr("doc_id")
+    )
+    counts = {
+        r.split: r.n
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(counts.values())
+    assert n == docs.count()
+    for name, wt in w.items():
+        assert abs(counts.get(name, 0) / n - wt) < 0.05
+
+
+def test_repetition_metrics_golden(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import repetition_metrics
+
+    rows = [
+        (0, "buy now buy now buy now"),           # 2-grams: bn,nb,bn,nb,bn
+        (1, "all words here are unique tokens"),  # no repeated 2-gram
+        (2, "x"),                                 # <2 words -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in repetition_metrics(df, "doc_id", "text", n=2).collect()}
+
+    assert 2 not in out
+    r0 = out[0]
+    # 5 grams total: 'buy now' x3, 'now buy' x2 -> top 3/5, dup 5/5, distinct 2/5
+    assert r0.n_grams == 5
+    assert r0.top_gram_frac == pytest.approx(0.6)
+    assert r0.dup_gram_frac == pytest.approx(1.0)
+    assert r0.distinct_frac == pytest.approx(0.4)
+    r1 = out[1]
+    assert r1.top_gram_frac == pytest.approx(1 / r1.n_grams)
+    assert r1.dup_gram_frac == 0.0
+    assert r1.distinct_frac == pytest.approx(1.0)
+
+
+def test_contamination_tags_self_excluded(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import contamination_tags
+    from iot_sensor_data_pipeline_spark.operators.dedup import shingles
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a quick brown fox appears in the benchmark set"),
+        (2, "completely unrelated text with no overlap at all"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(df, "doc_id", "text", n=3)
+    ev = sh.where(F.col("id") == 0)  # doc 0 is the eval set
+    got = {r.id: r.n_shared_grams for r in contamination_tags(sh, ev).collect()}
+
+    assert 0 not in got            # eval doc doesn't self-flag
+    assert got[1] == 1             # shares exactly 'quick brown fox'
+    assert 2 not in got            # clean doc untagged
+    assert got[3] == 7             # exact dup shares every shingle
+
+
+def test_contamination_max_shingle_freq_guard(spark):
+    """Boilerplate shingles above the frequency cap stop generating
+    candidate matches — the skew guard for 100 TB corpora."""
+    from iot_sensor_data_pipeline_spark.operators.curation import contamination_tags
+    from iot_sensor_data_pipeline_spark.operators.dedup import shingles
+
+    boiler = "all rights reserved"
+    rows = [(i, f"document number {i} says {boiler}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(df, "doc_id", "text", n=3)
+    ev = sh.where(F.col("id") == 0)
+
+    with_guard = contamination_tags(sh, ev, max_shingle_freq=5).collect()
+    assert with_guard == []  # every shared shingle occurs in all 10 docs
+
+    without = contamination_tags(sh, ev).collect()
+    assert len(without) == 9

@@ -130,3 +130,15 @@ def test_duplicate_clusters_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "i long, j long")
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(ids, pairs, max_iterations=3)
+
+
+def test_shingles_short_docs_empty_not_error(spark):
+    """Docs with fewer than n words yield zero shingles (sequence(1,0)
+    would otherwise DESCEND and slice(words, 0, n) is a runtime error
+    — latent on long-doc corpora, guaranteed at 100 TB)."""
+    from iot_sensor_data_pipeline_spark.operators.dedup import shingles
+
+    rows = [(0, "x"), (1, "two words"), (2, "now three words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = shingles(df, "doc_id", "text", n=3).collect()
+    assert {r.id for r in got} == {2}
