@@ -183,14 +183,11 @@ def minhash_signatures(
     return shingle_df.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, rows_per_band: int = 2
-) -> DataFrame:
-    """Banded LSH: ids sharing any band bucket become candidates (i<j).
-
-    Bands are hashed to one long each and exploded -> the join key is
-    (band_index, band_hash): a pure shuffle join, no driver state.
-    """
+def minhash_band_index(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Exploded band table (id, band_idx, band_hash) from a signature
+    relation — the join-key side of banded LSH. Persist this (bucketed
+    by (band_idx, band_hash)) as the corpus near-dup INDEX: incremental
+    batches then probe it without re-sketching the corpus."""
     sig_cols = [c for c in signatures.columns if c.startswith("mh")]
     n_bands = len(sig_cols) // rows_per_band
     bands = F.array(
@@ -199,9 +196,18 @@ def lsh_candidate_pairs(
             for band in range(n_bands)
         ]
     )
-    exploded = signatures.select(
-        "id", F.posexplode(bands).alias("band_idx", "band_hash")
-    )
+    return signatures.select("id", F.posexplode(bands).alias("band_idx", "band_hash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: ids sharing any band bucket become candidates (i<j).
+
+    Bands are hashed to one long each and exploded -> the join key is
+    (band_index, band_hash): a pure shuffle join, no driver state.
+    """
+    exploded = minhash_band_index(signatures, rows_per_band=rows_per_band)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -242,6 +248,98 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)
     return ngram_jaccard_pairs(sh, threshold, candidates=cands)
+
+
+def estimated_jaccard_pairs(
+    cand: DataFrame, sigs_i: DataFrame, sigs_j: DataFrame, threshold: float
+) -> DataFrame:
+    """Signature-estimated Jaccard for candidate (i, j) pairs: the
+    fraction of agreeing minhash components is an unbiased estimator of
+    the true Jaccard (the classic Broder '97 property), so no shingle
+    sets — and therefore no document text — are needed at verify time.
+    ``sigs_i``/``sigs_j`` are (id, mh*) relations covering the i and j
+    sides. Output (i, j, est_jaccard >= threshold).
+    """
+    sig_cols = [c for c in sigs_i.columns if c.startswith("mh")]
+    k = len(sig_cols)
+    a = sigs_i.select(
+        F.col("id").alias("i"), *[F.col(c).alias(f"a_{c}") for c in sig_cols]
+    )
+    b = sigs_j.select(
+        F.col("id").alias("j"), *[F.col(c).alias(f"b_{c}") for c in sig_cols]
+    )
+    agree = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in sig_cols
+    )
+    return (
+        cand.select("i", "j")
+        .distinct()
+        .join(a, "i")
+        .join(b, "j")
+        .withColumn("est_jaccard", F.round(agree / F.lit(k), 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("i", "j", "est_jaccard")
+    )
+
+
+def neardup_incremental(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    signatures: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental MinHash near-dup: a new batch against an already-
+    indexed corpus — the production flow where the corpus is too big to
+    re-sketch per increment (the near-dup sibling of
+    :func:`dedup_incremental`).
+
+    ``band_index``: (id, band_idx, band_hash) from
+    :func:`minhash_band_index`; ``signatures``: (id, mh*) from
+    :func:`minhash_signatures` — both maintained by appending the
+    returned deltas after each batch.
+
+    Returns ``(pairs, sig_delta, band_delta)``:
+
+    - ``pairs``  — (i=new id, j=indexed-or-earlier-new id, est_jaccard)
+      with signature-estimated Jaccard >= threshold, covering BOTH
+      new-vs-corpus and new-vs-new duplicates. Estimation (not exact
+      re-verification) is deliberate: it needs only signatures, so
+      document text never reshuffles — corpus-side I/O is limited to
+      the probed band buckets and the candidate ids' signature rows.
+    - ``sig_delta`` / ``band_delta`` — the new batch's rows to append
+      to the two index tables.
+
+    Scale shape: the new batch is small relative to the corpus, so its
+    exploded bands broadcast against the bucketed ``band_index`` (no
+    corpus shuffle); the signature fetch is an equi-join on candidate
+    ids only. Batch-internal pairs reuse the standard band self-join on
+    the (small) delta alone.
+    """
+    sh = shingles(new_docs, id_col, text_col, n=shingle_n)
+    sig_delta = minhash_signatures(sh, num_hashes=num_hashes)
+    band_delta = minhash_band_index(sig_delta, rows_per_band=rows_per_band)
+
+    new_bands = band_delta.select(
+        F.col("id").alias("i"), "band_idx", "band_hash"
+    )
+    # new vs corpus: probe the stored index on the band key. The delta
+    # side is the small one, so AQE broadcasts it and the corpus index
+    # never shuffles (or, bucketed by the band key, joins in place).
+    vs_corpus = new_bands.join(
+        band_index.select(F.col("id").alias("j"), "band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+    ).select("i", "j")
+    # new vs new: band self-join within the delta, i < j orders the pair
+    within = lsh_candidate_pairs(sig_delta, rows_per_band=rows_per_band)
+
+    pairs_corpus = estimated_jaccard_pairs(vs_corpus, sig_delta, signatures, threshold)
+    pairs_within = estimated_jaccard_pairs(within, sig_delta, sig_delta, threshold)
+    return pairs_corpus.unionByName(pairs_within), sig_delta, band_delta
 
 
 def dedup_incremental(

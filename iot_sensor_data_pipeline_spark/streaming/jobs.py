@@ -146,6 +146,7 @@ def start_persistence(
     sinks: Sequence[BatchSink],
     checkpoint: str,
     dead_letter: BatchSink | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
     **kw,
 ) -> StreamingQuery:
     """Job 1 (reference data_persistance.py): raw JSON -> flat readings
@@ -154,9 +155,19 @@ def start_persistence(
     With ``dead_letter`` set, malformed wire records are captured and
     routed there (raw text + quarantine timestamp) instead of flowing
     through as all-null readings — see sources.json_ingest.
+
+    ``transform`` runs ONCE per batch on the parsed (clean) readings
+    before the sink fan-out — the pre-storage scrub hook (e.g.
+    ``operators.curation.pii_redact`` over free-text columns, unit
+    conversions, column pruning). Stateless transforms only: it runs
+    inside foreachBatch, so streaming state would not carry across
+    batches.
     """
     if dead_letter is None:
-        return _start(ingest_readings(raw), sinks, checkpoint, **kw)
+        parsed = ingest_readings(raw)
+        if transform is not None:
+            parsed = transform(parsed)
+        return _start(parsed, sinks, checkpoint, **kw)
     parsed = parse_json_column(
         raw, "value", SENSOR_READING_SCHEMA, corrupt_col=CORRUPT_COL
     )
@@ -164,7 +175,7 @@ def start_persistence(
         parsed,
         sinks,
         checkpoint,
-        foreach_batch=_fanout_quarantined(sinks, dead_letter),
+        foreach_batch=_fanout_quarantined(sinks, dead_letter, transform=transform),
         **kw,
     )
 

@@ -142,3 +142,82 @@ def test_shingles_short_docs_empty_not_error(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = shingles(df, "doc_id", "text", n=3).collect()
     assert {r.id for r in got} == {2}
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_incremental_matches_full_rebuild(spark, sf_dir_mid):
+    """Index half the corpus, probe with the other half: every
+    incremental pair involving a new doc must also appear in a
+    full-corpus LSH run with the same signature estimate (same hash
+    family => identical signatures => identical band collisions)."""
+    from iot_sensor_data_pipeline_spark.operators.dedup import (
+        estimated_jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_band_index,
+        minhash_signatures,
+        neardup_incremental,
+        shingles,
+    )
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir_mid, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    old_sigs = minhash_signatures(shingles(old, "doc_id", "text", n=3))
+    index = minhash_band_index(old_sigs)
+
+    pairs, sig_delta, band_delta = neardup_incremental(
+        new, index, old_sigs, "doc_id", "text", threshold=0.5
+    )
+    got = {(r.i, r.j): r.est_jaccard for r in pairs.collect()}
+
+    # full rebuild over the whole corpus with the same family
+    all_sigs = minhash_signatures(shingles(docs, "doc_id", "text", n=3))
+    full = estimated_jaccard_pairs(
+        lsh_candidate_pairs(all_sigs), all_sigs, all_sigs, threshold=0.5
+    )
+    want_all = {(r.i, r.j): r.est_jaccard for r in full.collect()}
+    # restrict to pairs involving at least one new (odd) doc, in the
+    # incremental orientation (i = new side for new-vs-old pairs)
+    want = {}
+    for (i, j), est in want_all.items():
+        if i % 2 == 1 and j % 2 == 1:
+            want[(i, j)] = est          # new-vs-new keeps i<j
+        elif i % 2 == 1:
+            want[(i, j)] = est          # i new, j old
+        elif j % 2 == 1:
+            want[(j, i)] = est          # flip: new doc is the prober
+    assert got == want
+    assert len(got) > 0  # the corpus's synthetic near-dups actually hit
+
+    # deltas have index shape: appending them makes the next batch see
+    # this batch's docs
+    assert set(sig_delta.columns) == set(old_sigs.columns)
+    assert set(band_delta.columns) == {"id", "band_idx", "band_hash"}
+
+
+def test_estimated_jaccard_identical_and_disjoint(spark):
+    from iot_sensor_data_pipeline_spark.operators.dedup import (
+        estimated_jaccard_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+        (2, "one two three four five six seven eight nine"),   # disjoint
+    ]
+    sigs = minhash_signatures(shingles(_mk_docs(spark, rows), "doc_id", "text", n=3))
+    cand = spark.createDataFrame([(0, 1), (0, 2)], "i long, j long")
+    got = {
+        (r.i, r.j): r.est_jaccard
+        for r in estimated_jaccard_pairs(cand, sigs, sigs, threshold=0.0).collect()
+    }
+    assert got[(0, 1)] == 1.0   # identical docs agree on every component
+    assert got[(0, 2)] < 0.2    # disjoint shingle sets barely agree

@@ -163,3 +163,36 @@ def test_alerts_job_dead_letter_sink(spark, tmp_path):
     assert [r.raw_value for r in dead_rows] == [BAD_SYNTAX]
     assert len(alerts) == 1  # only the hot reading alerts (22.0 does not)
     assert alerts[0].alert_type == "temperature_critical"
+
+
+def test_persistence_transform_hook_both_paths(spark, tmp_path):
+    """The pre-storage scrub hook runs on clean rows in BOTH persistence
+    paths (plain and quarantined) — e.g. masking device identifiers
+    before they hit storage, the same shape as a curation PII scrub."""
+    from pyspark.sql import functions as F
+
+    def scrub(df):
+        return df.withColumn(
+            "sensor_id", F.regexp_replace("sensor_id", r"\d", "#")
+        )
+
+    for variant, kw in [("plain", {}), ("quarantined", {"dead_letter": lambda df: None})]:
+        src = tmp_path / f"src_{variant}"
+        src.mkdir()
+        rows: list = []
+        q = start_persistence(
+            spark.readStream.text(str(src)),
+            sinks=[lambda df: rows.extend(df.collect())],
+            checkpoint=str(tmp_path / f"chk_{variant}"),
+            transform=scrub,
+            **kw,
+        )
+        try:
+            tmp = src / ".b1.tmp"
+            tmp.write_text(GOOD + "\n")
+            tmp.rename(src / "b1.json")
+            time.sleep(0.05)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert [r.sensor_id for r in rows] == ["A_#_###_temperature"], variant
