@@ -87,13 +87,25 @@ def shingles(
 
 
 def ngram_jaccard_pairs(
-    shingle_df: DataFrame, threshold: float, candidates: DataFrame | None = None
+    shingle_df: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+    candidates_distinct: bool = False,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (i < j) from a (id, shingle) relation.
 
     Without ``candidates`` this is the quadratic all-pairs path (only
     for small inputs / oracle checks); with it, only candidate (i, j)
-    pairs are verified — the cheap second phase after LSH.
+    pairs are verified — the cheap second phase after LSH. Pass
+    ``candidates_distinct=True`` when the candidate relation is already
+    pair-deduplicated (e.g. straight out of
+    :func:`lsh_candidate_pairs`) to skip a redundant exchange.
+
+    ``shingle`` may be any orderable type: the minhash pipeline passes
+    64-bit hashed shingles (longs) instead of strings, which shrinks
+    the persisted relation and the set-intersection arrays ~3x with
+    statistically exact Jaccard (64-bit collisions are negligible
+    below ~10^9 distinct shingles).
     """
     if candidates is not None:
         # candidate-verification path: gather each TOUCHED document's
@@ -103,7 +115,9 @@ def ngram_jaccard_pairs(
         # shuffles total, vs the self-join's six. Per-doc set size is
         # bounded by document length, so the arrays stay row-sized at
         # any corpus scale.
-        cand = candidates.select("i", "j").distinct()
+        cand = candidates.select("i", "j")
+        if not candidates_distinct:
+            cand = cand.distinct()
         touched = (
             cand.select(F.col("i").alias("id"))
             .union(cand.select(F.col("j").alias("id")))
@@ -238,16 +252,29 @@ def minhash_dedup_pairs(
     Output (i, j, jaccard) with jaccard >= threshold. Recall is the
     banding probability 1-(1-t^r)^b (unit-tested against the exact
     quadratic pairs); precision is exact by construction.
+
+    Internally shingles are reduced to 64-bit hashes right after the
+    explode: signatures, band joins, and the exact set-intersection
+    verification all operate on longs, so the persisted relation and
+    every downstream shuffle carry 8-byte keys instead of n-word
+    strings. Jaccard over hashed shingles equals Jaccard over the
+    strings absent a 64-bit collision (probability ~d^2/2^65 for d
+    distinct shingles — irrelevant below ~10^9).
     """
-    # persisted: the shingle relation feeds the signature agg AND both
-    # sides of candidate verification — without it the parse+explode
-    # lineage recomputes four times. No explicit unpersist handle is
-    # returned; Spark's ContextCleaner reclaims the cached blocks once
-    # the returned DataFrame (and this lineage) is garbage collected.
-    sh = shingles(df, id_col, text_col, n=shingle_n, max_shingle_freq=max_shingle_freq).persist()
+    # persisted: the hashed-shingle relation feeds the signature agg
+    # AND both sides of candidate verification — without it the
+    # parse+explode lineage recomputes four times. No explicit
+    # unpersist handle is returned; Spark's ContextCleaner reclaims the
+    # cached blocks once the returned DataFrame (and this lineage) is
+    # garbage collected.
+    sh = (
+        shingles(df, id_col, text_col, n=shingle_n, max_shingle_freq=max_shingle_freq)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .persist()
+    )
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)
-    return ngram_jaccard_pairs(sh, threshold, candidates=cands)
+    return ngram_jaccard_pairs(sh, threshold, candidates=cands, candidates_distinct=True)
 
 
 def estimated_jaccard_pairs(
