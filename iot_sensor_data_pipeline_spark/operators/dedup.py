@@ -38,14 +38,22 @@ def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
-def _widen(df: DataFrame) -> DataFrame:
+def _widen(df: DataFrame, key: str | None = None) -> DataFrame:
     """Repartition up to the cluster's parallelism before explode-heavy
     work. A small parquet file arrives as ONE partition; exploding it
     50x on one core serializes the whole pipeline — the shuffle here is
-    cheap, the parallelism is not optional."""
+    cheap, the parallelism is not optional.
+
+    With ``key``, hash-repartition on that column instead of round-robin:
+    explode and projections preserve the partitioning, so every
+    downstream groupBy/join on the (aliased) key runs exchange-free —
+    one small pre-explode shuffle replaces several post-explode ones.
+    """
     if df.isStreaming:  # partition introspection needs a batch RDD
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
+    if key is not None:
+        return df.repartition(target, key)
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     return df
@@ -63,7 +71,11 @@ def shingles(
     ``max_shingle_freq`` drops shingles occurring in more than that
     many documents — the skew guard for band joins at scale.
     """
-    df = _widen(df)
+    # keyed widen: the output stays hash-partitioned by id (explode and
+    # the alias projection preserve it), so the minhash signature agg
+    # and the verification collect_set/semi-join all reuse this one
+    # exchange instead of re-shuffling the exploded relation.
+    df = _widen(df, key=id_col)
     words = F.split(F.col(text_col), " ", -1)
     n_grams_in_doc = F.size(words) - (n - 1)
     # sequence(1, k) DESCENDS for k < 1, and slice(words, 0, n) is a
@@ -189,6 +201,13 @@ def minhash_signatures(
     31-bit base starts colliding at ~10^5 distinct shingles. MinHash
     only needs a random injective map with a total order, so the
     signed-long ordering is immaterial.
+
+    Codegen note: the k hash expressions are deliberately inlined into
+    the aggregate rather than precomputed via a ``transform`` array —
+    higher-order functions are interpreted (outside whole-stage
+    codegen), and k×rows interpreted xxhash64 calls cost far more than
+    the one-time compile of k inlined kernels (measured 1.5-2x slower
+    end-to-end at k=64).
     """
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed + k))).alias(f"mh{k}")
