@@ -236,6 +236,11 @@ def pack_sequences(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
+    # carry the caller's id type through (string ids are first-class
+    # everywhere else in the pipeline, e.g. dedup/shingles) — a
+    # hardcoded `id long` would dtype-error on non-numeric ids
+    id_type = df.schema[id_col].dataType.simpleString()
+
     slim = df.select(
         F.col(id_col).alias("id"), F.col(n_tokens_col).cast("long").alias("n_tokens")
     ).withColumn(
@@ -271,7 +276,7 @@ def pack_sequences(
             bins_len[b] += 1
         return pd.DataFrame(
             {
-                "id": pd.Series(ids, dtype="int64"),
+                "id": pd.Series(ids),  # dtype inherited from the input column
                 "n_tokens": pd.Series(toks, dtype="int64"),
                 "local_bin": pd.Series(local_bin, dtype="int64"),
                 "pack_pos": pd.Series(pos, dtype="int64"),
@@ -280,7 +285,7 @@ def pack_sequences(
         )
 
     packed = slim.groupBy("__bucket").applyInPandas(
-        pack, "id long, n_tokens long, local_bin long, pack_pos long, __bucket int"
+        pack, f"id {id_type}, n_tokens long, local_bin long, pack_pos long, __bucket int"
     )
     return packed.select(
         "id",

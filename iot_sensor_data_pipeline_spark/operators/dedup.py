@@ -98,6 +98,29 @@ def shingles(
     return out
 
 
+def hashed_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """:func:`shingles` reduced to 64-bit hashes: (id, shingle long).
+
+    This is THE module convention for everything minhash-shaped:
+    :func:`minhash_dedup_pairs` and :func:`neardup_incremental` both
+    sketch over these longs, and any persisted signature / band index
+    must be built from them too — signatures over raw string shingles
+    use a different hash input and silently never collide with
+    hashed-shingle probes. Jaccard over the hashes equals Jaccard over
+    the strings absent a 64-bit collision (~d^2/2^65 for d distinct
+    shingles), while every downstream shuffle carries 8-byte keys.
+    """
+    return shingles(
+        df, id_col, text_col, n=n, max_shingle_freq=max_shingle_freq
+    ).select("id", F.xxhash64("shingle").alias("shingle"))
+
+
 def ngram_jaccard_pairs(
     shingle_df: DataFrame,
     threshold: float,
@@ -192,6 +215,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per id: (id, mh0..mh{k-1}).
 
+    INPUT CONVENTION: pass :func:`hashed_shingles` output (64-bit
+    longs), not raw string shingles. Signatures are only comparable
+    when built from the same shingle representation; the pipeline
+    standard (and what any persisted index must use) is the hashed
+    form.
+
     One aggregation: k mins over k independently-seeded xxhash64
     applications (the seed rides along as an extra hashed column —
     xxhash64 mixes all its arguments). All JVM codegen; partial
@@ -220,7 +249,10 @@ def minhash_band_index(signatures: DataFrame, rows_per_band: int = 2) -> DataFra
     """Exploded band table (id, band_idx, band_hash) from a signature
     relation — the join-key side of banded LSH. Persist this (bucketed
     by (band_idx, band_hash)) as the corpus near-dup INDEX: incremental
-    batches then probe it without re-sketching the corpus."""
+    batches then probe it without re-sketching the corpus. The
+    signatures must follow the :func:`hashed_shingles` input
+    convention — :func:`neardup_incremental` probes with hashed
+    shingles and a raw-string-built index would never collide."""
     sig_cols = [c for c in signatures.columns if c.startswith("mh")]
     n_bands = len(sig_cols) // rows_per_band
     bands = F.array(
@@ -286,11 +318,9 @@ def minhash_dedup_pairs(
     # unpersist handle is returned; Spark's ContextCleaner reclaims the
     # cached blocks once the returned DataFrame (and this lineage) is
     # garbage collected.
-    sh = (
-        shingles(df, id_col, text_col, n=shingle_n, max_shingle_freq=max_shingle_freq)
-        .select("id", F.xxhash64("shingle").alias("shingle"))
-        .persist()
-    )
+    sh = hashed_shingles(
+        df, id_col, text_col, n=shingle_n, max_shingle_freq=max_shingle_freq
+    ).persist()
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)
     return ngram_jaccard_pairs(sh, threshold, candidates=cands, candidates_distinct=True)
@@ -346,8 +376,10 @@ def neardup_incremental(
 
     ``band_index``: (id, band_idx, band_hash) from
     :func:`minhash_band_index`; ``signatures``: (id, mh*) from
-    :func:`minhash_signatures` — both maintained by appending the
-    returned deltas after each batch.
+    :func:`minhash_signatures` OVER :func:`hashed_shingles` output —
+    both maintained by appending the returned deltas after each batch.
+    The batch is sketched with the same hashed-shingle convention, so
+    an index built from raw string shingles will not match.
 
     Returns ``(pairs, sig_delta, band_delta)``:
 
@@ -366,7 +398,10 @@ def neardup_incremental(
     ids only. Batch-internal pairs reuse the standard band self-join on
     the (small) delta alone.
     """
-    sh = shingles(new_docs, id_col, text_col, n=shingle_n)
+    # SAME shingle convention as minhash_dedup_pairs / the persisted
+    # index (hashed_shingles): signatures over raw strings would never
+    # collide with an index built over the 64-bit hashes.
+    sh = hashed_shingles(new_docs, id_col, text_col, n=shingle_n)
     sig_delta = minhash_signatures(sh, num_hashes=num_hashes)
     band_delta = minhash_band_index(sig_delta, rows_per_band=rows_per_band)
 

@@ -32,10 +32,28 @@ def global_row_number(
     order_by: Sequence[Column],
     out_col: str = "row_number",
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_count: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Exact 1-based global row number in ``order_by`` order, without a
     single-partition sort. The full sort key must be unique (row_number
     over ties would otherwise depend on partition-internal order).
+
+    The range-partitioned relation is PERSISTED before the offsets
+    collect — this is load-bearing for correctness, not a cache
+    optimization: ``repartitionByRange`` samples its boundaries per
+    query execution, so without the persist the offsets job and the
+    final join would each plan their own exchange and could place rows
+    in different partitions, silently mismatching the broadcast
+    offsets. With the persist both consumers read the one
+    InMemoryRelation, whose single exchange fixes the boundaries in
+    its ShuffleDependency (partition recompute after executor loss
+    reuses the same partitioner). The collect below materializes the
+    cache eagerly; the blocks are reclaimed by Spark's ContextCleaner
+    once the returned lineage is garbage collected.
+
+    ``return_count=True`` additionally returns the total row count —
+    free here (it is the sum of the per-partition counts), saving
+    callers a separate ``df.count()`` action.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -46,7 +64,7 @@ def global_row_number(
     )
     local = parts.withColumn(
         "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by))
-    )
+    ).persist()
     counts = sorted(
         local.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
     )
@@ -55,11 +73,14 @@ def global_row_number(
         offsets.append((r["__pid"], acc))
         acc += r["count"]
     offset_df = spark.createDataFrame(offsets or [], "__pid int, __offset long")
-    return (
+    out = (
         local.join(F.broadcast(offset_df), "__pid")
         .withColumn(out_col, F.col("__offset") + F.col("__lrn"))
         .drop("__pid", "__lrn", "__offset")
     )
+    if return_count:
+        return out, acc
+    return out
 
 
 def ntile_from_rank(rank: Column, n_rows: int, tiles: int) -> Column:

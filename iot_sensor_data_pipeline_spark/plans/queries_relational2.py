@@ -463,6 +463,11 @@ def customers_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # persisted: the join+agg feeds both ranking passes (each of which
+    # runs its own offsets job) — without the cache the customer-orders
+    # aggregation would recompute once per downstream action. The total
+    # row count falls out of the first ranking's offsets for free
+    # (return_count), so no separate count() action is needed.
     spend = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey")
@@ -470,10 +475,13 @@ def customers_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
         )
+        .persist()
     )
-    n_rows = spend.count()
-    ranked = global_row_number(
-        spend, [F.col("total_spend").asc(), F.col("c_custkey").asc()], "rank_asc"
+    ranked, n_rows = global_row_number(
+        spend,
+        [F.col("total_spend").asc(), F.col("c_custkey").asc()],
+        "rank_asc",
+        return_count=True,
     )
     ranked = global_row_number(
         ranked, [F.col("total_spend").desc(), F.col("c_custkey").asc()], "rank_desc"

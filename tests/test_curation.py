@@ -243,3 +243,22 @@ def test_contamination_max_shingle_freq_guard(spark):
 
     without = contamination_tags(sh, ev).collect()
     assert len(without) == 9
+
+def test_pack_sequences_string_ids(spark):
+    """Non-numeric doc ids are first-class across the pipeline (dedup,
+    shingles); packing must carry the input id type through instead of
+    coercing to int64 (ADVICE r03)."""
+    rows = [(f"doc-{i:03d}", 100 + (i * 37) % 400) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", max_tokens=1024, num_partitions=4)
+    assert out.schema["id"].dataType.simpleString() == "string"
+    got = out.collect()
+    assert {r.id for r in got} == {r[0] for r in rows}
+    per_bin: dict = {}
+    for r in got:
+        per_bin[r.pack_id] = per_bin.get(r.pack_id, 0) + r.n_tokens
+    assert all(
+        tot <= 1024
+        for pid, tot in per_bin.items()
+        if sum(1 for r in got if r.pack_id == pid) > 1
+    )

@@ -155,11 +155,11 @@ def test_neardup_incremental_matches_full_rebuild(spark, sf_dir_mid):
     family => identical signatures => identical band collisions)."""
     from iot_sensor_data_pipeline_spark.operators.dedup import (
         estimated_jaccard_pairs,
+        hashed_shingles,
         lsh_candidate_pairs,
         minhash_band_index,
         minhash_signatures,
         neardup_incremental,
-        shingles,
     )
     from iot_sensor_data_pipeline_spark.sources.tables import load_table
     from pyspark.sql import functions as F
@@ -168,7 +168,10 @@ def test_neardup_incremental_matches_full_rebuild(spark, sf_dir_mid):
     old = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
 
-    old_sigs = minhash_signatures(shingles(old, "doc_id", "text", n=3))
+    # index built per the module convention: signatures over
+    # hashed_shingles — the same representation neardup_incremental
+    # probes with (raw-string signatures would never collide)
+    old_sigs = minhash_signatures(hashed_shingles(old, "doc_id", "text", n=3))
     index = minhash_band_index(old_sigs)
 
     pairs, sig_delta, band_delta = neardup_incremental(
@@ -177,7 +180,7 @@ def test_neardup_incremental_matches_full_rebuild(spark, sf_dir_mid):
     got = {(r.i, r.j): r.est_jaccard for r in pairs.collect()}
 
     # full rebuild over the whole corpus with the same family
-    all_sigs = minhash_signatures(shingles(docs, "doc_id", "text", n=3))
+    all_sigs = minhash_signatures(hashed_shingles(docs, "doc_id", "text", n=3))
     full = estimated_jaccard_pairs(
         lsh_candidate_pairs(all_sigs), all_sigs, all_sigs, threshold=0.5
     )
@@ -204,8 +207,8 @@ def test_neardup_incremental_matches_full_rebuild(spark, sf_dir_mid):
 def test_estimated_jaccard_identical_and_disjoint(spark):
     from iot_sensor_data_pipeline_spark.operators.dedup import (
         estimated_jaccard_pairs,
+        hashed_shingles,
         minhash_signatures,
-        shingles,
     )
 
     rows = [
@@ -213,7 +216,7 @@ def test_estimated_jaccard_identical_and_disjoint(spark):
         (1, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
         (2, "one two three four five six seven eight nine"),   # disjoint
     ]
-    sigs = minhash_signatures(shingles(_mk_docs(spark, rows), "doc_id", "text", n=3))
+    sigs = minhash_signatures(hashed_shingles(_mk_docs(spark, rows), "doc_id", "text", n=3))
     cand = spark.createDataFrame([(0, 1), (0, 2)], "i long, j long")
     got = {
         (r.i, r.j): r.est_jaccard

@@ -127,3 +127,28 @@ def test_global_row_number_and_derived_rank_functions(spark):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, want.collect())
     )
+
+def test_global_row_number_single_materialization_and_count(spark):
+    """ADVICE r03 (high): the offsets collect and the output join must
+    read ONE materialized range partitioning — the output plan scans
+    the internal cache (InMemoryRelation), so repartitionByRange's
+    sampled boundaries cannot differ between the two jobs. The
+    return_count total comes from the same offsets, no extra action."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.ranking import global_row_number
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.hash("id") % 100).alias("k")
+    )
+    out, n = global_row_number(
+        df, [F.col("k").asc(), F.col("id").asc()], "rn", num_partitions=8,
+        return_count=True,
+    )
+    assert n == 1000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    rows = out.orderBy("rn").collect()
+    assert [r.rn for r in rows] == list(range(1, 1001))
+    want = sorted(((r.k, r.id) for r in rows))
+    assert [(r.k, r.id) for r in sorted(rows, key=lambda r: r.rn)] == want
