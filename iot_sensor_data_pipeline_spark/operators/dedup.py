@@ -322,7 +322,11 @@ def minhash_dedup_pairs(
         df, id_col, text_col, n=shingle_n, max_shingle_freq=max_shingle_freq
     ).persist()
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)
+    # cands persisted too: the verifier references the candidate
+    # relation THREE times (touched-i, touched-j, the final pair join),
+    # and without the cache each reference replays the 64-min-agg and
+    # the band self-join — measured ~1.9x the whole pipeline's runtime.
+    cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band).persist()
     return ngram_jaccard_pairs(sh, threshold, candidates=cands, candidates_distinct=True)
 
 
