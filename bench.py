@@ -5,6 +5,13 @@ Methodology: each query runs to a ``write.format("noop")`` terminal
 action, which executes the complete physical plan (scan, shuffle, agg)
 and materializes every output row without driver-side collection
 overhead — the fairest proxy for sink throughput.
+
+Each query is timed over TWO back-to-back runs and the MINIMUM is
+reported. Round-over-round comparison showed uniform 1.2-1.6x drift on
+queries whose code (and plans) had not changed — host-level noise, not
+plan regressions. The min of two runs measures the plan; a single
+sample measures the neighborhood. (Set BENCH_REPEATS=1 to reproduce
+the old single-shot methodology.)
 """
 
 from __future__ import annotations
@@ -43,10 +50,14 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     fns[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     for name in names:
-        t0 = time.perf_counter()
-        fns[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fns[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
