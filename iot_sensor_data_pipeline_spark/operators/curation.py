@@ -98,6 +98,60 @@ def md5_bucket_expr(id_col: str) -> "F.Column":
     return (F.conv(hex8, 16, 10).cast("long") * 1_000_000 / F.lit(2**32)).cast("long")
 
 
+def md5_mix_bucket_expr(domain_col: str, id_col: str) -> "F.Column":
+    """Portable per-(domain, id) sampling bucket in [0, 1_000_000):
+    md5 over ``domain || ':' || id`` so the mixing decision is
+    independent of the split bucket (different hash input) and
+    reproducible on any engine with md5 (see ``md5_bucket_expr``)."""
+    key = F.concat_ws(":", F.col(domain_col), F.col(id_col).cast("string"))
+    hex8 = F.substring(F.md5(key), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") * 1_000_000 / F.lit(2**32)).cast("long")
+
+
+def weighted_mix(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    seed: int = 42,
+    bucket_expr=None,
+) -> DataFrame:
+    """Data mixing: deterministic per-domain downsampling to the given
+    keep-rates — the mixture-reweighting stage of a training-data
+    pipeline (boost or suppress sources/languages to hit a target
+    composition). A row survives iff ``bucket(domain, id) <
+    rate[domain] * 1e6``; domains absent from ``rates`` use
+    ``default_rate``.
+
+    Properties a 100-TB pipeline needs and ``df.sample()`` lacks:
+    ZERO shuffle (a pure filter, pushed to the scan), stable under
+    repartitioning and corpus growth (a kept document stays kept when
+    the corpus doubles — sampling decisions are per-row hashes, not
+    positional), and exactly reproducible across engines when
+    ``bucket_expr`` is the md5 variant (``md5_mix_bucket_expr``).
+
+    The expected kept fraction per domain is rate +- the binomial
+    deviation (hash buckets are uniform); for exact-count-per-stratum
+    semantics use :func:`stratified_sample_exact` instead.
+    """
+    if bucket_expr is None:
+        bucket_expr = F.pmod(
+            F.xxhash64(F.col(domain_col), F.col(id_col), F.lit(seed)), F.lit(1_000_000)
+        )
+    threshold = None
+    for name, rate in rates.items():
+        thr = F.lit(int(round(rate * 1_000_000)))
+        threshold = (
+            F.when(F.col(domain_col) == name, thr)
+            if threshold is None
+            else threshold.when(F.col(domain_col) == name, thr)
+        )
+    default_thr = F.lit(int(round(default_rate * 1_000_000)))
+    threshold = default_thr if threshold is None else threshold.otherwise(default_thr)
+    return df.where(bucket_expr < threshold)
+
+
 def stratified_sample_exact(
     df: DataFrame,
     stratum_col: str,

@@ -631,6 +631,17 @@ SELECT 'pii' AS section, doc_id,
        {_PII_SQL_CHAIN} AS str_val,
        CAST({_PII_HITS_SQL} AS BIGINT) AS num_val
 FROM documents
+UNION ALL
+SELECT 'mix' AS section, doc_id, lang AS str_val, CAST(mixb AS BIGINT) AS num_val
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           * 1000000 // 4294967296 AS mixb
+  FROM documents
+) m
+WHERE mixb < CASE lang
+  WHEN 'en' THEN 1000000 WHEN 'zh' THEN 600000 WHEN 'es' THEN 500000
+  WHEN 'de' THEN 400000 WHEN 'fr' THEN 250000 ELSE 1000000 END
 """
 
 
@@ -649,13 +660,20 @@ def documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       (patterns are RE2-compatible by construction, so Java regex and
       DuckDB RE2 agree — that cross-engine property is exactly what
       this oracle asserts).
+    - 'mix'    — weighted_mix: per-language keep-rates (en 1.0,
+      zh 0.6, es 0.5, de 0.4, fr 0.25) via the md5 mix bucket — the
+      mixture-reweighting stage; a zero-shuffle deterministic filter
+      (see operators/curation.py:weighted_mix for the 100 TB
+      properties df.sample() lacks).
     """
     from iot_sensor_data_pipeline_spark.operators.curation import (
         PII_PATTERNS,
         deterministic_split,
         md5_bucket_expr,
+        md5_mix_bucket_expr,
         pii_redact,
         stratified_sample_exact,
+        weighted_mix,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -693,7 +711,21 @@ def documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.cast("long").alias("num_val"),
     )
 
-    return split.unionByName(sample).unionByName(pii)
+    mix_bucket = md5_mix_bucket_expr("lang", "doc_id")
+    mix = weighted_mix(
+        docs.select("doc_id", "lang", mix_bucket.alias("__mixb")),
+        "lang",
+        {"en": 1.0, "zh": 0.6, "es": 0.5, "de": 0.4, "fr": 0.25},
+        "doc_id",
+        bucket_expr=F.col("__mixb"),
+    ).select(
+        F.lit("mix").alias("section"),
+        "doc_id",
+        F.col("lang").alias("str_val"),
+        F.col("__mixb").alias("num_val"),
+    )
+
+    return split.unionByName(sample).unionByName(pii).unionByName(mix)
 
 
 # ---------------------------------------------------------------------------

@@ -262,3 +262,57 @@ def test_pack_sequences_string_ids(spark):
         for pid, tot in per_bin.items()
         if sum(1 for r in got if r.pack_id == pid) > 1
     )
+
+def test_weighted_mix_rates_and_determinism(spark):
+    """Data-mixing filter: per-domain keep fraction tracks the rate,
+    decisions are per-row deterministic (stable under repartitioning
+    AND corpus growth), unlisted domains use default_rate."""
+    from iot_sensor_data_pipeline_spark.operators.curation import weighted_mix
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    kept = weighted_mix(df, "domain", rates, "id").collect()
+    by_dom: dict = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, set()).add(r.id)
+    assert len(by_dom.get("a", ())) == 1000          # rate 1.0 keeps all
+    assert "c" not in by_dom                          # rate 0.0 drops all
+    frac_b = len(by_dom.get("b", ())) / 1000
+    assert 0.4 < frac_b < 0.6                         # rate 0.5 +- binomial
+
+    # determinism: repartitioned input and a grown corpus keep the
+    # exact same ids for domain b
+    again = {
+        r.id
+        for r in weighted_mix(df.repartition(7), "domain", rates, "id").collect()
+        if r.domain == "b"
+    }
+    assert again == by_dom["b"]
+    grown = df.union(
+        spark.createDataFrame([(i, "b") for i in range(3000, 4000)], "id long, domain string")
+    )
+    grown_b = {
+        r.id
+        for r in weighted_mix(grown, "domain", rates, "id").collect()
+        if r.domain == "b" and r.id < 3000
+    }
+    assert grown_b == by_dom["b"]
+
+    # unlisted domain follows default_rate
+    none_kept = weighted_mix(df, "domain", {"zzz": 1.0}, "id", default_rate=0.0)
+    assert none_kept.count() == 0
+    all_kept = weighted_mix(df, "domain", {"zzz": 0.0}, "id", default_rate=1.0)
+    assert all_kept.count() == 3000
+
+
+def test_weighted_mix_is_scan_side_filter(spark):
+    """The mixing decision must be a pure filter — no Exchange in the
+    plan (at 100 TB this is a pushdown-adjacent scan filter, not a
+    sampling shuffle)."""
+    from iot_sensor_data_pipeline_spark.operators.curation import weighted_mix
+
+    df = spark.createDataFrame([(1, "a")], "id long, domain string")
+    out = weighted_mix(df, "domain", {"a": 0.5}, "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
