@@ -152,3 +152,23 @@ def test_global_row_number_single_materialization_and_count(spark):
     assert [r.rn for r in rows] == list(range(1, 1001))
     want = sorted(((r.k, r.id) for r in rows))
     assert [(r.k, r.id) for r in sorted(rows, key=lambda r: r.rn)] == want
+
+def test_q5_dims_broadcast_facts_shuffle(spark):
+    """6-way join: region/nation/supplier chain must broadcast (no
+    shuffle of a fact table to meet a dim); the lineitem-orders and
+    customer joins are the only shuffled ones."""
+    plan = plan_of(spark, "tpch_q5_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation x region, supplier-side
+    assert "BroadcastNestedLoopJoin" not in plan
+    # lineitem (the big fact) must never be on a broadcast side
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line:
+            assert "lineitem" not in line
+
+
+def test_sessionize_single_exchange_for_all_windows(spark):
+    """lag + running sum + final agg all share the user_id hash
+    partitioning: ONE exchange total, no per-window re-shuffle."""
+    plan = plan_of(spark, "events_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
