@@ -10,8 +10,12 @@ the same (epoch_id, row) pairs, and readers deduplicate with
 (epoch_id, key). True exactly-once upsert (MERGE) is a database-side
 statement, deliberately out of scope per SURVEY.md §7 hard part 5.
 
-No Postgres/driver jar ships in the test image — construction is unit
-tested; execution requires a deployment with the JDBC driver.
+No Postgres jar ships in the test image, but the write path itself is
+exercised END-TO-END against embedded Apache Derby (bundled with
+PySpark): table auto-creation, executor-parallel append, the epoch
+stamp, and the reader-side dedup contract — see
+tests/test_jdbc_derby.py. Payload shape against a recorded writer is
+additionally pinned in tests/test_sink_payloads.py.
 """
 
 from __future__ import annotations
