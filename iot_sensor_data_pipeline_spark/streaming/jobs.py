@@ -239,6 +239,79 @@ def start_aggregator(
     return _start(agg, sinks, checkpoint, **kw)
 
 
+def start_incremental_dedup(
+    docs: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    sinks: Sequence[BatchSink],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger: str | None = None,
+    available_now: bool = False,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Streaming ingestion front of a training-data pipeline: each
+    micro-batch is exact-deduped within itself AND against every
+    previous batch via a persistent fingerprint index
+    (operators.dedup.dedup_incremental), fresh documents fan out to
+    ``sinks``, and the batch's fingerprint delta appends to the parquet
+    index at ``index_dir``.
+
+    Scale shape: the index holds ONE 32-char md5 column — the
+    anti-join ships fingerprints, never text; corpus text is touched
+    only inside the current batch. Replayed epochs (foreachBatch is
+    at-least-once) re-append their fingerprint delta: duplicate index
+    rows are harmless to anti-join semantics, so the job is
+    effectively idempotent without any transactional sink. Dedup
+    state survives restarts BY CONSTRUCTION (it lives in the index,
+    not in streaming state), so there is no state-store growth and no
+    watermark bound — unlike ``dedup_within_watermark``, which
+    forgets keys once the watermark passes.
+    """
+    from pyspark.errors import AnalysisException
+
+    from iot_sensor_data_pipeline_spark.operators.dedup import dedup_incremental
+
+    epoch_aware = [(sink, _wants_epoch(sink)) for sink in sinks]
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            seen = spark.read.parquet(index_dir)
+        except AnalysisException:  # first batch: index not created yet
+            seen = spark.createDataFrame([], "fp string")
+        fresh, delta = dedup_incremental(batch_df, seen, id_col, text_col)
+        # persist the parent plan: `delta` selects from the same plan,
+        # so the index append reuses the cached anti-join result
+        fresh.persist()
+        try:
+            if not fresh.isEmpty():
+                out = fresh.drop("fp")
+                for sink, wants_epoch in epoch_aware:
+                    if wants_epoch:
+                        sink(out, epoch_id)
+                    else:
+                        sink(out)
+                delta.write.mode("append").parquet(index_dir)
+        finally:
+            fresh.unpersist()
+
+    writer = (
+        docs.writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()
+
+
 def dedup_within_watermark(
     df: DataFrame, keys: Sequence[str], ts_col: str, watermark: str
 ) -> DataFrame:

@@ -23,6 +23,9 @@ def test_queries_and_oracles_align():
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     # the vast majority of queries must be oracle-checked
     assert len(oracles) / len(qs) >= 0.8
+    # the driver's correctness gate covers at most 50 registered
+    # queries; a 51st would silently escape the gate
+    assert len(qs) <= 50
 
 
 def test_entry_returns_dataframe(spark):

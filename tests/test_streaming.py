@@ -199,3 +199,50 @@ def test_streaming_batch_share_transform(spark, stream_dirs):
     batch_df = spark.createDataFrame([(line,) for line in lines], "value string")
     alerts = detect_alerts(ingest_readings(batch_df)).collect()
     assert [a.alert_type for a in alerts] == ["temperature_warning"]
+
+def test_incremental_dedup_stream_survives_restart(spark, tmp_path):
+    """Streaming exact dedup against the persistent fingerprint index:
+    within-batch dups collapse, cross-RESTART dups are dropped (the
+    index — not streaming state — carries the memory), and the index
+    never stores text."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import start_incremental_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+    idx_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def sink(df):
+        df.write.mode("append").parquet(str(out_dir))
+
+    def drain():
+        docs = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = start_incremental_dedup(
+            docs, idx_dir, ckpt, [sink], available_now=True
+        )
+        q.awaitTermination(120)
+
+    # batch 1: doc 3 duplicates doc 1 within the batch
+    write_batch("b1.json", [(1, "alpha text"), (2, "beta text"), (3, "alpha text")])
+    drain()
+    got1 = {(r.doc_id, r.text) for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got1 == {(1, "alpha text"), (2, "beta text")}
+
+    # batch 2 after a RESTART: doc 4 duplicates batch 1's doc 1; doc 5 fresh
+    write_batch("b2.json", [(4, "alpha text"), (5, "gamma text")])
+    drain()
+    got2 = {(r.doc_id, r.text) for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got2 == got1 | {(5, "gamma text")}
+
+    # the index holds only fingerprints (no text), one per distinct doc
+    idx = spark.read.parquet(idx_dir)
+    assert idx.columns == ["fp"]
+    assert idx.distinct().count() == 3  # alpha, beta, gamma
