@@ -312,6 +312,100 @@ def start_incremental_dedup(
     return writer.start()
 
 
+def start_incremental_neardup(
+    docs: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    pairs_sink: BatchSink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    trigger: str | None = None,
+    available_now: bool = False,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Streaming NEAR-dup sibling of :func:`start_incremental_dedup`:
+    each micro-batch is MinHash-sketched once, probed against the
+    persistent band/signature index (new-vs-corpus AND new-vs-new via
+    operators.dedup.neardup_incremental), the detected (i, j,
+    est_jaccard) pairs go to ``pairs_sink``, and the batch's sketch
+    deltas append to the index — so the corpus is never re-sketched
+    and document text never leaves the current batch.
+
+    Index layout under ``index_dir``: ``bands/`` (id, band_idx,
+    band_hash) and ``sigs/`` (id, mh*), both parquet appends. Replayed
+    epochs re-append their deltas; the job deduplicates the index on
+    read (``dropDuplicates``) so duplicate rows change neither the
+    candidate set nor the pair multiplicity. At scale, compact the
+    band table into a bucketed-by-(band_idx, band_hash) layout
+    periodically — probes then join in place (SCALE.md).
+    """
+    from pyspark.errors import AnalysisException
+
+    from iot_sensor_data_pipeline_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_band_index,
+        minhash_signatures,
+        neardup_incremental,
+    )
+
+    bands_dir = f"{index_dir}/bands"
+    sigs_dir = f"{index_dir}/sigs"
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            band_index = spark.read.parquet(bands_dir).dropDuplicates(
+                ["id", "band_idx", "band_hash"]
+            )
+            signatures = spark.read.parquet(sigs_dir).dropDuplicates(["id"])
+        except AnalysisException:  # first batch: empty index with the
+            # right schema, derived from the batch itself
+            empty_sigs = minhash_signatures(
+                hashed_shingles(batch_df.limit(0), id_col, text_col, n=shingle_n),
+                num_hashes=num_hashes,
+            )
+            signatures = empty_sigs
+            band_index = minhash_band_index(empty_sigs, rows_per_band=rows_per_band)
+        pairs, sig_delta, band_delta = neardup_incremental(
+            batch_df,
+            band_index,
+            signatures,
+            id_col,
+            text_col,
+            threshold=threshold,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+        )
+        # one sketch pass feeds pairs + both deltas
+        sig_delta.persist()
+        try:
+            pairs_sink(pairs)
+            sig_delta.write.mode("append").parquet(sigs_dir)
+            band_delta.write.mode("append").parquet(bands_dir)
+        finally:
+            sig_delta.unpersist()
+
+    writer = (
+        docs.writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()
+
+
 def dedup_within_watermark(
     df: DataFrame, keys: Sequence[str], ts_col: str, watermark: str
 ) -> DataFrame:

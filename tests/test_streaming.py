@@ -246,3 +246,57 @@ def test_incremental_dedup_stream_survives_restart(spark, tmp_path):
     idx = spark.read.parquet(idx_dir)
     assert idx.columns == ["fp"]
     assert idx.distinct().count() == 3  # alpha, beta, gamma
+
+def test_incremental_neardup_stream_probes_persistent_index(spark, tmp_path):
+    """Streaming near-dup: batch 2 (after restart) probes the MinHash
+    index batch 1 persisted — a near-copy of an already-indexed doc is
+    reported without re-sketching the corpus; the index holds only
+    sketches (no text)."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import start_incremental_neardup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "pairs"
+    idx_dir = str(tmp_path / "ndindex")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while autumn rain "
+        "falls softly on the quiet village rooftops tonight"
+    )
+    near = base.replace("autumn", "winter")  # 1 word of 20 -> J ~ 0.7
+    other = "completely different content all about catalyst optimizer join plans"
+    fresh = "yet another unrelated document mentioning shuffle partitions and codegen stages"
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def pairs_sink(df):
+        df.write.mode("append").parquet(str(out_dir))
+
+    def drain():
+        docs = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = start_incremental_neardup(
+            docs, idx_dir, ckpt, pairs_sink, threshold=0.5, available_now=True
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1.json", [(1, base), (2, other)])
+    drain()
+    assert spark.read.parquet(str(out_dir)).count() == 0  # nothing similar yet
+
+    write_batch("b2.json", [(3, near), (4, fresh)])
+    drain()
+    got = {(r.i, r.j): r.est_jaccard for r in spark.read.parquet(str(out_dir)).collect()}
+    assert set(got) == {(3, 1)}  # the near-copy against the INDEXED doc
+    assert got[(3, 1)] >= 0.5
+
+    # index holds sketches only, for all 4 docs
+    sigs = spark.read.parquet(f"{idx_dir}/sigs")
+    assert "text" not in sigs.columns and sigs.select("id").distinct().count() == 4
+    bands = spark.read.parquet(f"{idx_dir}/bands")
+    assert set(bands.columns) == {"id", "band_idx", "band_hash"}
