@@ -101,3 +101,23 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         F.approx_count_distinct("l_partkey").alias("a"),
     ).collect()[0]
     assert abs(approx - exact) / exact < 0.05  # HLL default rsd ~2.3%
+
+def test_setops_module_surface(spark):
+    """operators.setops: n-ary unions + intersect/difference with and
+    without bag (ALL) semantics."""
+    from iot_sensor_data_pipeline_spark.operators.setops import (
+        difference,
+        intersect,
+        union_all,
+        union_distinct,
+    )
+
+    a = spark.createDataFrame([(1,), (2,), (2,)], "x int")
+    b = spark.createDataFrame([(2,), (3,)], "x int")
+    c = spark.createDataFrame([(3,), (4,)], "x int")
+    assert union_all(a, b, c).count() == 7
+    assert {r.x for r in union_distinct(a, b, c).collect()} == {1, 2, 3, 4}
+    assert [r.x for r in intersect(a, b).collect()] == [2]
+    assert sorted(r.x for r in difference(a, b).collect()) == [1]
+    # bag semantics: duplicate 2 survives EXCEPT ALL against one 2... 
+    assert sorted(r.x for r in difference(a, b, keep_duplicates=True).collect()) == [1, 2]

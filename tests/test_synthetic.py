@@ -38,3 +38,33 @@ def test_wire_format_roundtrips_through_ingest(spark):
     assert set(payload) == {
         "sensor_id", "sensor_type", "location", "timestamp", "value", "unit", "metadata",
     }
+
+def test_reading_json_stream_feeds_ingest(spark, tmp_path):
+    """The wire-format synthetic stream (one JSON `value` column —
+    exactly what a Kafka topic delivers) parses through the standard
+    ingest path in a real micro-batch run."""
+    from iot_sensor_data_pipeline_spark.sources.json_ingest import ingest_readings
+    from iot_sensor_data_pipeline_spark.sources.synthetic import reading_json_stream
+
+    stream = reading_json_stream(spark, rows_per_second=50)
+    parsed = ingest_readings(stream)
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("wire_ingest")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM wire_ingest").count() > 0:
+                break
+            time.sleep(1)
+        rows = spark.sql("SELECT * FROM wire_ingest").collect()
+        assert rows, "stream produced no parsed rows in 60s"
+        assert rows[0].sensor_id is not None and rows[0].value is not None
+    finally:
+        q.stop()
