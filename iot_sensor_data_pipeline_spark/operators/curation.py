@@ -89,13 +89,20 @@ def deterministic_split(
     return df.withColumn(out_col, expr.otherwise(last))
 
 
+def _md5_bucket(key: "F.Column") -> "F.Column":
+    """[0, 1_000_000) bucket from the first 8 hex chars of md5(key) —
+    the ONE copy of the arithmetic both bucket expressions (and the
+    DuckDB oracle SQL mirroring them) must stay in lockstep with."""
+    hex8 = F.substring(F.md5(key), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") * 1_000_000 / F.lit(2**32)).cast("long")
+
+
 def md5_bucket_expr(id_col: str) -> "F.Column":
     """Portable split bucket in [0, 1_000_000): the first 8 hex chars
     of md5(id) parsed as a 32-bit int, scaled down. Any engine with md5
     reproduces it exactly (the cross-engine variant of the xxhash64
     default — used by oracle-checked splits)."""
-    hex8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
-    return (F.conv(hex8, 16, 10).cast("long") * 1_000_000 / F.lit(2**32)).cast("long")
+    return _md5_bucket(F.col(id_col).cast("string"))
 
 
 def md5_mix_bucket_expr(domain_col: str, id_col: str) -> "F.Column":
@@ -103,9 +110,9 @@ def md5_mix_bucket_expr(domain_col: str, id_col: str) -> "F.Column":
     md5 over ``domain || ':' || id`` so the mixing decision is
     independent of the split bucket (different hash input) and
     reproducible on any engine with md5 (see ``md5_bucket_expr``)."""
-    key = F.concat_ws(":", F.col(domain_col), F.col(id_col).cast("string"))
-    hex8 = F.substring(F.md5(key), 1, 8)
-    return (F.conv(hex8, 16, 10).cast("long") * 1_000_000 / F.lit(2**32)).cast("long")
+    return _md5_bucket(
+        F.concat_ws(":", F.col(domain_col), F.col(id_col).cast("string"))
+    )
 
 
 def weighted_mix(

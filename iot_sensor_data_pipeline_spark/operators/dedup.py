@@ -312,21 +312,24 @@ def minhash_dedup_pairs(
     strings absent a 64-bit collision (probability ~d^2/2^65 for d
     distinct shingles — irrelevant below ~10^9).
     """
-    # persisted: the hashed-shingle relation feeds the signature agg
+    # checkpointed: the hashed-shingle relation feeds the signature agg
     # AND both sides of candidate verification — without it the
-    # parse+explode lineage recomputes four times. No explicit
-    # unpersist handle is returned; Spark's ContextCleaner reclaims the
-    # cached blocks once the returned DataFrame (and this lineage) is
-    # garbage collected.
+    # parse+explode lineage recomputes four times. localCheckpoint
+    # (lazy) rather than Dataset.persist: storage is RDD-level, so
+    # Spark's ContextCleaner reclaims the blocks once the returned
+    # lineage is garbage collected (a CacheManager entry would leak
+    # until an explicit unpersist in long-lived sessions).
     sh = hashed_shingles(
         df, id_col, text_col, n=shingle_n, max_shingle_freq=max_shingle_freq
-    ).persist()
+    ).localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
-    # cands persisted too: the verifier references the candidate
+    # cands checkpointed too: the verifier references the candidate
     # relation THREE times (touched-i, touched-j, the final pair join),
-    # and without the cache each reference replays the 64-min-agg and
-    # the band self-join — measured ~1.9x the whole pipeline's runtime.
-    cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band).persist()
+    # and without it each reference replays the 64-min-agg and the
+    # band self-join — measured ~1.9x the whole pipeline's runtime.
+    cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band).localCheckpoint(
+        eager=False
+    )
     return ngram_jaccard_pairs(sh, threshold, candidates=cands, candidates_distinct=True)
 
 
@@ -401,6 +404,11 @@ def neardup_incremental(
     corpus shuffle); the signature fetch is an equi-join on candidate
     ids only. Batch-internal pairs reuse the standard band self-join on
     the (small) delta alone.
+
+    Replay-safe: the corpus probe excludes ids present in the batch
+    itself, so re-running a batch whose deltas were already appended
+    (at-least-once foreachBatch) yields exactly the original pairs —
+    no self-pairs, no reversed within-batch duplicates.
     """
     # SAME shingle convention as minhash_dedup_pairs / the persisted
     # index (hashed_shingles): signatures over raw strings would never
@@ -412,11 +420,21 @@ def neardup_incremental(
     new_bands = band_delta.select(
         F.col("id").alias("i"), "band_idx", "band_hash"
     )
+    # Corpus side EXCLUDES ids present in this batch (broadcast
+    # anti-join on the small id set — the index never shuffles):
+    # if the batch's own deltas were already appended to the index (a
+    # replayed foreachBatch epoch that crashed between append and
+    # checkpoint commit), probing without the exclusion would emit
+    # (i, i, 1.0) self-pairs and reversed duplicates of every
+    # within-batch pair. With it, a replay emits exactly the original
+    # pairs.
+    new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+    corpus_index = band_index.join(F.broadcast(new_ids), "id", "left_anti")
     # new vs corpus: probe the stored index on the band key. The delta
     # side is the small one, so AQE broadcasts it and the corpus index
     # never shuffles (or, bucketed by the band key, joins in place).
     vs_corpus = new_bands.join(
-        band_index.select(F.col("id").alias("j"), "band_idx", "band_hash"),
+        corpus_index.select(F.col("id").alias("j"), "band_idx", "band_hash"),
         ["band_idx", "band_hash"],
     ).select("i", "j")
     # new vs new: band self-join within the delta, i < j orders the pair
@@ -432,6 +450,7 @@ def dedup_incremental(
     seen_fingerprints: DataFrame,
     id_col: str,
     text_col: str,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact dedup: a new batch against the corpus's seen-
     fingerprint table — the production flow where the corpus is too big
@@ -442,6 +461,15 @@ def dedup_incremental(
     ``seen_fingerprints`` (one column ``fp``), plus the fingerprint
     rows to append to the seen table. Two anti-join-able shuffles on
     the 128-bit fingerprint, never on the text payload.
+
+    ``materialize=True`` localCheckpoints the anti-join survivor set
+    before deriving the two outputs, so a caller consuming BOTH (the
+    streaming job: sinks + index append) computes the md5/window/
+    anti-join lineage — including the scan of the growing fingerprint
+    index — exactly once. RDD-level checkpoint storage is reclaimed by
+    Spark's ContextCleaner when the result is garbage collected
+    (unlike ``Dataset.persist``, whose CacheManager entry survives
+    until an explicit ``unpersist``).
     """
     fp = F.md5(F.col(text_col))
     within_batch = (
@@ -456,6 +484,8 @@ def dedup_incremental(
         .drop("__rn")
     )
     fresh = within_batch.join(seen_fingerprints, "fp", "left_anti")
+    if materialize:
+        fresh = fresh.localCheckpoint(eager=False)
     delta = fresh.select("fp")
     return fresh.drop("fp"), delta
 

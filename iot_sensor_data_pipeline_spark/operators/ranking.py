@@ -38,18 +38,18 @@ def global_row_number(
     single-partition sort. The full sort key must be unique (row_number
     over ties would otherwise depend on partition-internal order).
 
-    The range-partitioned relation is PERSISTED before the offsets
-    collect — this is load-bearing for correctness, not a cache
+    The range-partitioned relation is LOCAL-CHECKPOINTED before the
+    offsets collect — load-bearing for correctness, not a cache
     optimization: ``repartitionByRange`` samples its boundaries per
-    query execution, so without the persist the offsets job and the
-    final join would each plan their own exchange and could place rows
-    in different partitions, silently mismatching the broadcast
-    offsets. With the persist both consumers read the one
-    InMemoryRelation, whose single exchange fixes the boundaries in
-    its ShuffleDependency (partition recompute after executor loss
-    reuses the same partitioner). The collect below materializes the
-    cache eagerly; the blocks are reclaimed by Spark's ContextCleaner
-    once the returned lineage is garbage collected.
+    query execution, so without it the offsets job and the final join
+    would each plan their own exchange and could place rows in
+    different partitions, silently mismatching the broadcast offsets.
+    The checkpoint materializes the partitioning ONCE and truncates
+    lineage, so re-sampling is impossible by construction (executor
+    loss fails loudly instead of recomputing differently). Checkpoint
+    storage is RDD-level, reclaimed by Spark's ContextCleaner when the
+    result is garbage collected — unlike ``Dataset.persist``, whose
+    CacheManager entry would outlive the call.
 
     ``return_count=True`` additionally returns the total row count —
     free here (it is the sum of the per-partition counts), saving
@@ -64,7 +64,7 @@ def global_row_number(
     )
     local = parts.withColumn(
         "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by))
-    ).persist()
+    ).localCheckpoint(eager=True)
     counts = sorted(
         local.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
     )

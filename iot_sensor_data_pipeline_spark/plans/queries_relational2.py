@@ -463,11 +463,13 @@ def customers_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    # persisted: the join+agg feeds both ranking passes (each of which
-    # runs its own offsets job) — without the cache the customer-orders
-    # aggregation would recompute once per downstream action. The total
-    # row count falls out of the first ranking's offsets for free
-    # (return_count), so no separate count() action is needed.
+    # checkpointed (lazy): the join+agg feeds both ranking passes (each
+    # of which runs its own offsets job) — without it the
+    # customer-orders aggregation would recompute once per downstream
+    # action. RDD-level storage is GC-reclaimed; Dataset.persist would
+    # pin a CacheManager entry for the session. The total row count
+    # falls out of the first ranking's offsets for free (return_count),
+    # so no separate count() action is needed.
     spend = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey")
@@ -475,7 +477,7 @@ def customers_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     ranked, n_rows = global_row_number(
         spend,

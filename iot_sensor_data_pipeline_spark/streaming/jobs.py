@@ -282,21 +282,20 @@ def start_incremental_dedup(
             seen = spark.read.parquet(index_dir)
         except AnalysisException:  # first batch: index not created yet
             seen = spark.createDataFrame([], "fp string")
-        fresh, delta = dedup_incremental(batch_df, seen, id_col, text_col)
-        # persist the parent plan: `delta` selects from the same plan,
-        # so the index append reuses the cached anti-join result
-        fresh.persist()
-        try:
-            if not fresh.isEmpty():
-                out = fresh.drop("fp")
-                for sink, wants_epoch in epoch_aware:
-                    if wants_epoch:
-                        sink(out, epoch_id)
-                    else:
-                        sink(out)
-                delta.write.mode("append").parquet(index_dir)
-        finally:
-            fresh.unpersist()
+        # materialize=True: both outputs derive from ONE checkpointed
+        # anti-join, so the sinks and the index append share a single
+        # computation (including the scan of the growing index);
+        # RDD-checkpoint blocks are GC-reclaimed after the batch
+        fresh, delta = dedup_incremental(
+            batch_df, seen, id_col, text_col, materialize=True
+        )
+        if not fresh.isEmpty():
+            for sink, wants_epoch in epoch_aware:
+                if wants_epoch:
+                    sink(fresh, epoch_id)
+                else:
+                    sink(fresh)
+            delta.write.mode("append").parquet(index_dir)
 
     writer = (
         docs.writeStream.foreachBatch(write)
@@ -336,12 +335,17 @@ def start_incremental_neardup(
     and document text never leaves the current batch.
 
     Index layout under ``index_dir``: ``bands/`` (id, band_idx,
-    band_hash) and ``sigs/`` (id, mh*), both parquet appends. Replayed
-    epochs re-append their deltas; the job deduplicates the index on
-    read (``dropDuplicates``) so duplicate rows change neither the
-    candidate set nor the pair multiplicity. At scale, compact the
-    band table into a bucketed-by-(band_idx, band_hash) layout
-    periodically — probes then join in place (SCALE.md).
+    band_hash) and ``sigs/`` (id, mh*), both parquet appends. Replay
+    safety is two-layer: the corpus probe excludes the batch's own ids
+    (neardup_incremental), so a replayed epoch whose deltas were
+    already appended emits exactly the original pairs; and the index
+    is deduplicated on read (``dropDuplicates``), so duplicate rows
+    for OLDER docs change neither the candidate set nor the pair
+    multiplicity. ``pairs_sink`` may accept ``(df, epoch_id)`` — the
+    epoch is forwarded (``sources.jdbc``-style idempotent sinks can
+    then dedup replayed emissions on the reader side). At scale,
+    compact the band table into a bucketed-by-(band_idx, band_hash)
+    layout periodically — probes then join in place (SCALE.md).
     """
     from pyspark.errors import AnalysisException
 
@@ -354,6 +358,7 @@ def start_incremental_neardup(
 
     bands_dir = f"{index_dir}/bands"
     sigs_dir = f"{index_dir}/sigs"
+    sink_wants_epoch = _wants_epoch(pairs_sink)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -386,7 +391,10 @@ def start_incremental_neardup(
         # one sketch pass feeds pairs + both deltas
         sig_delta.persist()
         try:
-            pairs_sink(pairs)
+            if sink_wants_epoch:
+                pairs_sink(pairs, epoch_id)
+            else:
+                pairs_sink(pairs)
             sig_delta.write.mode("append").parquet(sigs_dir)
             band_delta.write.mode("append").parquet(bands_dir)
         finally:

@@ -224,3 +224,43 @@ def test_estimated_jaccard_identical_and_disjoint(spark):
     }
     assert got[(0, 1)] == 1.0   # identical docs agree on every component
     assert got[(0, 2)] < 0.2    # disjoint shingle sets barely agree
+
+
+def test_neardup_incremental_replayed_epoch_emits_same_pairs(spark, sf_dir_mid):
+    """Replay safety (review finding r4): if the batch's own deltas
+    were ALREADY appended to the index (foreachBatch crash between
+    append and checkpoint commit), re-running the batch must emit
+    exactly the original pairs — no (i, i) self-pairs, no reversed
+    within-batch duplicates."""
+    from iot_sensor_data_pipeline_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_band_index,
+        minhash_signatures,
+        neardup_incremental,
+    )
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir_mid, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    old_sigs = minhash_signatures(hashed_shingles(old, "doc_id", "text", n=3))
+    index = minhash_band_index(old_sigs)
+
+    pairs1, sig_delta, band_delta = neardup_incremental(
+        new, index, old_sigs, "doc_id", "text", threshold=0.5
+    )
+    first = {(r.i, r.j): r.est_jaccard for r in pairs1.collect()}
+    assert first
+
+    # simulate the crashed-after-append replay: index now includes the
+    # batch's own sketches
+    index2 = index.unionByName(band_delta)
+    sigs2 = old_sigs.unionByName(sig_delta)
+    pairs2, _, _ = neardup_incremental(
+        new, index2, sigs2, "doc_id", "text", threshold=0.5
+    )
+    replay = {(r.i, r.j): r.est_jaccard for r in pairs2.collect()}
+    assert replay == first
+    assert all(i != j for i, j in replay)

@@ -131,8 +131,9 @@ def test_global_row_number_and_derived_rank_functions(spark):
 def test_global_row_number_single_materialization_and_count(spark):
     """ADVICE r03 (high): the offsets collect and the output join must
     read ONE materialized range partitioning — the output plan scans
-    the internal cache (InMemoryRelation), so repartitionByRange's
-    sampled boundaries cannot differ between the two jobs. The
+    the local checkpoint (ExistingRDD, lineage truncated), so
+    repartitionByRange's sampled boundaries cannot differ between the
+    two jobs and can never be re-sampled by recomputation. The
     return_count total comes from the same offsets, no extra action."""
     from pyspark.sql import functions as F
 
@@ -147,7 +148,8 @@ def test_global_row_number_single_materialization_and_count(spark):
     )
     assert n == 1000
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
+    assert "ExistingRDD" in plan  # checkpointed partitioning, no re-exchange
+    assert "repartitionByRange" not in plan and "RangePartitioning" not in plan
     rows = out.orderBy("rn").collect()
     assert [r.rn for r in rows] == list(range(1, 1001))
     want = sorted(((r.k, r.id) for r in rows))
