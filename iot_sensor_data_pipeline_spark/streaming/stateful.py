@@ -148,3 +148,83 @@ def session_window_agg(
             "avg_value",
         )
     )
+
+
+WATCHDOG_OUTPUT = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("last_seen", T.TimestampType()),
+        T.StructField("stale_at", T.TimestampType()),
+    ]
+)
+
+WATCHDOG_STATE = T.StructType([T.StructField("last_ts_ms", T.LongType())])
+
+
+def stale_sensors(
+    readings: DataFrame,
+    timeout_ms: int,
+    id_col: str = "sensor_id",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Offline-sensor watchdog: emits (sensor_id, last_seen, stale_at)
+    when a sensor goes silent for ``timeout_ms`` of processing time —
+    the liveness alarm an IoT fleet needs and the reference cannot
+    express (it only reacts to rows that ARRIVE; silence is invisible
+    to a per-reading pipeline, reference alert_detector.py).
+
+    Timer-driven emission on ABSENCE of data: implemented with
+    ``applyInPandasWithState`` + ``ProcessingTimeTimeout`` — when a key
+    receives no input before its deadline, Spark invokes the function
+    with ``state.hasTimedOut`` and an empty row iterator, which is the
+    only way a row-free condition can produce output. State is one
+    long per sensor (RocksDB-backed per session.py), re-armed on every
+    batch containing the key; after flagging, state clears so a
+    returning sensor starts a fresh cycle. (Spark 4's
+    ``transformWithStateInPandas`` timer API is the designated
+    successor for this pattern; it needs the protobuf runtime, so this
+    engine standardizes on the GroupState form.)
+    """
+    import datetime as _dt
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (sensor_id,) = key
+        if state.hasTimedOut:
+            last_ms = state.get[0] if state.exists else None
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "sensor_id": [sensor_id],
+                    "last_seen": [
+                        pd.Timestamp(last_ms, unit="ms") if last_ms else pd.NaT
+                    ],
+                    "stale_at": [pd.Timestamp.utcnow().tz_localize(None)],
+                }
+            )
+            return
+        max_ms = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["ts_ms"].max())
+                max_ms = m if max_ms is None else max(max_ms, m)
+        if max_ms is not None:
+            prev = state.get[0] if state.exists else None
+            if prev is not None:
+                max_ms = max(max_ms, prev)
+            state.update((max_ms,))
+        state.setTimeoutDuration(timeout_ms)
+        return
+
+    prepared = readings.select(
+        F.col(id_col).alias("sensor_id"),
+        (F.col(ts_col).cast("double") * 1000).cast("long").alias("ts_ms"),
+    )
+    return prepared.groupBy("sensor_id").applyInPandasWithState(
+        fn,
+        outputStructType=WATCHDOG_OUTPUT,
+        stateStructType=WATCHDOG_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -135,3 +135,63 @@ def test_session_window_streaming_append(spark, stream_dirs):
         assert (2, 23.0) in sessions  # first session: the two early readings
     finally:
         q.stop()
+
+
+def test_stale_sensor_watchdog_fires_on_silence(spark, tmp_path):
+    """transformWithState watchdog: sensor A reports once then goes
+    silent; B keeps reporting. Only A is flagged stale, with its real
+    last_seen — proves timer-driven emission on ABSENCE of data, which
+    no row-driven operator can produce."""
+    import json as _json
+    import time
+
+    from iot_sensor_data_pipeline_spark.streaming.stateful import stale_sensors
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def feed(fname, sensors, ts):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"sensor_id": s, "timestamp": ts}) for s in sensors
+            )
+        )
+
+    t0 = "2026-01-01 00:00:00"
+    feed("b1.json", ["A", "B"], t0)
+
+    readings = (
+        spark.readStream.schema("sensor_id string, timestamp timestamp")
+        .json(str(src))
+    )
+    out = stale_sensors(readings, timeout_ms=6000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("watchdog")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # keep B alive past A's timeout by feeding it fresh files
+        deadline = time.time() + 90
+        i = 0
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM watchdog").collect()
+            if rows:
+                break
+            if i % 3 == 2:  # every ~3s: B reports again, A stays silent
+                feed(f"b_alive_{i}.json", ["B"], "2026-01-01 00:00:05")
+            i += 1
+            time.sleep(1)
+        rows = spark.sql("SELECT * FROM watchdog").collect()
+        assert rows, "watchdog emitted nothing within 90s"
+        stale_ids = {r.sensor_id for r in rows}
+        assert "A" in stale_ids
+        a = [r for r in rows if r.sensor_id == "A"][0]
+        assert str(a.last_seen) == "2026-01-01 00:00:00"
+        # B was re-armed continuously; it must not be flagged while A is
+        assert "B" not in stale_ids or len([r for r in rows if r.sensor_id == "B"]) == 0
+    finally:
+        q.stop()
