@@ -336,16 +336,18 @@ def start_incremental_neardup(
 
     Index layout under ``index_dir``: ``bands/`` (id, band_idx,
     band_hash) and ``sigs/`` (id, mh*), both parquet appends. Replay
-    safety is two-layer: the corpus probe excludes the batch's own ids
+    safety is layered: the corpus probe excludes the batch's own ids
     (neardup_incremental), so a replayed epoch whose deltas were
-    already appended emits exactly the original pairs; and the index
-    is deduplicated on read (``dropDuplicates``), so duplicate rows
-    for OLDER docs change neither the candidate set nor the pair
-    multiplicity. ``pairs_sink`` may accept ``(df, epoch_id)`` — the
-    epoch is forwarded (``sources.jdbc``-style idempotent sinks can
-    then dedup replayed emissions on the reader side). At scale,
-    compact the band table into a bucketed-by-(band_idx, band_hash)
-    layout periodically — probes then join in place (SCALE.md).
+    already appended emits exactly the original pairs; duplicate BAND
+    rows from such replays are harmless without any dedup shuffle
+    (candidates are ``distinct()``-ed before estimation); duplicate
+    SIGNATURE rows would multiply per-pair join rows, so the (narrow)
+    sig table alone is deduplicated on read. Run
+    :func:`compact_neardup_index` periodically to fold accumulated
+    small append files and replay duplicates into a clean snapshot.
+    ``pairs_sink`` may accept ``(df, epoch_id)`` — the epoch is
+    forwarded (``sources.jdbc``-style idempotent sinks can then dedup
+    replayed emissions on the reader side).
     """
     from pyspark.errors import AnalysisException
 
@@ -365,9 +367,13 @@ def start_incremental_neardup(
             return
         spark = batch_df.sparkSession
         try:
-            band_index = spark.read.parquet(bands_dir).dropDuplicates(
-                ["id", "band_idx", "band_hash"]
-            )
+            # band duplicates (crash-replay appends) need NO dedup
+            # shuffle here: candidate pairs are distinct()'d inside
+            # estimated_jaccard_pairs, so duplicate band rows cannot
+            # multiply output pairs. Signature duplicates WOULD
+            # multiply the per-pair join rows, and the sig table is
+            # the narrow one — dedup only it.
+            band_index = spark.read.parquet(bands_dir)
             signatures = spark.read.parquet(sigs_dir).dropDuplicates(["id"])
         except AnalysisException:  # first batch: empty index with the
             # right schema, derived from the batch itself
@@ -412,6 +418,37 @@ def start_incremental_neardup(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()
+
+
+def compact_neardup_index(spark, index_dir: str) -> tuple[int, int]:
+    """Rewrite the near-dup index as a deduplicated snapshot: folds
+    the per-epoch append files (small-file accumulation) and any
+    crash-replay duplicate rows into one clean copy per table.
+    Run it offline between streaming runs (it rewrites in place via a
+    temp dir + atomic rename, so don't race an active query).
+
+    Returns (n_band_rows, n_sig_rows) after compaction. At 100 TB
+    scale this is where the band table would also be written bucketed
+    by (band_idx, band_hash) into a table catalog so probes join in
+    place; the path form here keeps the demo catalog-free.
+    """
+    import os
+    import shutil
+
+    out = []
+    for sub, keys in (
+        ("bands", ["id", "band_idx", "band_hash"]),
+        ("sigs", ["id"]),
+    ):
+        path = f"{index_dir}/{sub}"
+        tmp = f"{index_dir}/.{sub}_compacting"
+        df = spark.read.parquet(path).dropDuplicates(keys)
+        df.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        out.append(n)
+    return out[0], out[1]
 
 
 def dedup_within_watermark(

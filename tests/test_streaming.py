@@ -300,3 +300,66 @@ def test_incremental_neardup_stream_probes_persistent_index(spark, tmp_path):
     assert "text" not in sigs.columns and sigs.select("id").distinct().count() == 4
     bands = spark.read.parquet(f"{idx_dir}/bands")
     assert set(bands.columns) == {"id", "band_idx", "band_hash"}
+
+def test_compact_neardup_index_folds_replay_duplicates(spark, tmp_path):
+    """Compaction folds duplicate index rows (crash-replay appends)
+    into a clean snapshot; a probe over the compacted index returns
+    the same pairs."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.operators.dedup import neardup_incremental
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        compact_neardup_index,
+        start_incremental_neardup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx_dir = str(tmp_path / "ndindex")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while autumn rain "
+        "falls softly on the quiet village rooftops tonight"
+    )
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": t})
+            for i, t in [(1, base), (2, "unrelated words about query planning here")]
+        )
+    )
+
+    def sink(df):
+        df.write.mode("append").parquet(str(tmp_path / "pairs"))
+
+    q = start_incremental_neardup(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        idx_dir,
+        str(tmp_path / "ckpt"),
+        sink,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # simulate a crash-replay double append
+    bands = spark.read.parquet(f"{idx_dir}/bands")
+    sigs = spark.read.parquet(f"{idx_dir}/sigs")
+    n_bands, n_sigs = bands.count(), sigs.count()
+    bands.write.mode("append").parquet(f"{idx_dir}/bands")
+    sigs.write.mode("append").parquet(f"{idx_dir}/sigs")
+    assert spark.read.parquet(f"{idx_dir}/bands").count() == 2 * n_bands
+
+    nb, ns = compact_neardup_index(spark, idx_dir)
+    assert (nb, ns) == (n_bands, n_sigs)
+
+    # probe the compacted index: the near-copy of doc 1 is found once
+    probe = spark.createDataFrame([(9, base.replace("autumn", "winter"))], "doc_id long, text string")
+    pairs, _, _ = neardup_incremental(
+        probe,
+        spark.read.parquet(f"{idx_dir}/bands"),
+        spark.read.parquet(f"{idx_dir}/sigs"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+    got = [(r.i, r.j) for r in pairs.collect()]
+    assert got == [(9, 1)]
