@@ -447,3 +447,105 @@ def rp_lsh_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def cosine_topk_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_score: int = 6,
+    q_blocks: int = 8,
+    c_blocks: int = 8,
+) -> DataFrame:
+    """Exact top-k when BOTH sides are large: distributed block GEMM.
+
+    cosine_topk broadcasts the corpus rows against driver-small
+    queries; cosine_topk_gemm ships a driver-small query matrix to
+    every corpus partition. When neither side fits the driver (the
+    all-pairs kNN regime — e.g. kNN-graph construction over the whole
+    corpus), this operator hash-blocks both sides and computes one
+    BLAS GEMM per (query-block, corpus-block) tile via
+    ``cogroup().applyInPandas``:
+
+    - queries replicate to each of ``c_blocks``; corpus rows replicate
+      to each of ``q_blocks`` — shuffle volume |Q|*CB + |C|*QB rows,
+      the standard block outer-product cost, with NO driver collect
+      and no full |Q| x |C| materialization (each tile emits only
+      k rows per query).
+    - the merge window then ranks CB*k candidate rows per query.
+
+    Pick block counts so a tile's two matrices ((|Q|/QB + |C|/CB) x
+    dim doubles) fit comfortably in one task; hash blocking keeps
+    tiles balanced regardless of id distribution. Rounding and
+    tie-break match cosine_topk exactly (equality pinned in tests).
+    Ids must be integral, as in cosine_topk_gemm.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    q = (
+        queries.select(
+            F.col(query_id).cast("long").alias("qid"),
+            as_double_array(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("qb", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)))
+        .withColumn(
+            "cb", F.explode(F.array(*[F.lit(i) for i in range(c_blocks)]))
+        )
+    )
+    c = (
+        corpus.select(
+            F.col(corpus_id).cast("long").alias("nid"),
+            as_double_array(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cb", F.pmod(F.xxhash64("nid"), F.lit(c_blocks)))
+        .withColumn(
+            "qb", F.explode(F.array(*[F.lit(i) for i in range(q_blocks)]))
+        )
+    )
+
+    def tile(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"qid": [], "nid": [], "score": []}).astype(
+                {"qid": "int64", "nid": "int64", "score": "float64"}
+            )
+        qids = qpdf["qid"].to_numpy()
+        qm = np.array(list(qpdf["qv"]), dtype="float64")
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        nids = cpdf["nid"].to_numpy()
+        cm = np.array(list(cpdf["cv"]), dtype="float64")
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+        # same rounded-score lexsort selection as cosine_topk_gemm so
+        # ties survive the local cut identically
+        scores = np.round(qm @ cm.T, round_score)
+        take = min(k + 1, scores.shape[1])  # +1 absorbs self-matches
+        order = np.lexsort((np.broadcast_to(nids, scores.shape), -scores), axis=1)
+        idx = order[:, :take]
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(qids, take),
+                "nid": nids[idx.ravel()],
+                "score": np.take_along_axis(scores, idx, axis=1).ravel(),
+            }
+        )
+
+    partial = (
+        q.groupBy("qb", "cb")
+        .cogroup(c.groupBy("qb", "cb"))
+        .applyInPandas(tile, out_schema)
+        .where(F.col("qid") != F.col("nid"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    return partial.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

@@ -171,3 +171,32 @@ def test_ivf_small_and_large_paths_agree_on_exhaustive_probe(spark, sf_dir_mid):
     }
     assert small == e
     assert large == e
+
+
+def test_cosine_topk_blocked_equals_brute_force(spark, sf_dir_mid):
+    """Blocked GEMM (big-queries x big-corpus regime) must equal the
+    broadcast brute-force baseline exactly — same scores, same
+    tie-break — for several block geometries, including blocks that
+    don't divide the data evenly and a 1x1 grid (degenerate = one
+    tile)."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+    )
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir_mid, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)  # all-pairs-ish: 10% of corpus
+
+    want = {
+        (r.qid, r.rn): (r.nid, r.score)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    for qb, cb in ((1, 1), (3, 4), (8, 8)):
+        got = {
+            (r.qid, r.rn): (r.nid, r.score)
+            for r in cosine_topk_blocked(
+                queries, emb, k=5, q_blocks=qb, c_blocks=cb
+            ).collect()
+        }
+        assert got == want, f"mismatch at blocks ({qb},{cb})"
