@@ -200,3 +200,22 @@ def test_cosine_topk_blocked_equals_brute_force(spark, sf_dir_mid):
             ).collect()
         }
         assert got == want, f"mismatch at blocks ({qb},{cb})"
+
+
+def test_cosine_topk_blocked_edge_cases(spark):
+    """k exceeding the corpus, single-row sides, and empty tiles (more
+    blocks than rows) must all match the broadcast baseline."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+    )
+
+    rows = [(i, [float(i + 1), float((i * 7) % 5 + 1), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = sorted(
+        map(tuple, cosine_topk(df, df, k=10).collect())
+    )  # k > |corpus|-1
+    got = sorted(
+        map(tuple, cosine_topk_blocked(df, df, k=10, q_blocks=4, c_blocks=8).collect())
+    )
+    assert got == want
