@@ -174,3 +174,34 @@ def test_sessionize_single_exchange_for_all_windows(spark):
     plan = plan_of(spark, "events_sessionize")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
+
+def test_no_query_has_single_partition_window_or_cartesian(spark):
+    """Fleet-wide scale-hazard net over EVERY registered query's
+    executed plan: no window/sort fed by an Exchange SinglePartition
+    (the global-order scale-killer), no CartesianProduct, no
+    broadcast-nested-loop join outside the two documented
+    quadratic-by-design baselines (brute-force kNN's
+    crossJoin(broadcast) and the exact cosine near-dup oracle's
+    non-equi self-join)."""
+    import __spark_entry__ as E
+
+    bnlj_by_design = {"embeddings_knn_brute_force", "embeddings_cosine_near_dup"}
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in E.queries().items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                ctx = " | ".join(lines[max(0, i - 3):i])
+                if "Window" in ctx or "Sort" in ctx:
+                    flags.append("single-partition window/sort")
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_by_design:
+            flags.append("BroadcastNestedLoopJoin")
+        if flags:
+            offenders[name] = sorted(set(flags))
+    assert not offenders, offenders
