@@ -277,6 +277,42 @@ def ivf_topk(
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
+def _topk_partial_schema():
+    """(qid, nid, score) Arrow schema shared by the GEMM paths."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+
+def _local_topk_frame(qids, qm_norm, nids, cm_norm, k, round_score):
+    """Shared local-selection kernel for the GEMM paths: rounded-score
+    lexsort (score desc, nid asc — IDENTICAL to the global rank
+    window, so ties survive the local cut) and a k+1 take absorbing at
+    most one self-match. ONE copy of the tie-break semantics keeps
+    cosine_topk_gemm and cosine_topk_blocked equality-pinned to
+    cosine_topk by construction."""
+    import numpy as np
+    import pandas as pd
+
+    scores = np.round(qm_norm @ cm_norm.T, round_score)
+    take = min(k + 1, scores.shape[1])
+    order = np.lexsort((np.broadcast_to(nids, scores.shape), -scores), axis=1)
+    idx = order[:, :take]
+    return pd.DataFrame(
+        {
+            "qid": np.repeat(qids, take),
+            "nid": nids[idx.ravel()],
+            "score": np.take_along_axis(scores, idx, axis=1).ravel(),
+        }
+    )
+
+
 def cosine_topk_gemm(
     queries: DataFrame,
     corpus: DataFrame,
@@ -313,32 +349,14 @@ def cosine_topk_gemm(
     qm = np.array([r.qv for r in q_rows], dtype="float64")
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("qid", T.LongType()),
-            T.StructField("nid", T.LongType()),
-            T.StructField("score", T.DoubleType()),
-        ]
-    )
+    out_schema = _topk_partial_schema()
 
     def batches(it):
         for pdf in it:
             nids = pdf["nid"].to_numpy()
             cm = np.array(list(pdf["cv"]), dtype="float64")
             cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-            # local selection uses the SAME (rounded score desc, nid)
-            # order as the global rank window — raw-score argpartition
-            # could cut a neighbor that ties only after rounding
-            scores = np.round(qm @ cm.T, round_score)  # |Q| x |batch|
-            take = min(k + 1, scores.shape[1])  # +1 absorbs self-matches
-            order = np.lexsort((np.broadcast_to(nids, scores.shape), -scores), axis=1)
-            idx = order[:, :take]
-            rows = {
-                "qid": np.repeat(qids, take),
-                "nid": nids[idx.ravel()],
-                "score": np.take_along_axis(scores, idx, axis=1).ravel(),
-            }
-            yield pd.DataFrame(rows)
+            yield _local_topk_frame(qids, qm, nids, cm, k, round_score)
 
     c = corpus.select(
         F.col(corpus_id).cast("long").alias("nid"),
@@ -487,13 +505,7 @@ def cosine_topk_blocked(
     import pandas as pd
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        [
-            T.StructField("qid", T.LongType()),
-            T.StructField("nid", T.LongType()),
-            T.StructField("score", T.DoubleType()),
-        ]
-    )
+    out_schema = _topk_partial_schema()
 
     q = (
         queries.select(
@@ -527,19 +539,7 @@ def cosine_topk_blocked(
         nids = cpdf["nid"].to_numpy()
         cm = np.array(list(cpdf["cv"]), dtype="float64")
         cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-        # same rounded-score lexsort selection as cosine_topk_gemm so
-        # ties survive the local cut identically
-        scores = np.round(qm @ cm.T, round_score)
-        take = min(k + 1, scores.shape[1])  # +1 absorbs self-matches
-        order = np.lexsort((np.broadcast_to(nids, scores.shape), -scores), axis=1)
-        idx = order[:, :take]
-        return pd.DataFrame(
-            {
-                "qid": np.repeat(qids, take),
-                "nid": nids[idx.ravel()],
-                "score": np.take_along_axis(scores, idx, axis=1).ravel(),
-            }
-        )
+        return _local_topk_frame(qids, qm, nids, cm, k, round_score)
 
     partial = (
         q.groupBy("qb", "cb")

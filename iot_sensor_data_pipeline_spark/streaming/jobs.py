@@ -424,16 +424,28 @@ def compact_neardup_index(spark, index_dir: str) -> tuple[int, int]:
     """Rewrite the near-dup index as a deduplicated snapshot: folds
     the per-epoch append files (small-file accumulation) and any
     crash-replay duplicate rows into one clean copy per table.
-    Run it offline between streaming runs (it rewrites in place via a
-    temp dir + atomic rename, so don't race an active query).
+    Run it offline between streaming runs (don't race an active
+    query).
+
+    Crash-safe rename-aside through Spark's Hadoop filesystem layer
+    (works on any scheme the job itself can use — file:, hdfs:,
+    s3a:): write the compacted copy to a temp dir, move the live dir
+    aside, move the temp into place, then drop the old copy. A crash
+    at any point leaves either the old or the new table at the live
+    path (plus at most a stray ``.old``/``.compacting`` dir to sweep)
+    — never a missing index, which the streaming job would silently
+    treat as "first batch" and rebuild empty.
 
     Returns (n_band_rows, n_sig_rows) after compaction. At 100 TB
     scale this is where the band table would also be written bucketed
     by (band_idx, band_hash) into a table catalog so probes join in
     place; the path form here keeps the demo catalog-free.
     """
-    import os
-    import shutil
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def hpath(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
 
     out = []
     for sub, keys in (
@@ -442,11 +454,20 @@ def compact_neardup_index(spark, index_dir: str) -> tuple[int, int]:
     ):
         path = f"{index_dir}/{sub}"
         tmp = f"{index_dir}/.{sub}_compacting"
+        old = f"{index_dir}/.{sub}_old"
+        fs = hpath(path).getFileSystem(hconf)
         df = spark.read.parquet(path).dropDuplicates(keys)
+        fs.delete(hpath(tmp), True)  # stale temp from a prior crash
         df.write.mode("overwrite").parquet(tmp)
         n = spark.read.parquet(tmp).count()
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        fs.delete(hpath(old), True)
+        if not fs.rename(hpath(path), hpath(old)):
+            raise IOError(f"compaction: cannot move {path} aside")
+        if not fs.rename(hpath(tmp), hpath(path)):
+            # roll back so the live path is never left empty
+            fs.rename(hpath(old), hpath(path))
+            raise IOError(f"compaction: cannot move {tmp} into place")
+        fs.delete(hpath(old), True)
         out.append(n)
     return out[0], out[1]
 

@@ -185,7 +185,6 @@ def stale_sensors(
     successor for this pattern; it needs the protobuf runtime, so this
     engine standardizes on the GroupState form.)
     """
-    import datetime as _dt
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -198,16 +197,21 @@ def stale_sensors(
                 {
                     "sensor_id": [sensor_id],
                     "last_seen": [
-                        pd.Timestamp(last_ms, unit="ms") if last_ms else pd.NaT
+                        pd.Timestamp(last_ms, unit="ms")
+                        if last_ms is not None
+                        else pd.NaT
                     ],
-                    "stale_at": [pd.Timestamp.utcnow().tz_localize(None)],
+                    "stale_at": [pd.Timestamp.now("UTC").tz_localize(None)],
                 }
             )
             return
         max_ms = None
         for pdf in pdfs:
-            if len(pdf):
-                m = int(pdf["ts_ms"].max())
+            # null timestamps arrive as NaN (Arrow long -> float64);
+            # a batch of only-null rows must re-arm, not crash
+            ts = pdf["ts_ms"].dropna()
+            if len(ts):
+                m = int(ts.max())
                 max_ms = m if max_ms is None else max(max_ms, m)
         if max_ms is not None:
             prev = state.get[0] if state.exists else None

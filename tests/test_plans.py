@@ -196,7 +196,10 @@ def test_no_query_has_single_partition_window_or_cartesian(spark):
         for i, ln in enumerate(lines):
             if "Exchange SinglePartition" in ln:
                 ctx = " | ".join(lines[max(0, i - 3):i])
-                if "Window" in ctx or "Sort" in ctx:
+                # node-name match: 'Sort [' / 'Window [' — bare
+                # substrings would false-flag SortAggregate/
+                # WindowGroupLimit above a legitimate global agg
+                if "Window [" in ctx or "Sort [" in ctx:
                     flags.append("single-partition window/sort")
         if "CartesianProduct" in plan:
             flags.append("CartesianProduct")
