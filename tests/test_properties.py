@@ -183,3 +183,87 @@ def test_windowed_agg_matches_pandas(spark, rows):
             round(grp["value"].mean(), 9),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# global ranking vs an independent Python sort (randomized ties)
+# ---------------------------------------------------------------------------
+
+ranking_strategy = st.lists(
+    st.integers(min_value=0, max_value=9),  # heavy ties on the value
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
+@given(ranking_strategy)
+def test_global_row_number_matches_python_sort(spark, values):
+    """operators.ranking.global_row_number vs plain Python sorted() on
+    randomized tie-heavy data across partition counts (including more
+    partitions than rows)."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.ranking import global_row_number
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    want = {
+        rid: rank + 1
+        for rank, (v, rid) in enumerate(sorted((v, i) for i, v in rows))
+    }
+    for parts in (1, 3, 64):
+        out, n = global_row_number(
+            df,
+            [F.col("v").asc(), F.col("id").asc()],
+            "rn",
+            num_partitions=parts,
+            return_count=True,
+        )
+        assert n == len(rows)
+        got = {r.id: r.rn for r in out.collect()}
+        assert got == want, f"num_partitions={parts}"
+
+
+# ---------------------------------------------------------------------------
+# weighted_mix keep-set vs an independent md5 computation
+# ---------------------------------------------------------------------------
+
+mix_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**6), st.sampled_from(["a", "b", "c"])),
+    min_size=1,
+    max_size=100,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
+@given(mix_strategy)
+def test_weighted_mix_matches_python_md5(spark, rows):
+    """The md5 mix bucket must equal an independent hashlib
+    computation row-for-row (the cross-engine determinism claim)."""
+    import hashlib
+
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        md5_mix_bucket_expr,
+        weighted_mix,
+    )
+
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+
+    def bucket(domain, i):
+        h = hashlib.md5(f"{domain}:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) * 1_000_000 // 2**32
+
+    want = {
+        i for i, d in rows if bucket(d, i) < int(rates[d] * 1_000_000)
+    }
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r.doc_id
+        for r in weighted_mix(
+            df, "lang", rates, "doc_id",
+            bucket_expr=md5_mix_bucket_expr("lang", "doc_id"),
+        ).collect()
+    }
+    assert got == want
