@@ -181,6 +181,56 @@ def stratified_sample_exact(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    domain_col: str,
+    budgets: dict[str, int],
+    id_col: str,
+    tokens_col: str,
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Mixture construction by TOKEN budget, not document count:
+    within each domain, documents are taken in deterministic
+    md5-pseudo-random order until the domain's token budget is
+    reached ("sample 10B tokens of web, 2B of code"). A document is
+    kept iff the cumulative token count BEFORE it is still under the
+    budget — so the budget is always reached (the crossing document
+    is included) and the kept set is a deterministic prefix: stable
+    under repartitioning, reproducible on any engine with md5, and
+    append-consistent the way ``stratified_sample_exact`` is.
+    Domains without a budget are dropped unless ``default_budget``.
+
+    Output: the kept rows plus ``cum_before`` (tokens accumulated
+    before the doc — feeds budget-utilization accounting). One hash
+    exchange on the domain key; the running sum is partition-local
+    after it, exactly the stratified-sampling shuffle shape.
+    """
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget_expr = None
+    for name, b in budgets.items():
+        budget_expr = (
+            F.when(F.col(domain_col) == name, F.lit(b))
+            if budget_expr is None
+            else budget_expr.when(F.col(domain_col) == name, F.lit(b))
+        )
+    default_lit = F.lit(default_budget) if default_budget is not None else F.lit(None)
+    budget_expr = (
+        default_lit if budget_expr is None else budget_expr.otherwise(default_lit)
+    )
+    return (
+        df.withColumn(
+            "cum_before",
+            F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0)).cast("long"),
+        )
+        .where(F.col("cum_before") < budget_expr)
+    )
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

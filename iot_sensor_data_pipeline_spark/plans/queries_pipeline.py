@@ -642,6 +642,18 @@ FROM (
 WHERE mixb < CASE lang
   WHEN 'en' THEN 1000000 WHEN 'zh' THEN 600000 WHEN 'es' THEN 500000
   WHEN 'de' THEN 400000 WHEN 'fr' THEN 250000 ELSE 1000000 END
+UNION ALL
+SELECT 'budget' AS section, doc_id, lang AS str_val, CAST(cum_before AS BIGINT) AS num_val
+FROM (
+  SELECT doc_id, lang,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM documents
+) b
+WHERE cum_before < CASE lang
+  WHEN 'en' THEN 120000 WHEN 'zh' THEN 40000 ELSE 20000 END
 """
 
 
@@ -665,6 +677,11 @@ def documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       mixture-reweighting stage; a zero-shuffle deterministic filter
       (see operators/curation.py:weighted_mix for the 100 TB
       properties df.sample() lacks).
+    - 'budget' — token_budget_sample: deterministic md5-order prefix
+      per language until a char budget (n_chars as token proxy:
+      en 120k, zh 40k, else 20k) — mixture construction by TOKEN
+      count, not doc count; num_val carries cum_before for
+      budget-utilization accounting.
     """
     from iot_sensor_data_pipeline_spark.operators.curation import (
         PII_PATTERNS,
@@ -673,6 +690,7 @@ def documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_mix_bucket_expr,
         pii_redact,
         stratified_sample_exact,
+        token_budget_sample,
         weighted_mix,
     )
 
@@ -725,7 +743,26 @@ def documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__mixb").alias("num_val"),
     )
 
-    return split.unionByName(sample).unionByName(pii).unionByName(mix)
+    budget = token_budget_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        {"en": 120_000, "zh": 40_000},
+        "doc_id",
+        "n_chars",
+        default_budget=20_000,
+    ).select(
+        F.lit("budget").alias("section"),
+        "doc_id",
+        F.col("lang").alias("str_val"),
+        F.col("cum_before").alias("num_val"),
+    )
+
+    return (
+        split.unionByName(sample)
+        .unionByName(pii)
+        .unionByName(mix)
+        .unionByName(budget)
+    )
 
 
 # ---------------------------------------------------------------------------

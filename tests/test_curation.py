@@ -316,3 +316,53 @@ def test_weighted_mix_is_scan_side_filter(spark):
     out = weighted_mix(df, "domain", {"a": 0.5}, "id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+def test_token_budget_sample_prefix_semantics(spark):
+    """Budget sampling: deterministic md5-order prefix per domain; a
+    doc is kept iff tokens accumulated BEFORE it are under budget (the
+    crossing doc is included, so the budget is always reached);
+    partition-invariant; unbudgeted domains follow default_budget."""
+    import hashlib
+
+    from iot_sensor_data_pipeline_spark.operators.curation import token_budget_sample
+
+    rows = [(i, ["a", "b"][i % 2], 100 + (i * 13) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    budgets = {"a": 1500, "b": 700}
+    out = token_budget_sample(df, "lang", budgets, "doc_id", "n_tokens").collect()
+
+    # independent python mirror
+    want = {}
+    for lang in ("a", "b"):
+        docs = sorted(
+            (r for r in rows if r[1] == lang),
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        acc = 0
+        for i, _, tok in docs:
+            if acc < budgets[lang]:
+                want[i] = acc
+            acc += tok
+    got = {r.doc_id: r.cum_before for r in out}
+    assert got == want
+    # budget reached: kept tokens + crossing doc >= budget per domain
+    for lang in ("a", "b"):
+        kept = [r for r in out if r.lang == lang]
+        assert max(r.cum_before + r.n_tokens for r in kept) >= budgets[lang]
+
+    again = {
+        r.doc_id
+        for r in token_budget_sample(
+            df.repartition(7), "lang", budgets, "doc_id", "n_tokens"
+        ).collect()
+    }
+    assert again == set(want)
+
+    # no default: unbudgeted domain dropped entirely
+    only_a = token_budget_sample(df, "lang", {"a": 1500}, "doc_id", "n_tokens")
+    assert {r.lang for r in only_a.collect()} == {"a"}
+    # with default: it participates
+    with_default = token_budget_sample(
+        df, "lang", {"a": 1500}, "doc_id", "n_tokens", default_budget=700
+    )
+    assert {r.lang for r in with_default.collect()} == {"a", "b"}
