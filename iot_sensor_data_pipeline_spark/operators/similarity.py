@@ -216,7 +216,7 @@ def ivf_topk(
     embedding spaces; for isotropic data prefer rp_lsh_topk.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(corpus_id).alias("nid"), as_double_array(F.col(vec_col)).alias("cv")
