@@ -557,6 +557,102 @@ def duplicate_clusters(
     return labels
 
 
+def duplicate_clusters_star(
+    ids: DataFrame, pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Connected components in O(log^2 n) ROUNDS via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — same output contract as
+    :func:`duplicate_clusters` (id, cluster = min member id), but
+    round count is independent of component DIAMETER, so million-node
+    chains converge in ~20 rounds where min-label propagation needs a
+    round per hop. This is the scale path for pathological (chainy)
+    duplicate graphs; for the shallow clusters near-dup pairs usually
+    form, plain label propagation does fewer total shuffles.
+
+    Each round is two grouped-min joins over the current edge list;
+    convergence is detected via an order-independent edge-set
+    fingerprint (count + sum of pair hashes — a change collides with
+    probability ~2^-64). Edges are localCheckpointed per round to
+    truncate the iterative lineage.
+    """
+    sym = (
+        pairs.select(F.col("i").alias("u"), F.col("j").alias("v"))
+        .unionByName(pairs.select(F.col("j").alias("u"), F.col("i").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # Γ(u) needs BOTH directions (small_star emits directed
+        # edges); m(u) = min over Γ(u) ∪ {u}; connect strictly-larger
+        # neighbors of u to m(u)
+        es = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        m = (
+            es.unionByName(es.select(F.col("u"), F.col("u").alias("v")))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        return (
+            es.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # direct each edge large->small, then connect u and all its
+        # (smaller) neighbors to the minimum of the neighborhood
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        joined = d.join(m, "u")
+        out = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 64-bit hashes overflows ANSI
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    edges = sym.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iterations):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge within "
+            f"{max_iterations} iterations; raise max_iterations"
+        )
+    # converged: edges form stars pointing at each component's min
+    label = edges.groupBy("u").agg(F.min("v").alias("cluster"))
+    return (
+        ids.join(label, ids.id == label.u, "left")
+        .select(
+            "id", F.coalesce(F.col("cluster"), F.col("id")).alias("cluster")
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document over distinct whitespace tokens.
 

@@ -264,3 +264,66 @@ def test_neardup_incremental_replayed_epoch_emits_same_pairs(spark, sf_dir_mid):
     replay = {(r.i, r.j): r.est_jaccard for r in pairs2.collect()}
     assert replay == first
     assert all(i != j for i, j in replay)
+
+
+def test_duplicate_clusters_star_matches_union_find(spark):
+    """large-star/small-star CC vs an independent python union-find on
+    pseudo-random graphs (multiple densities, isolated nodes, chains
+    merging into one component)."""
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.dedup import duplicate_clusters_star
+
+    for seed, n, m in ((1, 60, 40), (2, 80, 120), (3, 50, 10)):
+        rng = random.Random(seed)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+        # normalize: cluster id = min member id (find after full pass)
+        want = {i: find(i) for i in range(n)}
+
+        ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = spark.createDataFrame(edge_list or [(0, 0)], "i long, j long")
+        got = {
+            r.id: r.cluster
+            for r in duplicate_clusters_star(ids, pairs).collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
+def test_duplicate_clusters_star_deep_chain_logarithmic_rounds(spark):
+    """A 200-node path has diameter 199: min-label propagation raises
+    within a 15-round budget, while the star algorithm converges (its
+    round count is O(log^2 n), independent of diameter) — the reason
+    it is the scale path for chainy graphs."""
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    n = 200
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "i long, j long")
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(ids, chain, max_iterations=15)
+
+    got = {r.id: r.cluster for r in duplicate_clusters_star(ids, chain, max_iterations=15).collect()}
+    assert got == {i: 0 for i in range(n)}
