@@ -97,6 +97,23 @@ def _md5_bucket(key: "F.Column") -> "F.Column":
     return (F.conv(hex8, 16, 10).cast("long") * 1_000_000 / F.lit(2**32)).cast("long")
 
 
+def _domain_case_expr(domain_col: str, mapping: dict, default) -> "F.Column":
+    """CASE over a domain column: per-domain literal with a default —
+    the ONE copy of the construction weighted_mix and
+    token_budget_sample both need (``default`` may be a value or
+    None for SQL NULL)."""
+    expr = None
+    for name, val in mapping.items():
+        lit = F.lit(val)
+        expr = (
+            F.when(F.col(domain_col) == name, lit)
+            if expr is None
+            else expr.when(F.col(domain_col) == name, lit)
+        )
+    default_lit = F.lit(default) if default is not None else F.lit(None)
+    return default_lit if expr is None else expr.otherwise(default_lit)
+
+
 def md5_bucket_expr(id_col: str) -> "F.Column":
     """Portable split bucket in [0, 1_000_000): the first 8 hex chars
     of md5(id) parsed as a 32-bit int, scaled down. Any engine with md5
@@ -146,16 +163,11 @@ def weighted_mix(
         bucket_expr = F.pmod(
             F.xxhash64(F.col(domain_col), F.col(id_col), F.lit(seed)), F.lit(1_000_000)
         )
-    threshold = None
-    for name, rate in rates.items():
-        thr = F.lit(int(round(rate * 1_000_000)))
-        threshold = (
-            F.when(F.col(domain_col) == name, thr)
-            if threshold is None
-            else threshold.when(F.col(domain_col) == name, thr)
-        )
-    default_thr = F.lit(int(round(default_rate * 1_000_000)))
-    threshold = default_thr if threshold is None else threshold.otherwise(default_thr)
+    threshold = _domain_case_expr(
+        domain_col,
+        {name: int(round(rate * 1_000_000)) for name, rate in rates.items()},
+        int(round(default_rate * 1_000_000)),
+    )
     return df.where(bucket_expr < threshold)
 
 
@@ -196,8 +208,12 @@ def token_budget_sample(
     kept iff the cumulative token count BEFORE it is still under the
     budget — so the budget is always reached (the crossing document
     is included) and the kept set is a deterministic prefix: stable
-    under repartitioning, reproducible on any engine with md5, and
-    append-consistent the way ``stratified_sample_exact`` is.
+    under repartitioning and reproducible on any engine with md5.
+    NOT append-consistent: a new document whose md5 sorts early
+    shifts every later document's cumulative count and can push
+    previously-kept docs past the budget — snapshot the kept set if
+    the mixture must stay frozen across corpus refreshes (contrast
+    ``weighted_mix``, whose per-row decisions never move).
     Domains without a budget are dropped unless ``default_budget``.
 
     Output: the kept rows plus ``cum_before`` (tokens accumulated
@@ -211,17 +227,7 @@ def token_budget_sample(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    budget_expr = None
-    for name, b in budgets.items():
-        budget_expr = (
-            F.when(F.col(domain_col) == name, F.lit(b))
-            if budget_expr is None
-            else budget_expr.when(F.col(domain_col) == name, F.lit(b))
-        )
-    default_lit = F.lit(default_budget) if default_budget is not None else F.lit(None)
-    budget_expr = (
-        default_lit if budget_expr is None else budget_expr.otherwise(default_lit)
-    )
+    budget_expr = _domain_case_expr(domain_col, budgets, default_budget)
     return (
         df.withColumn(
             "cum_before",

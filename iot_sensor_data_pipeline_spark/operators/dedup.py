@@ -576,6 +576,15 @@ def duplicate_clusters_star(
     probability ~2^-64). Edges are localCheckpointed per round to
     truncate the iterative lineage.
     """
+    # restrict edges to KNOWN ids (same contract as duplicate_clusters,
+    # which drops edges to unlabeled nodes): without this, a pair
+    # referencing an id absent from `ids` would bridge components and
+    # could label a cluster with an id no input row has
+    known = ids.select("id")
+    pairs = (
+        pairs.join(known, pairs.i == known.id, "left_semi")
+        .join(known, pairs.j == known.id, "left_semi")
+    )
     sym = (
         pairs.select(F.col("i").alias("u"), F.col("j").alias("v"))
         .unionByName(pairs.select(F.col("j").alias("u"), F.col("i").alias("v")))

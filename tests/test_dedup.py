@@ -293,8 +293,8 @@ def test_duplicate_clusters_star_matches_union_find(spark):
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        want = {i: find(i) for i in range(n)}
-        # normalize: cluster id = min member id (find after full pass)
+        # cluster id = min member id (union always hangs larger root
+        # under smaller, so find() after the full pass IS the min)
         want = {i: find(i) for i in range(n)}
 
         ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
@@ -327,3 +327,19 @@ def test_duplicate_clusters_star_deep_chain_logarithmic_rounds(spark):
 
     got = {r.id: r.cluster for r in duplicate_clusters_star(ids, chain, max_iterations=15).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_star_ignores_unknown_ids(spark):
+    """Contract parity with duplicate_clusters: pairs referencing ids
+    absent from `ids` must not bridge components or leak foreign
+    cluster labels."""
+    from iot_sensor_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    ids = spark.createDataFrame([(1,), (2,)], "id long")
+    pairs = spark.createDataFrame([(1, 0), (0, 2)], "i long, j long")
+    want = {r.id: r.cluster for r in duplicate_clusters(ids, pairs).collect()}
+    got = {r.id: r.cluster for r in duplicate_clusters_star(ids, pairs).collect()}
+    assert got == want == {1: 1, 2: 2}
