@@ -239,6 +239,19 @@ def start_aggregator(
     return _start(agg, sinks, checkpoint, **kw)
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Existence check through Spark's Hadoop FS layer (any scheme).
+
+    The streaming index jobs must distinguish "index not created yet"
+    (legitimate first batch) from "index unreadable" (corruption,
+    permissions) — a broad AnalysisException catch would treat BOTH as
+    first-batch and silently rebuild an empty index, losing all dedup
+    memory with no error."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hp)
+
+
 def start_incremental_dedup(
     docs: DataFrame,
     index_dir: str,
@@ -268,8 +281,6 @@ def start_incremental_dedup(
     watermark bound — unlike ``dedup_within_watermark``, which
     forgets keys once the watermark passes.
     """
-    from pyspark.errors import AnalysisException
-
     from iot_sensor_data_pipeline_spark.operators.dedup import dedup_incremental
 
     epoch_aware = [(sink, _wants_epoch(sink)) for sink in sinks]
@@ -278,9 +289,9 @@ def start_incremental_dedup(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            seen = spark.read.parquet(index_dir)
-        except AnalysisException:  # first batch: index not created yet
+        if _hadoop_path_exists(spark, index_dir):
+            seen = spark.read.parquet(index_dir)  # unreadable -> FAIL loud
+        else:  # legitimate first batch: index not created yet
             seen = spark.createDataFrame([], "fp string")
         # materialize=True: both outputs derive from ONE checkpointed
         # anti-join, so the sinks and the index append share a single
@@ -349,8 +360,6 @@ def start_incremental_neardup(
     forwarded (``sources.jdbc``-style idempotent sinks can then dedup
     replayed emissions on the reader side).
     """
-    from pyspark.errors import AnalysisException
-
     from iot_sensor_data_pipeline_spark.operators.dedup import (
         hashed_shingles,
         minhash_band_index,
@@ -366,17 +375,18 @@ def start_incremental_neardup(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
+        if _hadoop_path_exists(spark, bands_dir):
             # band duplicates (crash-replay appends) need NO dedup
             # shuffle here: candidate pairs are distinct()'d inside
             # estimated_jaccard_pairs, so duplicate band rows cannot
             # multiply output pairs. Signature duplicates WOULD
             # multiply the per-pair join rows, and the sig table is
-            # the narrow one — dedup only it.
+            # the narrow one — dedup only it. An unreadable existing
+            # index FAILS the batch (never silently rebuilds empty).
             band_index = spark.read.parquet(bands_dir)
             signatures = spark.read.parquet(sigs_dir).dropDuplicates(["id"])
-        except AnalysisException:  # first batch: empty index with the
-            # right schema, derived from the batch itself
+        else:  # legitimate first batch: empty index with the right
+            # schema, derived from the batch itself
             empty_sigs = minhash_signatures(
                 hashed_shingles(batch_df.limit(0), id_col, text_col, n=shingle_n),
                 num_hashes=num_hashes,
