@@ -126,9 +126,16 @@ def md5_mix_bucket_expr(domain_col: str, id_col: str) -> "F.Column":
     """Portable per-(domain, id) sampling bucket in [0, 1_000_000):
     md5 over ``domain || ':' || id`` so the mixing decision is
     independent of the split bucket (different hash input) and
-    reproducible on any engine with md5 (see ``md5_bucket_expr``)."""
+    reproducible on any engine with md5 (see ``md5_bucket_expr``).
+
+    NULL-propagating (F.concat, not concat_ws): a NULL domain or id
+    yields a NULL bucket, so the row fails every ``bucket < threshold``
+    comparison and is dropped — exactly what the SQL-standard
+    ``domain || ':' || id`` does on any oracle engine. concat_ws would
+    silently skip the NULL and keep the row under the default rate,
+    breaking cross-engine exactness on NULL keys."""
     return _md5_bucket(
-        F.concat_ws(":", F.col(domain_col), F.col(id_col).cast("string"))
+        F.concat(F.col(domain_col), F.lit(":"), F.col(id_col).cast("string"))
     )
 
 

@@ -507,12 +507,15 @@ def cosine_topk_blocked(
 
     out_schema = _topk_partial_schema()
 
+    # (qb, cb) are int on BOTH sides — pmod results cast down to match
+    # the int explode literals, so cogroup key matching never depends on
+    # cross-side implicit coercion (version-fragile)
     q = (
         queries.select(
             F.col(query_id).cast("long").alias("qid"),
             as_double_array(F.col(vec_col)).alias("qv"),
         )
-        .withColumn("qb", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)))
+        .withColumn("qb", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).cast("int"))
         .withColumn(
             "cb", F.explode(F.array(*[F.lit(i) for i in range(c_blocks)]))
         )
@@ -522,7 +525,7 @@ def cosine_topk_blocked(
             F.col(corpus_id).cast("long").alias("nid"),
             as_double_array(F.col(vec_col)).alias("cv"),
         )
-        .withColumn("cb", F.pmod(F.xxhash64("nid"), F.lit(c_blocks)))
+        .withColumn("cb", F.pmod(F.xxhash64("nid"), F.lit(c_blocks)).cast("int"))
         .withColumn(
             "qb", F.explode(F.array(*[F.lit(i) for i in range(q_blocks)]))
         )

@@ -306,6 +306,31 @@ def test_weighted_mix_rates_and_determinism(spark):
     assert all_kept.count() == 3000
 
 
+def test_weighted_mix_null_domain_matches_sql_semantics(spark):
+    """ADVICE r04: the md5 mix bucket must NULL-propagate like the
+    oracle's `domain || ':' || id` — a NULL domain (or id) yields a
+    NULL bucket, which fails every `bucket < threshold` comparison, so
+    the row is dropped EVEN under default_rate=1.0. concat_ws would
+    silently keep it and diverge from any SQL engine."""
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        md5_mix_bucket_expr,
+        weighted_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "id long, domain string"
+    )
+    kept = weighted_mix(
+        df,
+        "domain",
+        {"a": 1.0},
+        "id",
+        default_rate=1.0,
+        bucket_expr=md5_mix_bucket_expr("domain", "id"),
+    ).collect()
+    assert {r.id for r in kept} == {1, 3}
+
+
 def test_weighted_mix_is_scan_side_filter(spark):
     """The mixing decision must be a pure filter — no Exchange in the
     plan (at 100 TB this is a pushdown-adjacent scan filter, not a
