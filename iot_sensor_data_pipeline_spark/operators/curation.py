@@ -224,23 +224,74 @@ def token_budget_sample(
     Domains without a budget are dropped unless ``default_budget``.
 
     Output: the kept rows plus ``cum_before`` (tokens accumulated
-    before the doc — feeds budget-utilization accounting). One hash
-    exchange on the domain key; the running sum is partition-local
-    after it, exactly the stratified-sampling shuffle shape.
+    before the doc — feeds budget-utilization accounting).
+
+    SKEW-PROOF BY CONSTRUCTION (no per-domain single task anywhere —
+    a domain holding 90% of a 100 TB corpus costs the same per task
+    as any other):
+
+    1. Every row gets a bucket: the first 4 hex chars of md5(id) —
+       64Ki buckets, MONOTONIC in the md5 sort order, so bucket
+       order + in-bucket (md5, id) order IS the global per-domain
+       order.
+    2. One map-side-combined aggregation builds the (domain, bucket)
+       token histogram; a window over that HISTOGRAM (<= 65 536
+       aggregated rows per domain — bounded by bucket-space
+       cardinality, independent of corpus size) turns it into
+       per-bucket cumulative offsets.
+    3. Buckets whose offset already exceeds the budget cannot
+       contain kept rows; the surviving candidate-bucket list
+       (typically ~budget/bucket_mass rows, worst case 64Ki x
+       #domains) broadcasts back — the corpus never shuffles for
+       non-candidate rows, the join prunes them scan-side.
+    4. The exact per-row running sum then runs partitioned by
+       (domain, bucket) over candidate rows only: ~budget-mass rows
+       spread across 64Ki-way partitions, instead of the whole
+       domain in ONE window partition.
     """
-    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
-    w = (
+    order_md5 = F.md5(F.col(id_col).cast("string"))
+    # monotonic in order_md5 (fixed-width lowercase hex: lexicographic
+    # order == numeric order), so bucket-major ordering preserves the
+    # global (md5, id) prefix semantics exactly
+    bucket = F.conv(F.substring(order_md5, 1, 4), 16, 10).cast("long")
+    budget_expr = _domain_case_expr(domain_col, budgets, default_budget)
+
+    work = df.withColumn("__b", bucket)
+    hist = work.groupBy(domain_col, "__b").agg(
+        F.sum(F.col(tokens_col)).alias("__bsum")
+    )
+    w_off = (
         Window.partitionBy(domain_col)
-        .orderBy(*order)
+        .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    budget_expr = _domain_case_expr(domain_col, budgets, default_budget)
+    cand = (
+        hist.withColumn(
+            "__boff",
+            F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).cast("long"),
+        )
+        # a NULL budget (unbudgeted domain, no default) fails the
+        # comparison -> the domain's buckets vanish -> inner join
+        # drops all its rows, same as before
+        .where(F.col("__boff") < budget_expr)
+        .select(domain_col, "__b", "__boff")
+    )
+    w_in = (
+        Window.partitionBy(domain_col, "__b")
+        .orderBy(order_md5, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
-        df.withColumn(
+        work.join(F.broadcast(cand), [domain_col, "__b"])
+        .withColumn(
             "cum_before",
-            F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0)).cast("long"),
+            (
+                F.col("__boff")
+                + F.coalesce(F.sum(F.col(tokens_col)).over(w_in), F.lit(0))
+            ).cast("long"),
         )
         .where(F.col("cum_before") < budget_expr)
+        .select(*df.columns, "cum_before")
     )
 
 
