@@ -129,7 +129,13 @@ def cosine_near_dup_pairs(
             (_bucket_expr(F.col("v"), planes) + F.lit(t * (2**n_planes))).alias(f"b{t}")
             for t, planes in enumerate(table_planes)
         ]
-        bucketed = e.select("id", "v", *buckets)
+        # candidate generation carries ONLY 8-byte ids: the probe
+        # explode/join/distinct never touch the vectors (VERDICT r04
+        # #2 — shipping (i, j, va, vb) through the distinct shuffled
+        # 2 x dim doubles per candidate; at embedding scale that
+        # exchange dominates). Vectors re-join onto the deduped (i, j)
+        # pairs afterwards — two narrow equi-joins on id.
+        bucketed = e.select("id", *buckets)
         probe_cols = []
         for t in range(n_tables):
             probe_cols.append(F.col(f"b{t}"))
@@ -138,20 +144,21 @@ def cosine_near_dup_pairs(
             )
         left = bucketed.select(
             F.col("id").alias("i"),
-            F.col("v").alias("va"),
             F.explode(F.array(*probe_cols)).alias("probe"),
         )
         right = bucketed.select(
             F.col("id").alias("j"),
-            F.col("v").alias("vb"),
             F.explode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("probe"),
         )
-        pairs = (
+        cand = (
             left.join(right, "probe")
             .where(F.col("i") < F.col("j"))
-            .select("i", "j", "va", "vb")
+            .select("i", "j")
             .distinct()
         )
+        pairs = cand.join(
+            e.select(F.col("id").alias("i"), F.col("v").alias("va")), "i"
+        ).join(e.select(F.col("id").alias("j"), F.col("v").alias("vb")), "j")
     return (
         pairs.select(
             "i", "j", F.round(cosine(F.col("va"), F.col("vb")), round_score).alias("score")
