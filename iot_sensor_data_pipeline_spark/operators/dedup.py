@@ -689,7 +689,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_near_pairs(
-    simhash_df: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+    simhash_df: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    max_chunk_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -702,6 +705,18 @@ def simhash_near_pairs(
     ``n_chunks`` defaults to max_hamming+1 — the minimum that makes the
     pigeonhole guarantee hold (fewer chunks silently lose recall;
     more chunks only add candidate volume).
+
+    ``max_chunk_freq`` is the bucket-skew guard (the simhash analogue
+    of :func:`shingles`'s ``max_shingle_freq``): a (chunk_idx,
+    chunk_val) bucket shared by more than that many documents is
+    dropped before the self-join — without it, a degenerate chunk
+    value (e.g. the all-zeros chunk every very-short document
+    produces) makes that bucket's self-join QUADRATIC in its
+    membership. RECALL CONSEQUENCE: a pair whose ONLY shared chunk
+    lives in a dropped bucket is lost; pairs sharing any surviving
+    chunk are unaffected. Boilerplate-heavy corpora trade exactly
+    that long-tail recall for a bounded join, the same bargain as
+    ``max_shingle_freq``.
     """
     if n_chunks is None:
         n_chunks = max_hamming + 1
@@ -721,6 +736,14 @@ def simhash_near_pairs(
     exploded = simhash_df.select(
         "id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
     )
+    if max_chunk_freq is not None:
+        freq = exploded.groupBy("chunk_idx", "chunk_val").agg(
+            F.count(F.lit(1)).alias("__f")
+        )
+        exploded = exploded.join(
+            freq.where(F.col("__f") <= max_chunk_freq),
+            ["chunk_idx", "chunk_val"],
+        ).drop("__f")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

@@ -100,6 +100,30 @@ def test_simhash_pigeonhole_guard(spark):
         simhash_near_pairs(simhash(df, "id", "text"), max_hamming=8, n_chunks=4)
 
 
+def test_simhash_chunk_freq_guard_bounds_degenerate_buckets(spark):
+    """VERDICT r04 #3: a chunk value shared by a huge document group
+    (e.g. the all-zeros chunks short docs produce) makes that bucket's
+    self-join quadratic; ``max_chunk_freq`` drops such buckets. The
+    degenerate cluster's pairs are the documented recall loss; pairs
+    whose shared chunks live in small buckets are unaffected."""
+    # 300 ids with simhash=0 -> every chunk bucket holds 300 members
+    # (44 850 candidate pairs x 4 chunks without the guard); one true
+    # near pair at hamming 1 in a distinct region of the hash space
+    degenerate = [(i, 0) for i in range(300)]
+    a = -(2**63) + (0b1011 << 20)          # arbitrary non-zero pattern
+    near = [(1000, a), (1001, a ^ (1 << 40))]  # hamming 1
+    df = spark.createDataFrame(degenerate + near, "id long, simhash long")
+
+    unguarded = simhash_near_pairs(df, max_hamming=3)
+    guarded = simhash_near_pairs(df, max_hamming=3, max_chunk_freq=50)
+
+    got = {(r.i, r.j): r.hamming for r in guarded.collect()}
+    # the small-bucket pair survives; the degenerate cluster is dropped
+    assert got == {(1000, 1001): 1}
+    # sanity: without the guard the degenerate cluster IS quadratic
+    assert unguarded.count() == 300 * 299 // 2 + 1
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     df = spark.createDataFrame([(1, "same text here"), (2, "same text here")], "id int, text string")
     pairs = simhash_near_pairs(simhash(df, "id", "text"), max_hamming=0).collect()
