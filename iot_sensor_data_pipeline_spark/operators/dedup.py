@@ -375,6 +375,7 @@ def neardup_incremental(
     shingle_n: int = 3,
     num_hashes: int = 64,
     rows_per_band: int = 2,
+    corpus_shingles: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental MinHash near-dup: a new batch against an already-
     indexed corpus — the production flow where the corpus is too big to
@@ -393,11 +394,25 @@ def neardup_incremental(
     - ``pairs``  — (i=new id, j=indexed-or-earlier-new id, est_jaccard)
       with signature-estimated Jaccard >= threshold, covering BOTH
       new-vs-corpus and new-vs-new duplicates. Estimation (not exact
-      re-verification) is deliberate: it needs only signatures, so
-      document text never reshuffles — corpus-side I/O is limited to
-      the probed band buckets and the candidate ids' signature rows.
+      re-verification) is the default deliberately: it needs only
+      signatures, so document text never reshuffles — corpus-side I/O
+      is limited to the probed band buckets and the candidate ids'
+      signature rows.
     - ``sig_delta`` / ``band_delta`` — the new batch's rows to append
       to the two index tables.
+
+    ``corpus_shingles`` switches candidate verification to EXACT
+    Jaccard for pipelines that also persist the (id, shingle long)
+    relation (:func:`hashed_shingles` output — append the batch's own
+    ``hashed_shingles(new_docs, ...)`` rows after each increment, the
+    shingle sibling of the sig/band deltas). ``pairs`` then carries
+    exact ``jaccard`` instead of ``est_jaccard``; the estimate's
+    +-1/sqrt(num_hashes) Broder noise disappears at the cost of
+    shipping the TOUCHED documents' shingle sets (semi-join restricted
+    to candidate ids — still never the corpus text). Replay-safe like
+    the band probe: corpus-side shingle rows for ids present in the
+    batch are excluded, so an already-appended shingle delta cannot
+    double-count any document's set.
 
     Scale shape: the new batch is small relative to the corpus, so its
     exploded bands broadcast against the bucketed ``band_index`` (no
@@ -414,6 +429,11 @@ def neardup_incremental(
     # index (hashed_shingles): signatures over raw strings would never
     # collide with an index built over the 64-bit hashes.
     sh = hashed_shingles(new_docs, id_col, text_col, n=shingle_n)
+    if corpus_shingles is not None:
+        # two consumers (signature agg + exact verification): checkpoint
+        # so the parse+explode lineage executes once, as in
+        # minhash_dedup_pairs
+        sh = sh.localCheckpoint(eager=False)
     sig_delta = minhash_signatures(sh, num_hashes=num_hashes)
     band_delta = minhash_band_index(sig_delta, rows_per_band=rows_per_band)
 
@@ -439,6 +459,17 @@ def neardup_incremental(
     ).select("i", "j")
     # new vs new: band self-join within the delta, i < j orders the pair
     within = lsh_candidate_pairs(sig_delta, rows_per_band=rows_per_band)
+
+    if corpus_shingles is not None:
+        # exact verification: the SAME replayed-delta exclusion as the
+        # band probe (disjoint-by-id union, so a crash-replayed shingle
+        # append can never double a document's set or its n_sh count)
+        corpus_sh = corpus_shingles.join(F.broadcast(new_ids), "id", "left_anti")
+        cand = vs_corpus.unionByName(within.select("i", "j"))
+        pairs = ngram_jaccard_pairs(
+            sh.unionByName(corpus_sh), threshold, candidates=cand
+        )
+        return pairs, sig_delta, band_delta
 
     pairs_corpus = estimated_jaccard_pairs(vs_corpus, sig_delta, signatures, threshold)
     pairs_within = estimated_jaccard_pairs(within, sig_delta, sig_delta, threshold)
