@@ -324,7 +324,7 @@ def start_incremental_dedup(
 
 def start_incremental_neardup(
     docs: DataFrame,
-    index_dir: str,
+    index_dir: str | None,
     checkpoint: str,
     pairs_sink: BatchSink,
     id_col: str = "doc_id",
@@ -336,6 +336,8 @@ def start_incremental_neardup(
     trigger: str | None = None,
     available_now: bool = False,
     query_name: str | None = None,
+    index_tables: str | None = None,
+    index_buckets: int = 64,
 ) -> StreamingQuery:
     """Streaming NEAR-dup sibling of :func:`start_incremental_dedup`:
     each micro-batch is MinHash-sketched once, probed against the
@@ -359,6 +361,20 @@ def start_incremental_neardup(
     ``pairs_sink`` may accept ``(df, epoch_id)`` — the epoch is
     forwarded (``sources.jdbc``-style idempotent sinks can then dedup
     replayed emissions on the reader side).
+
+    ``index_tables`` (mutually exclusive with ``index_dir``) stores
+    the index as catalog-registered BUCKETED tables instead of plain
+    parquet paths: ``{prefix}_bands`` bucketed by (band_idx,
+    band_hash) and ``{prefix}_sigs`` bucketed by id, ``index_buckets``
+    buckets each (must stay constant for the table's lifetime —
+    appends repeat the spec). This is the 100 TB layout: the batch's
+    band probe sort-merge-joins against pre-bucketed index scans with
+    NO exchange on the index side, so the growing corpus index never
+    reshuffles for a probe (plan-pinned in tests/test_bucketing.py).
+    Trade-offs: each epoch appends one file per written bucket (fold
+    with :func:`compact_neardup_index_bucketed`), and table metadata
+    lives in the session catalog — use a persistent metastore in
+    production so restarts keep the bucketing info.
     """
     from iot_sensor_data_pipeline_spark.operators.dedup import (
         hashed_shingles,
@@ -367,32 +383,82 @@ def start_incremental_neardup(
         neardup_incremental,
     )
 
-    bands_dir = f"{index_dir}/bands"
-    sigs_dir = f"{index_dir}/sigs"
+    if (index_dir is None) == (index_tables is None):
+        raise ValueError(
+            "start_incremental_neardup: pass exactly one of index_dir "
+            "(parquet-path index) or index_tables (bucketed-table index)"
+        )
+    bands_dir = f"{index_dir}/bands" if index_dir else None
+    sigs_dir = f"{index_dir}/sigs" if index_dir else None
+    bands_tbl = f"{index_tables}_bands" if index_tables else None
+    sigs_tbl = f"{index_tables}_sigs" if index_tables else None
     sink_wants_epoch = _wants_epoch(pairs_sink)
+
+    def read_index(spark, batch_df):
+        """(band_index, signatures) or empty-with-schema on the first
+        batch. Band duplicates (crash-replay appends) need NO dedup
+        shuffle: candidate pairs are distinct()'d inside
+        estimated_jaccard_pairs, so duplicate band rows cannot
+        multiply output pairs. Signature duplicates WOULD multiply the
+        per-pair join rows, and the sig table is the narrow one —
+        dedup only it. An unreadable existing index FAILS the batch
+        (never silently rebuilds empty)."""
+        if index_tables is not None:
+            if spark.catalog.tableExists(bands_tbl):
+                return (
+                    spark.table(bands_tbl),
+                    spark.table(sigs_tbl).dropDuplicates(["id"]),
+                )
+            if spark.catalog.tableExists(f"{bands_tbl}_compacting"):
+                # a compaction crashed between DROP and RENAME: the
+                # live name is gone but the data isn't — treating this
+                # as "first batch" would silently forget the corpus
+                raise RuntimeError(
+                    f"near-dup index table {bands_tbl} is missing but "
+                    f"{bands_tbl}_compacting exists — a compaction "
+                    "crashed mid-swap; rename it back before resuming"
+                )
+        elif _hadoop_path_exists(spark, bands_dir):
+            return (
+                spark.read.parquet(bands_dir),
+                spark.read.parquet(sigs_dir).dropDuplicates(["id"]),
+            )
+        # legitimate first batch: empty index with the right schema,
+        # derived from the batch itself
+        empty_sigs = minhash_signatures(
+            hashed_shingles(batch_df.limit(0), id_col, text_col, n=shingle_n),
+            num_hashes=num_hashes,
+        )
+        return minhash_band_index(empty_sigs, rows_per_band=rows_per_band), empty_sigs
+
+    def append_deltas(sig_delta, band_delta):
+        if index_tables is not None:
+            # bucketed appends: the spec must repeat the table's
+            # (bucketBy requires saveAsTable; the catalog keeps the
+            # bucketing metadata that makes probe joins exchange-free)
+            (
+                sig_delta.write.format("parquet")
+                .bucketBy(index_buckets, "id")
+                .sortBy("id")
+                .mode("append")
+                .saveAsTable(sigs_tbl)
+            )
+            (
+                band_delta.write.format("parquet")
+                .bucketBy(index_buckets, "band_idx", "band_hash")
+                .sortBy("band_idx", "band_hash")
+                .mode("append")
+                .saveAsTable(bands_tbl)
+            )
+        else:
+            sig_delta.write.mode("append").parquet(sigs_dir)
+            band_delta.write.mode("append").parquet(bands_dir)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if _hadoop_path_exists(spark, bands_dir):
-            # band duplicates (crash-replay appends) need NO dedup
-            # shuffle here: candidate pairs are distinct()'d inside
-            # estimated_jaccard_pairs, so duplicate band rows cannot
-            # multiply output pairs. Signature duplicates WOULD
-            # multiply the per-pair join rows, and the sig table is
-            # the narrow one — dedup only it. An unreadable existing
-            # index FAILS the batch (never silently rebuilds empty).
-            band_index = spark.read.parquet(bands_dir)
-            signatures = spark.read.parquet(sigs_dir).dropDuplicates(["id"])
-        else:  # legitimate first batch: empty index with the right
-            # schema, derived from the batch itself
-            empty_sigs = minhash_signatures(
-                hashed_shingles(batch_df.limit(0), id_col, text_col, n=shingle_n),
-                num_hashes=num_hashes,
-            )
-            signatures = empty_sigs
-            band_index = minhash_band_index(empty_sigs, rows_per_band=rows_per_band)
+        band_index, signatures = read_index(spark, batch_df)
         pairs, sig_delta, band_delta = neardup_incremental(
             batch_df,
             band_index,
@@ -411,8 +477,7 @@ def start_incremental_neardup(
                 pairs_sink(pairs, epoch_id)
             else:
                 pairs_sink(pairs)
-            sig_delta.write.mode("append").parquet(sigs_dir)
-            band_delta.write.mode("append").parquet(bands_dir)
+            append_deltas(sig_delta, band_delta)
         finally:
             sig_delta.unpersist()
 
@@ -478,6 +543,53 @@ def compact_neardup_index(spark, index_dir: str) -> tuple[int, int]:
             fs.rename(hpath(old), hpath(path))
             raise IOError(f"compaction: cannot move {tmp} into place")
         fs.delete(hpath(old), True)
+        out.append(n)
+    return out[0], out[1]
+
+
+def compact_neardup_index_bucketed(
+    spark, index_tables: str, n_buckets: int = 64
+) -> tuple[int, int]:
+    """Bucketed-table sibling of :func:`compact_neardup_index`: fold
+    the per-epoch append files (one per written bucket per epoch) and
+    crash-replay duplicate rows of ``{prefix}_bands`` /
+    ``{prefix}_sigs`` into one clean bucketed copy each, preserving
+    the bucketing spec probe joins rely on. Also the migration path:
+    point it at tables created from a parquet-path index to re-bucket
+    an existing corpus.
+
+    Swap protocol: write ``{name}_compacting``, DROP the live table,
+    RENAME the staging table into place. A crash between DROP and
+    RENAME leaves ``{name}_compacting`` holding the data — the
+    streaming job detects exactly that state and fails loud instead
+    of treating the missing live table as a first batch (the same
+    never-silently-empty guarantee as the path version's
+    rename-aside).
+
+    Returns (n_band_rows, n_sig_rows) after compaction.
+    """
+    out = []
+    for suffix, keys in (
+        ("bands", ["band_idx", "band_hash"]),
+        ("sigs", ["id"]),
+    ):
+        name = f"{index_tables}_{suffix}"
+        staging = f"{name}_compacting"
+        # id participates in band dedup keys too: distinct (id, band)
+        # rows, not one id per band bucket
+        dedup_keys = ["id", *keys] if suffix == "bands" else keys
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        (
+            spark.table(name)
+            .dropDuplicates(dedup_keys)
+            .write.format("parquet")
+            .bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .saveAsTable(staging)
+        )
+        n = spark.table(staging).count()
+        spark.sql(f"DROP TABLE {name}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
         out.append(n)
     return out[0], out[1]
 

@@ -61,3 +61,55 @@ def test_bucketed_aggregation_has_no_shuffle(spark, bucketed_tables):
     agg = b_lineitem.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # grouping key == bucket key
+
+
+def test_bucketed_band_index_probe_is_exchange_free_on_index_side(spark, sf_dir):
+    """VERDICT r04 #4: a near-dup band index stored bucketed by
+    (band_idx, band_hash) must sort-merge the batch probe with NO
+    exchange on the index side — at 100 TB the index is the corpus-
+    sized relation, and this is what makes probe cost independent of
+    corpus size. Exactly ONE shuffle is allowed: the (small) batch
+    delta repartitioning to the index's bucket layout."""
+    from iot_sensor_data_pipeline_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_band_index,
+        minhash_signatures,
+    )
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(hashed_shingles(docs, "doc_id", "text", n=3))
+    spark.sql("DROP TABLE IF EXISTS b_nd_bands")
+    (
+        minhash_band_index(sigs)
+        .write.format("parquet")
+        .bucketBy(8, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .saveAsTable("b_nd_bands")
+    )
+
+    # literal delta (its lineage must not add exchanges of its own —
+    # the assertion is about the PROBE join's shape)
+    delta = spark.createDataFrame(
+        [(1_000_000 + n, n % 32, n * 7919) for n in range(50)],
+        "i long, band_idx int, band_hash long",
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = delta.join(
+            spark.table("b_nd_bands").select(
+                F.col("id").alias("j"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        ).select("i", "j")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "BroadcastExchange" not in plan
+        # one exchange total: the delta side shuffling INTO the bucket
+        # layout; zero on the index side
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_nd_bands")
