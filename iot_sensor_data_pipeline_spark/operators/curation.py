@@ -187,16 +187,49 @@ def stratified_sample_exact(
     """EXACTLY min(n, |stratum|) rows per stratum, deterministically:
     rows are ranked inside each stratum by md5(id) (a stable
     pseudo-random order any engine can reproduce) and the first n kept.
-    One hash-partitioned window — strata spread across the cluster, no
-    global sort. Skewed strata are one partition's worth of ranking,
-    the usual trade-off of exact per-group top-n."""
-    w = Window.partitionBy(stratum_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+
+    Skew-proof the same way as :func:`token_budget_sample` (it is the
+    count-budget special case of that operator): a (stratum, md5-
+    bucket) COUNT histogram, per-bucket cumulative offsets from a
+    window over the aggregated histogram (bounded by the 64Ki bucket
+    space, never by corpus size), a broadcast candidate-bucket prune
+    (a bucket whose offset already reaches n cannot contribute), and
+    a row_number window partitioned by (stratum, bucket) — a stratum
+    holding 90% of the corpus ranks in 64Ki-way parallel slices, and
+    only ~n rows per stratum ever reach the row-level window.
+    Spark's WindowGroupLimit pre-prunes each slice to its local n
+    before the exchange, so shuffle volume is O(strata x n)."""
+    order_md5 = F.md5(F.col(id_col).cast("string"))
+    # monotonic in order_md5 — see token_budget_sample
+    bucket = F.conv(F.substring(order_md5, 1, 4), 16, 10).cast("long")
+
+    work = df.withColumn("__b", bucket)
+    hist = work.groupBy(stratum_col, "__b").agg(F.count(F.lit(1)).alias("__bn"))
+    w_off = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    cand = (
+        hist.withColumn(
+            "__boff",
+            F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).cast("long"),
+        )
+        .where(F.col("__boff") < n_per_stratum)
+        .select(stratum_col, "__b", "__boff")
+    )
+    w_in = Window.partitionBy(stratum_col, "__b").orderBy(order_md5, F.col(id_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= n_per_stratum)
-        .drop("__rn")
+        work.join(F.broadcast(cand), [stratum_col, "__b"])
+        .withColumn("__rn", F.row_number().over(w_in))
+        # the bare `__rn <= n` conjunct is what lets Spark insert
+        # WindowGroupLimit (each slice pre-prunes to its local n before
+        # the exchange); the offset sum is the exact global cut
+        .where(
+            (F.col("__rn") <= n_per_stratum)
+            & (F.col("__boff") + F.col("__rn") <= n_per_stratum)
+        )
+        .select(*df.columns)
     )
 
 

@@ -442,16 +442,58 @@ def test_token_budget_sample_no_per_domain_window(spark):
     out = token_budget_sample(df, "lang", {"web": 5000, "rare": 2000}, "doc_id", "n_tokens")
     plan = out._jdf.queryExecution().executedPlan().toString()
 
-    # physical Window nodes print as: Window [fns], [partition spec], [order spec]
+    # physical Window nodes print as: Window [fns], [partition spec],
+    # [order spec]. NOTE: the md5 sort expression is projected to a
+    # `_w0` alias in the physical plan, so the rule is structural: a
+    # single-key window is allowed ONLY for the bucket-histogram
+    # offsets pass (recognizable by ordering on the bucket column) —
+    # the per-row window must partition on (domain, bucket).
     windows = re.findall(r"Window (\[[^\]]*\]), (\[[^\]]*\]), (\[[^\]]*\])", plan)
     assert windows, f"no Window nodes found in plan:\n{plan}"
+    assert any("__b" not in order for _f, _p, order in windows), (
+        f"expected a row-level (md5-ordered) window in plan:\n{plan}"
+    )
     for _fns, part, order in windows:
-        if "md5" in order:
-            n_part_cols = len([c for c in part.strip("[]").split(",") if c.strip()])
-            assert n_part_cols >= 2, (
-                f"md5-ordered window partitions on a single key "
-                f"(per-domain single task at scale): {part}\n{plan}"
+        n_part_cols = len([c for c in part.strip("[]").split(",") if c.strip()])
+        if n_part_cols < 2:
+            assert "__b" in order, (
+                f"single-key window that is NOT the bucket histogram "
+                f"(per-domain single task at scale): {part} {order}\n{plan}"
             )
     # the candidate-bucket prune must reach the row side as a broadcast
     # join (the corpus side must not shuffle to discover candidacy)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_stratified_sample_no_per_stratum_window(spark):
+    """Round 5: stratified_sample_exact shares token_budget_sample's
+    bucket-histogram plan — every md5-ordered window partitions on
+    (stratum, bucket), and the `rn <= n` filter still triggers
+    WindowGroupLimit so each slice pre-prunes to its local n before
+    the exchange."""
+    import re
+
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        stratified_sample_exact,
+    )
+
+    rows = [(i, "web" if i % 20 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample_exact(df, "lang", 10, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+
+    assert "WindowGroupLimit" in plan
+    # same structural rule as the token-budget plan test: single-key
+    # windows only for the bucket-histogram pass (ordered on __b)
+    windows = re.findall(r"Window (\[[^\]]*\]), (\[[^\]]*\]), (\[[^\]]*\])", plan)
+    assert windows, f"no Window nodes found in plan:\n{plan}"
+    assert any("__b" not in order for _f, _p, order in windows), (
+        f"expected a row-level (md5-ordered) window in plan:\n{plan}"
+    )
+    for _fns, part, order in windows:
+        n_part_cols = len([c for c in part.strip("[]").split(",") if c.strip()])
+        if n_part_cols < 2:
+            assert "__b" in order, (
+                f"single-key window that is NOT the bucket histogram "
+                f"(per-stratum single task at scale): {part} {order}\n{plan}"
+            )
