@@ -338,6 +338,7 @@ def start_incremental_neardup(
     query_name: str | None = None,
     index_tables: str | None = None,
     index_buckets: int = 64,
+    verify_exact: bool = False,
 ) -> StreamingQuery:
     """Streaming NEAR-dup sibling of :func:`start_incremental_dedup`:
     each micro-batch is MinHash-sketched once, probed against the
@@ -375,6 +376,17 @@ def start_incremental_neardup(
     with :func:`compact_neardup_index_bucketed`), and table metadata
     lives in the session catalog — use a persistent metastore in
     production so restarts keep the bucketing info.
+
+    ``verify_exact`` additionally persists the hashed-shingle relation
+    (``shingles/`` dir or ``{prefix}_shingles`` table) and emits EXACT
+    Jaccard pairs (column ``jaccard``) instead of signature estimates
+    (column ``est_jaccard``) — see
+    ``operators.dedup.neardup_incremental(corpus_shingles=...)``. The
+    index grows by one (id, shingle) row per distinct shingle per doc
+    (vs k longs per doc for signatures), and verification ships the
+    touched documents' shingle sets; the batch is sketched once more
+    for the shingle append (micro-batch-local, cheap next to index
+    I/O).
     """
     from iot_sensor_data_pipeline_spark.operators.dedup import (
         hashed_shingles,
@@ -390,24 +402,35 @@ def start_incremental_neardup(
         )
     bands_dir = f"{index_dir}/bands" if index_dir else None
     sigs_dir = f"{index_dir}/sigs" if index_dir else None
+    shingles_dir = f"{index_dir}/shingles" if index_dir else None
     bands_tbl = f"{index_tables}_bands" if index_tables else None
     sigs_tbl = f"{index_tables}_sigs" if index_tables else None
+    shingles_tbl = f"{index_tables}_shingles" if index_tables else None
     sink_wants_epoch = _wants_epoch(pairs_sink)
 
     def read_index(spark, batch_df):
-        """(band_index, signatures) or empty-with-schema on the first
-        batch. Band duplicates (crash-replay appends) need NO dedup
-        shuffle: candidate pairs are distinct()'d inside
+        """(band_index, signatures, corpus_shingles) or empty-with-
+        schema on the first batch (corpus_shingles is None unless
+        ``verify_exact``). Band duplicates (crash-replay appends) need
+        NO dedup shuffle: candidate pairs are distinct()'d inside
         estimated_jaccard_pairs, so duplicate band rows cannot
         multiply output pairs. Signature duplicates WOULD multiply the
         per-pair join rows, and the sig table is the narrow one —
-        dedup only it. An unreadable existing index FAILS the batch
-        (never silently rebuilds empty)."""
+        dedup only it. Shingle-row duplicates would inflate set sizes
+        in exact verification — deduped on read too. An unreadable
+        existing index FAILS the batch (never silently rebuilds
+        empty)."""
         if index_tables is not None:
             if spark.catalog.tableExists(bands_tbl):
+                corpus_sh = (
+                    spark.table(shingles_tbl).dropDuplicates(["id", "shingle"])
+                    if verify_exact
+                    else None
+                )
                 return (
                     spark.table(bands_tbl),
                     spark.table(sigs_tbl).dropDuplicates(["id"]),
+                    corpus_sh,
                 )
             if spark.catalog.tableExists(f"{bands_tbl}_compacting"):
                 # a compaction crashed between DROP and RENAME: the
@@ -419,19 +442,27 @@ def start_incremental_neardup(
                     "crashed mid-swap; rename it back before resuming"
                 )
         elif _hadoop_path_exists(spark, bands_dir):
+            corpus_sh = (
+                spark.read.parquet(shingles_dir).dropDuplicates(["id", "shingle"])
+                if verify_exact
+                else None
+            )
             return (
                 spark.read.parquet(bands_dir),
                 spark.read.parquet(sigs_dir).dropDuplicates(["id"]),
+                corpus_sh,
             )
         # legitimate first batch: empty index with the right schema,
         # derived from the batch itself
-        empty_sigs = minhash_signatures(
-            hashed_shingles(batch_df.limit(0), id_col, text_col, n=shingle_n),
-            num_hashes=num_hashes,
+        empty_sh = hashed_shingles(batch_df.limit(0), id_col, text_col, n=shingle_n)
+        empty_sigs = minhash_signatures(empty_sh, num_hashes=num_hashes)
+        return (
+            minhash_band_index(empty_sigs, rows_per_band=rows_per_band),
+            empty_sigs,
+            empty_sh if verify_exact else None,
         )
-        return minhash_band_index(empty_sigs, rows_per_band=rows_per_band), empty_sigs
 
-    def append_deltas(sig_delta, band_delta):
+    def append_deltas(sig_delta, band_delta, shingle_delta):
         if index_tables is not None:
             # bucketed appends: the spec must repeat the table's
             # (bucketBy requires saveAsTable; the catalog keeps the
@@ -450,15 +481,25 @@ def start_incremental_neardup(
                 .mode("append")
                 .saveAsTable(bands_tbl)
             )
+            if shingle_delta is not None:
+                (
+                    shingle_delta.write.format("parquet")
+                    .bucketBy(index_buckets, "id")
+                    .sortBy("id")
+                    .mode("append")
+                    .saveAsTable(shingles_tbl)
+                )
         else:
             sig_delta.write.mode("append").parquet(sigs_dir)
             band_delta.write.mode("append").parquet(bands_dir)
+            if shingle_delta is not None:
+                shingle_delta.write.mode("append").parquet(shingles_dir)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        band_index, signatures = read_index(spark, batch_df)
+        band_index, signatures, corpus_sh = read_index(spark, batch_df)
         pairs, sig_delta, band_delta = neardup_incremental(
             batch_df,
             band_index,
@@ -469,6 +510,7 @@ def start_incremental_neardup(
             shingle_n=shingle_n,
             num_hashes=num_hashes,
             rows_per_band=rows_per_band,
+            corpus_shingles=corpus_sh,
         )
         # one sketch pass feeds pairs + both deltas
         sig_delta.persist()
@@ -477,7 +519,12 @@ def start_incremental_neardup(
                 pairs_sink(pairs, epoch_id)
             else:
                 pairs_sink(pairs)
-            append_deltas(sig_delta, band_delta)
+            shingle_delta = (
+                hashed_shingles(batch_df, id_col, text_col, n=shingle_n)
+                if verify_exact
+                else None
+            )
+            append_deltas(sig_delta, band_delta, shingle_delta)
         finally:
             sig_delta.unpersist()
 
@@ -523,10 +570,15 @@ def compact_neardup_index(spark, index_dir: str) -> tuple[int, int]:
         return jvm.org.apache.hadoop.fs.Path(p)
 
     out = []
-    for sub, keys in (
+    tables = [
         ("bands", ["id", "band_idx", "band_hash"]),
         ("sigs", ["id"]),
-    ):
+    ]
+    if _hadoop_path_exists(spark, f"{index_dir}/shingles"):
+        # verify_exact jobs also persist the hashed-shingle relation;
+        # folded the same way, not part of the (bands, sigs) return
+        tables.append(("shingles", ["id", "shingle"]))
+    for sub, keys in tables:
         path = f"{index_dir}/{sub}"
         tmp = f"{index_dir}/.{sub}_compacting"
         old = f"{index_dir}/.{sub}_old"
@@ -569,15 +621,23 @@ def compact_neardup_index_bucketed(
     Returns (n_band_rows, n_sig_rows) after compaction.
     """
     out = []
-    for suffix, keys in (
+    tables = [
         ("bands", ["band_idx", "band_hash"]),
         ("sigs", ["id"]),
-    ):
+    ]
+    if spark.catalog.tableExists(f"{index_tables}_shingles"):
+        tables.append(("shingles", ["id"]))  # bucketed by id like sigs
+    for suffix, keys in tables:
         name = f"{index_tables}_{suffix}"
         staging = f"{name}_compacting"
-        # id participates in band dedup keys too: distinct (id, band)
-        # rows, not one id per band bucket
-        dedup_keys = ["id", *keys] if suffix == "bands" else keys
+        # dedup keys are the full row identity, bucket keys the join
+        # key: bands dedup on (id, band), shingles on (id, shingle) —
+        # deduping either on its bucket key alone would DROP real rows
+        dedup_keys = {
+            "bands": ["id", *keys],
+            "sigs": keys,
+            "shingles": ["id", "shingle"],
+        }[suffix]
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
         (
             spark.table(name)

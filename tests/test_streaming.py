@@ -397,6 +397,83 @@ def test_incremental_neardup_stream_bucketed_index(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suf}")
 
 
+def test_incremental_neardup_stream_verify_exact(spark, tmp_path):
+    """Round 5: verify_exact persists the hashed-shingle relation as a
+    third index table and emits EXACT Jaccard pairs (column `jaccard`)
+    — a batch-2 near-copy of a batch-1 doc is verified against the
+    persisted corpus shingles, and the value equals an independently
+    computed exact ngram Jaccard. Compaction folds all three tables."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.operators.dedup import (
+        hashed_shingles,
+        ngram_jaccard_pairs,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        compact_neardup_index,
+        start_incremental_neardup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "pairs"
+    idx_dir = str(tmp_path / "ndindex")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while autumn rain "
+        "falls softly on the quiet village rooftops tonight"
+    )
+    near = base.replace("autumn", "winter")
+    other = "completely different content all about catalyst optimizer join plans"
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def pairs_sink(df):
+        df.write.mode("append").parquet(str(out_dir))
+
+    def drain():
+        docs = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = start_incremental_neardup(
+            docs, idx_dir, ckpt, pairs_sink, threshold=0.5,
+            available_now=True, verify_exact=True,
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1.json", [(1, base), (2, other)])
+    drain()
+    assert spark.read.parquet(str(out_dir)).count() == 0
+
+    write_batch("b2.json", [(3, near)])
+    drain()
+    got = {(r.i, r.j): r.jaccard for r in spark.read.parquet(str(out_dir)).collect()}
+    assert set(got) == {(3, 1)}
+
+    # the streamed value IS the exact Jaccard (not an estimate):
+    # recompute independently from the raw texts
+    both = spark.createDataFrame(
+        [(1, base), (3, near)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(3, 1)], "i long, j long")
+    want = ngram_jaccard_pairs(
+        hashed_shingles(both, "doc_id", "text", n=3), 0.0, candidates=cand
+    ).first()
+    assert got[(3, 1)] == want.jaccard
+
+    # shingle index exists, holds both batches' docs, and compaction
+    # folds it alongside bands/sigs
+    sh = spark.read.parquet(f"{idx_dir}/shingles")
+    assert set(sh.columns) == {"id", "shingle"}
+    assert sh.select("id").distinct().count() == 3
+    n_sh = sh.count()
+    sh.write.mode("append").parquet(f"{idx_dir}/shingles")  # fake replay
+    compact_neardup_index(spark, idx_dir)
+    assert spark.read.parquet(f"{idx_dir}/shingles").count() == n_sh
+
+
 def test_incremental_neardup_requires_exactly_one_index_location(spark, tmp_path):
     import pytest as _pytest
 
