@@ -91,6 +91,7 @@ def cosine_near_dup_pairs(
     n_tables: int = 6,
     round_score: int = 6,
     dim: int | None = None,
+    max_bucket_freq: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (i < j, score >= threshold).
 
@@ -106,6 +107,20 @@ def cosine_near_dup_pairs(
     hyperplanes are generated driver-side from it, keeping the operator
     free of hidden driver actions (no ``.first()`` probe — an empty or
     lazily-defined input never blocks plan construction).
+
+    ``max_bucket_freq`` is the bucket-skew guard (the RP-LSH analogue
+    of MinHash's ``max_shingle_freq`` / SimHash's ``max_chunk_freq``):
+    a (table, bucket) holding more than that many vectors — a dense
+    cluster or a duplicated embedding — is dropped from candidate
+    generation in EVERY table it floods, bounding the self-join.
+    RECALL CONSEQUENCE: pairs colliding ONLY in dropped buckets are
+    lost; a pair also colliding in any surviving table is unaffected
+    (and a cluster dense enough to flood all tables is better handled
+    by exact dedup first). The bucket space is n_tables x 2^n_planes,
+    so the frequency relation stays broadcast-small at any corpus
+    size. Note scoring is NOT the scale hazard here — the codegen'd
+    fold scores ~300k pairs/s/core (measured; an Arrow GEMM scorer is
+    no faster at dim 64) — bucket blowup is.
     """
     e = df.select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
@@ -150,6 +165,15 @@ def cosine_near_dup_pairs(
             F.col("id").alias("j"),
             F.explode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("probe"),
         )
+        if max_bucket_freq is not None:
+            # bucket occupancy counted on the TRUE buckets (right
+            # side); both sides semi-join the surviving bucket list,
+            # which is bounded by the n_tables * 2^n_planes key space
+            # (broadcast-small regardless of corpus size)
+            freq = right.groupBy("probe").agg(F.count(F.lit(1)).alias("__f"))
+            ok = freq.where(F.col("__f") <= max_bucket_freq).select("probe")
+            left = left.join(F.broadcast(ok), "probe", "left_semi")
+            right = right.join(F.broadcast(ok), "probe", "left_semi")
         cand = (
             left.join(right, "probe")
             .where(F.col("i") < F.col("j"))

@@ -71,6 +71,37 @@ def test_cosine_near_dup_lsh_recall(spark, sf_dir_mid):
     assert len(approx & exact) / len(exact) >= 0.7
 
 
+def test_cosine_near_dup_bucket_freq_guard(spark):
+    """Round 5: max_bucket_freq bounds a flooded LSH bucket (dense
+    cluster / duplicated embedding) — the RP-LSH analogue of
+    max_shingle_freq. A 300-copy identical vector floods every table's
+    bucket and is dropped under the cap; an unrelated near pair in
+    small buckets survives with its exact score."""
+    import math
+
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    dim = 16
+    dup = [1.0] + [0.0] * (dim - 1)
+    a = [0.0, 1.0] + [0.0] * (dim - 2)
+    b = [0.0, math.cos(0.3), math.sin(0.3)] + [0.0] * (dim - 3)  # ~0.955 cos
+    rows = [(i, dup) for i in range(300)] + [(1000, a), (1001, b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    unguarded = cosine_near_dup_pairs(df, 0.9, n_planes=4, n_tables=4, dim=dim)
+    guarded = cosine_near_dup_pairs(
+        df, 0.9, n_planes=4, n_tables=4, dim=dim, max_bucket_freq=50
+    )
+    # the duplicate cluster is quadratic without the guard...
+    assert unguarded.count() == 300 * 299 // 2 + 1
+    # ...and dropped with it, while the small-bucket pair survives
+    got = {(r.i, r.j): r.score for r in guarded.collect()}
+    assert set(got) == {(1000, 1001)}
+    assert abs(got[(1000, 1001)] - round(math.cos(0.3), 6)) < 1e-6
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir_mid):
     from iot_sensor_data_pipeline_spark.operators.similarity import ivf_topk
 
