@@ -474,6 +474,50 @@ def test_incremental_neardup_stream_verify_exact(spark, tmp_path):
     assert spark.read.parquet(f"{idx_dir}/shingles").count() == n_sh
 
 
+def test_incremental_neardup_bucketed_detects_crashed_compaction(spark, tmp_path):
+    """The bucketed-table compaction swap has a crash window (between
+    DROP of the live table and RENAME of the staging table). The
+    streaming job must detect that state — live table missing but
+    {name}_compacting present — and FAIL the batch instead of treating
+    it as a first batch and silently rebuilding an empty index."""
+    import json as _json
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import start_incremental_neardup
+
+    prefix = "ndtest_crashed"
+    for suf in ("bands", "sigs", "bands_compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suf}")
+    # simulate the mid-swap state: only the staging table exists
+    spark.createDataFrame(
+        [(1, 0, 123)], "id long, band_idx int, band_hash long"
+    ).write.saveAsTable(f"{prefix}_bands_compacting")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b.json").write_text(_json.dumps({"doc_id": 1, "text": "some words here"}))
+
+    q = start_incremental_neardup(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        None,
+        str(tmp_path / "ckpt"),
+        lambda df: None,
+        available_now=True,
+        index_tables=prefix,
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises((StreamingQueryException, Py4JJavaError)) as exc:
+            q.awaitTermination(120)
+        assert "compaction" in str(exc.value)
+    finally:
+        for suf in ("bands", "sigs", "bands_compacting"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suf}")
+
+
 def test_incremental_neardup_requires_exactly_one_index_location(spark, tmp_path):
     import pytest as _pytest
 
