@@ -304,10 +304,11 @@ def test_incremental_neardup_stream_probes_persistent_index(spark, tmp_path):
 def test_incremental_neardup_stream_bucketed_index(spark, tmp_path):
     """VERDICT r04 #4: the same cross-restart near-dup e2e, but with
     the index stored as catalog-registered BUCKETED tables
-    ({prefix}_bands / {prefix}_sigs) instead of parquet paths — probe
-    semantics identical, then compaction folds the per-epoch bucket
-    files while preserving the bucketing spec, and the compacted index
-    still probes correctly."""
+    ({prefix}_bands / {prefix}_sigs / {prefix}_shingles — this run
+    also exercises verify_exact in table mode) instead of parquet
+    paths — probe semantics identical, then compaction folds the
+    per-epoch bucket files while preserving the bucketing spec, and
+    the compacted index still probes correctly."""
     import json as _json
 
     from iot_sensor_data_pipeline_spark.operators.dedup import neardup_incremental
@@ -317,7 +318,10 @@ def test_incremental_neardup_stream_bucketed_index(spark, tmp_path):
     )
 
     prefix = "ndtest_bucketed"
-    for suf in ("bands", "sigs", "bands_compacting", "sigs_compacting"):
+    for suf in (
+        "bands", "sigs", "shingles",
+        "bands_compacting", "sigs_compacting", "shingles_compacting",
+    ):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suf}")
 
     src = tmp_path / "src"
@@ -352,6 +356,7 @@ def test_incremental_neardup_stream_bucketed_index(spark, tmp_path):
             available_now=True,
             index_tables=prefix,
             index_buckets=4,
+            verify_exact=True,
         )
         q.awaitTermination(120)
 
@@ -361,8 +366,10 @@ def test_incremental_neardup_stream_bucketed_index(spark, tmp_path):
 
     write_batch("b2.json", [(3, near), (4, fresh)])
     drain()
-    got = {(r.i, r.j): r.est_jaccard for r in spark.read.parquet(str(out_dir)).collect()}
+    got = {(r.i, r.j): r.jaccard for r in spark.read.parquet(str(out_dir)).collect()}
     assert set(got) == {(3, 1)} and got[(3, 1)] >= 0.5
+    # table-mode exact verification used the persisted shingle table
+    assert spark.table(f"{prefix}_shingles").select("id").distinct().count() == 4
 
     # index tables hold sketches only; bucketing spec is in the catalog
     assert spark.table(f"{prefix}_sigs").select("id").distinct().count() == 4
@@ -379,7 +386,8 @@ def test_incremental_neardup_stream_bucketed_index(spark, tmp_path):
         f"SHOW CREATE TABLE {prefix}_bands"
     ).first()[0].upper().replace("\n", " ")
 
-    # the compacted bucketed index still probes correctly
+    # the compacted bucketed index still probes correctly — exact mode
+    # against the compacted shingle table
     probe = spark.createDataFrame(
         [(9, base.replace("quick", "sneaky"))], "doc_id long, text string"
     )
@@ -390,10 +398,11 @@ def test_incremental_neardup_stream_bucketed_index(spark, tmp_path):
         "doc_id",
         "text",
         threshold=0.5,
+        corpus_shingles=spark.table(f"{prefix}_shingles"),
     )
     assert {(r.i, r.j) for r in pairs.collect()} == {(9, 1), (9, 3)}
 
-    for suf in ("bands", "sigs"):
+    for suf in ("bands", "sigs", "shingles"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suf}")
 
 
