@@ -221,42 +221,14 @@ def _nearest_centroids_udf(centroids, n: int):
     return pandas_udf(_assign, "array<int>")
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int,
-    n_centroids: int = 16,
-    n_probe: int = 3,
-    query_id: str = "vec_id",
-    corpus_id: str = "vec_id",
-    vec_col: str = "embedding",
-    round_score: int = 6,
-    seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer -> per-centroid
-    posting lists -> probe the ``n_probe`` nearest centroids per query
-    -> exact cosine re-rank of those lists.
-
-    The quantizer trains once (Spark ML KMeans on a sample). Centroids
-    ship to executors without a shuffle either way: as constant-folded
-    literal expressions up to IVF_LITERAL_CEILING (pure JVM codegen),
-    and as a numpy matrix inside an Arrow GEMM kernel above it (a
-    256x768 quantizer is ~1.5 MB of closure, but would be ~200k literal
-    nodes as an expression). Corpus scan cost per query drops from |C|
-    to ~ n_probe/n_centroids * |C|. The right default for clustered
-    embedding spaces; for isotropic data prefer rp_lsh_topk.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c = corpus.select(
-        F.col(corpus_id).alias("nid"), as_double_array(F.col(vec_col)).alias("cv")
-    )
-    # quantizer training needs only a sample — cap it so fitting cost
-    # stays constant as the corpus grows (standard IVF practice)
-    train = c.select(array_to_vector("cv").alias("features")).limit(200_000)
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+def _centroid_assigners(centroids: list[list[float]], n_probe: int):
+    """(assign_one, assign_probe) Column builders for a trained
+    quantizer: nearest-centroid id / n_probe nearest ids. Literal JVM
+    expressions up to IVF_LITERAL_CEILING centroids (constant-folded,
+    whole-stage codegen), Arrow GEMM kernel above it — either way the
+    centroids ship to executors without a shuffle. Shared by build and
+    probe so a persisted index and a fresh query plan can never use
+    different assignment semantics."""
 
     def nearest_centroids_expr(vec: Column, n: int) -> Column:
         """Array of the n closest centroid ids (squared L2), as one
@@ -280,22 +252,86 @@ def ivf_topk(
         )
         return F.slice(F.array_sort(dists), 1, n).getField("cid")
 
-    if n_centroids <= IVF_LITERAL_CEILING:
-        assign_one = lambda vec: nearest_centroids_expr(vec, 1)[0]  # noqa: E731
-        assign_probe = lambda vec: nearest_centroids_expr(vec, n_probe)  # noqa: E731
-    else:
-        one_udf = _nearest_centroids_udf(centroids, 1)
-        probe_udf = _nearest_centroids_udf(centroids, n_probe)
-        assign_one = lambda vec: one_udf(vec)[0]  # noqa: E731
-        assign_probe = probe_udf
+    if len(centroids) <= IVF_LITERAL_CEILING:
+        return (
+            lambda vec: nearest_centroids_expr(vec, 1)[0],
+            lambda vec: nearest_centroids_expr(vec, n_probe),
+        )
+    one_udf = _nearest_centroids_udf(centroids, 1)
+    probe_udf = _nearest_centroids_udf(centroids, n_probe)
+    return (lambda vec: one_udf(vec)[0], probe_udf)
 
-    c_assigned = c.withColumn("cid", assign_one(F.col("cv")))
-    q = queries.select(
-        F.col(query_id).alias("qid"), as_double_array(F.col(vec_col)).alias("qv")
-    ).select("qid", "qv", F.explode(assign_probe(F.col("qv"))).alias("cid"))
 
+def ivf_build(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build the IVF index ONCE: train the k-means coarse quantizer
+    (Spark ML, on a capped sample so fitting cost stays constant as
+    the corpus grows) and assign every corpus vector to its nearest
+    centroid. Returns ``(assignments, centroids)``:
+
+    - ``assignments`` — (cid int, nid, cv array<double>): the posting
+      lists. PERSIST THIS bucketed by cid
+      (``.write.bucketBy(n, "cid").sortBy("cid").saveAsTable(...)``) —
+      probes then join posting lists with ZERO exchange on the index
+      side, so probe cost never reshuffles the corpus (the same layout
+      argument as the near-dup band index; plan-pinned in
+      tests/test_similarity.py).
+    - ``centroids`` — n_centroids x dim python floats, driver-small:
+      persist as JSON next to the table and pass to :func:`ivf_probe`.
+
+    At 100 TB this build is one corpus scan + one bucketed write;
+    :func:`ivf_topk` (build + probe fused) re-does it per call and is
+    only for ad-hoc queries.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id).alias("nid"), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    # quantizer training needs only a sample — cap it so fitting cost
+    # stays constant as the corpus grows (standard IVF practice)
+    train = c.select(array_to_vector("cv").alias("features")).limit(200_000)
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    assign_one, _ = _centroid_assigners(centroids, 1)
+    assignments = c.select(
+        assign_one(F.col("cv")).cast("int").alias("cid"), "nid", "cv"
+    )
+    return assignments, centroids
+
+
+def ivf_probe(
+    queries: DataFrame,
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int = 3,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_score: int = 6,
+) -> DataFrame:
+    """Probe a built IVF index: assign each query to its ``n_probe``
+    nearest centroids, join the corresponding posting lists, exact
+    cosine re-rank. ``assignments``/``centroids`` come from
+    :func:`ivf_build` (the assignments side may be a bucketed table —
+    the join key cid is cast int on both sides, so bucketed scans
+    match without cross-side coercion)."""
+    _, assign_probe = _centroid_assigners(centroids, n_probe)
+    q = (
+        queries.select(
+            F.col(query_id).alias("qid"), as_double_array(F.col(vec_col)).alias("qv")
+        )
+        .select("qid", "qv", F.explode(assign_probe(F.col("qv"))).alias("cid"))
+        .withColumn("cid", F.col("cid").cast("int"))
+    )
     pairs = (
-        q.join(c_assigned, "cid")
+        q.join(assignments, "cid")
         .where(F.col("qid") != F.col("nid"))
         .select(
             "qid",
@@ -306,6 +342,39 @@ def ivf_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_score: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> per-centroid
+    posting lists -> probe the ``n_probe`` nearest centroids per query
+    -> exact cosine re-rank of those lists. Fused
+    :func:`ivf_build` + :func:`ivf_probe` for ad-hoc use — a pipeline
+    that probes repeatedly should build once, persist the assignments
+    bucketed by cid, and call ivf_probe.
+
+    Corpus scan cost per query drops from |C| to
+    ~ n_probe/n_centroids * |C|. The right default for clustered
+    embedding spaces; for isotropic data prefer rp_lsh_topk.
+    """
+    assignments, centroids = ivf_build(
+        corpus, n_centroids=n_centroids, corpus_id=corpus_id,
+        vec_col=vec_col, seed=seed,
+    )
+    return ivf_probe(
+        queries, assignments, centroids, k, n_probe=n_probe,
+        query_id=query_id, vec_col=vec_col, round_score=round_score,
+    )
 
 
 def _topk_partial_schema():

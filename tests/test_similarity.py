@@ -114,6 +114,67 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir_mid):
     assert len(e & a) / len(e) >= 0.3
 
 
+def test_ivf_build_probe_matches_fused_and_bucketed_plan(spark, sf_dir_mid):
+    """Round 5: ivf_build + ivf_probe (the build-once/probe-many
+    regime) must return exactly what the fused ivf_topk returns for
+    the same seed; persisting the posting lists bucketed by cid and
+    probing the TABLE must (a) return the same rows and (b) drop the
+    index-side exchange from the probe join plan — probe cost never
+    reshuffles the corpus."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir_mid, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+
+    fused = {
+        (r.qid, r.nid, r.score)
+        for r in ivf_topk(queries, emb, k=10, n_centroids=16, n_probe=4).collect()
+    }
+    assignments, centroids = ivf_build(emb, n_centroids=16)
+    split = {
+        (r.qid, r.nid, r.score)
+        for r in ivf_probe(queries, assignments, centroids, k=10, n_probe=4).collect()
+    }
+    assert split == fused and fused
+
+    spark.sql("DROP TABLE IF EXISTS b_ivf_postings")
+    (
+        assignments.write.format("parquet")
+        .bucketBy(8, "cid")
+        .sortBy("cid")
+        .saveAsTable("b_ivf_postings")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        table = spark.table("b_ivf_postings")
+        from_table = ivf_probe(queries, table, centroids, k=10, n_probe=4)
+        # plan shape FIRST, on the fresh (pre-AQE-finalization) plan —
+        # collect() rewrites the string with materialized query stages
+        table_plan = from_table._jdf.queryExecution().executedPlan().toString()
+        plain_plan = (
+            ivf_probe(queries, assignments, centroids, k=10, n_probe=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the index side reads pre-bucketed (no exchange): exactly one
+        # fewer hash exchange than probing the plain relation
+        assert "Bucketed: true" in table_plan
+        n_plain = plain_plan.count("Exchange hashpartitioning")
+        n_table = table_plan.count("Exchange hashpartitioning")
+        assert n_table == n_plain - 1, (n_plain, n_table)
+
+        assert {
+            (r.qid, r.nid, r.score) for r in from_table.collect()
+        } == fused
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_ivf_postings")
+
+
 def test_gemm_topk_matches_fold_topk(spark, sf_dir_mid):
     from iot_sensor_data_pipeline_spark.operators.similarity import cosine_topk_gemm
 
