@@ -510,37 +510,54 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
-def rp_lsh_topk(
-    queries: DataFrame,
+def recommended_n_planes(corpus_size: int, target_bucket_size: int = 64) -> int:
+    """The docstring sizing rule as code: n_planes ~ log2(corpus /
+    target_bucket_size), floored at 1. Too many planes splinters true
+    neighbors across buckets (recall collapses); too few degenerates
+    to brute force — mis-sizing by even a few planes moves bucket
+    occupancy by that power of two, which is the usual cause of
+    "LSH was slow" (measured in SCALE.md)."""
+    return max(1, math.ceil(math.log2(max(corpus_size, 2) / max(target_bucket_size, 1))))
+
+
+def rp_lsh_build(
     corpus: DataFrame,
-    k: int,
     dim: int,
+    n_planes: int = 5,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the RP-LSH index ONCE: (bucket long, nid, cv) — every
+    corpus vector tagged with its sign-bit bucket. PERSIST bucketed by
+    ``bucket`` (``.write.bucketBy(n, "bucket").sortBy("bucket")
+    .saveAsTable(...)``) so probes join the bucket lists with ZERO
+    exchange on the index side. The hyperplanes are deterministic in
+    (dim, n_planes) — nothing else needs persisting; a probe with the
+    same parameters reconstructs them exactly."""
+    planes = _hyperplanes(dim, n_planes)
+    return corpus.select(
+        F.col(corpus_id).alias("nid"), as_double_array(F.col(vec_col)).alias("cv")
+    ).select(_bucket_expr(F.col("cv"), planes).alias("bucket"), "nid", "cv")
+
+
+def rp_lsh_probe(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int,
     n_planes: int = 5,
     multi_probe: bool = True,
     query_id: str = "vec_id",
-    corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     round_score: int = 6,
 ) -> DataFrame:
-    """Approximate top-k by random-hyperplane LSH + exact re-rank.
-
-    Bucket id = n_planes sign bits of the projections (one long).
-    ``multi_probe`` also probes the n_planes buckets at hamming
-    distance 1 from the query's bucket, boosting recall for vectors
-    near a hyperplane at n_planes x candidate cost.
-
-    Sizing: 2^n_planes buckets — pick n_planes ~ log2(|corpus| /
-    desired_bucket_size). Too many planes splinters true neighbors
-    across buckets (recall collapses); too few degenerates to brute
-    force. Recall improves with the data's cluster structure: isotropic
-    random vectors are the worst case (tests assert the floor there).
-    """
+    """Probe a built RP-LSH index (:func:`rp_lsh_build` output, plain
+    or persisted as a bucketed table): bucket each query with the SAME
+    deterministic hyperplanes, join the colliding bucket lists, exact
+    cosine re-rank. ``multi_probe`` also probes the n_planes buckets
+    at hamming distance 1, boosting recall for vectors near a
+    hyperplane at n_planes x candidate cost."""
     planes = _hyperplanes(dim, n_planes)
-
-    c = corpus.select(
-        F.col(corpus_id).alias("nid"), as_double_array(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", _bucket_expr(F.col("cv"), planes))
-
     q = queries.select(
         F.col(query_id).alias("qid"), as_double_array(F.col(vec_col)).alias("qv")
     ).withColumn("q_bucket", _bucket_expr(F.col("qv"), planes))
@@ -554,7 +571,7 @@ def rp_lsh_topk(
     q = q.select("qid", "qv", F.explode(probes).alias("bucket"))
 
     pairs = (
-        q.join(c, "bucket")
+        q.join(index, "bucket")
         .where(F.col("qid") != F.col("nid"))
         .select(
             "qid",
@@ -565,6 +582,38 @@ def rp_lsh_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def rp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 5,
+    multi_probe: bool = True,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_score: int = 6,
+) -> DataFrame:
+    """Approximate top-k by random-hyperplane LSH + exact re-rank.
+    Fused :func:`rp_lsh_build` + :func:`rp_lsh_probe` for ad-hoc use —
+    repeated probing should build once, persist the bucket table
+    bucketed by ``bucket``, and call rp_lsh_probe.
+
+    Bucket id = n_planes sign bits of the projections (one long).
+    Sizing: 2^n_planes buckets — :func:`recommended_n_planes` encodes
+    the n_planes ~ log2(|corpus| / desired_bucket_size) rule. Recall
+    improves with the data's cluster structure: isotropic random
+    vectors are the worst case (tests assert the floor there).
+    """
+    index = rp_lsh_build(
+        corpus, dim, n_planes=n_planes, corpus_id=corpus_id, vec_col=vec_col
+    )
+    return rp_lsh_probe(
+        queries, index, dim, k, n_planes=n_planes, multi_probe=multi_probe,
+        query_id=query_id, vec_col=vec_col, round_score=round_score,
+    )
 
 
 def cosine_topk_blocked(

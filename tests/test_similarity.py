@@ -175,6 +175,66 @@ def test_ivf_build_probe_matches_fused_and_bucketed_plan(spark, sf_dir_mid):
         spark.sql("DROP TABLE IF EXISTS b_ivf_postings")
 
 
+def test_rp_lsh_build_probe_matches_fused_and_bucketed_plan(spark, sf_dir_mid):
+    """Round 5: the RP-LSH build/probe split mirrors the IVF one —
+    split == fused for the same parameters; a bucket-table index probes
+    with the index-side exchange gone; recommended_n_planes encodes the
+    docstring sizing rule."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        recommended_n_planes,
+        rp_lsh_build,
+        rp_lsh_probe,
+        rp_lsh_topk,
+    )
+
+    assert recommended_n_planes(2_000, 64) == 5
+    assert recommended_n_planes(20_000, 64) == 9
+    assert recommended_n_planes(1, 64) == 1
+
+    emb = load_table(spark, sf_dir_mid, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+
+    fused = {
+        (r.qid, r.nid, r.score)
+        for r in rp_lsh_topk(queries, emb, k=10, dim=64, n_planes=5).collect()
+    }
+    index = rp_lsh_build(emb, dim=64, n_planes=5)
+    split = {
+        (r.qid, r.nid, r.score)
+        for r in rp_lsh_probe(queries, index, dim=64, k=10, n_planes=5).collect()
+    }
+    assert split == fused and fused
+
+    spark.sql("DROP TABLE IF EXISTS b_lsh_buckets")
+    (
+        index.write.format("parquet")
+        .bucketBy(8, "bucket")
+        .sortBy("bucket")
+        .saveAsTable("b_lsh_buckets")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from_table = rp_lsh_probe(
+            queries, spark.table("b_lsh_buckets"), dim=64, k=10, n_planes=5
+        )
+        table_plan = from_table._jdf.queryExecution().executedPlan().toString()
+        plain_plan = (
+            rp_lsh_probe(queries, index, dim=64, k=10, n_planes=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in table_plan
+        n_plain = plain_plan.count("Exchange hashpartitioning")
+        n_table = table_plan.count("Exchange hashpartitioning")
+        assert n_table == n_plain - 1, (n_plain, n_table)
+        assert {
+            (r.qid, r.nid, r.score) for r in from_table.collect()
+        } == fused
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_lsh_buckets")
+
+
 def test_gemm_topk_matches_fold_topk(spark, sf_dir_mid):
     from iot_sensor_data_pipeline_spark.operators.similarity import cosine_topk_gemm
 
