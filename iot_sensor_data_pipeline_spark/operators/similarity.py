@@ -306,6 +306,24 @@ def ivf_build(
     return assignments, centroids
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to an existing quantizer — the incremental
+    path for a growing corpus: append the returned (cid, nid, cv) rows
+    to the persisted posting table (same bucketed spec) without
+    retraining or touching indexed vectors. Retrain (a fresh
+    :func:`ivf_build`) only when the data distribution drifts enough
+    that posting-list sizes skew — standard IVF operating practice."""
+    assign_one, _ = _centroid_assigners(centroids, 1)
+    return vectors.select(
+        F.col(corpus_id).alias("nid"), as_double_array(F.col(vec_col)).alias("cv")
+    ).select(assign_one(F.col("cv")).cast("int").alias("cid"), "nid", "cv")
+
+
 def ivf_probe(
     queries: DataFrame,
     assignments: DataFrame,
