@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iot_sensor_data_pipeline_spark.plans import REGISTRY
 from iot_sensor_data_pipeline_spark.plans.queries_pipeline import documents_minhash_dedup
+from iot_sensor_data_pipeline_spark.plans.queries_relational2 import (
+    tpch_q6_forecast_revenue,
+)
 from iot_sensor_data_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,6 +38,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: independent of that cap, so timings stay comparable across rounds)
 EXTRA_HEADLINES = {
     "documents_minhash_dedup": documents_minhash_dedup,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
 }
 
 

@@ -503,3 +503,61 @@ def pack_sequences(
         ),
         "pack_pos",
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_dup_freq: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the C4 / RefinedWeb
+    boilerplate filter): any line whose EXACT text occurs in at least
+    ``min_dup_freq`` documents' worth of lines across the whole corpus
+    (cookie banners, nav menus, license footers) is removed from every
+    document; the remaining lines are reassembled in their original
+    order. Returns one row per input document:
+    ``(id, text_clean, n_lines, n_removed)`` — a document that was all
+    boilerplate keeps its row with an empty ``text_clean``.
+
+    Plan shape (scale argument): lines are counted and anti-joined on
+    ``xxhash64(line)`` — an 8-byte key — so the frequency shuffle never
+    carries line text; a 64-bit collision (probability ~n^2/2^64) could
+    merge two distinct lines' counts, the standard trade for hashed
+    line dedup at corpus scale. The boilerplate list itself is the
+    high-frequency tail of the distinct-line distribution —
+    orders-of-magnitude smaller than the corpus — so AQE turns the
+    anti-join into a broadcast when it fits. Reassembly is one
+    aggregation keyed by document id: collect (pos, line) structs,
+    array_sort (structs order by first field), project the line, join.
+    Order-preservation does NOT rely on collect_list input order —
+    only on the explicit pos sort.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+    ).withColumn("key", F.xxhash64("line"))
+    freq = base.groupBy("key").agg(F.count(F.lit(1)).alias("__f"))
+    boiler = freq.where(F.col("__f") >= min_dup_freq).select("key")
+    kept = base.join(boiler, "key", "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), F.lit(sep))).alias("n_lines"),
+    )
+    return totals.join(reassembled, "id", "left").select(
+        "id",
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

@@ -719,3 +719,89 @@ def cosine_topk_blocked(
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
     return partial.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int | None = None,
+    seed: int = 42,
+    round_score: int = 6,
+    max_cluster_size: int | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): documents whose embeddings are
+    cosine-similar above ``threshold`` are grouped, and one canonical
+    representative (the minimum id — deterministic across runs and
+    engines) is kept per group. Returns ``(id, cluster, kept)`` with
+    ``kept`` = 1 for the representative, 0 for semantic duplicates.
+
+    Two candidate-generation modes:
+
+    - ``n_clusters=None`` — exact all-pairs cosine (quadratic): the
+      oracle/verification path, never the 100 TB path.
+    - ``n_clusters=k`` — the SemDeDup scale path: a k-means coarse
+      quantizer (trained on a capped sample, see :func:`ivf_build`)
+      partitions the corpus; pairwise cosine runs only WITHIN each
+      cluster, so total pair work is sum(|cluster|^2) ~= N^2/k instead
+      of N^2, and the pair join is a plain equi-join on the cluster id
+      (each vector lands in exactly one cluster, so no distinct is
+      needed). Cross-cluster near-duplicates are missed by design —
+      the paper's documented recall trade for web-scale corpora.
+
+    ``max_cluster_size`` is the bucket-skew guard (the semantic-dedup
+    analogue of MinHash's ``max_shingle_freq``): a cluster larger than
+    the cap — a degenerate quantizer cell, e.g. a spam blob — is
+    dropped from pair generation rather than allowed a quadratic
+    self-join; its members are all kept. The surviving-cluster list is
+    bounded by ``n_clusters``, so it broadcasts at any corpus size.
+
+    Grouping uses connected components (min-label propagation —
+    semantic-dup clusters are shallow; pass the pairs through
+    :func:`~iot_sensor_data_pipeline_spark.operators.dedup.duplicate_clusters_star`
+    yourself for pathological chains), so transitive duplicates
+    (a~b, b~c) collapse into one group even when a and c are not
+    directly similar — the same contract as the text-side
+    ``duplicate_clusters``.
+    """
+    from iot_sensor_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    ids = df.select(F.col(id_col).alias("id"))
+    if n_clusters is None:
+        pairs = cosine_near_dup_pairs(
+            df, threshold, id_col=id_col, vec_col=vec_col, round_score=round_score
+        )
+    else:
+        assignments, _ = ivf_build(
+            df, n_centroids=n_clusters, corpus_id=id_col, vec_col=vec_col, seed=seed
+        )
+        if max_cluster_size is not None:
+            sizes = assignments.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+            ok = sizes.where(F.col("__n") <= max_cluster_size).select("cid")
+            assignments = assignments.join(F.broadcast(ok), "cid", "left_semi")
+        a = assignments.select(
+            "cid", F.col("nid").alias("i"), F.col("cv").alias("va")
+        )
+        b = assignments.select(
+            "cid", F.col("nid").alias("j"), F.col("cv").alias("vb")
+        )
+        pairs = (
+            a.join(b, "cid")
+            .where(F.col("i") < F.col("j"))
+            .select(
+                "i",
+                "j",
+                F.round(cosine(F.col("va"), F.col("vb")), round_score).alias("score"),
+            )
+            .where(F.col("score") >= threshold)
+        )
+    labels = duplicate_clusters(ids, pairs, max_iterations=max_iterations)
+    return labels.select(
+        "id",
+        "cluster",
+        (F.col("id") == F.col("cluster")).cast("int").alias("kept"),
+    )

@@ -839,3 +839,122 @@ def documents_repetition_contamination(spark: SparkSession, sf_dir: str) -> Data
         F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
         (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cosine near-dup pairs -> connected
+# components -> keep one canonical representative per semantic group.
+# The exact mode is oracle-checkable end to end (pairs as in
+# embeddings_cosine_near_dup, components as a RECURSIVE CTE); the
+# k-means-partitioned scale mode is recall-tested against it in
+# tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), prs AS (
+  SELECT a.vec_id AS i, b.vec_id AS j
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.emb, b.emb)
+        / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+), edges AS (
+  SELECT i AS a, j AS b FROM prs
+  UNION
+  SELECT j AS a, i AS b FROM prs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e2.b, reach.r FROM reach JOIN edges e2 ON e2.a = reach.id
+)
+SELECT id, min(r) AS cluster, CAST(id = min(r) AS INTEGER) AS kept
+FROM reach GROUP BY id
+"""
+
+
+@register(
+    "embeddings_semantic_dedup",
+    oracle=_SEMANTIC_DEDUP_ORACLE,
+    tags=("pipeline", "dedup", "similarity", "iterative"),
+)
+def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table, exact-pairs mode (the
+    oracle-checkable ground truth; operators/similarity.semantic_dedup):
+    every vector labeled with its semantic-duplicate group and a
+    kept/dropped decision, group representative = min member id."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (C4 / RefinedWeb): corpus-wide
+# duplicated lines stripped from every document, order-preserving
+# reassembly. The multi-line corpus is synthesized deterministically
+# from `documents` (8-word lines + a per-source footer line), so the
+# whole pipeline — explode, hashed frequency count, anti-join,
+# positional reassembly — is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, 'FOOTER ' || source AS footer
+  FROM documents
+), lns AS (
+  SELECT doc_id, r.i AS pos, array_to_string(ws[r.i * 8 + 1 : r.i * 8 + 8], ' ') AS line
+  FROM base, range(0, 100000) r(i)
+  WHERE r.i * 8 < len(ws)
+  UNION ALL
+  SELECT doc_id, 1000000 AS pos, footer AS line FROM base
+), freq AS (
+  SELECT line, count(*) AS f FROM lns GROUP BY line
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lns l JOIN freq f USING (line) WHERE f.f < 10
+)
+SELECT
+  d.doc_id AS id,
+  coalesce(
+    (SELECT string_agg(k.line, chr(10) ORDER BY k.pos) FROM kept k WHERE k.doc_id = d.doc_id),
+    ''
+  ) AS text_clean,
+  (SELECT count(*) FROM lns l WHERE l.doc_id = d.doc_id) AS n_lines,
+  (SELECT count(*) FROM lns l WHERE l.doc_id = d.doc_id)
+    - (SELECT count(*) FROM kept k WHERE k.doc_id = d.doc_id) AS n_removed
+FROM documents d
+"""
+
+
+@register(
+    "documents_boilerplate_lines",
+    oracle=_BOILERPLATE_ORACLE,
+    tags=("pipeline", "curation", "text"),
+)
+def documents_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup (operators/curation.
+    remove_boilerplate_lines) over a synthesized multi-line corpus:
+    each document becomes its 8-word chunks plus a shared per-source
+    'FOOTER <source>' line; at min_dup_freq=10 every footer (and any
+    line shared by >= 10 documents, e.g. exact-duplicate groups'
+    chunks) is stripped, unique lines survive in order."""
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    chunk_lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / 8).cast("int") - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    multi = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                chunk_lines,
+                F.array(F.concat(F.lit("FOOTER "), F.col("source"))),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(multi, min_dup_freq=10)

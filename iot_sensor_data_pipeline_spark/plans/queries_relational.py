@@ -305,23 +305,18 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Set operations
+# Set operations (plain INTERSECT / EXCEPT). Formerly the standalone
+# nations_set_ops registry entry; since round 5 its branches ride in
+# orders_bag_set_ops (queries_relational2.py) so the freed slot keeps
+# the registry inside the driver's 50-query gate. The implementation
+# stays here, exported for that union.
 # ---------------------------------------------------------------------------
 
-_SETOPS_ORACLE = """
-WITH asia_nations AS (
-  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
-), cust_nations AS (
-  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer WHERE c_acctbal > 9000
-)
-SELECT n_nationkey, 'both' AS src FROM (SELECT * FROM asia_nations INTERSECT SELECT * FROM cust_nations)
-UNION ALL
-SELECT n_nationkey, 'asia_only' AS src FROM (SELECT * FROM asia_nations EXCEPT SELECT * FROM cust_nations)
-"""
 
-
-@register("nations_set_ops", oracle=_SETOPS_ORACLE, tags=("relational", "setops"))
 def nations_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set INTERSECT / EXCEPT over the Asia-nations /
+    rich-customer-nations pair; registered through orders_bag_set_ops
+    ('nation_both' / 'nation_asia_only' branches)."""
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     cust = load_table(spark, sf_dir, "customer")
@@ -364,6 +359,18 @@ SELECT
   'cube' AS src
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT
+  CAST(n_orders AS VARCHAR) AS k1, NULL AS k2,
+  CAST(NULL AS DOUBLE) AS total,
+  count(*)             AS n,
+  'dist' AS src
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
 """
 
 _GSETS_SQL = """
@@ -384,7 +391,11 @@ def orders_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics operators under one oracle, keys harmonized to (k1, k2)
     so the branches union (keeps the registry inside the driver's
     50-query gate; the rollup branch subsumes the former grand-total
-    grouping set)."""
+    grouping set). The 'dist' branch (round 5) is the TPC-H Q13-style
+    aggregate-of-aggregate: orders-per-customer (a LEFT join so
+    zero-order customers keep their n_orders=0 row) re-aggregated
+    into a customer-count distribution — two cascaded hash
+    aggregations, the second over the first's (small) output."""
     orders = load_table(spark, sf_dir, "orders")
     rollup = (
         orders.rollup("o_orderstatus", "o_orderpriority")
@@ -407,7 +418,24 @@ def orders_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnsRenamed({"l_returnflag": "k1", "l_linestatus": "k2"})
         .withColumn("src", F.lit("cube"))
     )
-    return rollup.unionByName(gsets).unionByName(cube)
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    dist = (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("n_orders").cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.lit(None).cast("double").alias("total"),
+            "n",
+            F.lit("dist").alias("src"),
+        )
+    )
+    return rollup.unionByName(gsets).unionByName(cube).unionByName(dist)
 
 
 # ---------------------------------------------------------------------------

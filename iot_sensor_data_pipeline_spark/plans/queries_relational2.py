@@ -210,18 +210,28 @@ WITH y96 AS (
 ), y97 AS (
   SELECT o_orderstatus, o_orderpriority FROM orders
   WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+), asia_nations AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+), cust_nations AS (
+  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer WHERE c_acctbal > 9000
 )
-SELECT o_orderstatus, o_orderpriority, 'common' AS src FROM (
+SELECT o_orderstatus AS k1, o_orderpriority AS k2, 'common' AS src FROM (
   SELECT * FROM y96 INTERSECT ALL SELECT * FROM y97
 )
 UNION ALL
-SELECT o_orderstatus, o_orderpriority, 'y96_extra' AS src FROM (
+SELECT o_orderstatus AS k1, o_orderpriority AS k2, 'y96_extra' AS src FROM (
   SELECT * FROM y96 EXCEPT ALL SELECT * FROM y97
 )
 UNION ALL
-SELECT o_orderstatus, o_orderpriority, 'distinct' AS src FROM (
+SELECT o_orderstatus AS k1, o_orderpriority AS k2, 'distinct' AS src FROM (
   SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 )
+UNION ALL
+SELECT CAST(n_nationkey AS VARCHAR) AS k1, NULL AS k2, 'nation_both' AS src
+FROM (SELECT * FROM asia_nations INTERSECT SELECT * FROM cust_nations)
+UNION ALL
+SELECT CAST(n_nationkey AS VARCHAR) AS k1, NULL AS k2, 'nation_asia_only' AS src
+FROM (SELECT * FROM asia_nations EXCEPT SELECT * FROM cust_nations)
 """
 
 
@@ -230,8 +240,13 @@ def orders_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """intersectAll / exceptAll: per-row multiplicity is min(counts) /
     count difference — verified against ANSI INTERSECT ALL / EXCEPT ALL.
     The 'distinct' branch pins DataFrame.distinct() (hash aggregation
-    on all columns) in the same entry."""
+    on all columns). The 'nation_*' branches carry the plain
+    (duplicate-eliminating) INTERSECT / EXCEPT surface — formerly the
+    standalone nations_set_ops entry (queries_relational.py), folded
+    here in round 5 with keys harmonized to (k1, k2) to keep the
+    registry inside the driver's 50-query gate."""
     from iot_sensor_data_pipeline_spark.operators.setops import difference, intersect
+    from iot_sensor_data_pipeline_spark.plans.queries_relational import nations_set_ops
 
     orders = load_table(spark, sf_dir, "orders")
 
@@ -239,18 +254,23 @@ def orders_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         return orders.where(
             (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
             & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
-        ).select("o_orderstatus", "o_orderpriority")
+        ).select(F.col("o_orderstatus").alias("k1"), F.col("o_orderpriority").alias("k2"))
 
     y96 = year_slice("1996-01-01", "1997-01-01")
     y97 = year_slice("1997-01-01", "1998-01-01")
     common = intersect(y96, y97, keep_duplicates=True).withColumn("src", F.lit("common"))
     extra = difference(y96, y97, keep_duplicates=True).withColumn("src", F.lit("y96_extra"))
     dist = (
-        orders.select("o_orderstatus", "o_orderpriority")
+        orders.select(F.col("o_orderstatus").alias("k1"), F.col("o_orderpriority").alias("k2"))
         .distinct()
         .withColumn("src", F.lit("distinct"))
     )
-    return common.unionByName(extra).unionByName(dist)
+    nations = nations_set_ops(spark, sf_dir).select(
+        F.col("n_nationkey").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.concat(F.lit("nation_"), F.col("src")).alias("src"),
+    )
+    return common.unionByName(extra).unionByName(dist).unionByName(nations)
 
 
 # ---------------------------------------------------------------------------
@@ -318,8 +338,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-0
 """
 
 
-@register("tpch_q14_promo_revenue", oracle=_Q14_ORACLE, tags=("relational", "join", "agg"))
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + conditional aggregation into one scalar;
+    registered through tpch_q6_q14_scalars since round 5."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
@@ -512,10 +533,12 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
-@register("tpch_q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("relational", "scan"), bench=True)
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every predicate reaches the parquet scan (PushedFilters) and the
-    projection prunes to 4 columns — the canonical pushdown check."""
+    projection prunes to 4 columns — the canonical pushdown check.
+    Registered through tpch_q6_q14_scalars since round 5; still benched
+    standalone under its historical name (bench.py EXTRA_HEADLINES) so
+    round-over-round timings stay comparable."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
@@ -526,6 +549,30 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
     )
+
+
+_Q6_Q14_ORACLE = f"""
+SELECT 'q6_forecast_revenue' AS metric, revenue AS value FROM ({_Q6_ORACLE})
+UNION ALL
+SELECT 'q14_promo_revenue_pct' AS metric, promo_revenue_pct AS value FROM ({_Q14_ORACLE})
+"""
+
+
+@register("tpch_q6_q14_scalars", oracle=_Q6_Q14_ORACLE, tags=("relational", "scan", "join", "agg"))
+def tpch_q6_q14_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two single-scalar TPC-H-style aggregates (Q6 scan-filter-sum
+    pushdown, Q14 broadcast-join promo share) as one tagged union —
+    merged in round 5 to free registry slots for the new pipeline
+    operators while both plans keep executing under the oracle (Q6 is
+    additionally benched standalone under its historical name)."""
+    q6 = tpch_q6_forecast_revenue(spark, sf_dir).select(
+        F.lit("q6_forecast_revenue").alias("metric"), F.col("revenue").alias("value")
+    )
+    q14 = tpch_q14_promo_revenue(spark, sf_dir).select(
+        F.lit("q14_promo_revenue_pct").alias("metric"),
+        F.col("promo_revenue_pct").alias("value"),
+    )
+    return q6.unionByName(q14)
 
 
 # ---------------------------------------------------------------------------

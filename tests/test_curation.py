@@ -497,3 +497,56 @@ def test_stratified_sample_no_per_stratum_window(spark):
                 f"single-key window that is NOT the bucket histogram "
                 f"(per-stratum single task at scale): {part} {order}\n{plan}"
             )
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate_lines (C4 / RefinedWeb line-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def _boiler_docs(spark):
+    footer = "COPYRIGHT 2026 EXAMPLE CORP"
+    rows = [(i, f"unique line {i} alpha\n{footer}\nunique line {i} beta") for i in range(10)]
+    rows.append((100, footer))  # all-boilerplate document
+    rows.append((101, "rare line\nanother rare line"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_lines_removed_order_preserved(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    out = {r.id: r for r in remove_boilerplate_lines(_boiler_docs(spark), 10).collect()}
+    assert len(out) == 12
+    for i in range(10):
+        r = out[i]
+        # footer (11 occurrences >= 10) stripped; unique lines keep order
+        assert r.text_clean == f"unique line {i} alpha\nunique line {i} beta"
+        assert r.n_lines == 3 and r.n_removed == 1
+
+
+def test_boilerplate_all_boiler_doc_keeps_row_empty_text(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    out = {r.id: r for r in remove_boilerplate_lines(_boiler_docs(spark), 10).collect()}
+    assert out[100].text_clean == ""
+    assert out[100].n_lines == 1 and out[100].n_removed == 1
+    assert out[101].text_clean == "rare line\nanother rare line"
+    assert out[101].n_removed == 0
+
+
+def test_boilerplate_threshold_boundary(spark):
+    """freq == min_dup_freq is removed; freq == min_dup_freq - 1 kept."""
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [(i, "three times\ntwo times" if i < 2 else "three times\nsolo") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in remove_boilerplate_lines(docs, 3).collect()}
+    # "three times" occurs 3x -> removed everywhere; "two times" 2x -> kept
+    assert out[0].text_clean == "two times"
+    assert out[2].text_clean == "solo"

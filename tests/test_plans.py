@@ -15,7 +15,18 @@ def plan_of(spark, name: str) -> str:
 
 
 def test_q6_filters_reach_the_scan(spark):
-    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    # q6 registers through the tpch_q6_q14_scalars union since round 5;
+    # the pushdown assertions pin its standalone (benched) plan
+    from iot_sensor_data_pipeline_spark.plans.queries_relational2 import (
+        tpch_q6_forecast_revenue,
+    )
+
+    plan = (
+        tpch_q6_forecast_revenue(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "PushedFilters:" in plan
     # every predicate pushed: shipdate range, discount range, quantity
     for frag in ("l_shipdate", "l_discount", "l_quantity"):

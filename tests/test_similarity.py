@@ -405,3 +405,78 @@ def test_cosine_topk_blocked_edge_cases(spark):
         map(tuple, cosine_topk_blocked(df, df, k=10, q_blocks=4, c_blocks=8).collect())
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_embeddings(spark, n_centers=5, per_center=40, dim=16, noise=0.03):
+    import random
+
+    rnd = random.Random(11)
+    centers = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_centers)]
+    rows = []
+    for i in range(n_centers * per_center):
+        c = centers[i % n_centers]
+        rows.append((i, [x + rnd.gauss(0, noise) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_exact_groups_and_keeps_min(spark):
+    """Tight noise copies of each center form one group; the kept
+    representative is the minimum id; transitive chains collapse."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    df = _clustered_embeddings(spark)
+    out = semantic_dedup(df, threshold=0.95).collect()
+    by_id = {r.id: r for r in out}
+    assert len(by_id) == 200
+    # 5 semantic groups, representatives = ids 0..4 (min of each i%5 class)
+    clusters = {r.cluster for r in out}
+    assert clusters == {0, 1, 2, 3, 4}
+    kept = sorted(r.id for r in out if r.kept == 1)
+    assert kept == [0, 1, 2, 3, 4]
+    for r in out:
+        assert r.cluster == r.id % 5
+
+
+def test_semantic_dedup_clustered_mode_matches_exact_on_separated_data(spark):
+    """The k-means-partitioned scale mode finds the same groups as the
+    exact mode when the quantizer separates the semantic clusters —
+    the SemDeDup operating regime."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    df = _clustered_embeddings(spark)
+    exact = {(r.id, r.cluster, r.kept) for r in semantic_dedup(df, threshold=0.95).collect()}
+    approx = {
+        (r.id, r.cluster, r.kept)
+        for r in semantic_dedup(df, threshold=0.95, n_clusters=5).collect()
+    }
+    assert approx == exact
+
+
+def test_semantic_dedup_no_pairs_keeps_everything(spark):
+    from iot_sensor_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, threshold=0.9).collect()
+    assert all(r.kept == 1 and r.cluster == r.id for r in out)
+
+
+def test_semantic_dedup_max_cluster_size_guard(spark):
+    """A flooded quantizer cell is dropped from pair generation: its
+    members are all kept (recall trade), instead of a quadratic
+    self-join on the degenerate cluster."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    df = _clustered_embeddings(spark, n_centers=2, per_center=50)
+    out = semantic_dedup(
+        df, threshold=0.95, n_clusters=2, max_cluster_size=10
+    ).collect()
+    # both clusters exceed the cap -> no pairs anywhere -> all kept
+    assert all(r.kept == 1 for r in out)
