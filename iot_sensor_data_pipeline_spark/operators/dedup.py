@@ -551,6 +551,14 @@ def duplicate_clusters(
         .unionByName(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
         .distinct()
     )
+    # materialize the edge list ONCE: every propagation round joins
+    # against it, and `pairs` is typically the output of an expensive
+    # candidate pipeline (LSH bands, within-cluster cosine) — without
+    # this, that whole pipeline re-executes once per round (measured
+    # ~10x wall-clock on the semantic-dedup path). Same fail-fast
+    # trade as the per-round checkpoints below: blocks are not
+    # recoverable, executor loss fails the job loudly.
+    edges = edges.localCheckpoint(eager=True)
     labels = ids.select(F.col("id"), F.col("id").alias("cluster"))
     changed = 1
     for _ in range(max_iterations):
