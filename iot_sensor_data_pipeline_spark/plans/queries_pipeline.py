@@ -300,12 +300,22 @@ def documents_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("documents_topic_clusters", oracle=None, tags=("pipeline", "text", "ml"))
 def documents_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark ML pipeline integration: Tokenizer -> HashingTF -> IDF ->
-    KMeans topic clusters per document. Rows-only (iterative ML
-    training has no SQL equivalent); shape asserted in tests."""
+    """Spark ML pipeline integration, both trained surfaces in one
+    entry: Tokenizer -> HashingTF -> IDF -> KMeans topic clusters per
+    document, PLUS the model-based quality-classifier stage
+    (operators/quality.py — LogisticRegression over hashed TF,
+    trained on a deterministic length-derived label, scores appended
+    as quality_prob). Rows-only (iterative ML training has no SQL
+    equivalent); separation power and the importance filter are
+    pinned in tests/test_quality.py."""
     from pyspark.ml import Pipeline
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import HashingTF, IDF, Tokenizer
+
+    from iot_sensor_data_pipeline_spark.operators.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     pipeline = Pipeline(
@@ -317,7 +327,13 @@ def documents_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     model = pipeline.fit(docs)
-    return model.transform(docs).select("doc_id", "lang", F.col("topic").cast("int").alias("topic"))
+    topics = model.transform(docs).select(
+        "doc_id", "lang", F.col("topic").cast("int").alias("topic")
+    )
+    labeled = docs.withColumn("label", (F.col("n_chars") >= 150).cast("int"))
+    clf = train_quality_classifier(labeled, num_features=1 << 12)
+    scored = score_quality(clf, docs).select("doc_id", "quality_prob")
+    return topics.join(scored, "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,91 @@
+"""Model-based quality filtering (operators/quality.py): the classifier
+separates a synthetic reference corpus from synthetic crawl junk, the
+scorer is distributed and shape-preserving, and the importance filter
+is deterministic and monotone in the score."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.operators.quality import (
+    quality_importance_filter,
+    score_quality,
+    train_quality_classifier,
+)
+
+GOOD_WORDS = ["theorem", "analysis", "method", "result", "experiment", "data"]
+JUNK_WORDS = ["click", "buy", "free", "winner", "casino", "subscribe"]
+
+
+def _corpus(spark, n=300, seed=3):
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        good = i % 2 == 0
+        words = [rnd.choice(GOOD_WORDS if good else JUNK_WORDS) for _ in range(20)]
+        rows.append((i, " ".join(words), int(good)))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_classifier_separates_holdout(spark):
+    corpus = _corpus(spark)
+    train = corpus.where(F.col("doc_id") < 200)
+    holdout = corpus.where(F.col("doc_id") >= 200)
+    model = train_quality_classifier(train, num_features=1 << 12)
+    scored = score_quality(model, holdout).collect()
+    assert len(scored) == 100
+    for r in scored:
+        if r.label == 1:
+            assert r.quality_prob > 0.8, (r.doc_id, r.quality_prob)
+        else:
+            assert r.quality_prob < 0.2, (r.doc_id, r.quality_prob)
+
+
+def test_scoring_preserves_columns_and_adds_prob(spark):
+    corpus = _corpus(spark, n=50)
+    model = train_quality_classifier(corpus, num_features=1 << 10)
+    out = score_quality(model, corpus)
+    assert set(out.columns) == {"doc_id", "text", "label", "quality_prob"}
+    probs = [r.quality_prob for r in out.collect()]
+    assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_importance_filter_deterministic_and_monotone(spark):
+    corpus = _corpus(spark)
+    model = train_quality_classifier(corpus, num_features=1 << 12)
+    scored = score_quality(model, corpus)
+    kept1 = {r.doc_id for r in quality_importance_filter(scored, "doc_id").collect()}
+    kept2 = {
+        r.doc_id
+        for r in quality_importance_filter(
+            scored.repartition(7), "doc_id"
+        ).collect()
+    }
+    # deterministic: identical keep set regardless of partitioning
+    assert kept1 == kept2
+    # monotone: high-quality docs survive at a much higher rate
+    good = {r.doc_id for r in scored.where("label = 1").collect()}
+    junk = {r.doc_id for r in scored.where("label = 0").collect()}
+    good_rate = len(kept1 & good) / len(good)
+    junk_rate = len(kept1 & junk) / len(junk)
+    assert good_rate > 0.85
+    assert junk_rate < 0.15
+    # alpha=0 keeps everything: prob^0 = 1 -> bucket < 1e6 always
+    kept_all = quality_importance_filter(scored, "doc_id", alpha=0.0).count()
+    assert kept_all == corpus.count()
+
+
+def test_importance_filter_zero_shuffle_plan(spark):
+    """The keep decision is a pure scan-side filter — no Exchange."""
+    corpus = _corpus(spark, n=50)
+    model = train_quality_classifier(corpus, num_features=1 << 10)
+    scored = score_quality(model, corpus.localCheckpoint(eager=True))
+    plan = (
+        quality_importance_filter(scored, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
