@@ -219,3 +219,47 @@ def test_no_query_has_single_partition_window_or_cartesian(spark):
         if flags:
             offenders[name] = sorted(set(flags))
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime semi-join reduction: when a selectively-filtered build
+    side joins a fact table WITHOUT broadcast (the 100 TB fact-fact
+    regime), the session must allow Spark to inject a bloom filter on
+    the fact side's scan — probe rows that cannot match are dropped
+    before the shuffle. At sf0.1 the default size thresholds suppress
+    the rewrite (the fact side is tiny), so the test lowers the
+    application-side threshold to emulate at-scale relation sizes and
+    pins that nothing in the engine's session config disables the
+    rewrite itself."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        orders = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan  # built on the filtered side
+        assert "might_contain" in plan.lower()  # applied on the fact scan side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
