@@ -90,6 +90,24 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+def normalize_text(text: Column) -> Column:
+    """CCNet-style normalization for fuzzy-exact dedup: lowercase,
+    every digit mapped to 0, punctuation/symbols stripped to spaces,
+    whitespace collapsed, trimmed. Two documents differing only in
+    case, numbers, or punctuation normalize to the same string, so
+    ``md5(normalize_text(text))`` catches the near-duplicates exact
+    dedup misses WITHOUT the cost of MinHash — the standard first
+    escalation step (exact -> normalized-exact -> MinHash) in a
+    dedup pipeline. ASCII-focused (non-ASCII symbols strip like
+    punctuation); pure codegen regexps, RE2-compatible so the same
+    patterns run in the DuckDB oracle."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[0-9]", "0")
+    t = F.regexp_replace(t, r"[^a-z0\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
 def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD '03 — the MOSS algorithm): hash every character k-gram,
@@ -137,4 +155,5 @@ def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         lang_id(t).alias("lang_pred"),
         F.round(quality_score(t), 6).alias("quality"),
         fingerprint(t).alias("fingerprint"),
+        fingerprint(normalize_text(t)).alias("norm_fingerprint"),
     )

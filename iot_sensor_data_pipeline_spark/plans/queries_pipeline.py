@@ -191,7 +191,10 @@ SELECT
       * (0.5 + 0.5 * (least(en_stopwords, 10) / 10.0)),
     6
   ) AS quality,
-  md5((SELECT text FROM documents d WHERE d.doc_id = feat.doc_id)) AS fingerprint
+  md5((SELECT text FROM documents d WHERE d.doc_id = feat.doc_id)) AS fingerprint,
+  md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(
+    (SELECT text FROM documents d WHERE d.doc_id = feat.doc_id)
+  ), '[0-9]', '0', 'g'), '[^a-z0\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_fingerprint
 FROM feat
 """
 

@@ -98,3 +98,22 @@ class TestWinnowFingerprints:
         t = "abcdefgh"  # exactly w + k - 1 = 8 chars -> one window
         (fp,) = self._fps(spark, [t])
         assert len(fp) == 1
+
+
+def test_normalize_text_fuzzy_exact_equivalence(spark):
+    """Case / digit / punctuation variants normalize identically;
+    different content does not collide."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.functions.text import normalize_text
+
+    rows = [
+        (1, "Hello, World! Call 555-1234."),
+        (2, "hello world call 999 0000"),
+        (3, "HELLO   world?? call 000:0000!!"),
+        (4, "goodbye world call 555 1234"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.n for r in df.select("id", normalize_text(F.col("text")).alias("n")).collect()}
+    assert got[1] == got[2] == got[3] == "hello world call 000 0000"
+    assert got[4] != got[1]
