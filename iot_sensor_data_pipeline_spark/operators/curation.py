@@ -534,9 +534,13 @@ def remove_boilerplate_lines(
     Order-preservation does NOT rely on collect_list input order —
     only on the explicit pos sort.
     """
+    # \Q...\E: F.split's separator is a REGEX — quote it so callers can
+    # pass regex metacharacters ('.', '|') as literal separators, and
+    # the split pattern always mirrors the literal array_join below
+    sep_pattern = "\\Q" + sep + "\\E"
     base = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("pos", "line"),
     ).withColumn("key", F.xxhash64("line"))
     freq = base.groupBy("key").agg(F.count(F.lit(1)).alias("__f"))
     boiler = freq.where(F.col("__f") >= min_dup_freq).select("key")
@@ -553,7 +557,7 @@ def remove_boilerplate_lines(
     )
     totals = docs.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), F.lit(sep))).alias("n_lines"),
+        F.size(F.split(F.col(text_col), sep_pattern)).alias("n_lines"),
     )
     return totals.join(reassembled, "id", "left").select(
         "id",

@@ -118,3 +118,56 @@ def asof_join(
         *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on and c != left_ts],
         *[F.col(f"__rvals.{c}").alias(c) for c in right_vals],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Scale-safe interval join: pairs every left row with the right
+    rows whose half-open interval ``[lo, hi)`` contains its point
+    value. Spark plans a bare non-equi join as a broadcast-nested-loop
+    or cartesian product — O(|L| x |R|) and a cluster-killer at any
+    real size. This operator makes it an EQUI-join by binning:
+
+    - each left row gets ONE bucket, ``floor(point / width)``;
+    - each right interval explodes to the buckets it covers
+      (``sequence(floor(lo/w), floor(hi/w))``);
+    - equi-join on the bucket (plus ``extra_on`` keys), then the exact
+      residual predicate ``lo <= point < hi``.
+
+    Every matching pair survives exactly once (the left row's single
+    bucket is covered by the right interval at most once), so no
+    distinct pass is needed. Shuffle volume is |L| + |R| x (mean
+    interval span / width): pick ``bucket_width`` near the MEDIAN
+    interval length — too small multiplies right rows, too large packs
+    unrelated rows into one bucket and pushes work into the residual
+    filter. A long-tail interval (>> width) multiplies accordingly;
+    split pathological spans into a separate branch if the tail is
+    heavy. Columns are numeric; join on timestamps by passing epoch
+    expressions (``F.unix_timestamp``) in a prior select.
+    """
+    w = float(bucket_width)
+    lb = left.withColumn("__bucket", F.floor(F.col(left_point) / w))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / w), F.floor(F.col(right_hi) / w)
+            )
+        ),
+    )
+    on = ["__bucket", *extra_on]
+    return (
+        lb.join(rb, on)
+        .where(
+            (F.col(right_lo) <= F.col(left_point))
+            & (F.col(left_point) < F.col(right_hi))
+        )
+        .drop("__bucket")
+    )

@@ -550,3 +550,18 @@ def test_boilerplate_threshold_boundary(spark):
     # "three times" occurs 3x -> removed everywhere; "two times" 2x -> kept
     assert out[0].text_clean == "two times"
     assert out[2].text_clean == "solo"
+
+
+def test_boilerplate_separator_is_literal_not_regex(spark):
+    """A '.' separator must split on literal dots, not every char."""
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "keep me.SPAM"), (2, "also kept.SPAM"), (3, "third doc.SPAM")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in remove_boilerplate_lines(docs, 3, sep=".").collect()}
+    assert out[1].text_clean == "keep me"
+    assert out[1].n_lines == 2 and out[1].n_removed == 1
