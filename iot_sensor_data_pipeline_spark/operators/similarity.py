@@ -805,3 +805,54 @@ def semantic_dedup(
         "cluster",
         (F.col("id") == F.col("cluster")).cast("int").alias("kept"),
     )
+
+
+def semdedup_incremental(
+    batch: DataFrame,
+    postings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_score: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental SemDeDup step: compare a NEW batch of embeddings
+    against an already-indexed corpus (and against itself) without
+    ever re-scoring corpus-vs-corpus. Returns ``(pairs, delta)``:
+
+    - ``pairs`` — (i, j, score): i is always a batch id; j is an
+      indexed id (new-vs-corpus) or a larger batch id (new-vs-new,
+      i < j). Score is within-cluster cosine >= ``threshold``.
+    - ``delta`` — (cid, nid, cv): the batch's posting-list rows,
+      for the caller to append to the index (same layout as
+      :func:`ivf_build` / :func:`ivf_assign`).
+
+    The quantizer (``centroids``) is fixed: batches assign with
+    :func:`ivf_assign`, so the corpus is never re-clustered and the
+    per-batch cost is |batch| x (posting lists of the touched
+    clusters) — independent of total corpus size in all other
+    clusters. Replay-safe by construction: the corpus side drops the
+    batch's own ids first, so a micro-batch whose delta was already
+    appended (at-least-once foreachBatch) emits exactly its original
+    pairs instead of matching itself in the index.
+    """
+    delta = ivf_assign(batch, centroids, corpus_id=id_col, vec_col=vec_col)
+    batch_ids = delta.select(F.col("nid").alias("__bid"))
+    corpus = postings.join(
+        batch_ids, postings.nid == batch_ids.__bid, "left_anti"
+    )
+    b_i = delta.select("cid", F.col("nid").alias("i"), F.col("cv").alias("va"))
+    c_j = corpus.select("cid", F.col("nid").alias("j"), F.col("cv").alias("vb"))
+    b_j = delta.select("cid", F.col("nid").alias("j"), F.col("cv").alias("vb"))
+    vs_corpus = b_i.join(c_j, "cid")
+    vs_batch = b_i.join(b_j, "cid").where(F.col("i") < F.col("j"))
+    pairs = (
+        vs_corpus.unionByName(vs_batch)
+        .select(
+            "i",
+            "j",
+            F.round(cosine(F.col("va"), F.col("vb")), round_score).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+    return pairs, delta

@@ -662,3 +662,105 @@ def dedup_within_watermark(
     at reference gestionnaire_mail.py:19). State is dropped once the
     watermark passes, so memory is bounded at any scale."""
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def start_incremental_semdedup(
+    vectors: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    pairs_sink: BatchSink,
+    n_centroids: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: str | None = None,
+    available_now: bool = False,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Streaming SEMANTIC-dedup sibling of :func:`start_incremental_dedup`
+    / :func:`start_incremental_neardup`, for embedding streams: each
+    micro-batch is assigned to a FIXED k-means quantizer and compared
+    (cosine) only against the posting lists of the clusters it
+    touches — new-vs-corpus and new-vs-new — the detected (i, j,
+    score) pairs go to ``pairs_sink``, and the batch's posting rows
+    append to the index. The corpus is never re-embedded, re-clustered
+    or re-scored; per-batch cost tracks batch size x touched-cluster
+    posting lists, not corpus size.
+
+    Index layout under ``index_dir``: ``postings/`` (cid, nid, cv)
+    parquet appends, plus ``centroids/`` — the driver-small quantizer
+    (cid, vec), written ONCE by the first batch (trained on that
+    batch via operators.similarity.ivf_build) and read back by every
+    later batch, so a restarted query keeps the exact assignment
+    geometry. ``postings/`` is written before ``centroids/``: a crash
+    between the two leaves postings without a quantizer, which the
+    next batch detects and FAILS loud on (treating it as a first
+    batch would re-train a different quantizer over a forgotten
+    corpus). Replay safety mirrors the near-dup job: the corpus probe
+    excludes the batch's own ids (semdedup_incremental), and the
+    postings read drops duplicate nid rows from replayed appends.
+
+    Retraining policy is the caller's (standard IVF practice): when
+    drift skews posting-list sizes, rebuild offline with
+    :func:`~iot_sensor_data_pipeline_spark.operators.similarity.ivf_build`
+    and swap ``index_dir``.
+    """
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        ivf_build,
+        semdedup_incremental,
+    )
+
+    postings_dir = f"{index_dir}/postings"
+    centroids_dir = f"{index_dir}/centroids"
+    sink_wants_epoch = _wants_epoch(pairs_sink)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if _hadoop_path_exists(spark, centroids_dir):
+            rows = spark.read.parquet(centroids_dir).collect()  # driver-small
+            centroids = [list(r.vec) for r in sorted(rows, key=lambda r: r.cid)]
+            postings = spark.read.parquet(postings_dir).dropDuplicates(["nid"])
+            pairs, delta = semdedup_incremental(
+                batch_df, postings, centroids, threshold, id_col, vec_col
+            )
+            first_batch = False
+        elif _hadoop_path_exists(spark, postings_dir):
+            raise RuntimeError(
+                f"semantic-dedup index {index_dir} has postings but no "
+                "centroids — a first batch crashed between the two "
+                "writes; remove the orphaned postings before resuming"
+            )
+        else:
+            delta, centroid_list = ivf_build(
+                batch_df, n_centroids=n_centroids, corpus_id=id_col, vec_col=vec_col
+            )
+            pairs, delta = semdedup_incremental(
+                batch_df, delta.limit(0), centroid_list, threshold, id_col, vec_col
+            )
+            first_batch = True
+        delta = delta.localCheckpoint(eager=True)  # one assignment pass
+        if sink_wants_epoch:
+            pairs_sink(pairs, epoch_id)
+        else:
+            pairs_sink(pairs)
+        delta.write.mode("append").parquet(postings_dir)
+        if first_batch:
+            cent_rows = [(i, list(map(float, c))) for i, c in enumerate(centroid_list)]
+            spark.createDataFrame(
+                cent_rows, "cid int, vec array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(centroids_dir)
+
+    writer = (
+        vectors.writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()

@@ -480,3 +480,28 @@ def test_semantic_dedup_max_cluster_size_guard(spark):
     ).collect()
     # both clusters exceed the cap -> no pairs anywhere -> all kept
     assert all(r.kept == 1 for r in out)
+
+
+def test_semdedup_incremental_replay_safe(spark):
+    """A batch whose delta was ALREADY appended (at-least-once replay)
+    must emit exactly its original pairs — never match itself in the
+    index."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        ivf_build,
+        semdedup_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    postings, centroids = ivf_build(corpus, n_centroids=2)
+    batch = spark.createDataFrame(
+        [(10, [0.999, 0.01])], "vec_id long, embedding array<double>"
+    )
+    pairs1, delta = semdedup_incremental(batch, postings, centroids, 0.9)
+    want = {(r.i, r.j) for r in pairs1.collect()}
+    assert want == {(10, 1)}
+    # replay: the index already contains the batch's own posting rows
+    replayed_index = postings.unionByName(delta)
+    pairs2, _ = semdedup_incremental(batch, replayed_index, centroids, 0.9)
+    assert {(r.i, r.j) for r in pairs2.collect()} == want

@@ -607,3 +607,109 @@ def test_compact_neardup_index_folds_replay_duplicates(spark, tmp_path):
     )
     got = [(r.i, r.j) for r in pairs.collect()]
     assert got == [(9, 1)]
+
+
+def test_incremental_semdedup_stream_probes_posting_index(spark, tmp_path):
+    """Streaming SEMANTIC dedup: batch 1 trains the quantizer and
+    indexes its embeddings; batch 2 (a fresh query — restart) detects
+    near-copies of indexed vectors AND within its own batch, emitting
+    (i, j, score) pairs; orthogonal vectors emit nothing. The index
+    (postings + driver-small centroids) carries the memory."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        start_incremental_semdedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "pairs"
+    idx_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"vec_id": i, "embedding": v}) for i, v in rows
+            )
+        )
+
+    def sink(df):
+        df.write.mode("append").parquet(str(out_dir))
+
+    def drain():
+        vecs = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).json(str(src))
+        q = start_incremental_semdedup(
+            vecs, idx_dir, ckpt, sink,
+            n_centroids=2, threshold=0.9, available_now=True,
+        )
+        q.awaitTermination(120)
+
+    write_batch(
+        "b1.json",
+        [(1, [1.0, 0, 0, 0]), (2, [0, 1.0, 0, 0]), (3, [0, 0, 1.0, 0])],
+    )
+    drain()
+    # orthogonal batch: no pairs, but the sink was called (empty append ok)
+    got1 = (
+        {(r.i, r.j) for r in spark.read.parquet(str(out_dir)).collect()}
+        if out_dir.exists()
+        else set()
+    )
+    assert got1 == set()
+
+    write_batch(
+        "b2.json",
+        [
+            (4, [0.999, 0.01, 0, 0]),   # near-copy of indexed 1
+            (5, [0, 0, 0, 1.0]),        # fresh direction: no pair
+            (6, [0, 0, 0.999, 0.02]),   # near-copy of indexed 3 ...
+            (7, [0, 0, 0.998, 0.03]),   # ... and of 6 (within-batch)
+        ],
+    )
+    drain()
+    got2 = {(r.i, r.j) for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got2 == {(4, 1), (6, 3), (7, 3), (6, 7)}
+    for r in spark.read.parquet(str(out_dir)).collect():
+        assert r.score >= 0.9
+
+    postings = spark.read.parquet(f"{idx_dir}/postings")
+    assert sorted(postings.columns) == ["cid", "cv", "nid"]
+    assert postings.select("nid").distinct().count() == 7
+    cents = spark.read.parquet(f"{idx_dir}/centroids")
+    assert cents.count() == 2  # written once by the first batch
+
+
+def test_incremental_semdedup_fails_loud_on_orphaned_postings(spark, tmp_path):
+    """Postings without centroids = a first batch crashed mid-write;
+    the next batch must fail, never silently retrain a new quantizer
+    over a forgotten corpus."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        start_incremental_semdedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx_dir = str(tmp_path / "index")
+    (src / "b1.json").write_text(
+        _json.dumps({"vec_id": 1, "embedding": [1.0, 0.0]})
+    )
+    # orphaned postings, no centroids dir
+    spark.createDataFrame(
+        [(0, 1, [1.0, 0.0])], "cid int, nid long, cv array<double>"
+    ).write.parquet(f"{idx_dir}/postings")
+
+    vecs = spark.readStream.schema("vec_id long, embedding array<double>").json(str(src))
+    q = start_incremental_semdedup(
+        vecs, idx_dir, str(tmp_path / "ckpt"), lambda df: None,
+        n_centroids=1, available_now=True,
+    )
+    with _pytest.raises(Exception, match="postings but no"):
+        q.awaitTermination(120)
+        raise RuntimeError("query should have failed")
