@@ -514,10 +514,12 @@ def remove_boilerplate_lines(
 ) -> DataFrame:
     """Corpus-wide line-level deduplication (the C4 / RefinedWeb
     boilerplate filter): any line whose EXACT text occurs in at least
-    ``min_dup_freq`` documents' worth of lines across the whole corpus
-    (cookie banners, nav menus, license footers) is removed from every
-    document; the remaining lines are reassembled in their original
-    order. Returns one row per input document:
+    ``min_dup_freq`` DISTINCT documents (cookie banners, nav menus,
+    license footers) is removed from every document; the remaining
+    lines are reassembled in their original order. Document frequency,
+    not occurrence count — a refrain repeated many times inside ONE
+    document is that document's content, not corpus boilerplate, and
+    stays. Returns one row per input document:
     ``(id, text_clean, n_lines, n_removed)`` — a document that was all
     boilerplate keeps its row with an empty ``text_clean``.
 
@@ -542,7 +544,7 @@ def remove_boilerplate_lines(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("pos", "line"),
     ).withColumn("key", F.xxhash64("line"))
-    freq = base.groupBy("key").agg(F.count(F.lit(1)).alias("__f"))
+    freq = base.groupBy("key").agg(F.count_distinct(F.col("id")).alias("__f"))
     boiler = freq.where(F.col("__f") >= min_dup_freq).select("key")
     kept = base.join(boiler, "key", "left_anti")
     reassembled = kept.groupBy("id").agg(

@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -151,8 +152,25 @@ def range_join(
     split pathological spans into a separate branch if the tail is
     heavy. Columns are numeric; join on timestamps by passing epoch
     expressions (``F.unix_timestamp``) in a prior select.
+
+    Column names must be disjoint apart from ``extra_on`` (both
+    sides' columns pass through unprefixed); overlapping names raise
+    here at plan-build time instead of surfacing as an
+    AMBIGUOUS_REFERENCE from the residual predicate.
     """
     w = float(bucket_width)
+    if not (w > 0.0) or math.isinf(w):
+        # w=0 would floor every value into one bucket (Infinity /
+        # Long.MaxValue) — the single-partition quadratic join this
+        # operator exists to prevent, with CORRECT output masking it
+        raise ValueError(f"range_join: bucket_width must be a positive finite number, got {bucket_width}")
+    overlap = (set(left.columns) & set(right.columns)) - set(extra_on)
+    if overlap:
+        raise ValueError(
+            "range_join: left and right share non-key columns "
+            f"{sorted(overlap)} — rename or drop them (output columns "
+            "pass through unprefixed), or list join keys in extra_on"
+        )
     lb = left.withColumn("__bucket", F.floor(F.col(left_point) / w))
     rb = right.withColumn(
         "__bucket",

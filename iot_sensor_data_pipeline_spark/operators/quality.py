@@ -95,7 +95,17 @@ def quality_importance_filter(
     scan-side filter (zero shuffle, no RNG state) and a kept document
     stays kept across reruns and corpus growth, which keeps
     incremental refreshes append-only (same argument as
-    ``weighted_mix``)."""
+    ``weighted_mix``).
+
+    ``alpha=0`` returns the input unchanged — including rows with a
+    NULL score or id. For ``alpha > 0`` the predicate is
+    NULL-propagating (the engine's deliberate convention, see
+    ``md5_mix_bucket_expr``): an unscored document (NULL ``prob_col``,
+    e.g. from a left join of fresh docs against an older score table)
+    or a NULL id fails the comparison and is dropped — score before
+    filtering, or coalesce a default probability first."""
+    if alpha == 0.0:
+        return scored
     return scored.where(
         md5_bucket_expr(id_col)
         < (F.pow(F.col(prob_col), F.lit(float(alpha))) * F.lit(1_000_000)).cast("long")

@@ -815,6 +815,7 @@ def semdedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_score: int = 6,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental SemDeDup step: compare a NEW batch of embeddings
     against an already-indexed corpus (and against itself) without
@@ -834,9 +835,23 @@ def semdedup_incremental(
     clusters. Replay-safe by construction: the corpus side drops the
     batch's own ids first, so a micro-batch whose delta was already
     appended (at-least-once foreachBatch) emits exactly its original
-    pairs instead of matching itself in the index.
+    pairs instead of matching itself in the index; pairs are
+    ``distinct()`` (an output-sized relation), so duplicate posting
+    rows left by replayed appends of OTHER batches cannot multiply
+    output either — the index itself is never re-shuffled per batch
+    (fold its duplicates offline with the streaming module's
+    ``compact_semdedup_index``).
+
+    ``materialize=True`` eagerly localCheckpoints the assignment so
+    the returned ``pairs`` (which reference it three times:
+    batch-vs-corpus, both sides of batch-vs-batch) and the ``delta``
+    append all read ONE computed pass — without it, each consumer
+    re-runs the centroid assignment (4 passes per micro-batch; with
+    >32 centroids that is 4 Arrow GEMM scans of the batch).
     """
     delta = ivf_assign(batch, centroids, corpus_id=id_col, vec_col=vec_col)
+    if materialize:
+        delta = delta.localCheckpoint(eager=True)
     batch_ids = delta.select(F.col("nid").alias("__bid"))
     corpus = postings.join(
         batch_ids, postings.nid == batch_ids.__bid, "left_anti"
@@ -854,5 +869,6 @@ def semdedup_incremental(
             F.round(cosine(F.col("va"), F.col("vb")), round_score).alias("score"),
         )
         .where(F.col("score") >= threshold)
+        .distinct()
     )
     return pairs, delta

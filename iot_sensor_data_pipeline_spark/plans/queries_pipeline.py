@@ -927,7 +927,7 @@ WITH base AS (
   UNION ALL
   SELECT doc_id, 1000000 AS pos, footer AS line FROM base
 ), freq AS (
-  SELECT line, count(*) AS f FROM lns GROUP BY line
+  SELECT line, count(DISTINCT doc_id) AS f FROM lns GROUP BY line
 ), kept AS (
   SELECT l.doc_id, l.pos, l.line FROM lns l JOIN freq f USING (line) WHERE f.f < 10
 )

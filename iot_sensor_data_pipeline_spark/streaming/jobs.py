@@ -563,12 +563,6 @@ def compact_neardup_index(spark, index_dir: str) -> tuple[int, int]:
     by (band_idx, band_hash) into a table catalog so probes join in
     place; the path form here keeps the demo catalog-free.
     """
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
-    def hpath(p):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
     out = []
     tables = [
         ("bands", ["id", "band_idx", "band_hash"]),
@@ -579,24 +573,37 @@ def compact_neardup_index(spark, index_dir: str) -> tuple[int, int]:
         # folded the same way, not part of the (bands, sigs) return
         tables.append(("shingles", ["id", "shingle"]))
     for sub, keys in tables:
-        path = f"{index_dir}/{sub}"
-        tmp = f"{index_dir}/.{sub}_compacting"
-        old = f"{index_dir}/.{sub}_old"
-        fs = hpath(path).getFileSystem(hconf)
-        df = spark.read.parquet(path).dropDuplicates(keys)
-        fs.delete(hpath(tmp), True)  # stale temp from a prior crash
-        df.write.mode("overwrite").parquet(tmp)
-        n = spark.read.parquet(tmp).count()
-        fs.delete(hpath(old), True)
-        if not fs.rename(hpath(path), hpath(old)):
-            raise IOError(f"compaction: cannot move {path} aside")
-        if not fs.rename(hpath(tmp), hpath(path)):
-            # roll back so the live path is never left empty
-            fs.rename(hpath(old), hpath(path))
-            raise IOError(f"compaction: cannot move {tmp} into place")
-        fs.delete(hpath(old), True)
-        out.append(n)
+        out.append(_compact_parquet_dir(spark, f"{index_dir}/{sub}", f"{index_dir}/.{sub}", keys))
     return out[0], out[1]
+
+
+def _compact_parquet_dir(spark, path: str, hidden_prefix: str, keys) -> int:
+    """One table's crash-safe rename-aside compaction (see
+    :func:`compact_neardup_index` for the safety argument): dedup on
+    ``keys``, write to ``{hidden_prefix}_compacting``, swap into
+    place. Returns the compacted row count."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def hpath(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    tmp = f"{hidden_prefix}_compacting"
+    old = f"{hidden_prefix}_old"
+    fs = hpath(path).getFileSystem(hconf)
+    df = spark.read.parquet(path).dropDuplicates(list(keys))
+    fs.delete(hpath(tmp), True)  # stale temp from a prior crash
+    df.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    fs.delete(hpath(old), True)
+    if not fs.rename(hpath(path), hpath(old)):
+        raise IOError(f"compaction: cannot move {path} aside")
+    if not fs.rename(hpath(tmp), hpath(path)):
+        # roll back so the live path is never left empty
+        fs.rename(hpath(old), hpath(path))
+        raise IOError(f"compaction: cannot move {tmp} into place")
+    fs.delete(hpath(old), True)
+    return n
 
 
 def compact_neardup_index_bucketed(
@@ -697,8 +704,12 @@ def start_incremental_semdedup(
     next batch detects and FAILS loud on (treating it as a first
     batch would re-train a different quantizer over a forgotten
     corpus). Replay safety mirrors the near-dup job: the corpus probe
-    excludes the batch's own ids (semdedup_incremental), and the
-    postings read drops duplicate nid rows from replayed appends.
+    excludes the batch's own ids (semdedup_incremental), and replayed
+    appends' duplicate posting rows cannot multiply output
+    (semdedup_incremental distinct-s its pairs — the output-sized
+    relation — rather than re-shuffling the whole index per batch);
+    fold the accumulated duplicates and small append files offline
+    with :func:`compact_semdedup_index`.
 
     Retraining policy is the caller's (standard IVF practice): when
     drift skews posting-list sizes, rebuild offline with
@@ -721,9 +732,10 @@ def start_incremental_semdedup(
         if _hadoop_path_exists(spark, centroids_dir):
             rows = spark.read.parquet(centroids_dir).collect()  # driver-small
             centroids = [list(r.vec) for r in sorted(rows, key=lambda r: r.cid)]
-            postings = spark.read.parquet(postings_dir).dropDuplicates(["nid"])
+            postings = spark.read.parquet(postings_dir)
             pairs, delta = semdedup_incremental(
-                batch_df, postings, centroids, threshold, id_col, vec_col
+                batch_df, postings, centroids, threshold, id_col, vec_col,
+                materialize=True,
             )
             first_batch = False
         elif _hadoop_path_exists(spark, postings_dir):
@@ -733,14 +745,14 @@ def start_incremental_semdedup(
                 "writes; remove the orphaned postings before resuming"
             )
         else:
-            delta, centroid_list = ivf_build(
+            schema_only, centroid_list = ivf_build(
                 batch_df, n_centroids=n_centroids, corpus_id=id_col, vec_col=vec_col
             )
             pairs, delta = semdedup_incremental(
-                batch_df, delta.limit(0), centroid_list, threshold, id_col, vec_col
+                batch_df, schema_only.limit(0), centroid_list, threshold,
+                id_col, vec_col, materialize=True,
             )
             first_batch = True
-        delta = delta.localCheckpoint(eager=True)  # one assignment pass
         if sink_wants_epoch:
             pairs_sink(pairs, epoch_id)
         else:
@@ -764,3 +776,15 @@ def start_incremental_semdedup(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()
+
+
+def compact_semdedup_index(spark, index_dir: str) -> int:
+    """Fold the semantic-dedup posting index's per-epoch append files
+    and crash-replay duplicate rows into one clean snapshot (one row
+    per nid) — run offline between streaming runs, same crash-safe
+    rename-aside swap as :func:`compact_neardup_index`. The centroids
+    dir is written once and never appended, so only postings compact.
+    Returns the compacted posting-row count."""
+    return _compact_parquet_dir(
+        spark, f"{index_dir}/postings", f"{index_dir}/.postings", ["nid"]
+    )

@@ -565,3 +565,21 @@ def test_boilerplate_separator_is_literal_not_regex(spark):
     out = {r.id: r for r in remove_boilerplate_lines(docs, 3, sep=".").collect()}
     assert out[1].text_clean == "keep me"
     assert out[1].n_lines == 2 and out[1].n_removed == 1
+
+
+def test_boilerplate_uses_document_frequency_not_occurrences(spark):
+    """A refrain repeated inside ONE document is content, not corpus
+    boilerplate — only lines shared by >= min_dup_freq DISTINCT
+    documents are stripped (C4/RefinedWeb semantics)."""
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    refrain = "\n".join(["la la la"] * 5)
+    docs = spark.createDataFrame(
+        [(1, refrain), (2, "normal text"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in remove_boilerplate_lines(docs, 3).collect()}
+    assert out[1].text_clean == refrain  # 5 occurrences, 1 document: kept
+    assert out[1].n_removed == 0

@@ -202,3 +202,19 @@ def test_range_join_extra_keys(spark):
         for r in range_join(points, intervals, "x", "lo", "hi", 5.0, extra_on=["grp"]).collect()
     }
     assert got == {(1, 7), (2, 8)}
+
+
+def test_range_join_rejects_bad_width_and_ambiguous_columns(spark):
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.operators.joins import range_join
+
+    points = spark.createDataFrame([(1, 5.0)], "pid long, x double")
+    intervals = spark.createDataFrame([(2, 0.0, 10.0)], "iid long, lo double, hi double")
+    with _pytest.raises(ValueError, match="bucket_width"):
+        range_join(points, intervals, "x", "lo", "hi", 0.0)
+    with _pytest.raises(ValueError, match="bucket_width"):
+        range_join(points, intervals, "x", "lo", "hi", float("inf"))
+    clash = intervals.withColumnRenamed("iid", "pid")  # shares 'pid'
+    with _pytest.raises(ValueError, match="share non-key"):
+        range_join(points, clash, "x", "lo", "hi", 5.0)

@@ -89,3 +89,17 @@ def test_importance_filter_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_importance_filter_alpha_zero_keeps_null_scores(spark):
+    """alpha=0 must keep EVERYTHING, including unscored (NULL) rows;
+    alpha>0 drops NULL scores by the engine's NULL-propagation
+    convention."""
+    from pyspark.sql import functions as F
+
+    scored = spark.createDataFrame(
+        [(1, 0.9), (2, None), (3, 0.1)], "doc_id long, quality_prob double"
+    )
+    assert quality_importance_filter(scored, "doc_id", alpha=0.0).count() == 3
+    kept = quality_importance_filter(scored, "doc_id", alpha=1.0)
+    assert kept.where(F.col("quality_prob").isNull()).count() == 0

@@ -713,3 +713,20 @@ def test_incremental_semdedup_fails_loud_on_orphaned_postings(spark, tmp_path):
     with _pytest.raises(Exception, match="postings but no"):
         q.awaitTermination(120)
         raise RuntimeError("query should have failed")
+
+
+def test_compact_semdedup_index_folds_duplicates(spark, tmp_path):
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        compact_semdedup_index,
+    )
+
+    idx_dir = str(tmp_path / "index")
+    rows = [(0, 1, [1.0, 0.0]), (0, 2, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "cid int, nid long, cv array<double>")
+    df.write.mode("append").parquet(f"{idx_dir}/postings")
+    df.write.mode("append").parquet(f"{idx_dir}/postings")  # replay dup
+    n = compact_semdedup_index(spark, idx_dir)
+    assert n == 2
+    compacted = spark.read.parquet(f"{idx_dir}/postings")
+    assert compacted.count() == 2
+    assert compacted.select("nid").distinct().count() == 2
