@@ -567,3 +567,57 @@ def remove_boilerplate_lines(
         "n_lines",
         (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token-window chunks with
+    optional overlap — the context-window preparation step of a
+    training / retrieval pipeline (documents rarely fit a model's
+    window; training packs fixed-length sequences, retrieval indexes
+    overlapping chunks so answers spanning a boundary stay findable).
+
+    Whitespace tokens; chunk i covers tokens
+    ``[i * stride, i * stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap_tokens``. The final chunk may be
+    short; a document shorter than one chunk yields exactly one chunk.
+    Returns ``(id, chunk_idx, chunk_text, n_tokens)``.
+
+    Pure codegen (split -> sequence -> transform -> posexplode): the
+    chunk table is produced in one shuffle-free scan, embarrassingly
+    parallel at any corpus size — chunking never needs a UDF. Row
+    growth is ~1/(1 - overlap/chunk) x the token volume; cap overlap
+    well below chunk_tokens (enforced here) so the blowup is bounded.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_documents: chunk_tokens must be positive, got {chunk_tokens}")
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError(
+            "chunk_documents: overlap_tokens must satisfy "
+            f"0 <= overlap < chunk_tokens, got {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    # number of chunks: ceil(max(n - overlap, 1) / stride), >= 1
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap_tokens)) / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
+    ).select(
+        "id",
+        "chunk_idx",
+        F.array_join(F.col("chunk_toks"), " ").alias("chunk_text"),
+        F.size(F.col("chunk_toks")).alias("n_tokens"),
+    )

@@ -583,3 +583,94 @@ def test_boilerplate_uses_document_frequency_not_occurrences(spark):
     out = {r.id: r for r in remove_boilerplate_lines(docs, 3).collect()}
     assert out[1].text_clean == refrain  # 5 occurrences, 1 document: kept
     assert out[1].n_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_covers_all_tokens_no_overlap(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=4).collect(), key=lambda r: r.chunk_idx
+    )
+    assert [r.chunk_text for r in rows] == [
+        "w0 w1 w2 w3", "w4 w5 w6 w7", "w8 w9",
+    ]
+    assert [r.n_tokens for r in rows] == [4, 4, 2]
+
+
+def test_chunk_documents_overlap_and_short_doc(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "only two")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, chunk_tokens=3, overlap_tokens=1).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.id, r.chunk_idx)):
+        by_doc.setdefault(r.id, []).append(r.chunk_text)
+    # stride 2: [a b c], [c d e] — boundary token c appears in both
+    assert by_doc[1] == ["a b c", "c d e"]
+    # shorter than one chunk: exactly one chunk
+    assert by_doc[2] == ["only two"]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, 0)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, 4, overlap_tokens=4)
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(docs, 2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # chunking never needs a UDF
+
+
+def test_chunker_udtf_matches_native_operator(spark):
+    """Python UDTF surface (Spark 4 arrow-optimized table function):
+    a UDTF chunker cross-checked against the native codegen operator —
+    pins the UDTF API end to end (lateral join, multi-row yield) while
+    documenting that the native path is the production one."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.curation import chunk_documents
+
+    @F.udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class Chunker:
+        def eval(self, text: str, chunk_tokens: int):
+            toks = [t for t in (text or "").split() if t]
+            if not toks:
+                toks = []
+            chunks = [toks[i : i + chunk_tokens] for i in range(0, max(len(toks), 1), chunk_tokens)]
+            for idx, ch in enumerate(chunks):
+                yield idx, " ".join(ch), len(ch)
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(7))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    spark.udtf.register("chunker", Chunker)
+    docs.createOrReplaceTempView("chunk_in")
+    got = spark.sql(
+        "SELECT doc_id AS id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM chunk_in, LATERAL chunker(text, 3) c"
+    )
+    want = chunk_documents(docs, chunk_tokens=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
