@@ -425,3 +425,39 @@ def test_duplicate_clusters_star_ignores_unknown_ids(spark):
     want = {r.id: r.cluster for r in duplicate_clusters(ids, pairs).collect()}
     got = {r.id: r.cluster for r in duplicate_clusters_star(ids, pairs).collect()}
     assert got == want == {1: 1, 2: 2}
+
+
+def test_recursive_cte_surface_and_its_limit(spark):
+    """Spark 4.1 runs WITH RECURSIVE (acyclic/bounded recursion —
+    pinned here on a series expansion), but only UNION ALL is allowed
+    in the recursive member, so the CYCLIC transitive closure that
+    duplicate clustering needs (symmetric edge sets) cannot terminate
+    as a recursive CTE — the DuckDB oracle's UNION-based reachability
+    raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE. Recorded so future
+    rounds keep the iterative operators (duplicate_clusters /
+    duplicate_clusters_star) as the clustering path instead of
+    retrying the SQL formulation."""
+    import pytest as _pytest
+
+    got = spark.sql(
+        """
+WITH RECURSIVE r(n) AS (
+  SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 10
+)
+SELECT sum(n) AS s FROM r"""
+    ).collect()
+    assert got[0].s == 55
+
+    spark.createDataFrame([(1, 2), (2, 1)], "a long, b long").createOrReplaceTempView(
+        "__rc_edges"
+    )
+    with _pytest.raises(Exception, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            """
+WITH RECURSIVE reach(id, r) AS (
+  SELECT a, a FROM __rc_edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN __rc_edges e ON e.a = reach.id
+)
+SELECT count(*) FROM reach"""
+        ).collect()
