@@ -1,0 +1,90 @@
+"""Time-series subsequence similarity search — find where a query
+pattern occurs in a fleet's value streams (UCR-suite-style z-normalized
+euclidean matching, the standard primitive behind "which sensors showed
+this spike shape, and when").
+
+Spark-first shape: subsequences are sliding windows materialized with
+``collect_list`` over a rows-frame window (one shuffle on the series
+key, frame order fixed by a unique (ts, id) ordering), the query
+pattern is z-normalized ONCE driver-side and embedded as an array
+literal, and the distance is a codegen ``zip_with``/``aggregate`` fold
+— no UDF, no driver collect. Top-k goes through orderBy+limit, which
+Spark executes as TakeOrderedAndProject (per-partition heaps, never a
+global sort).
+
+Z-normalization makes the match amplitude- and offset-invariant (a
+spike is a spike whether it rides on 20C or 30C); windows with zero
+variance (flat lines) cannot be z-normalized and are excluded, which
+also keeps the oracle semantics engine-exact (no 0/0).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def znorm_pattern_topk(
+    series: DataFrame,
+    pattern: list[float],
+    k: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    round_dist: int = 6,
+) -> DataFrame:
+    """Top-``k`` closest length-``len(pattern)`` subsequences to
+    ``pattern`` across every series, by z-normalized euclidean
+    distance. Returns ``(key, ts, dist)`` where ``ts`` is the
+    subsequence's LAST point, ordered by (dist, key, ts) — ties
+    deterministic. ``id_col`` breaks ordering ties inside a series so
+    the window frames (and therefore results) are reproducible.
+    """
+    m = len(pattern)
+    if m < 2:
+        raise ValueError(f"znorm_pattern_topk: pattern needs >= 2 points, got {m}")
+    mean_q = sum(pattern) / m
+    var_q = sum((x - mean_q) ** 2 for x in pattern) / m
+    if var_q <= 0:
+        raise ValueError("znorm_pattern_topk: constant pattern cannot be z-normalized")
+    std_q = math.sqrt(var_q)
+    q_norm = F.array(*[F.lit((x - mean_q) / std_q) for x in pattern])
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-(m - 1), 0)
+    )
+    seqs = series.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.collect_list(F.col(value_col).cast("double")).over(w).alias("seq"),
+    ).where(F.size("seq") == m)
+
+    s_sum = F.aggregate("seq", F.lit(0.0), lambda a, x: a + x)
+    s_sq = F.aggregate("seq", F.lit(0.0), lambda a, x: a + x * x)
+    with_stats = seqs.select(
+        "key",
+        "ts",
+        "seq",
+        (s_sum / m).alias("mu"),
+        F.sqrt(s_sq / m - (s_sum / m) * (s_sum / m)).alias("sigma"),
+    ).where(F.col("sigma") > 0)  # flat windows are not z-normalizable
+
+    zdiff = F.zip_with(
+        "seq",
+        q_norm,
+        lambda x, q: ((x - F.col("mu")) / F.col("sigma") - q)
+        * ((x - F.col("mu")) / F.col("sigma") - q),
+    )
+    dist = F.sqrt(F.aggregate(zdiff, F.lit(0.0), lambda a, x: a + x))
+    return (
+        with_stats.select(
+            "key", "ts", F.round(dist, round_dist).alias("dist")
+        )
+        .orderBy(F.col("dist").asc(), F.col("key").asc(), F.col("ts").asc())
+        .limit(k)
+    )

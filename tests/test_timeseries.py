@@ -1,0 +1,112 @@
+"""Time-series subsequence similarity (operators/timeseries.py):
+golden pattern recovery, DuckDB differential on the events table, and
+the TakeOrderedAndProject plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from iot_sensor_data_pipeline_spark.operators.timeseries import znorm_pattern_topk
+
+# m=3 pattern used by the differential; the oracle below hardcodes its
+# z-normalized values, so keep the two in lockstep
+PATTERN = [1.0, 3.0, 2.0]
+
+_ZQ = None
+
+
+def _zq():
+    global _ZQ
+    if _ZQ is None:
+        import math
+
+        mu = sum(PATTERN) / len(PATTERN)
+        sd = math.sqrt(sum((x - mu) ** 2 for x in PATTERN) / len(PATTERN))
+        _ZQ = [(x - mu) / sd for x in PATTERN]
+    return _ZQ
+
+
+def test_planted_pattern_is_found_with_zero_distance(spark):
+    """A scaled+shifted copy of the pattern (z-norm invariance) must
+    surface as the top match with dist ~ 0."""
+    rows = []
+    base = [5.0, 9.0, 4.0, 6.0, 5.5, 7.0]
+    for i, v in enumerate(base):
+        rows.append(("s1", i, i, v))
+    # planted at s2 positions 2..4: 10*pattern + 100 (affine copy)
+    planted = [100.0, 50.0, 110.0, 130.0, 120.0, 90.0]
+    for i, v in enumerate(planted):
+        rows.append(("s2", i, 100 + i, v))
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long, value double")
+    top = znorm_pattern_topk(df, PATTERN, k=1).collect()
+    assert len(top) == 1
+    assert top[0].key == "s2" and top[0].ts == 4
+    assert top[0].dist == 0.0
+
+
+def test_flat_windows_are_excluded(spark):
+    rows = [("s1", i, i, 5.0) for i in range(6)]  # constant series
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long, value double")
+    assert znorm_pattern_topk(df, PATTERN, k=5).count() == 0
+
+
+def test_rejects_degenerate_patterns(spark):
+    df = spark.createDataFrame([("a", 1, 1, 1.0)], "user_id string, ts long, event_id long, value double")
+    with pytest.raises(ValueError, match=">= 2 points"):
+        znorm_pattern_topk(df, [1.0], k=1)
+    with pytest.raises(ValueError, match="constant pattern"):
+        znorm_pattern_topk(df, [2.0, 2.0, 2.0], k=1)
+
+
+def test_topk_plan_uses_take_ordered(spark, sf_dir_mid):
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir_mid, "events")
+    plan = (
+        znorm_pattern_topk(events, PATTERN, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+def test_differential_vs_duckdb_on_events(spark, sf_dir_mid):
+    """Cross-engine check on the real events table at sf0.01 — same
+    window framing, z-normalization, distance, and top-k tie-break."""
+    from tests.oracle_harness import compare_query
+
+    q1, q2, q3 = _zq()
+    oracle = f"""
+WITH seqs AS (
+  SELECT user_id AS key, CAST(ts AS TIMESTAMP) AS ts,
+         list(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq
+  FROM events
+), sized AS (
+  SELECT key, ts, seq,
+         list_sum(seq) / 3 AS mu,
+         sqrt(list_sum(list_transform(seq, x -> x * x)) / 3
+              - (list_sum(seq) / 3) * (list_sum(seq) / 3)) AS sigma
+  FROM (SELECT * FROM seqs WHERE len(seq) = 3)
+)
+SELECT key, ts,
+       round(sqrt(
+         ((seq[1] - mu) / sigma - ({q1!r})) * ((seq[1] - mu) / sigma - ({q1!r}))
+       + ((seq[2] - mu) / sigma - ({q2!r})) * ((seq[2] - mu) / sigma - ({q2!r}))
+       + ((seq[3] - mu) / sigma - ({q3!r})) * ((seq[3] - mu) / sigma - ({q3!r}))
+       ), 6) AS dist
+FROM sized
+WHERE sigma > 0
+ORDER BY dist ASC, key ASC, ts ASC
+LIMIT 25
+"""
+
+    def fn(spark_, sf_dir_):
+        from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+        return znorm_pattern_topk(load_table(spark_, sf_dir_, "events"), PATTERN, k=25)
+
+    ok, msg = compare_query(spark, sf_dir_mid, fn, oracle)
+    assert ok, msg
