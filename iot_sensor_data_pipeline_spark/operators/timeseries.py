@@ -88,3 +88,61 @@ def znorm_pattern_topk(
         .orderBy(F.col("dist").asc(), F.col("key").asc(), F.col("ts").asc())
         .limit(k)
     )
+
+
+def rolling_zscore_anomalies(
+    series: DataFrame,
+    window_rows: int,
+    k_sigma: float = 3.0,
+    min_periods: int | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    round_stats: int = 6,
+) -> DataFrame:
+    """Adaptive anomaly detection: flag a point when it deviates more
+    than ``k_sigma`` standard deviations from its OWN series' rolling
+    baseline (mean/std of the ``window_rows`` PRECEDING points — the
+    current point is excluded so an outlier cannot absorb itself into
+    its baseline). The adaptive complement to the reference's static
+    thresholds (reference alert_detector.py:106-153): a sensor that
+    normally reads 20C and one that reads 30C each get their own
+    baseline, and drifting fleets need no rule rewrites.
+
+    Points with fewer than ``min_periods`` (default: ``window_rows``)
+    preceding samples, or a zero-variance baseline, emit
+    ``is_anomaly = NULL`` (unknown — no baseline to judge against)
+    rather than false. Returns
+    ``(key, ts, value, mu, sigma, is_anomaly)``.
+
+    One shuffle on the series key (same rows-frame window machinery as
+    :func:`znorm_pattern_topk`, all codegen aggregates); at 100 TB the
+    per-series state is the frame, so memory is window_rows x active
+    series per task, independent of history length.
+    """
+    if window_rows < 2:
+        raise ValueError(f"rolling_zscore_anomalies: window_rows must be >= 2, got {window_rows}")
+    if min_periods is None:
+        min_periods = window_rows
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-window_rows, -1)
+    )
+    v = F.col(value_col).cast("double")
+    mu = F.avg(v).over(w)
+    sigma = F.stddev_samp(v).over(w)
+    n = F.count(v).over(w)
+    flag = (
+        F.when((n < min_periods) | sigma.isNull() | (sigma <= 0), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(v - mu) > k_sigma * sigma)
+    )
+    return series.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        v.alias("value"),
+        F.round(mu, round_stats).alias("mu"),
+        F.round(sigma, round_stats).alias("sigma"),
+        flag.alias("is_anomaly"),
+    )

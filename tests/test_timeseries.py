@@ -110,3 +110,88 @@ LIMIT 25
 
     ok, msg = compare_query(spark, sf_dir_mid, fn, oracle)
     assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore_anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_zscore_flags_spike_not_baseline(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    vals = [20.0, 20.5, 19.5, 20.2, 19.8, 50.0, 20.1]  # spike at i=5
+    rows = [("s1", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long, value double")
+    out = {r.ts: r for r in rolling_zscore_anomalies(df, window_rows=4, k_sigma=3.0).collect()}
+    assert out[5].is_anomaly is True
+    # i=6: the spike sits IN the baseline window, inflating sigma —
+    # 20.1 is (correctly) not anomalous against that wide baseline
+    assert out[6].is_anomaly is False
+    assert out[4].is_anomaly is False
+    # warm-up points: fewer than window_rows preceding samples -> NULL
+    for i in range(4):
+        assert out[i].is_anomaly is None
+
+
+def test_rolling_zscore_per_series_baselines(spark):
+    """Two sensors with different normal levels each use their OWN
+    baseline — the point of adaptive thresholds."""
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    rows = [("cold", i, i, 20.0 + (i % 2) * 0.2) for i in range(6)]
+    rows += [("hot", i, 100 + i, 30.0 + (i % 2) * 0.2) for i in range(6)]
+    # 30.0 is normal for 'hot' but would be wildly anomalous for 'cold'
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long, value double")
+    out = rolling_zscore_anomalies(df, window_rows=4, k_sigma=3.0).collect()
+    assert all(r.is_anomaly is not True for r in out)
+
+
+def test_rolling_zscore_zero_variance_is_null(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    rows = [("s", i, i, 5.0) for i in range(5)] + [("s", 5, 5, 9.0)]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long, value double")
+    out = {r.ts: r for r in rolling_zscore_anomalies(df, window_rows=4).collect()}
+    assert out[5].is_anomaly is None  # flat baseline: no judgment, not False
+
+
+def test_rolling_zscore_differential_vs_duckdb(spark, sf_dir_mid):
+    from tests.oracle_harness import compare_query
+
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    oracle = """
+WITH b AS (
+  SELECT user_id AS key, CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DOUBLE) AS value,
+         avg(CAST(value AS DOUBLE)) OVER w AS mu_raw,
+         stddev_samp(CAST(value AS DOUBLE)) OVER w AS sigma_raw,
+         count(value) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT key, ts, value,
+       round(mu_raw, 6) AS mu,
+       round(sigma_raw, 6) AS sigma,
+       CASE WHEN n < 6 OR sigma_raw IS NULL OR sigma_raw <= 0 THEN NULL
+            ELSE abs(value - mu_raw) > 2.5 * sigma_raw END AS is_anomaly
+FROM b
+"""
+
+    def fn(spark_, sf_dir_):
+        from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+        return rolling_zscore_anomalies(
+            load_table(spark_, sf_dir_, "events"), window_rows=6, k_sigma=2.5
+        )
+
+    ok, msg = compare_query(spark, sf_dir_mid, fn, oracle)
+    assert ok, msg
