@@ -232,3 +232,116 @@ def stale_sensors(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+EWMA_OUTPUT = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("mu", T.DoubleType()),
+        T.StructField("sigma", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+EWMA_STATE = T.StructType(
+    [
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("var", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def ewma_anomalies(
+    readings: DataFrame,
+    alpha: float = 0.1,
+    k_sigma: float = 3.0,
+    min_periods: int = 10,
+    id_col: str = "sensor_id",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming adaptive anomaly detection — the live-stream
+    counterpart of ``operators.timeseries.rolling_zscore_anomalies``
+    (rolling-window functions don't exist over unbounded streams):
+    each sensor carries an exponentially-weighted mean/variance in
+    keyed state (three doubles per sensor — RocksDB-backed, so fleet
+    size is disk-bound) and every reading is judged against the
+    baseline BEFORE it is folded in, so a spike cannot vouch for
+    itself. Warm-up points (< ``min_periods``) and zero-variance
+    baselines emit ``is_anomaly = NULL`` — same no-judgment semantics
+    as the batch operator.
+
+    EWMA update (West 1979 incremental form): the baseline
+    initializes from each sensor's FIRST observation (a zero start
+    would bias early estimates toward 0), then per reading — judged
+    against (mean, sqrt(var)) first — ``d = x - mean``;
+    ``mean += alpha * d``; ``var = (1 - alpha) * (var + alpha * d^2)``.
+    ``alpha`` trades adaptation speed for stability (0.1 ~ the last
+    ~20 readings dominate). State never grows with history — unlike
+    the batch rolling window, which holds ``window_rows`` points, the
+    stream holds two moments. Streaming-only (applyInPandasWithState
+    rejects batch plans — use the batch rolling operator there); rows
+    within a batch are processed in (ts, value) order for determinism.
+    """
+
+    def fn(key, pdfs, state):
+        (sensor_id,) = key
+        mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(pdf[["timestamp", "value"]].itertuples(index=False))
+        rows.sort(key=lambda r: (r.timestamp, r.value))
+        out = []
+        for r in rows:
+            x = float(r.value)
+            if n == 0:
+                out.append(
+                    {
+                        "sensor_id": sensor_id,
+                        "timestamp": r.timestamp,
+                        "value": x,
+                        "mu": None,
+                        "sigma": None,
+                        "is_anomaly": None,
+                    }
+                )
+                mean, var, n = x, 0.0, 1
+                continue
+            sigma = var**0.5
+            if n < min_periods or sigma <= 0:
+                flag = None
+            else:
+                flag = bool(abs(x - mean) > k_sigma * sigma)
+            out.append(
+                {
+                    "sensor_id": sensor_id,
+                    "timestamp": r.timestamp,
+                    "value": x,
+                    "mu": round(mean, 6),
+                    "sigma": round(sigma, 6),
+                    "is_anomaly": flag,
+                }
+            )
+            d = x - mean
+            mean += alpha * d
+            var = (1 - alpha) * (var + alpha * d * d)
+            n += 1
+        state.update((mean, var, n))
+        if out:
+            yield pd.DataFrame(out)
+
+    keyed = readings.select(
+        F.col(id_col).alias("sensor_id"),
+        F.col(ts_col).alias("timestamp"),
+        F.col(value_col).cast("double").alias("value"),
+    ).groupBy("sensor_id")
+    return keyed.applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

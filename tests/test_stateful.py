@@ -195,3 +195,70 @@ def test_stale_sensor_watchdog_fires_on_silence(spark, tmp_path):
         assert "B" not in stale_ids
     finally:
         q.stop()
+
+
+def test_ewma_anomalies_stream_state_spans_batches(spark, tmp_path):
+    """Streaming EWMA anomalies: baseline learned in batch 1 flags a
+    spike arriving in batch 2 (state store carries the moments); the
+    spike is judged BEFORE being folded into the baseline; warm-up
+    points emit NULL."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.stateful import ewma_anomalies
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = []
+
+    def feed(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"sensor_id": s, "timestamp": ts, "value": v})
+                for s, ts, v in rows
+            )
+        )
+
+    raw = (
+        spark.readStream.schema("sensor_id string, timestamp string, value double")
+        .json(str(src))
+        .withColumn("timestamp", __import__("pyspark.sql.functions", fromlist=["F"]).col("timestamp").cast("timestamp"))
+    )
+    q = (
+        ewma_anomalies(raw, alpha=0.2, k_sigma=3.0, min_periods=5)
+        .writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        feed(
+            "b1.json",
+            [("A", f"2026-01-01 00:00:{i:02d}", 20.0 + (i % 2) * 0.4) for i in range(8)]
+            + [("FLAT", f"2026-01-01 00:00:{i:02d}", 7.0) for i in range(8)],
+        )
+        q.processAllAvailable()
+        feed(
+            "b2.json",
+            [
+                ("A", "2026-01-01 00:01:00", 50.0),
+                ("A", "2026-01-01 00:01:01", 20.2),
+                ("FLAT", "2026-01-01 00:01:00", 7.0),
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_ts = {str(r.timestamp): r for r in out if r.sensor_id == "A"}
+    # warm-up: first 5 readings unjudged
+    for i in range(5):
+        assert by_ts[f"2026-01-01 00:00:0{i}"].is_anomaly is None
+    # settled baseline: normal readings pass
+    assert by_ts["2026-01-01 00:00:07"].is_anomaly is False
+    # batch-2 spike flagged against batch-1 state, judged BEFORE fold-in
+    spike = by_ts["2026-01-01 00:01:00"]
+    assert spike.is_anomaly is True
+    assert spike.mu is not None and abs(spike.mu - 20.2) < 0.5  # pre-spike baseline
+    # a constant series never earns a judgment (zero variance), even
+    # past min_periods and across batches
+    assert all(r.is_anomaly is None for r in out if r.sensor_id == "FLAT")
