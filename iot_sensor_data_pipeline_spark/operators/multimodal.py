@@ -158,3 +158,48 @@ def repartition_for_payload(
     total = df.agg(F.sum(size_expr)).collect()[0][0] or 0
     n = max(1, int(total // target_bytes_per_task) + 1)
     return df.repartition(n)
+
+
+#: magic-byte signatures -> container format. Checked in order;
+#: offset is where the signature starts (1-based for F.substring).
+#: Real headers, not stubs: sniffing needs no codec library.
+MAGIC_SIGNATURES: tuple[tuple[str, int, bytes], ...] = (
+    ("jpeg", 1, b"\xff\xd8\xff"),
+    ("png", 1, b"\x89PNG\r\n\x1a\n"),
+    ("gif", 1, b"GIF8"),
+    ("riff", 1, b"RIFF"),  # refined to wav/webp below via bytes 9-12
+    ("mp4", 5, b"ftyp"),
+    ("pdf", 1, b"%PDF"),
+    ("zip", 1, b"PK\x03\x04"),
+    ("flac", 1, b"fLaC"),
+    ("ogg", 1, b"OggS"),
+)
+
+
+def sniff_format(content) -> "F.Column":
+    """Container-format detection from magic bytes — pure codegen
+    (substring + CASE over hex literals), no Python, no codec
+    library, so it runs at scan speed on any corpus and is the REAL
+    (non-stub) part of format handling: route payloads to the right
+    decoder, quarantine mismatches between claimed and actual format,
+    audit a crawl's media mix. RIFF containers are refined to
+    wav/avi/webp via the format tag at bytes 9-12. Returns 'unknown'
+    for unrecognized or too-short payloads (substring past the end
+    yields a short slice that equals no signature)."""
+    def sig(off: int, raw: bytes) -> "F.Column":
+        return F.hex(F.substring(content, off, len(raw))) == raw.hex().upper()
+
+    riff_tag = F.substring(content, 9, 4).cast("string")
+    expr = None
+    for name, off, raw in MAGIC_SIGNATURES:
+        cond = sig(off, raw)
+        branch = (
+            F.when(riff_tag == "WAVE", "wav")
+            .when(riff_tag == "AVI ", "avi")
+            .when(riff_tag == "WEBP", "webp")
+            .otherwise("riff")
+            if name == "riff"
+            else F.lit(name)
+        )
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr.otherwise("unknown")

@@ -1,0 +1,58 @@
+"""Mergeable distinct-count sketches (Apache DataSketches HLL via
+Spark's built-in ``hll_sketch_agg`` family) — the incremental-analytics
+pattern exact COUNT(DISTINCT) cannot give you at 100 TB: persist ONE
+small sketch row per partition of data (day, source, tenant...), and
+every later question — rolling 30-day uniques, all-time uniques, any
+group-by rollup — is a union over sketch rows instead of a rescan of
+history. Sketch union is associative, commutative, and idempotent-ish
+(re-adding the same values never inflates the estimate), which is what
+makes the incremental refresh append-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_sketches(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    value_col: str,
+    lg_k: int = 12,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """One HLL sketch row per ``partition_keys`` group over
+    ``value_col`` — the build side. Persist this relation (a few KB
+    per group at lg_k=12, ~1.6% relative error) instead of raw
+    values; append new partitions' rows as data arrives. One
+    aggregation with map-side partial sketching — raw values never
+    leave their executor, only sketch buffers shuffle.
+
+    ``lg_k`` must be identical across every sketch you intend to
+    union (stored sketches pin it for the table's lifetime).
+    """
+    return df.groupBy(*partition_keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias(sketch_col)
+    )
+
+
+def merge_distinct_counts(
+    sketches: DataFrame,
+    group_keys: Sequence[str] = (),
+    sketch_col: str = "sketch",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Union persisted sketch rows into approximate distinct counts
+    per ``group_keys`` (empty = one global row). The union reads ONLY
+    the sketch relation — cost is #sketch-rows, independent of the
+    raw history size; any rollup grain coarser than the build
+    partitioning is answerable from the same stored sketches."""
+    grouped = (
+        sketches.groupBy(*group_keys) if group_keys else sketches.groupBy()
+    )
+    return grouped.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(out_col)
+    )

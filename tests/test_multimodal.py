@@ -64,3 +64,49 @@ def test_repartition_for_payload_scales_with_bytes(spark):
     assert small.rdd.getNumPartitions() > 1
     big = repartition_for_payload(df, target_bytes_per_task=10**9)
     assert big.rdd.getNumPartitions() == 1
+
+
+def test_sniff_format_magic_bytes(spark):
+    """Real container headers resolve to their formats; RIFF refines
+    via the inner tag; junk and short payloads are 'unknown'."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.multimodal import sniff_format
+
+    payloads = [
+        (1, b"\xff\xd8\xff\xe0" + b"\x00" * 16, "jpeg"),
+        (2, b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "png"),
+        (3, b"GIF89a" + b"\x00" * 16, "gif"),
+        (4, b"RIFF\x24\x08\x00\x00WAVEfmt ", "wav"),
+        (5, b"RIFF\x24\x08\x00\x00WEBPVP8 ", "webp"),
+        (6, b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8, "mp4"),
+        (7, b"%PDF-1.7\n", "pdf"),
+        (8, b"PK\x03\x04" + b"\x00" * 16, "zip"),
+        (9, b"fLaC\x00\x00\x00\x22", "flac"),
+        (10, b"OggS\x00\x02", "ogg"),
+        (11, b"not a media file", "unknown"),
+        (12, b"\xff", "unknown"),  # too short for any signature
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in payloads], "item_id long, content binary"
+    )
+    got = {
+        r.item_id: r.fmt
+        for r in df.select("item_id", sniff_format(F.col("content")).alias("fmt")).collect()
+    }
+    assert got == {i: want for i, _, want in payloads}
+
+
+def test_sniff_format_is_codegen_no_python(spark):
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.multimodal import sniff_format
+
+    df = spark.createDataFrame([(1, b"\xff\xd8\xff")], "item_id long, content binary")
+    plan = (
+        df.select(sniff_format(F.col("content")).alias("fmt"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "Exchange" not in plan
