@@ -674,3 +674,83 @@ def test_chunker_udtf_matches_native_operator(spark):
     )
     want = chunk_documents(docs, chunk_tokens=3)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_curation_pipeline_composition_end_to_end(spark):
+    """The full curation chain composes: boilerplate removal ->
+    normalized-fingerprint dedup -> chunking -> sequence packing.
+    Asserts cross-operator invariants: boilerplate never reaches
+    chunks, normalized duplicates collapse to one survivor, every
+    surviving token lands in exactly one chunk, and packing covers
+    every chunk exactly once within capacity."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.functions.text import normalize_text
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        chunk_documents,
+        pack_sequences,
+        remove_boilerplate_lines,
+    )
+
+    footer = "COPYRIGHT FOOTER LINE"
+    # bodies must differ by LETTERS: normalize_text maps every digit to
+    # 0, so digit-only differences would (by design) collapse them all
+    bodies = [
+        f"unique body {'abcdefghij'[i]} alpha beta gamma delta" for i in range(10)
+    ]
+    rows = [(i, f"{b}\n{footer}") for i, b in enumerate(bodies)]
+    # doc 100: case/punctuation variant of doc 0's body -> same normalized fp
+    rows.append((100, f"UNIQUE body A alpha, beta. GAMMA delta!\n{footer}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cleaned = remove_boilerplate_lines(docs, min_dup_freq=10)
+    assert not any(
+        footer in r.text_clean for r in cleaned.collect()
+    ), "boilerplate leaked through"
+
+    deduped = (
+        cleaned.withColumn("norm_fp", F.md5(normalize_text(F.col("text_clean"))))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "norm_fp"
+                ).orderBy("id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ids = {r.id for r in deduped.collect()}
+    assert 0 in ids and 100 not in ids  # variant collapsed onto min id
+    assert len(ids) == 10
+
+    chunks = chunk_documents(
+        deduped.select("id", F.col("text_clean").alias("text")),
+        chunk_tokens=4,
+        id_col="id",
+    )
+    per_doc = {}
+    for r in chunks.collect():
+        per_doc.setdefault(r.id, []).append((r.chunk_idx, r.chunk_text))
+    for i in ids:
+        toks = [t for t in dict(rows)[i].split("\n")[0].split() if t]
+        reassembled = " ".join(
+            t for _, text in sorted(per_doc[i]) for t in text.split()
+        )
+        assert reassembled == " ".join(toks)
+
+    sized = chunks.select(
+        F.concat_ws("#", F.col("id").cast("string"), F.col("chunk_idx").cast("string")).alias("id"),
+        F.col("n_tokens"),
+    )
+    packed = pack_sequences(sized, "id", "n_tokens", max_tokens=8)
+    prows = packed.collect()
+    assert {r.id for r in prows} == {
+        f"{r.id}#{r.chunk_idx}" for rs in [chunks.collect()] for r in rs
+    }
+    bins = {}
+    for r in prows:
+        bins.setdefault(r.pack_id, 0)
+        bins[r.pack_id] += r.n_tokens
+    assert all(total <= 8 for total in bins.values())

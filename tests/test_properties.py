@@ -267,3 +267,116 @@ def test_weighted_mix_matches_python_md5(spark, rows):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# range_join vs a Python reference on randomized points/intervals
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=40
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            st.floats(min_value=0, max_value=30, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    width=st.sampled_from([0.5, 3.0, 17.0, 120.0]),
+)
+def test_range_join_property_vs_python(spark, pts, ivs, width):
+    from iot_sensor_data_pipeline_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(list(enumerate(pts)), "pid long, x double")
+    intervals = spark.createDataFrame(
+        [(j, lo, lo + span) for j, (lo, span) in enumerate(ivs)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(points, intervals, "x", "lo", "hi", width).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, x in enumerate(pts)
+        for j, (lo, span) in enumerate(ivs)
+        if lo <= x < lo + span
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents coverage/reassembly property
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_tokens=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=1, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_documents_property_coverage(spark, n_tokens, chunk, overlap_frac):
+    """No-overlap chunks concatenate back to the exact token list; with
+    overlap, consecutive chunks start exactly `stride` tokens apart and
+    jointly cover every token."""
+    from iot_sensor_data_pipeline_spark.operators.curation import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    toks = [f"t{i}" for i in range(n_tokens)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk, overlap).collect(), key=lambda r: r.chunk_idx
+    )
+    stride = chunk - overlap
+    chunks = [r.chunk_text.split() if r.chunk_text else [] for r in rows]
+    if overlap == 0:
+        assert [t for ch in chunks for t in ch] == toks
+    covered = set()
+    for idx, ch in enumerate(chunks):
+        start = idx * stride
+        assert ch == toks[start : start + chunk]
+        covered.update(range(start, start + len(ch)))
+    assert covered == set(range(len(toks)))
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate_lines vs a Python reference
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs_lines=st.lists(
+        st.lists(st.sampled_from(["shared", "common", "x", "y", "z", "unique"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    min_freq=st.integers(min_value=2, max_value=5),
+)
+def test_boilerplate_property_vs_python(spark, docs_lines, min_freq):
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "\n".join(ls)) for i, ls in enumerate(docs_lines)],
+        "doc_id long, text string",
+    )
+    # Python reference: document frequency per distinct line
+    df_count: dict[str, set] = {}
+    for i, ls in enumerate(docs_lines):
+        for line in ls:
+            df_count.setdefault(line, set()).add(i)
+    boiler = {line for line, ids in df_count.items() if len(ids) >= min_freq}
+    got = {r.id: r for r in remove_boilerplate_lines(docs, min_freq).collect()}
+    for i, ls in enumerate(docs_lines):
+        kept = [line for line in ls if line not in boiler]
+        assert got[i].text_clean == "\n".join(kept)
+        assert got[i].n_lines == len(ls)
+        assert got[i].n_removed == len(ls) - len(kept)
