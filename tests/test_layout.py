@@ -1,0 +1,98 @@
+"""Z-order layout (operators/layout.py): the measurable pruning claim —
+file-level min/max stats over a z-ordered layout prune predicates on
+EVERY keyed dimension, where a 1D sort prunes only its leading column.
+Verified against the actual parquet footers via pyarrow."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.operators.layout import (
+    bucketize_for_zorder,
+    zorder_key,
+)
+
+
+def _file_ranges(path, col):
+    """(min, max) of `col` per written parquet file, from footers."""
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                    hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+        out.append((lo, hi))
+    return out
+
+
+def _n_intersecting(ranges, lo, hi):
+    return sum(1 for a, b in ranges if a is not None and not (b < lo or a > hi))
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    n = 200_000
+    df = spark.range(n).select(
+        (F.hash("id") % 1024 + 1024) % 1024,
+        (F.hash(F.col("id") + 7) % 1024 + 1024) % 1024,
+    ).toDF("x", "y")
+
+    xsorted = str(tmp_path / "xsorted")
+    zordered = str(tmp_path / "zordered")
+    files = 64
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(xsorted)
+    zdf = df.withColumn("zk", zorder_key(["x", "y"], bits=10))
+    zdf.repartitionByRange(files, "zk").sortWithinPartitions("zk").drop("zk").write.parquet(zordered)
+
+    band = (100, 119)  # a y-only band predicate
+    x_layout_y = _n_intersecting(_file_ranges(xsorted, "y"), *band)
+    z_layout_y = _n_intersecting(_file_ranges(zordered, "y"), *band)
+    n_x_files = len(_file_ranges(xsorted, "y"))
+    # 1D x-sort: every file spans all of y -> no pruning on y
+    assert x_layout_y == n_x_files
+    # z-order: files cover 2D tiles -> most exclude the y band
+    assert z_layout_y < 0.45 * n_x_files, (z_layout_y, n_x_files)
+    # and x-band predicates still prune on the z-ordered layout
+    z_layout_x = _n_intersecting(_file_ranges(zordered, "x"), *band)
+    assert z_layout_x < 0.45 * n_x_files
+
+
+def test_zorder_key_locality_and_guards(spark):
+    with pytest.raises(ValueError, match=">= 2"):
+        zorder_key(["x"])
+    with pytest.raises(ValueError, match="exceeds a long"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1023, 1023)], "x int, y int"
+    )
+    keys = {
+        (r.x, r.y): r.zk
+        for r in df.select("x", "y", zorder_key(["x", "y"], bits=10).alias("zk")).collect()
+    }
+    assert keys[(0, 0)] == 0
+    assert keys[(1, 0)] == 1  # x occupies even bit positions
+    assert keys[(0, 1)] == 2  # y the odd ones
+    assert keys[(1023, 1023)] == (1 << 20) - 1
+
+
+def test_bucketize_for_zorder_handles_skew(spark):
+    """Rank bucketing spreads a heavily skewed column evenly — raw
+    value bits would put almost everything in bucket 0."""
+    import math
+
+    rows = [(i, math.exp(i / 5000.0)) for i in range(20_000)]  # log-normal-ish
+    df = spark.createDataFrame(rows, "id long, v double")
+    b = bucketize_for_zorder(df, ["v"], bits=4)  # 16 buckets
+    counts = {
+        r.b: r.n
+        for r in b.groupBy(F.col("__zb_v").alias("b")).agg(F.count("*").alias("n")).collect()
+    }
+    assert len(counts) == 16
+    assert max(counts.values()) < 3 * (20_000 / 16)  # no collapsed bucket
