@@ -163,3 +163,39 @@ def alert_wire_frame(alerts: DataFrame) -> DataFrame:
         F.col("sensor_id").cast("string").alias("key"),
         F.to_json(F.struct(*ALERT_WIRE_FIELDS)).alias("value"),
     )
+
+
+def ingest_readings_variant(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """Schema-LESS ingest of the sensor wire frame via Spark 4's
+    VARIANT type: ``parse_json`` keeps the full semi-structured value
+    (open content model — unknown producer fields survive instead of
+    being silently projected away), and each persisted column is a
+    typed ``variant_get`` path extraction. Same 10-column output as
+    :func:`ingest_readings`, plus the raw variant as ``v``.
+
+    Why it exists next to the StructType path: the reference declared
+    THREE conflicting schemas for one topic (SURVEY.md §1.2) because
+    from_json forces every consumer to commit to a projection upfront;
+    VARIANT defers typing to the extraction site, so producer schema
+    drift (new fields, widened types) needs no redeclaration — check
+    ``schema_of_variant_agg`` over a sample to audit what a topic
+    actually carries. Extraction is JVM-native over the binary
+    variant encoding (no JSON re-parse per path).
+
+    ``try_parse_json`` (not the strict ``parse_json``) mirrors the
+    PERMISSIVE contract of the StructType path: malformed wire text
+    yields a null variant/null fields, never a failed batch."""
+    v = df.select(F.try_parse_json(F.col(json_col).cast("string")).alias("v"))
+    return v.select(
+        F.variant_get("v", "$.sensor_id", "string").alias("sensor_id"),
+        F.variant_get("v", "$.sensor_type", "string").alias("sensor_type"),
+        F.variant_get("v", "$.value", "double").alias("value"),
+        F.variant_get("v", "$.unit", "string").alias("unit"),
+        F.to_timestamp(F.variant_get("v", "$.timestamp", "string")).alias("timestamp"),
+        F.variant_get("v", "$.location.building", "string").alias("building"),
+        F.variant_get("v", "$.location.floor", "int").alias("floor"),
+        F.variant_get("v", "$.location.room", "string").alias("room"),
+        F.variant_get("v", "$.metadata.battery_level", "int").alias("battery_level"),
+        F.variant_get("v", "$.metadata.signal_strength", "int").alias("signal_strength"),
+        "v",
+    )

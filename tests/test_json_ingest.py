@@ -108,3 +108,52 @@ def test_ingest_collapses_to_single_projection(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("from_json") == 1
     assert plan.count("Project") == 1
+
+
+def test_variant_ingest_parity_with_struct_path(spark):
+    """The VARIANT-based ingest produces the same 10 typed columns as
+    the StructType path on valid wire JSON; unknown producer fields
+    survive in the variant; malformed text nulls, never fails."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.sources.json_ingest import (
+        ingest_readings,
+        ingest_readings_variant,
+    )
+
+    reading = {
+        "sensor_id": "A_1_100_temperature",
+        "sensor_type": "temperature",
+        "location": {"building": "A", "floor": 1, "room": "100"},
+        "timestamp": "2026-01-01T10:00:00",
+        "value": 22.5,
+        "unit": "celsius",
+        "metadata": {"battery_level": 87, "signal_strength": -55},
+        "future_field": {"added_by": "a newer producer"},  # unknown
+    }
+    raw = spark.createDataFrame(
+        [(_json.dumps(reading),), ("{not json",)], "value string"
+    )
+    via_struct = ingest_readings(raw).collect()
+    via_variant = ingest_readings_variant(raw).collect()
+    cols = [
+        "sensor_id", "sensor_type", "value", "unit", "timestamp",
+        "building", "floor", "room", "battery_level", "signal_strength",
+    ]
+    s_rows = sorted((tuple(getattr(r, c) for c in cols) for r in via_struct), key=repr)
+    v_rows = sorted((tuple(getattr(r, c) for c in cols) for r in via_variant), key=repr)
+    assert s_rows == v_rows  # incl. the all-null malformed row
+    good = next(r for r in via_variant if r.sensor_id is not None)
+    # the open content model keeps what the schema path would drop
+    kept = (
+        ingest_readings_variant(raw)
+        .where(F.col("sensor_id").isNotNull())
+        .select(
+            F.variant_get("v", "$.future_field.added_by", "string").alias("x")
+        )
+        .collect()
+    )
+    assert kept[0].x == "a newer producer"
+    assert good.value == 22.5 and good.floor == 1
