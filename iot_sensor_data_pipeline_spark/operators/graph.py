@@ -62,9 +62,14 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iterations):
-        with_deg = ranks.join(
-            out_deg, ranks.id == out_deg.__od_id, "left"
-        ).drop("__od_id")
+        # persisted: the dangling aggregate AND the contribs join both
+        # read this relation — uncached, the ranks x out_deg join
+        # would execute twice per round
+        with_deg = (
+            ranks.join(out_deg, ranks.id == out_deg.__od_id, "left")
+            .drop("__od_id")
+            .persist()
+        )
         # dangling mass: rank held by nodes with no out-edges
         dangling = (
             with_deg.where(F.col("deg").isNull())
@@ -94,6 +99,7 @@ def pagerank(
             .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
             .collect()[0][0]
         )
+        with_deg.unpersist()
         ranks = new_ranks
         if delta < tol:
             return ranks

@@ -54,28 +54,48 @@ def zorder_key(cols: Sequence[str | Column], bits: int = 12) -> Column:
 
 
 def bucketize_for_zorder(
-    df: DataFrame, cols: Sequence[str], bits: int = 12, rel_err: float = 0.01
+    df: DataFrame, cols: Sequence[str], bits: int = 7, rel_err: float = 0.001
 ) -> DataFrame:
     """Append ``__zb_<col>`` quantile-bucket columns in
     ``[0, 2^bits)`` for each of ``cols`` — rank-based, so skewed
     distributions still spread evenly over the curve (raw value bits
-    would collapse a log-normal column into a few buckets). One
-    approx-quantile pass (driver gets 2^bits cut points per column);
-    feed the bucket columns to :func:`zorder_key`."""
+    would collapse a log-normal column into a few buckets). Timestamp/
+    date columns are bucketed via their epoch seconds (approxQuantile
+    is numeric-only). ONE approx-quantile pass covers every column;
+    feed the bucket columns to :func:`zorder_key` with the same
+    ``bits``.
+
+    ``bits`` defaults low on purpose: 2^bits buckets per dimension is
+    plenty to shape file-level clustering (files >> buckets is
+    useless), and the cut-point resolution must stay well above the
+    sketch's rank error — at the defaults (128 buckets, rel_err 0.1%)
+    adjacent cuts are ~8 sketch-errors apart. Raising ``bits`` without
+    tightening ``rel_err`` buys duplicate cut points (collapsed
+    buckets), not finer layout; each row also pays an O(2^bits)
+    bucket-search fold per column."""
+    cols = list(cols)
     n_buckets = 1 << bits
-    out = df
+    numeric = {}
+    work = df
     for c in cols:
-        cuts = df.approxQuantile(
-            c, [i / n_buckets for i in range(1, n_buckets)], rel_err
-        )
+        dtype = dict(df.dtypes)[c]
+        if dtype in ("timestamp", "timestamp_ntz", "date"):
+            work = work.withColumn(f"__zq_{c}", F.col(c).cast("timestamp").cast("double"))
+            numeric[c] = f"__zq_{c}"
+        else:
+            numeric[c] = c
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    all_cuts = work.approxQuantile([numeric[c] for c in cols], probs, rel_err)
+    out = work
+    for c, cuts in zip(cols, all_cuts):
         # searchsorted as a codegen expression: count of cut points <= value
         arr = F.array(*[F.lit(x) for x in cuts])
         out = out.withColumn(
             f"__zb_{c}",
             F.aggregate(
-                F.filter(arr, lambda cut: cut <= F.col(c)),
+                F.filter(arr, lambda cut: cut <= F.col(numeric[c])),
                 F.lit(0).cast("long"),
                 lambda acc, _: acc + 1,
             ),
         )
-    return out
+    return out.drop(*[v for k, v in numeric.items() if v != k])

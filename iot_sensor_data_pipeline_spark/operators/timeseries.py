@@ -66,12 +66,19 @@ def znorm_pattern_topk(
 
     s_sum = F.aggregate("seq", F.lit(0.0), lambda a, x: a + x)
     s_sq = F.aggregate("seq", F.lit(0.0), lambda a, x: a + x * x)
+    # greatest(..., 0): float cancellation can push the variance of a
+    # flat window a hair NEGATIVE (e.g. constant 0.1), and
+    # sqrt(negative) = NaN which Spark orders ABOVE every number — so
+    # a bare `sigma > 0` guard would pass NaN sigmas and leak
+    # NaN-distance rows into the top-k. Clamping makes flat windows
+    # exactly 0 and the filter airtight.
+    variance = F.greatest(s_sq / m - (s_sum / m) * (s_sum / m), F.lit(0.0))
     with_stats = seqs.select(
         "key",
         "ts",
         "seq",
         (s_sum / m).alias("mu"),
-        F.sqrt(s_sq / m - (s_sum / m) * (s_sum / m)).alias("sigma"),
+        F.sqrt(variance).alias("sigma"),
     ).where(F.col("sigma") > 0)  # flat windows are not z-normalizable
 
     zdiff = F.zip_with(

@@ -182,20 +182,24 @@ def ingest_readings_variant(df: DataFrame, json_col: str = "value") -> DataFrame
     actually carries. Extraction is JVM-native over the binary
     variant encoding (no JSON re-parse per path).
 
-    ``try_parse_json`` (not the strict ``parse_json``) mirrors the
-    PERMISSIVE contract of the StructType path: malformed wire text
-    yields a null variant/null fields, never a failed batch."""
+    ``try_parse_json`` (not the strict ``parse_json``) and
+    ``try_variant_get`` (not the strict ``variant_get``) together
+    mirror the PERMISSIVE contract of the StructType path: malformed
+    wire text yields a null variant, and a type-drifted field (a
+    string where a number is expected) yields a null COLUMN — never a
+    failed batch. The strict getters would abort the job on the exact
+    drift this operator exists to tolerate."""
     v = df.select(F.try_parse_json(F.col(json_col).cast("string")).alias("v"))
     return v.select(
-        F.variant_get("v", "$.sensor_id", "string").alias("sensor_id"),
-        F.variant_get("v", "$.sensor_type", "string").alias("sensor_type"),
-        F.variant_get("v", "$.value", "double").alias("value"),
-        F.variant_get("v", "$.unit", "string").alias("unit"),
-        F.to_timestamp(F.variant_get("v", "$.timestamp", "string")).alias("timestamp"),
-        F.variant_get("v", "$.location.building", "string").alias("building"),
-        F.variant_get("v", "$.location.floor", "int").alias("floor"),
-        F.variant_get("v", "$.location.room", "string").alias("room"),
-        F.variant_get("v", "$.metadata.battery_level", "int").alias("battery_level"),
-        F.variant_get("v", "$.metadata.signal_strength", "int").alias("signal_strength"),
+        F.try_variant_get("v", "$.sensor_id", "string").alias("sensor_id"),
+        F.try_variant_get("v", "$.sensor_type", "string").alias("sensor_type"),
+        F.try_variant_get("v", "$.value", "double").alias("value"),
+        F.try_variant_get("v", "$.unit", "string").alias("unit"),
+        F.to_timestamp(F.try_variant_get("v", "$.timestamp", "string")).alias("timestamp"),
+        F.try_variant_get("v", "$.location.building", "string").alias("building"),
+        F.try_variant_get("v", "$.location.floor", "int").alias("floor"),
+        F.try_variant_get("v", "$.location.room", "string").alias("room"),
+        F.try_variant_get("v", "$.metadata.battery_level", "int").alias("battery_level"),
+        F.try_variant_get("v", "$.metadata.signal_strength", "int").alias("signal_strength"),
         "v",
     )

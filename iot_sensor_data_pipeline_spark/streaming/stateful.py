@@ -267,8 +267,8 @@ def ewma_anomalies(
     counterpart of ``operators.timeseries.rolling_zscore_anomalies``
     (rolling-window functions don't exist over unbounded streams):
     each sensor carries an exponentially-weighted mean/variance in
-    keyed state (three doubles per sensor — RocksDB-backed, so fleet
-    size is disk-bound) and every reading is judged against the
+    keyed state (two doubles + a long count per sensor, per
+    EWMA_STATE — RocksDB-backed, so fleet size is disk-bound) and every reading is judged against the
     baseline BEFORE it is folded in, so a spike cannot vouch for
     itself. Warm-up points (< ``min_periods``) and zero-variance
     baselines emit ``is_anomaly = NULL`` — same no-judgment semantics

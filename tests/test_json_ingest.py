@@ -157,3 +157,27 @@ def test_variant_ingest_parity_with_struct_path(spark):
     )
     assert kept[0].x == "a newer producer"
     assert good.value == 22.5 and good.floor == 1
+
+
+def test_variant_ingest_tolerates_type_drift(spark):
+    """A producer that sends a string where a number is expected must
+    null THAT column, never fail the batch (try_variant_get)."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.sources.json_ingest import (
+        ingest_readings_variant,
+    )
+
+    drifted = {
+        "sensor_id": "A_1_100_temperature",
+        "value": "not-a-number",       # type drift
+        "location": {"floor": "two"},  # type drift, nested
+        "metadata": {"battery_level": 90},
+    }
+    raw = spark.createDataFrame([(_json.dumps(drifted),)], "value string")
+    rows = ingest_readings_variant(raw).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.sensor_id == "A_1_100_temperature"
+    assert r.value is None and r.floor is None  # drifted fields null
+    assert r.battery_level == 90  # clean fields still extract

@@ -96,3 +96,22 @@ def test_bucketize_for_zorder_handles_skew(spark):
     }
     assert len(counts) == 16
     assert max(counts.values()) < 3 * (20_000 / 16)  # no collapsed bucket
+
+
+def test_bucketize_for_zorder_timestamps(spark):
+    """Timestamp columns bucketize via epoch seconds — the (time,
+    sensor) layout is the module's headline use case."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+        (F.col("id") % 50).alias("sensor"),
+    )
+    b = bucketize_for_zorder(df, ["ts"], bits=3)
+    counts = [
+        r.n
+        for r in b.groupBy("__zb_ts").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) < 2 * (1000 / 8)
+    assert "__zq_ts" not in b.columns  # helper column cleaned up

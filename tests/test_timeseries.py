@@ -87,8 +87,8 @@ WITH seqs AS (
 ), sized AS (
   SELECT key, ts, seq,
          list_sum(seq) / 3 AS mu,
-         sqrt(list_sum(list_transform(seq, x -> x * x)) / 3
-              - (list_sum(seq) / 3) * (list_sum(seq) / 3)) AS sigma
+         sqrt(greatest(list_sum(list_transform(seq, x -> x * x)) / 3
+              - (list_sum(seq) / 3) * (list_sum(seq) / 3), 0)) AS sigma
   FROM (SELECT * FROM seqs WHERE len(seq) = 3)
 )
 SELECT key, ts,
@@ -195,3 +195,18 @@ FROM b
 
     ok, msg = compare_query(spark, sf_dir_mid, fn, oracle)
     assert ok, msg
+
+
+def test_flat_window_float_cancellation_no_nan_leak(spark):
+    """Constant 0.1 (not exactly representable): naive variance goes a
+    hair negative -> sqrt NaN -> Spark orders NaN above every number,
+    so an unclamped `sigma > 0` guard would leak NaN-distance rows
+    into the top-k. The clamp keeps them out."""
+    import math
+
+    rows = [("s", i, i, 0.1) for i in range(5)] + [("s", 5, 5, 0.2)]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long, value double")
+    out = znorm_pattern_topk(df, PATTERN, k=10).collect()
+    assert all(not math.isnan(r.dist) for r in out)
+    # only windows with real variation (those containing the 0.2) survive
+    assert all(r.ts == 5 for r in out)
