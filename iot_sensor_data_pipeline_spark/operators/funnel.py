@@ -1,0 +1,114 @@
+"""Behavioral funnel analysis: how many users complete step 1 -> 2 ->
+... -> k IN ORDER, each step within a time budget of the previous one —
+the conversion query behind product analytics (signup -> activate ->
+purchase) and equally at home on sensor fleets (provisioned -> first
+reading -> first alert).
+
+Spark-first shape: ONE shuffle (groupBy user, collect the user's
+funnel-relevant (ts, step) events as a sorted array) and then a pure
+codegen ``aggregate`` fold walks each user's timeline — no per-step
+join chain (k joins for k steps is the naive relational plan), no UDF,
+no state store. Cost is one pass over each user's events; a skewed
+user costs memory proportional to their OWN event count only (the
+collected array), the same bound any sessionization pays.
+
+Matching semantics: latest-anchor dynamic programming, not greedy
+first-match. The fold keeps, per prefix stage, the LATEST time that
+prefix was completed; because events arrive in time order, a later
+anchor dominates an earlier one for every future deadline check, so
+this finds a completion whenever ANY valid chain exists. (Greedy
+first-match is wrong under a budget: with steps A->B, budget 20, and
+events A@0, A@50, B@60, anchoring on A@0 times out while A@50
+completes — this operator reports the completion.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: Sequence[str],
+    within_seconds: float | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user strict-sequential funnel: returns
+    ``(user, stage_reached, completed)`` where ``stage_reached`` is
+    the deepest prefix of ``steps`` the user hit in order, each step
+    at most ``within_seconds`` after the matched previous step
+    (None = unbounded; the first step is the anchor and has no
+    deadline). Only users with at least one funnel-relevant event
+    appear (left-join against your user dim for the zero rows) —
+    and only rows whose type is one of ``steps`` are collected, so
+    the shuffled volume is the funnel slice, not the event firehose.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel_stages: steps must be non-empty")
+    k = len(steps)
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    relevant = events.where(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).cast("double").alias("t"),
+        step_idx[F.col(type_col)].alias("s"),
+    )
+    per_user = relevant.groupBy("user").agg(
+        F.array_sort(F.collect_list(F.struct("t", "s"))).alias("timeline")
+    )
+    budget = F.lit(float("inf") if within_seconds is None else float(within_seconds))
+    # best[i] (0-based stage i) = latest time the first i+1 steps were
+    # completed, null if never; events in time order make "latest"
+    # a plain overwrite
+    init = F.array(*[F.lit(None).cast("double") for _ in range(k)])
+    walk = F.aggregate(
+        "timeline",
+        init,
+        lambda acc, ev: F.transform(
+            acc,
+            # CASE (not boolean &/|) so element_at(acc, i) — the
+            # PREVIOUS stage, 1-based indexing — is never evaluated at
+            # i=0, where ANSI mode would reject index 0
+            lambda best, i: F.when(
+                ev.getField("s") != i, best
+            )
+            .when(i == 0, ev.getField("t"))
+            .when(
+                F.element_at(acc, i).isNotNull()
+                & (ev.getField("t") - F.element_at(acc, i) <= budget),
+                ev.getField("t"),
+            )
+            .otherwise(best),
+        ),
+    )
+    reached = F.size(F.filter(walk, lambda x: x.isNotNull()))
+    return per_user.select(
+        "user",
+        reached.alias("stage_reached"),
+        (reached == k).alias("completed"),
+    )
+
+
+def funnel_counts(stages: DataFrame, n_steps: int) -> DataFrame:
+    """Aggregate :func:`funnel_stages` output into the funnel chart:
+    one row per step with the number of users who reached AT LEAST
+    that stage (monotone non-increasing by construction)."""
+    return (
+        stages.crossJoin(
+            F.broadcast(
+                stages.sparkSession.range(1, n_steps + 1).select(
+                    F.col("id").cast("int").alias("stage")
+                )
+            )
+        )
+        .where(F.col("stage_reached") >= F.col("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1,0 +1,123 @@
+"""Funnel analysis (operators/funnel.py): latest-anchor matching
+semantics, the greedy-trap case, plan shape, and a DuckDB differential
+on the events table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.operators.funnel import (
+    funnel_counts,
+    funnel_stages,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, event_type string, ts double")
+
+
+def test_basic_sequential_funnel(spark):
+    rows = [
+        (1, "A", 0.0), (1, "B", 5.0), (1, "C", 9.0),   # completes
+        (2, "A", 0.0), (2, "C", 1.0),                   # skips B: stage 1
+        (3, "B", 0.0), (3, "C", 1.0),                   # never A: stage 0... no rows? has relevant events -> stage 0
+        (4, "A", 0.0), (4, "B", 100.0),                 # B too late under budget
+    ]
+    out = {r.user: r for r in funnel_stages(_events(spark, rows), ["A", "B", "C"], within_seconds=10).collect()}
+    assert out[1].stage_reached == 3 and out[1].completed
+    assert out[2].stage_reached == 1 and not out[2].completed
+    assert out[3].stage_reached == 0
+    assert out[4].stage_reached == 1
+
+
+def test_latest_anchor_beats_greedy(spark):
+    """A@0, A@50, B@60 with budget 20: greedy first-match anchors on
+    A@0 and times out; latest-anchor completes via A@50."""
+    rows = [(1, "A", 0.0), (1, "A", 50.0), (1, "B", 60.0)]
+    out = funnel_stages(_events(spark, rows), ["A", "B"], within_seconds=20).collect()
+    assert out[0].stage_reached == 2 and out[0].completed
+
+
+def test_unbounded_budget_and_counts(spark):
+    rows = [
+        (1, "A", 0.0), (1, "B", 1e6),
+        (2, "A", 0.0),
+        (3, "A", 0.0), (3, "B", 1.0),
+    ]
+    stages = funnel_stages(_events(spark, rows), ["A", "B"])
+    counts = {r.stage: r.n_users for r in funnel_counts(stages, 2).collect()}
+    assert counts == {1: 3, 2: 2}
+
+
+def test_funnel_rejects_empty_steps(spark):
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_stages(_events(spark, [(1, "A", 0.0)]), [])
+
+
+def test_funnel_single_exchange_no_python(spark):
+    df = _events(spark, [(1, "A", 0.0)])
+    plan = (
+        funnel_stages(df, ["A", "B"], within_seconds=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # the user groupBy only
+    assert "EvalPython" not in plan
+
+
+def test_funnel_differential_vs_duckdb_on_events(spark, sf_dir_mid):
+    """3-step funnel over the real events table vs a per-step
+    latest-anchor chain in DuckDB SQL (ASOF-style correlated maxes)."""
+    from tests.oracle_harness import compare_query
+
+    within = 600.0  # 10 minutes between steps
+    oracle = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch(CAST(ts AS TIMESTAMP)) AS t FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (  -- latest completion time of prefix [view] per user, per anchor event
+  SELECT user_id, max(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (  -- latest click within budget of ANY view before it
+  SELECT c.user_id, max(c.t) AS t2
+  FROM e c
+  WHERE c.event_type = 'click'
+    AND EXISTS (SELECT 1 FROM e v WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                AND v.t <= c.t AND c.t - v.t <= {within})
+  GROUP BY c.user_id
+), s3 AS (
+  SELECT p.user_id, max(p.t) AS t3
+  FROM e p
+  WHERE p.event_type = 'purchase'
+    AND EXISTS (
+      SELECT 1 FROM e c WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        AND c.t <= p.t AND p.t - c.t <= {within}
+        AND EXISTS (SELECT 1 FROM e v WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                    AND v.t <= c.t AND c.t - v.t <= {within})
+    )
+  GROUP BY p.user_id
+)
+SELECT
+  u.user_id AS user,
+  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+  t3 IS NOT NULL AS completed
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+    def fn(spark_, sf_dir_):
+        from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+        # NTZ -> LTZ (session TZ pinned UTC) -> fractional epoch
+        # seconds, matching DuckDB's epoch() over the naive timestamp
+        ev = load_table(spark_, sf_dir_, "events").select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        )
+        return funnel_stages(ev, ["view", "click", "purchase"], within_seconds=within)
+
+    ok, msg = compare_query(spark, sf_dir_mid, fn, oracle)
+    assert ok, msg
