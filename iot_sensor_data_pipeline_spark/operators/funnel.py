@@ -112,3 +112,39 @@ def funnel_counts(stages: DataFrame, n_steps: int) -> DataFrame:
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    period_seconds: float = 7 * 86400.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users are grouped into cohorts by the
+    period of their FIRST event, and each cell counts how many of a
+    cohort's users were active again N periods later —
+    ``(cohort_period, periods_since, n_users)``. ``periods_since = 0``
+    is the cohort size. The other pillar of behavioral analytics next
+    to :func:`funnel_stages` (did they come back, vs did they convert).
+
+    Plan shape: one aggregation keyed by user for the first-event time
+    (map-side combined), a broadcast-or-shuffle join back onto the
+    events keyed by user, then a distinct-and-count on
+    (cohort, periods_since, user) — every shuffle key is uniform
+    (users / small period grid), no windows, no iteration. Periods
+    are fixed-width buckets of ``floor(epoch / period)``, so cohort
+    assignment is a pure expression of the timestamp — deterministic
+    across engines and partitionings.
+    """
+    t = F.col(ts_col).cast("double")
+    e = events.select(
+        F.col(user_col).alias("user"), F.floor(t / F.lit(period_seconds)).alias("p")
+    )
+    first = e.groupBy("user").agg(F.min("p").alias("cohort_p"))
+    return (
+        e.join(first, "user")
+        .select("user", "cohort_p", (F.col("p") - F.col("cohort_p")).alias("since"))
+        .distinct()
+        .groupBy(F.col("cohort_p").alias("cohort_period"), F.col("since").alias("periods_since"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -121,3 +121,55 @@ LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (us
 
     ok, msg = compare_query(spark, sf_dir_mid, fn, oracle)
     assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_golden(spark):
+    from iot_sensor_data_pipeline_spark.operators.funnel import cohort_retention
+
+    w = 10.0  # period width
+    rows = [
+        (1, "x", 0.0), (1, "x", 12.0),            # cohort 0, back in period 1
+        (2, "x", 3.0),                            # cohort 0, never back
+        (3, "x", 11.0), (3, "x", 35.0),           # cohort 1, back in period 3 (since=2)
+    ]
+    ev = _events(spark, rows)
+    got = {
+        (r.cohort_period, r.periods_since): r.n_users
+        for r in cohort_retention(ev, period_seconds=w).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_cohort_retention_differential_vs_duckdb(spark, sf_dir_mid):
+    from tests.oracle_harness import compare_query
+
+    from iot_sensor_data_pipeline_spark.operators.funnel import cohort_retention
+
+    w = 86400.0  # daily cohorts
+    oracle = f"""
+WITH e AS (
+  SELECT user_id AS u, CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / {w}) AS BIGINT) AS p
+  FROM events
+), first AS (
+  SELECT u, min(p) AS cp FROM e GROUP BY u
+)
+SELECT cp AS cohort_period, p - cp AS periods_since, count(DISTINCT u) AS n_users
+FROM e JOIN first USING (u)
+GROUP BY cp, p - cp
+"""
+
+    def fn(spark_, sf_dir_):
+        from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+        ev = load_table(spark_, sf_dir_, "events").select(
+            "user_id", F.col("ts").cast("timestamp").cast("double").alias("ts")
+        )
+        return cohort_retention(ev, period_seconds=w)
+
+    ok, msg = compare_query(spark, sf_dir_mid, fn, oracle)
+    assert ok, msg
