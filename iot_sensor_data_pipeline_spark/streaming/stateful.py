@@ -345,3 +345,86 @@ def ewma_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT = T.StructType(
+    [
+        T.StructField("user", T.StringType()),
+        T.StructField("stage_reached", T.IntegerType()),
+        T.StructField("ts", T.DoubleType()),
+    ]
+)
+
+FUNNEL_STATE = T.StructType([T.StructField("best", T.ArrayType(T.DoubleType()))])
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list,
+    within_seconds: float | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming counterpart of ``operators.funnel.funnel_stages``:
+    each user's latest-anchor DP vector (k doubles — the latest time
+    every funnel prefix was completed) lives in keyed state, so a
+    funnel that spans micro-batches (step 1 today, step 2 tomorrow)
+    still completes. Emits one row per ADVANCEMENT — (user, new
+    stage_reached, ts of the advancing event) — so downstream sinks
+    see transitions, not per-event noise; identical events in a later
+    batch advance nothing and emit nothing.
+
+    Same DP as the batch operator (latest anchor dominates — see
+    operators/funnel.py docstring for why greedy first-match is wrong
+    under a budget), applied incrementally: state IS the DP vector,
+    so batch boundaries are invisible to the semantics. Rows within a
+    batch are processed in (ts, step) order for determinism; k
+    doubles per user of RocksDB-backed state, history-independent.
+    """
+    import math as _math
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("streaming_funnel: steps must be non-empty")
+    k = len(steps)
+    idx = {s: i for i, s in enumerate(steps)}
+    budget = _math.inf if within_seconds is None else float(within_seconds)
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        best = list(state.get[0]) if state.exists else [None] * k
+        rows = []
+        for pdf in pdfs:
+            for r in pdf[["event_type", "ts"]].itertuples(index=False):
+                if r.event_type in idx:
+                    rows.append((float(r.ts), idx[r.event_type]))
+        rows.sort()
+        out = []
+        reached = sum(1 for b in best if b is not None)
+        for t, s in rows:
+            ok = s == 0 or (
+                best[s - 1] is not None and t - best[s - 1] <= budget
+            )
+            if ok:
+                advanced = best[s] is None
+                best[s] = t
+                if advanced:
+                    reached = s + 1
+                    out.append({"user": user, "stage_reached": reached, "ts": t})
+        state.update((best,))
+        if out:
+            yield pd.DataFrame(out)
+
+    keyed = events.select(
+        F.col(user_col).cast("string").alias("user"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).cast("double").alias("ts"),
+    ).groupBy("user")
+    return keyed.applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

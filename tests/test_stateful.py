@@ -262,3 +262,53 @@ def test_ewma_anomalies_stream_state_spans_batches(spark, tmp_path):
     # a constant series never earns a judgment (zero variance), even
     # past min_periods and across batches
     assert all(r.is_anomaly is None for r in out if r.sensor_id == "FLAT")
+
+
+def test_streaming_funnel_spans_micro_batches(spark, tmp_path):
+    """Step 1 arrives in batch 1, step 2 in batch 2 within budget: the
+    DP state carries the anchor across batches and the completion is
+    emitted exactly once; repeats advance nothing; the greedy-trap
+    re-anchor (a fresh A in batch 2) also works incrementally."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.stateful import streaming_funnel
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = []
+
+    def feed(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "event_type": e, "ts": t})
+                for u, e, t in rows
+            )
+        )
+
+    raw = spark.readStream.schema("user_id string, event_type string, ts double").json(
+        str(src)
+    )
+    q = (
+        streaming_funnel(raw, ["A", "B"], within_seconds=100)
+        .writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        feed("b1.json", [("u1", "A", 10.0), ("u2", "A", 0.0), ("u2", "B", 500.0)])
+        q.processAllAvailable()
+        # u1 completes across the batch boundary; u2's stale anchor is
+        # refreshed by a new A, then B lands within budget of it
+        feed("b2.json", [("u1", "B", 50.0), ("u1", "B", 60.0), ("u2", "A", 600.0), ("u2", "B", 650.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted((r.user, r.stage_reached, r.ts) for r in out)
+    assert got == [
+        ("u1", 1, 10.0),   # batch 1: A
+        ("u1", 2, 50.0),   # batch 2: first B completes; second B emits nothing
+        ("u2", 1, 0.0),    # batch 1: A (B@500 out of budget)
+        ("u2", 2, 650.0),  # batch 2: B within budget of the re-anchor A@600
+    ]
