@@ -98,19 +98,20 @@ def funnel_stages(
 
 def funnel_counts(stages: DataFrame, n_steps: int) -> DataFrame:
     """Aggregate :func:`funnel_stages` output into the funnel chart:
-    one row per step with the number of users who reached AT LEAST
-    that stage (monotone non-increasing by construction)."""
-    return (
-        stages.crossJoin(
-            F.broadcast(
-                stages.sparkSession.range(1, n_steps + 1).select(
-                    F.col("id").cast("int").alias("stage")
-                )
-            )
-        )
+    one row per step — including n_users = 0 for stages nobody
+    reached — with the number of users who reached AT LEAST that
+    stage (monotone non-increasing by construction)."""
+    grid = stages.sparkSession.range(1, n_steps + 1).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    counts = (
+        stages.crossJoin(F.broadcast(grid))
         .where(F.col("stage_reached") >= F.col("stage"))
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return grid.join(counts, "stage", "left").select(
+        "stage", F.coalesce("n_users", F.lit(0)).alias("n_users")
     )
 
 

@@ -378,9 +378,17 @@ def streaming_funnel(
     Same DP as the batch operator (latest anchor dominates — see
     operators/funnel.py docstring for why greedy first-match is wrong
     under a budget), applied incrementally: state IS the DP vector,
-    so batch boundaries are invisible to the semantics. Rows within a
-    batch are processed in (ts, step) order for determinism; k
-    doubles per user of RocksDB-backed state, history-independent.
+    so batch boundaries are invisible to the semantics — INCLUDING
+    for late data: an event whose ts precedes the matched previous
+    stage can never advance (the delta check is two-sided), and a
+    late arrival never regresses a stored anchor (anchors only move
+    forward), so the stream agrees with a batch run over the same
+    events regardless of how they split across micro-batches. Rows
+    within a batch are processed in (ts, step) order for determinism;
+    k doubles per user of RocksDB-backed state, written only for
+    users with funnel-relevant events (the stream is pre-filtered to
+    the step types, so the heartbeat firehose neither shuffles nor
+    creates state).
     """
     import math as _math
 
@@ -401,26 +409,35 @@ def streaming_funnel(
                     rows.append((float(r.ts), idx[r.event_type]))
         rows.sort()
         out = []
-        reached = sum(1 for b in best if b is not None)
         for t, s in rows:
+            # two-sided delta: a LATE event older than the matched
+            # previous stage must not count as "within budget" (a
+            # negative delta passes a one-sided check and would emit
+            # step-2-before-step-1 completions)
             ok = s == 0 or (
-                best[s - 1] is not None and t - best[s - 1] <= budget
+                best[s - 1] is not None and 0 <= t - best[s - 1] <= budget
             )
             if ok:
                 advanced = best[s] is None
-                best[s] = t
+                # anchors only move FORWARD: a late arrival never
+                # regresses a stored anchor to an earlier time
+                best[s] = t if advanced else max(best[s], t)
                 if advanced:
-                    reached = s + 1
-                    out.append({"user": user, "stage_reached": reached, "ts": t})
-        state.update((best,))
+                    out.append({"user": user, "stage_reached": s + 1, "ts": t})
+        if rows:
+            state.update((best,))
         if out:
             yield pd.DataFrame(out)
 
-    keyed = events.select(
-        F.col(user_col).cast("string").alias("user"),
-        F.col(type_col).alias("event_type"),
-        F.col(ts_col).cast("double").alias("ts"),
-    ).groupBy("user")
+    keyed = (
+        events.where(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).cast("string").alias("user"),
+            F.col(type_col).alias("event_type"),
+            F.col(ts_col).cast("double").alias("ts"),
+        )
+        .groupBy("user")
+    )
     return keyed.applyInPandasWithState(
         fn,
         outputStructType=FUNNEL_OUTPUT,

@@ -173,3 +173,15 @@ GROUP BY cp, p - cp
 
     ok, msg = compare_query(spark, sf_dir_mid, fn, oracle)
     assert ok, msg
+
+
+def test_funnel_counts_emits_zero_rows(spark):
+    """Stages nobody reached still appear with n_users = 0."""
+    from iot_sensor_data_pipeline_spark.operators.funnel import (
+        funnel_counts,
+        funnel_stages,
+    )
+
+    stages = funnel_stages(_events(spark, [(1, "A", 0.0)]), ["A", "B", "C"])
+    counts = {r.stage: r.n_users for r in funnel_counts(stages, 3).collect()}
+    assert counts == {1: 1, 2: 0, 3: 0}

@@ -312,3 +312,48 @@ def test_streaming_funnel_spans_micro_batches(spark, tmp_path):
         ("u2", 1, 0.0),    # batch 1: A (B@500 out of budget)
         ("u2", 2, 650.0),  # batch 2: B within budget of the re-anchor A@600
     ]
+
+
+def test_streaming_funnel_late_data_matches_batch_semantics(spark, tmp_path):
+    """Late cross-batch data must not fabricate completions: B@40
+    arriving after A@50 (step 2 BEFORE step 1 in event time) advances
+    nothing — the stream agrees with the batch operator; and a late
+    re-delivered earlier A cannot regress the stored anchor."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.stateful import streaming_funnel
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = []
+
+    def feed(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "event_type": e, "ts": t})
+                for u, e, t in rows
+            )
+        )
+
+    raw = spark.readStream.schema("user_id string, event_type string, ts double").json(
+        str(src)
+    )
+    q = (
+        streaming_funnel(raw, ["A", "B"], within_seconds=20)
+        .writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        feed("b1.json", [("u1", "A", 50.0), ("u2", "A", 50.0)])
+        q.processAllAvailable()
+        # u1: B@40 is BEFORE the anchor -> no completion
+        # u2: late A@5 must not regress the anchor; B@60 completes vs A@50
+        feed("b2.json", [("u1", "B", 40.0), ("u2", "A", 5.0), ("u2", "B", 60.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted((r.user, r.stage_reached, r.ts) for r in out)
+    assert got == [("u1", 1, 50.0), ("u2", 1, 50.0), ("u2", 2, 60.0)]
