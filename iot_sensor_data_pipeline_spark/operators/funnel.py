@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,3 +149,44 @@ def cohort_retention(
         .groupBy(F.col("cohort_p").alias("cohort_period"), F.col("since").alias("periods_since"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    session_gap_seconds: float | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Path analysis: the first-order transition matrix of event types
+    — ``(from_type, to_type, n)`` counting consecutive event pairs
+    within each user's stream — plus ``(type, '<end>', n)`` rows for
+    terminal events, so every event appears exactly once as a
+    ``from_type`` and outgoing counts sum to event counts (a property
+    consumers can check). Feed it to :func:`~iot_sensor_data_pipeline_spark.operators.graph.pagerank`
+    for a behavioral importance ranking, or normalize per from_type
+    for a Markov model of user flows.
+
+    ``session_gap_seconds`` splits a user's stream when consecutive
+    events are further apart than the gap — the pair across the gap
+    counts as an end + a fresh start, matching sessionized path
+    analysis. ``id_col`` breaks timestamp ties deterministically.
+
+    One shuffle (the per-user window sort); the transition pairs come
+    from ``lead`` — no self-join of the event table — and the final
+    count is a low-cardinality aggregation over (type x type).
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    t = F.col(ts_col).cast("double")
+    nxt_type = F.lead(type_col).over(w)
+    nxt_t = F.lead(t).over(w)
+    if session_gap_seconds is not None:
+        gap = F.lit(float(session_gap_seconds))
+        nxt_type = F.when(nxt_t - t <= gap, nxt_type)  # else NULL -> <end>
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.coalesce(nxt_type, F.lit("<end>")).alias("to_type"),
+    )
+    return pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))

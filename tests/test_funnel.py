@@ -185,3 +185,50 @@ def test_funnel_counts_emits_zero_rows(spark):
     stages = funnel_stages(_events(spark, [(1, "A", 0.0)]), ["A", "B", "C"])
     counts = {r.stage: r.n_users for r in funnel_counts(stages, 3).collect()}
     assert counts == {1: 1, 2: 0, 3: 0}
+
+
+# ---------------------------------------------------------------------------
+# event_transitions
+# ---------------------------------------------------------------------------
+
+
+def test_event_transitions_golden_with_session_gap(spark):
+    from iot_sensor_data_pipeline_spark.operators.funnel import event_transitions
+
+    rows = [
+        (1, "A", 0.0), (1, "B", 5.0), (1, "A", 100.0),  # gap splits B->A
+        (2, "A", 0.0), (2, "B", 1.0),
+    ]
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in event_transitions(_events(spark, rows), session_gap_seconds=50).collect()
+    }
+    assert got == {("A", "B"): 2, ("B", "<end>"): 2, ("A", "<end>"): 1}
+    # conservation: every event appears exactly once as from_type
+    assert sum(got.values()) == 5
+
+
+def test_event_transitions_differential_vs_duckdb(spark, sf_dir_mid):
+    from tests.oracle_harness import compare_query
+
+    from iot_sensor_data_pipeline_spark.operators.funnel import event_transitions
+
+    oracle = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, coalesce(nxt, '<end>') AS to_type, count(*) AS n
+FROM o GROUP BY 1, 2
+"""
+
+    def fn(spark_, sf_dir_):
+        from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+        return event_transitions(
+            load_table(spark_, sf_dir_, "events"), id_col="event_id"
+        )
+
+    ok, msg = compare_query(spark, sf_dir_mid, fn, oracle)
+    assert ok, msg
