@@ -56,3 +56,65 @@ def merge_distinct_counts(
     return grouped.agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(out_col)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k_counters: int = 1000,
+    min_count: int | None = None,
+) -> DataFrame:
+    """Exact frequent items in two passes, scaled by a Misra-Gries
+    candidate sketch: every item whose true count exceeds ``n /
+    k_counters`` is GUARANTEED returned with its EXACT count (the
+    mergeable-summaries bound, Agarwal et al.: per-partition MG
+    summaries undercount by at most n_p / k each, so a globally-heavy
+    item survives in at least one summary). Items below the guarantee
+    line may appear too; ``min_count`` filters the output.
+
+    Why not groupBy(item).count() directly? Over a high-cardinality
+    column (URLs, user agents, shingles) that shuffles one row PER
+    DISTINCT ITEM — at corpus scale, billions of rows of mostly-ones.
+    Here pass 1 runs Misra-Gries inside each partition (Arrow batches,
+    a dict of at most ``k_counters`` entries regardless of partition
+    size) and ships only <= partitions x k summary rows; pass 2
+    exactly recounts ONLY the candidate items via a broadcast
+    semi-join, so the big shuffle never happens. Returns
+    ``(item, n)``, exact counts.
+    """
+    import pandas as pd
+
+    def mg(it):
+        counters: dict = {}
+        for pdf in it:
+            for v in pdf[item_col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k_counters:
+                    counters[v] = 1
+                else:
+                    # decrement-all; drop zeros (the MG step)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame({item_col: list(counters.keys())})
+
+    item_type = dict(df.dtypes)[item_col]
+    candidates = (
+        df.select(item_col)
+        .mapInPandas(mg, f"{item_col} {item_type}")
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(candidates), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= (min_count if min_count is not None else 1))
+    )

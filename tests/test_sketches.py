@@ -80,3 +80,69 @@ def test_rollup_grains_from_same_sketches(spark):
     for day, est in per_day.items():
         true = df.where(F.col("day") == day).select("user_id").distinct().count()
         assert abs(est - true) / true < 0.05
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_guarantee_and_exact_counts(spark):
+    """Every item with true count > n/k is returned, with its EXACT
+    count — checked against a full groupBy on a skewed corpus."""
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    rnd = random.Random(9)
+    rows = []
+    for _ in range(20_000):
+        r = rnd.random()
+        if r < 0.3:
+            rows.append(("popular-0",))
+        elif r < 0.45:
+            rows.append(("popular-1",))
+        elif r < 0.55:
+            rows.append(("popular-2",))
+        else:
+            rows.append((f"tail-{rnd.randrange(5000)}",))
+    df = spark.createDataFrame(rows, "item string").repartition(16)
+    k = 50
+    got = {r.item: r.n for r in heavy_hitters(df, "item", k_counters=k).collect()}
+    exact = {
+        r.item: r.n
+        for r in df.groupBy("item").agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")).collect()
+    }
+    n = sum(exact.values())
+    for item, cnt in exact.items():
+        if cnt > n / k:
+            assert got.get(item) == cnt, (item, cnt, got.get(item))
+
+
+def test_heavy_hitters_min_count_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    rows = [("a",)] * 10 + [("b",)] * 3 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "item string")
+    got = {r.item: r.n for r in heavy_hitters(df, "item", k_counters=4, min_count=5).collect()}
+    assert got.get("a") == 10
+    assert "b" not in got  # below min_count
+    assert None not in got  # nulls ignored
+
+
+def test_heavy_hitters_candidate_volume_is_bounded(spark):
+    """The summary relation ships at most partitions x k rows — the
+    whole point vs a full distinct-item shuffle."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    df = (
+        spark.range(50_000)
+        .selectExpr("concat('u-', id) AS item")  # all unique: worst case
+        .repartition(8)
+    )
+    out = heavy_hitters(df, "item", k_counters=20, min_count=2)
+    # no item repeats, so nothing passes min_count — and the pipeline
+    # never shuffled 50k distinct keys to find that out
+    assert out.count() == 0
