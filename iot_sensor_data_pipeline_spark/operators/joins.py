@@ -189,3 +189,88 @@ def range_join(
         )
         .drop("__bucket")
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    max_distance: int,
+    q: int = 3,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Edit-distance join without a cross join: pairs every left row
+    with the right rows whose string is within ``max_distance``
+    Levenshtein edits — the entity-resolution / typo-matching
+    primitive (device names, user-entered cities, product titles).
+
+    Plan: q-gram blocking. Each side explodes to its character
+    ``q``-grams, candidates are pairs sharing at least one gram
+    (equi-join on the gram — never all-pairs), the length filter
+    ``abs(len(a) - len(b)) <= d`` prunes before verification, and
+    only candidates pay the exact ``levenshtein`` check (which Spark
+    evaluates with the distance threshold pushed in).
+
+    Completeness: d edits destroy at most ``d * q`` grams, so two
+    strings BOTH of length >= ``q * (d + 1)`` within distance d are
+    guaranteed to share a gram. Shorter strings fall into a separate
+    short-stratum branch that compares all short-left x short-right
+    pairs (bounded: only rows under the length floor enter it; with a
+    normal length distribution that stratum is tiny — audit it if
+    your data is all two-character codes). ``max_gram_freq`` is the
+    usual banded-join skew guard: a gram occurring in more rows than
+    the cap ('ing', ' th') is dropped from candidate generation on
+    BOTH sides; pairs sharing ONLY stopgrams are lost (recall trade,
+    documented) unless they fall in the short stratum.
+
+    Output: the left row's and right row's text columns (aliased
+    ``a``, ``b``) plus ``distance``; join back on these to recover
+    full rows (texts may repeat — dedup upstream if ids matter).
+    """
+    if max_distance < 0:
+        raise ValueError("fuzzy_join: max_distance must be >= 0")
+    floor = q * (max_distance + 1)
+
+    def grams(col):
+        n = F.length(col) - (q - 1)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.substr(col, i, F.lit(q)),
+            )
+        )
+
+    a = left.select(F.col(left_text).alias("a")).distinct()
+    b = right.select(F.col(right_text).alias("b")).distinct()
+    a_long = a.where(F.length("a") >= floor)
+    b_long = b.where(F.length("b") >= floor)
+    ga = a_long.select("a", F.explode(grams(F.col("a"))).alias("g"))
+    gb = b_long.select("b", F.explode(grams(F.col("b"))).alias("g"))
+    if max_gram_freq is not None:
+        freq = gb.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+        ok = freq.where(F.col("__f") <= max_gram_freq).select("g")
+        ga = ga.join(F.broadcast(ok), "g", "left_semi")
+        gb = gb.join(F.broadcast(ok), "g", "left_semi")
+    cand = (
+        ga.join(gb, "g")
+        .select("a", "b")
+        .where(F.abs(F.length("a") - F.length("b")) <= max_distance)
+        .distinct()
+    )
+    short_pairs = (
+        a.where(F.length("a") < floor)
+        .crossJoin(b)
+        .where(F.abs(F.length("a") - F.length("b")) <= max_distance)
+        .unionByName(
+            a_long.crossJoin(b.where(F.length("b") < floor)).where(
+                F.abs(F.length("a") - F.length("b")) <= max_distance
+            )
+        )
+    )
+    return (
+        cand.unionByName(short_pairs)
+        .distinct()
+        .withColumn("distance", F.levenshtein("a", "b", max_distance))
+        .where(F.col("distance") >= 0)  # threshold form returns -1 beyond it
+    )

@@ -218,3 +218,88 @@ def test_range_join_rejects_bad_width_and_ambiguous_columns(spark):
     clash = intervals.withColumnRenamed("iid", "pid")  # shares 'pid'
     with _pytest.raises(ValueError, match="share non-key"):
         range_join(points, clash, "x", "lo", "hi", 5.0)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join (q-gram blocked edit-distance join)
+# ---------------------------------------------------------------------------
+
+
+def _name_corpus(spark):
+    import random
+
+    rnd = random.Random(13)
+    bases = [
+        "springfield", "shelbyville", "ogdenville", "northhaverbrook",
+        "capitalcity", "cypresscreek", "brockway", "guidopolis",
+    ]
+    lefts, rights = [], []
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    for i, b in enumerate(bases):
+        lefts.append((i, b))
+        # a 1-edit typo and an unrelated string per base
+        pos = rnd.randrange(len(b))
+        typo = b[:pos] + rnd.choice(alphabet) + b[pos + 1 :]
+        rights.append((100 + i, typo))
+        rights.append((200 + i, "".join(rnd.choice(alphabet) for _ in range(10))))
+    return (
+        spark.createDataFrame(lefts, "lid long, name string"),
+        spark.createDataFrame(rights, "rid long, name2 string"),
+    )
+
+
+def test_fuzzy_join_matches_naive_levenshtein(spark):
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
+
+    left, right = _name_corpus(spark)
+    got = {
+        (r.a, r.b, r.distance)
+        for r in fuzzy_join(left, right, "name", "name2", max_distance=2).collect()
+    }
+    naive = {
+        (r.a, r.b, r.d)
+        for r in left.crossJoin(right)
+        .select(
+            F.col("name").alias("a"),
+            F.col("name2").alias("b"),
+            F.levenshtein("name", "name2").alias("d"),
+        )
+        .where(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == naive
+    assert len(got) >= 8  # every planted typo found
+
+
+def test_fuzzy_join_short_strings_still_match(spark):
+    """Strings below the q*(d+1) gram-guarantee floor go through the
+    short-stratum branch instead of being silently missed."""
+    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(1, "ab")], "lid long, s string")
+    right = spark.createDataFrame([(2, "ax"), (3, "zz")], "rid long, t string")
+    got = {(r.a, r.b) for r in fuzzy_join(left, right, "s", "t", max_distance=1).collect()}
+    assert got == {("ab", "ax")}
+
+
+def test_fuzzy_join_no_cartesian_on_long_stratum(spark):
+    """The long-string path must be an equi-join on grams; only the
+    (empty here) short stratum may cross-join."""
+    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
+
+    left, right = _name_corpus(spark)  # all names are >= 6 chars
+    plan = (
+        fuzzy_join(left, right, "name", "name2", max_distance=1, q=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # candidate generation: a gram equi-join appears
+    assert "g#" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    exact = {
+        (r.a, r.b)
+        for r in fuzzy_join(left, right, "name", "name2", max_distance=1, q=2).collect()
+    }
+    assert len(exact) >= 8
