@@ -108,6 +108,21 @@ def normalize_text(text: Column) -> Column:
     return F.trim(t)
 
 
+def char_grams(text: Column, q: int) -> Column:
+    """All character ``q``-grams of a string, in order (repeats kept;
+    EMPTY array for strings shorter than ``q``). The ONE copy of the
+    substr/sequence enumeration — ``sequence(1, n)`` DESCENDS for
+    n < 1, hence the guard — shared by winnowing and the fuzzy join's
+    q-gram blocking."""
+    n = F.length(text) - (q - 1)
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.substr(text, i, F.lit(q)),
+        )
+    )
+
+
 def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD '03 — the MOSS algorithm): hash every character k-gram,
@@ -123,14 +138,7 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     detection at corpus scale.
     """
     empty = F.array().cast("array<bigint>")
-    # sequence(1, n) DESCENDS for n < 1, so short inputs need guards
-    n_grams = F.length(text) - (k - 1)
-    gram_hashes = F.when(n_grams < 1, empty).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-            lambda i: F.xxhash64(F.substr(text, i, F.lit(k))),
-        )
-    )
+    gram_hashes = F.transform(char_grams(text, k), lambda g: F.xxhash64(g))
     n_windows = F.size(gram_hashes) - (w - 1)
     selected = F.when(n_windows < 1, empty).otherwise(
         F.transform(

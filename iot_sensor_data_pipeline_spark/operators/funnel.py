@@ -158,6 +158,7 @@ def event_transitions(
     type_col: str = "event_type",
     ts_col: str = "ts",
     id_col: str | None = None,
+    end_token: str = "<end>",
 ) -> DataFrame:
     """Path analysis: the first-order transition matrix of event types
     — ``(from_type, to_type, n)`` counting consecutive event pairs
@@ -173,10 +174,18 @@ def event_transitions(
     counts as an end + a fresh start, matching sessionized path
     analysis. ``id_col`` breaks timestamp ties deterministically.
 
+    NULL-typed events are dropped FIRST: ``coalesce(lead(...),
+    end_token)`` cannot tell "no next event" from "next event's type
+    is NULL", so keeping them would overstate terminals and emit NULL
+    from_type rows — conservation then holds over the non-null
+    events. ``end_token`` is the terminal sentinel; change it if
+    '<end>' is a real event type in your data.
+
     One shuffle (the per-user window sort); the transition pairs come
     from ``lead`` — no self-join of the event table — and the final
     count is a low-cardinality aggregation over (type x type).
     """
+    events = events.where(F.col(type_col).isNotNull())
     order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     t = F.col(ts_col).cast("double")
@@ -184,9 +193,9 @@ def event_transitions(
     nxt_t = F.lead(t).over(w)
     if session_gap_seconds is not None:
         gap = F.lit(float(session_gap_seconds))
-        nxt_type = F.when(nxt_t - t <= gap, nxt_type)  # else NULL -> <end>
+        nxt_type = F.when(nxt_t - t <= gap, nxt_type)  # else NULL -> end
     pairs = events.select(
         F.col(type_col).alias("from_type"),
-        F.coalesce(nxt_type, F.lit("<end>")).alias("to_type"),
+        F.coalesce(nxt_type, F.lit(end_token)).alias("to_type"),
     )
     return pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))

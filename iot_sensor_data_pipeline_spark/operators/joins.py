@@ -215,57 +215,72 @@ def fuzzy_join(
     Completeness: d edits destroy at most ``d * q`` grams, so two
     strings BOTH of length >= ``q * (d + 1)`` within distance d are
     guaranteed to share a gram. Shorter strings fall into a separate
-    short-stratum branch that compares all short-left x short-right
-    pairs (bounded: only rows under the length floor enter it; with a
-    normal length distribution that stratum is tiny — audit it if
-    your data is all two-character codes). ``max_gram_freq`` is the
-    usual banded-join skew guard: a gram occurring in more rows than
-    the cap ('ing', ' th') is dropped from candidate generation on
-    BOTH sides; pairs sharing ONLY stopgrams are lost (recall trade,
-    documented) unless they fall in the short stratum.
+    short-stratum branch comparing sub-floor strings against only the
+    other side's strings the length filter could accept (length <
+    floor + d) — both sides of that cross join are length-bounded, so
+    a single short code can never nested-loop a full relation; with a
+    normal length distribution the stratum is tiny (audit it if your
+    data is all two-character codes). ``max_gram_freq`` is the usual
+    banded-join skew guard, applied PER SIDE (this is a two-relation
+    join, so a left-only stopgram still multiplies candidates): a
+    gram over the cap in EITHER relation ('ing', ' th') is dropped
+    from candidate generation; pairs sharing ONLY stopgrams are lost
+    (recall trade, documented) unless they fall in the short stratum.
 
     Output: the left row's and right row's text columns (aliased
     ``a``, ``b``) plus ``distance``; join back on these to recover
     full rows (texts may repeat — dedup upstream if ids matter).
     """
+    from iot_sensor_data_pipeline_spark.functions.text import char_grams
+
     if max_distance < 0:
         raise ValueError("fuzzy_join: max_distance must be >= 0")
     floor = q * (max_distance + 1)
-
-    def grams(col):
-        n = F.length(col) - (q - 1)
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                lambda i: F.substr(col, i, F.lit(q)),
-            )
-        )
 
     a = left.select(F.col(left_text).alias("a")).distinct()
     b = right.select(F.col(right_text).alias("b")).distinct()
     a_long = a.where(F.length("a") >= floor)
     b_long = b.where(F.length("b") >= floor)
-    ga = a_long.select("a", F.explode(grams(F.col("a"))).alias("g"))
-    gb = b_long.select("b", F.explode(grams(F.col("b"))).alias("g"))
+    ga = a_long.select("a", F.explode(F.array_distinct(char_grams(F.col("a"), q))).alias("g"))
+    gb = b_long.select("b", F.explode(F.array_distinct(char_grams(F.col("b"), q))).alias("g"))
     if max_gram_freq is not None:
-        freq = gb.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
-        ok = freq.where(F.col("__f") <= max_gram_freq).select("g")
-        ga = ga.join(F.broadcast(ok), "g", "left_semi")
-        gb = gb.join(F.broadcast(ok), "g", "left_semi")
+        # the cap must hold PER SIDE: this is a two-relation join (not
+        # a self-join like RP-LSH), so a gram that floods only the
+        # left still multiplies candidates — drop grams exceeding the
+        # cap in EITHER relation
+        bad = (
+            ga.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+            .where(F.col("__f") > max_gram_freq)
+            .select("g")
+            .unionByName(
+                gb.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+                .where(F.col("__f") > max_gram_freq)
+                .select("g")
+            )
+            .distinct()
+        )
+        ga = ga.join(F.broadcast(bad), "g", "left_anti")
+        gb = gb.join(F.broadcast(bad), "g", "left_anti")
+    # no distinct here: the union's final distinct dedups gram
+    # collisions with map-side partial aggregation — an inner distinct
+    # would exchange the largest intermediate twice
     cand = (
         ga.join(gb, "g")
         .select("a", "b")
         .where(F.abs(F.length("a") - F.length("b")) <= max_distance)
-        .distinct()
     )
+    # short stratum: the OTHER side only needs strings the length
+    # filter could accept (< floor + d) — without this prefilter one
+    # sub-floor string would nested-loop the entire other relation
+    len_ok = F.abs(F.length("a") - F.length("b")) <= max_distance
     short_pairs = (
         a.where(F.length("a") < floor)
-        .crossJoin(b)
-        .where(F.abs(F.length("a") - F.length("b")) <= max_distance)
+        .crossJoin(b.where(F.length("b") < floor + max_distance))
+        .where(len_ok)
         .unionByName(
-            a_long.crossJoin(b.where(F.length("b") < floor)).where(
-                F.abs(F.length("a") - F.length("b")) <= max_distance
-            )
+            a_long.where(F.length("a") < floor + max_distance)
+            .crossJoin(b.where(F.length("b") < floor))
+            .where(len_ok)
         )
     )
     return (

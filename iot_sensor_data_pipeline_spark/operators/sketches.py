@@ -75,45 +75,44 @@ def heavy_hitters(
     Why not groupBy(item).count() directly? Over a high-cardinality
     column (URLs, user agents, shingles) that shuffles one row PER
     DISTINCT ITEM — at corpus scale, billions of rows of mostly-ones.
-    Here pass 1 runs Misra-Gries inside each partition (Arrow batches,
-    a dict of at most ``k_counters`` entries regardless of partition
-    size) and ships only <= partitions x k summary rows; pass 2
-    exactly recounts ONLY the candidate items via a broadcast
-    semi-join, so the big shuffle never happens. Returns
-    ``(item, n)``, exact counts.
+    Here pass 1 runs Misra-Gries inside each partition (vectorized:
+    per Arrow batch a value_counts at C speed merges into a dict that
+    is reduced back to ``k_counters`` entries by subtracting the
+    (k+1)-th largest count — the batched MG step, same undercount
+    bound) and ships only <= partitions x k summary rows; pass 2
+    exactly recounts ONLY the candidate items via a semi-join (AQE
+    picks broadcast when the candidate set fits — at extreme
+    partition counts the summary can outgrow a broadcast, so the
+    strategy is not forced). Returns ``(item, n)``, exact counts.
+
+    Nulls are dropped SPARK-side before the sketch: besides matching
+    count semantics, this keeps a nullable int64 column from arriving
+    in pandas as float64 (NaN-coerced), which would both corrupt the
+    counter state (every NaN looks distinct) and lose precision for
+    ids above 2^53.
     """
     import pandas as pd
 
     def mg(it):
         counters: dict = {}
         for pdf in it:
-            for v in pdf[item_col]:
-                if v is None:
-                    continue
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k_counters:
-                    counters[v] = 1
-                else:
-                    # decrement-all; drop zeros (the MG step)
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            for v, c in pdf[item_col].value_counts(dropna=True).items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k_counters:
+                # batched MG: subtract the (k+1)-th largest count from
+                # every counter, drop non-positives — at most k survive,
+                # and each subtraction is matched by >= k+1 counters
+                # losing it, so total undercount stays <= n / (k+1)
+                t = sorted(counters.values(), reverse=True)[k_counters]
+                counters = {key: n - t for key, n in counters.items() if n - t > 0}
         if counters:
             yield pd.DataFrame({item_col: list(counters.keys())})
 
     item_type = dict(df.dtypes)[item_col]
-    candidates = (
-        df.select(item_col)
-        .mapInPandas(mg, f"{item_col} {item_type}")
-        .distinct()
-    )
+    non_null = df.select(item_col).where(F.col(item_col).isNotNull())
+    candidates = non_null.mapInPandas(mg, f"{item_col} {item_type}").distinct()
     return (
-        df.join(F.broadcast(candidates), item_col, "left_semi")
+        non_null.join(candidates, item_col, "left_semi")
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= (min_count if min_count is not None else 1))

@@ -232,3 +232,17 @@ FROM o GROUP BY 1, 2
 
     ok, msg = compare_query(spark, sf_dir_mid, fn, oracle)
     assert ok, msg
+
+
+def test_event_transitions_null_types_dropped(spark):
+    """A NULL-typed event must neither fabricate an '<end>' terminal
+    nor emit a NULL from_type row — conservation holds over non-null
+    events."""
+    from iot_sensor_data_pipeline_spark.operators.funnel import event_transitions
+
+    rows = [(1, "A", 0.0), (1, None, 1.0), (1, "B", 2.0)]
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in event_transitions(_events(spark, rows)).collect()
+    }
+    assert got == {("A", "B"): 1, ("B", "<end>"): 1}

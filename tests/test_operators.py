@@ -303,3 +303,21 @@ def test_fuzzy_join_no_cartesian_on_long_stratum(spark):
         for r in fuzzy_join(left, right, "name", "name2", max_distance=1, q=2).collect()
     }
     assert len(exact) >= 8
+
+
+def test_fuzzy_join_short_stratum_is_length_bounded(spark):
+    """One 2-char code against a large right table must not cross-join
+    the whole relation — only right strings the length filter could
+    accept enter the short branch."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(1, "ab")], "lid long, s string")
+    right = spark.range(5000).select(F.concat(F.lit("longname-"), F.col("id")).alias("t"))
+    right = right.unionByName(spark.createDataFrame([("ac",)], "t string"))
+    out = fuzzy_join(left, right, "s", "t", max_distance=1)
+    assert {(r.a, r.b) for r in out.collect()} == {("ab", "ac")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cross-join inputs are length-filtered on BOTH sides
+    assert plan.count("length") >= 2

@@ -146,3 +146,15 @@ def test_heavy_hitters_candidate_volume_is_bounded(spark):
     # no item repeats, so nothing passes min_count — and the pipeline
     # never shuffled 50k distinct keys to find that out
     assert out.count() == 0
+
+
+def test_heavy_hitters_numeric_column_with_nulls(spark):
+    """Nullable numeric columns: nulls must not corrupt counter state
+    (NaN coercion) and heavy numeric items keep exact counts."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    rows = [(7,)] * 50 + [(None,)] * 30 + [(i,) for i in range(40)]
+    df = spark.createDataFrame(rows, "item bigint").repartition(4)
+    got = {r.item: r.n for r in heavy_hitters(df, "item", k_counters=10).collect()}
+    assert got.get(7) == 51  # 50 planted + one from range(40)
+    assert None not in got
