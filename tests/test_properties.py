@@ -380,3 +380,41 @@ def test_boilerplate_property_vs_python(spark, docs_lines, min_freq):
         assert got[i].text_clean == "\n".join(kept)
         assert got[i].n_lines == len(ls)
         assert got[i].n_removed == len(ls) - len(kept)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join vs naive levenshtein cross join — stresses the seams
+# between the short stratum and the q-gram path
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lefts=st.lists(st.text(alphabet="abcxy", min_size=0, max_size=10), min_size=1, max_size=15),
+    rights=st.lists(st.text(alphabet="abcxy", min_size=0, max_size=10), min_size=1, max_size=15),
+    d=st.integers(min_value=0, max_value=2),
+)
+def test_fuzzy_join_property_vs_naive(spark, lefts, rights, d):
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(s,) for s in lefts], "s string")
+    right = spark.createDataFrame([(t,) for t in rights], "t string")
+    got = {
+        (r.a, r.b, r.distance)
+        for r in fuzzy_join(left, right, "s", "t", max_distance=d, q=2).collect()
+    }
+    naive = {
+        (r.a, r.b, r.dd)
+        for r in left.distinct()
+        .crossJoin(right.distinct())
+        .select(
+            F.col("s").alias("a"),
+            F.col("t").alias("b"),
+            F.levenshtein("s", "t").alias("dd"),
+        )
+        .where(F.col("dd") <= d)
+        .collect()
+    }
+    assert got == naive
