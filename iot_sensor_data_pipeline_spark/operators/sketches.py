@@ -117,3 +117,61 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= (min_count if min_count is not None else 1))
     )
+
+
+#: the partial-aggregate columns `partial_aggregates` emits and
+#: `merge_aggregates` consumes — the mergeable-state contract
+PARTIAL_AGG_COLS = ("sum_v", "n_v", "min_v", "max_v", "sumsq_v")
+
+
+def partial_aggregates(
+    df: DataFrame, partition_keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Mergeable standard-aggregate partials — the non-sketch sibling
+    of :func:`distinct_sketches` for continuous-aggregate maintenance:
+    persist ONE row of (sum, count, min, max, sum-of-squares) per
+    ``partition_keys`` group (per ingest batch / day / source), and
+    every later sum/count/avg/min/max/stddev question at ANY coarser
+    grain — including incremental refreshes as new partial rows append
+    — is answered by :func:`merge_aggregates` over the partial rows,
+    never by rescanning raw history. The five moments are each
+    associative-commutative, which is the whole trick; avg/stddev are
+    derived at merge time (deriving them per partial and averaging
+    would be wrong — means of means weight groups, not rows)."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*partition_keys).agg(
+        F.sum(v).alias("sum_v"),
+        F.count(v).alias("n_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v * v).alias("sumsq_v"),
+    )
+
+
+def merge_aggregates(
+    partials: DataFrame, group_keys: Sequence[str] = ()
+) -> DataFrame:
+    """Fold persisted partial rows into final aggregates per
+    ``group_keys`` (empty = one global row): exact sum/n/min/max, avg
+    and population stddev derived from the merged moments. Cost is
+    #partial-rows, independent of raw history size."""
+    grouped = partials.groupBy(*group_keys) if group_keys else partials.groupBy()
+    merged = grouped.agg(
+        F.sum("sum_v").alias("sum_v"),
+        F.sum("n_v").alias("n_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("sumsq_v").alias("sumsq_v"),
+    )
+    mean = F.col("sum_v") / F.col("n_v")
+    # clamp: float cancellation can push E[x^2]-E[x]^2 a hair negative
+    var = F.greatest(F.col("sumsq_v") / F.col("n_v") - mean * mean, F.lit(0.0))
+    return merged.select(
+        *group_keys,
+        "sum_v",
+        "n_v",
+        "min_v",
+        "max_v",
+        mean.alias("avg_v"),
+        F.sqrt(var).alias("stddev_pop_v"),
+    )

@@ -158,3 +158,62 @@ def test_heavy_hitters_numeric_column_with_nulls(spark):
     got = {r.item: r.n for r in heavy_hitters(df, "item", k_counters=10).collect()}
     assert got.get(7) == 51  # 50 planted + one from range(40)
     assert None not in got
+
+
+# ---------------------------------------------------------------------------
+# partial_aggregates / merge_aggregates (continuous-aggregate algebra)
+# ---------------------------------------------------------------------------
+
+
+def test_merged_partials_equal_direct_aggregate(spark):
+    import math
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        merge_aggregates,
+        partial_aggregates,
+    )
+
+    rnd = random.Random(17)
+    rows = [(f"d{i % 5}", f"s{i % 3}", rnd.gauss(10, 4)) for i in range(9000)]
+    df = spark.createDataFrame(rows, "day string, source string, v double")
+    partials = partial_aggregates(df, ["day", "source"], "v")  # 15 rows
+    # merged at a COARSER grain (per source) vs direct aggregation
+    merged = {r.source: r for r in merge_aggregates(partials, ["source"]).collect()}
+    direct = {
+        r.source: r
+        for r in df.groupBy("source")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.avg("v").alias("m"),
+            F.stddev_pop("v").alias("sd"),
+        )
+        .collect()
+    }
+    for src, d in direct.items():
+        m = merged[src]
+        assert m.n_v == d.n and m.min_v == d.lo and m.max_v == d.hi
+        assert math.isclose(m.sum_v, d.s, rel_tol=1e-9)
+        assert math.isclose(m.avg_v, d.m, rel_tol=1e-9)
+        assert math.isclose(m.stddev_pop_v, d.sd, rel_tol=1e-6)
+
+
+def test_incremental_partial_append_equals_recompute(spark):
+    """Yesterday's partial rows + today's new partial row answer the
+    all-time aggregate without rescanning history — and the answer is
+    IDENTICAL to a full recompute."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        merge_aggregates,
+        partial_aggregates,
+    )
+
+    rows = [(f"d{i % 4}", float(i % 97)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "day string, v double")
+    old = partial_aggregates(df.where(F.col("day") != "d3"), ["day"], "v")
+    new = partial_aggregates(df.where(F.col("day") == "d3"), ["day"], "v")
+    inc = merge_aggregates(old.unionByName(new)).collect()[0]
+    full = merge_aggregates(partial_aggregates(df, ["day"], "v")).collect()[0]
+    assert inc == full
