@@ -175,3 +175,58 @@ def merge_aggregates(
         mean.alias("avg_v"),
         F.sqrt(var).alias("stddev_pop_v"),
     )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Data profiling in ONE scan: for every requested column a row of
+    ``(column, n_rows, n_null, null_frac, approx_distinct, min_str,
+    max_str)`` — the first thing to run against an unfamiliar or
+    newly-landed table (schema drift shows up as null_frac jumps,
+    key-ness as approx_distinct ~ n_rows, truncation as min/max
+    collapse). All columns' statistics are computed inside a single
+    aggregation (one job, one pass over the data, map-side combined)
+    and then unpivoted to the long form — never one job per column,
+    which is how naive profilers turn a wide table into 100 scans.
+
+    min/max are projected as strings so heterogeneous column types fit
+    one output schema; approx_distinct is HLL (~2% at the default
+    precision). Complex-typed columns (array/map/struct/variant) are
+    skipped unless explicitly listed — their min/max has no useful
+    ordering.
+    """
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName()
+            not in ("array", "map", "struct", "variant", "binary")
+        ]
+    cols = list(cols)
+    if not cols:
+        raise ValueError("profile_columns: no profilable columns")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(F.col(c)).alias(f"__nn_{c}"),
+                F.approx_count_distinct(F.col(c)).alias(f"__d_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+            F.round((F.col("__n") - F.col(f"__nn_{c}")) / F.col("__n"), 6).alias(
+                "null_frac"
+            ),
+            F.col(f"__d_{c}").alias("approx_distinct"),
+            F.col(f"__min_{c}").alias("min_str"),
+            F.col(f"__max_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

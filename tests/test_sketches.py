@@ -217,3 +217,51 @@ def test_incremental_partial_append_equals_recompute(spark):
     inc = merge_aggregates(old.unionByName(new)).collect()[0]
     full = merge_aggregates(partial_aggregates(df, ["day"], "v")).collect()[0]
     assert inc == full
+
+
+# ---------------------------------------------------------------------------
+# profile_columns
+# ---------------------------------------------------------------------------
+
+
+def test_profile_columns_one_pass_exactness(spark):
+    from iot_sensor_data_pipeline_spark.operators.sketches import profile_columns
+
+    rows = [(1, "a", 1.5), (2, None, 2.5), (3, "c", None), (4, "a", 0.5)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    prof = {r.column: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert prof["s"].n_rows == 4 and prof["s"].n_null == 1
+    assert prof["s"].null_frac == 0.25
+    assert prof["id"].min_str == "1" and prof["id"].max_str == "4"
+    assert prof["v"].min_str == "0.5" and prof["v"].max_str == "2.5"
+    assert prof["id"].approx_distinct == 4  # HLL exact at tiny cardinality
+    assert prof["s"].approx_distinct == 2
+
+
+def test_profile_columns_single_job_plan(spark, sf_dir_mid):
+    """All columns' stats come from ONE aggregation — one scan, not a
+    scan per column."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import profile_columns
+
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir_mid, "documents")
+    prof = profile_columns(docs)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 1
+    out = {r.column: r for r in prof.collect()}
+    # approx_count_distinct default rsd ~5%: 500 true distinct
+    assert out["doc_id"].n_rows == 500
+    assert abs(out["doc_id"].approx_distinct - 500) <= 50
+
+
+def test_profile_columns_skips_complex_types(spark):
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import profile_columns
+
+    df = spark.createDataFrame([(1, [1, 2])], "id long, arr array<int>")
+    assert [r.column for r in profile_columns(df).collect()] == ["id"]
+    with _pytest.raises(ValueError, match="no profilable"):
+        profile_columns(df.select("arr"))
