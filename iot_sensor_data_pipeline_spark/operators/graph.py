@@ -8,11 +8,14 @@ scoring over a hyperlink crawl before quality filtering, hub detection
 in a sensor-communication graph.
 
 Same scale discipline as the other iterative operators: every round is
-two joins + one aggregation over the edge relation (no driver-side
-graph state, no collect of nodes), the edge relation and per-round
-ranks are localCheckpointed (lineage truncated — executor loss fails
-loudly rather than recomputing a divergent iteration), and convergence
-is an L1-delta action per round.
+a fully LAZY dataflow — one scatter join of ranks against the edge
+relation plus one aggregation, with the dangling-mass correction
+carried as a broadcast 1-row relation instead of a per-round driver
+collect — and the driver touches the cluster only every
+``check_interval`` rounds (a single action that materializes the
+convergence delta and localCheckpoints the rank relation, truncating
+lineage). At a billion edges x 30 rounds that is ~30/check_interval
+job launches instead of 90.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ def pagerank(
     tol: float = 1e-6,
     src_col: str = "src",
     dst_col: str = "dst",
+    check_interval: int = 3,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list. Returns
     ``(id, rank)`` for every node appearing as source OR destination;
@@ -35,15 +39,32 @@ def pagerank(
     mass uniformly — the standard correction, without which rank
     leaks and the result is not a distribution.
 
-    Stops when the L1 change drops below ``tol``; raises RuntimeError
-    at ``max_iterations`` (returning a half-converged ranking would
-    silently misorder close nodes — same fail-loud contract as
-    ``duplicate_clusters``). Plan shape per round: one equi-join of
-    edges against current ranks (shuffle on src), one aggregation on
-    dst, one tiny dangling-mass aggregate; edge relation shuffles
-    once per round on the same key, so at scale pre-partition (or
-    bucket) the edge table by src.
+    Per-round dataflow (ZERO driver actions per round): ranks
+    left-join the out-degree table, then SCATTER via a left join onto
+    the edge relation — a node with out-edges produces one
+    ``rank/deg`` contribution row per edge, a dangling node produces
+    one row with a NULL dst carrying its whole rank. One groupBy(dst)
+    then yields BOTH the per-node inflow and (in the NULL-dst group)
+    the total dangling mass in a single pass; the dangling total is
+    re-aggregated from that node-scale relation into a 1-row DataFrame
+    and broadcast-cross-joined into the rank update, so the scalar
+    never visits the driver. Edges shuffle on src once per round — at
+    scale pre-partition (or bucket) the edge table by src.
+
+    Every ``check_interval`` rounds the driver runs ONE action: it
+    localCheckpoints the current ranks (eager — truncates the
+    accumulated lazy lineage; executor loss fails loudly rather than
+    recomputing a divergent iteration) and computes the L1 delta
+    against the ranks at the previous checkpoint. Converged when that
+    delta drops below ``tol`` (a stricter test than the per-round
+    delta it replaces: the L1 distance across N rounds of a
+    contraction dominates the last single-round step). Raises
+    RuntimeError at ``max_iterations`` (returning a half-converged
+    ranking would silently misorder close nodes — same fail-loud
+    contract as ``duplicate_clusters``).
     """
+    if check_interval < 1:
+        raise ValueError("pagerank: check_interval must be >= 1")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     e = e.localCheckpoint(eager=True)
     nodes = (
@@ -60,49 +81,59 @@ def pagerank(
         .agg(F.count(F.lit(1)).alias("deg"))
         .withColumnRenamed("src", "__od_id")  # avoid self-join ambiguity with e.src
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(max_iterations):
-        # persisted: the dangling aggregate AND the contribs join both
-        # read this relation — uncached, the ranks x out_deg join
-        # would execute twice per round
-        with_deg = (
-            ranks.join(out_deg, ranks.id == out_deg.__od_id, "left")
-            .drop("__od_id")
-            .persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    checkpointed = ranks  # ranks at the last driver touch-point
+    delta = float("inf")
+    for it in range(max_iterations):
+        with_deg = ranks.join(out_deg, ranks.id == out_deg.__od_id, "left").drop(
+            "__od_id"
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            with_deg.where(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # scatter: per-edge contribution rows, plus one NULL-dst row
+        # per dangling node carrying its full rank — one pass computes
+        # both inflow and dangling mass
+        scattered = with_deg.join(e, with_deg.id == e.src, "left").select(
+            "dst",
+            F.when(F.col("deg").isNotNull(), F.col("rank") / F.col("deg")).alias("c"),
+            F.when(F.col("deg").isNull(), F.col("rank")).alias("dang"),
         )
-        contribs = (
-            e.join(with_deg.where(F.col("deg").isNotNull()), e.src == F.col("id"))
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
+        agg = scattered.groupBy("dst").agg(
+            F.sum("c").alias("inflow"), F.sum("dang").alias("dang_part")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
-            nodes.join(contribs, nodes.id == contribs.dst, "left")
+        # node-scale re-aggregation: always exactly 1 row, even when no
+        # dangling group exists (coalesce -> 0.0); broadcast into the
+        # update so the scalar never round-trips through the driver
+        dangling_row = agg.agg(
+            F.coalesce(F.sum("dang_part"), F.lit(0.0)).alias("__dangling")
+        )
+        ranks = (
+            nodes.join(
+                agg.where(F.col("dst").isNotNull()), nodes.id == F.col("dst"), "left"
+            )
+            .crossJoin(F.broadcast(dangling_row))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("__dangling") / n
+                    )
+                ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "id")
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .collect()[0][0]
-        )
-        with_deg.unpersist()
-        ranks = new_ranks
-        if delta < tol:
-            return ranks
+        last_round = it == max_iterations - 1
+        if (it + 1) % check_interval == 0 or last_round:
+            ranks = ranks.localCheckpoint(eager=True)
+            delta = (
+                ranks.alias("n")
+                .join(checkpointed.alias("o"), "id")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .collect()[0][0]
+            )
+            checkpointed = ranks
+            if delta < tol:
+                return ranks
     raise RuntimeError(
         f"pagerank did not converge within {max_iterations} iterations "
         f"(last L1 delta {delta:.2e} >= tol {tol:.0e}); raise max_iterations"

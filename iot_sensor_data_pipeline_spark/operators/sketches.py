@@ -94,19 +94,31 @@ def heavy_hitters(
     import pandas as pd
 
     def mg(it):
-        counters: dict = {}
+        # fully vectorized MG merge: the counter table is a pandas
+        # Series (index = item, value = count); each Arrow batch folds
+        # in via concat + groupby-sum and trims via nlargest — all
+        # C-speed. A per-item Python dict loop here would BE the
+        # stage's wall-clock on the high-cardinality columns this
+        # operator exists for (URLs, shingles).
+        counters = pd.Series(dtype="int64")
         for pdf in it:
-            for v, c in pdf[item_col].value_counts(dropna=True).items():
-                counters[v] = counters.get(v, 0) + int(c)
+            vc = pdf[item_col].value_counts(dropna=True)
+            if not len(vc):
+                continue
+            counters = (
+                vc
+                if counters.empty
+                else pd.concat([counters, vc]).groupby(level=0).sum()
+            )
             if len(counters) > k_counters:
                 # batched MG: subtract the (k+1)-th largest count from
                 # every counter, drop non-positives — at most k survive,
                 # and each subtraction is matched by >= k+1 counters
                 # losing it, so total undercount stays <= n / (k+1)
-                t = sorted(counters.values(), reverse=True)[k_counters]
-                counters = {key: n - t for key, n in counters.items() if n - t > 0}
-        if counters:
-            yield pd.DataFrame({item_col: list(counters.keys())})
+                t = counters.nlargest(k_counters + 1).iloc[-1]
+                counters = counters[counters > t] - t
+        if len(counters):
+            yield pd.DataFrame({item_col: counters.index.to_numpy()})
 
     item_type = dict(df.dtypes)[item_col]
     non_null = df.select(item_col).where(F.col(item_col).isNotNull())
@@ -163,21 +175,32 @@ def merge_aggregates(
         F.max("max_v").alias("max_v"),
         F.sum("sumsq_v").alias("sumsq_v"),
     )
-    mean = F.col("sum_v") / F.col("n_v")
+    mean = F.try_divide(F.col("sum_v"), F.col("n_v"))
     # clamp: float cancellation can push E[x^2]-E[x]^2 a hair negative
-    var = F.greatest(F.col("sumsq_v") / F.col("n_v") - mean * mean, F.lit(0.0))
+    var = F.greatest(
+        F.try_divide(F.col("sumsq_v"), F.col("n_v")) - mean * mean, F.lit(0.0)
+    )
+    # gate derived stats on n_v > 0: a group whose merged n_v is 0
+    # (every partial saw only NULLs) has NULL moments, and
+    # greatest(NULL, 0.0) = 0.0 would otherwise report a DEFINITE zero
+    # spread for a group with no data — stddev must be NULL alongside avg
+    has_data = F.col("n_v") > 0
     return merged.select(
         *group_keys,
         "sum_v",
         "n_v",
         "min_v",
         "max_v",
-        mean.alias("avg_v"),
-        F.sqrt(var).alias("stddev_pop_v"),
+        F.when(has_data, mean).alias("avg_v"),
+        F.when(has_data, F.sqrt(var)).alias("stddev_pop_v"),
     )
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    max_cols_per_scan: int = 256,
+) -> DataFrame:
     """Data profiling in ONE scan: for every requested column a row of
     ``(column, n_rows, n_null, null_frac, approx_distinct, min_str,
     max_str)`` — the first thing to run against an unfamiliar or
@@ -193,6 +216,17 @@ def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFra
     precision). Complex-typed columns (array/map/struct/variant) are
     skipped unless explicitly listed — their min/max has no useful
     ordering.
+
+    null_frac uses ``try_divide``: on an empty table n_rows = 0 and
+    Spark 4's default ANSI mode would otherwise throw DIVIDE_BY_ZERO —
+    exactly when a landing produced zero rows, the moment you most
+    want the profile to succeed. Empty table → null_frac NULL.
+
+    Wide-table guard: 4 aggregates x 1000+ columns in one projection
+    stresses codegen (and can fall back to interpreted mode); above
+    ``max_cols_per_scan`` the aggregation is chunked — each chunk is
+    still a full-width single-pass agg, so a 1200-column table costs
+    ceil(1200/256) = 5 scans, never 1200.
     """
     if cols is None:
         cols = [
@@ -204,29 +238,39 @@ def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFra
     cols = list(cols)
     if not cols:
         raise ValueError("profile_columns: no profilable columns")
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.extend(
-            [
-                F.count(F.col(c)).alias(f"__nn_{c}"),
-                F.approx_count_distinct(F.col(c)).alias(f"__d_{c}"),
-                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
-            ]
-        )
-    wide = df.agg(*aggs)
-    rows = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.col("__n").alias("n_rows"),
-            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
-            F.round((F.col("__n") - F.col(f"__nn_{c}")) / F.col("__n"), 6).alias(
-                "null_frac"
-            ),
-            F.col(f"__d_{c}").alias("approx_distinct"),
-            F.col(f"__min_{c}").alias("min_str"),
-            F.col(f"__max_{c}").alias("max_str"),
-        )
-        for c in cols
+
+    def one_scan(chunk: list[str]) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in chunk:
+            aggs.extend(
+                [
+                    F.count(F.col(c)).alias(f"__nn_{c}"),
+                    F.approx_count_distinct(F.col(c)).alias(f"__d_{c}"),
+                    F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                    F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+                ]
+            )
+        wide = df.select(*chunk).agg(*aggs)
+        rows = [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+                F.round(
+                    F.try_divide(F.col("__n") - F.col(f"__nn_{c}"), F.col("__n")), 6
+                ).alias("null_frac"),
+                F.col(f"__d_{c}").alias("approx_distinct"),
+                F.col(f"__min_{c}").alias("min_str"),
+                F.col(f"__max_{c}").alias("max_str"),
+            )
+            for c in chunk
+        ]
+        return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+    chunks = [
+        cols[i : i + max_cols_per_scan] for i in range(0, len(cols), max_cols_per_scan)
     ]
-    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    out = one_scan(chunks[0])
+    for chunk in chunks[1:]:
+        out = out.unionByName(one_scan(chunk))
+    return out

@@ -262,6 +262,7 @@ def ewma_anomalies(
     id_col: str = "sensor_id",
     ts_col: str = "timestamp",
     value_col: str = "value",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming adaptive anomaly detection — the live-stream
     counterpart of ``operators.timeseries.rolling_zscore_anomalies``
@@ -285,11 +286,35 @@ def ewma_anomalies(
     stream holds two moments. Streaming-only (applyInPandasWithState
     rejects batch plans — use the batch rolling operator there); rows
     within a batch are processed in (ts, value) order for determinism.
+
+    NULL hygiene: rows with a null reading or null timestamp are
+    dropped BEFORE the shuffle (Arrow hands a null double to pandas as
+    NaN, and one NaN folded into the EWMA poisons mean/var forever —
+    every later reading would get sigma=NaN and silently emit
+    is_anomaly=False). The PERMISSIVE/try_variant_get ingest paths
+    produce exactly such nulls on schema drift, so this is load-bearing,
+    not defensive. A NaN that still reaches the fold (literal NaN
+    double in the source) is skipped there, and NaN already persisted
+    in state by an older build is healed on read.
+
+    State TTL: with ``state_ttl_ms`` set, a sensor silent for that long
+    has its state evicted (processing-time timeout — the same machinery
+    as ``stale_sensors``), so the keyspace is bounded by ACTIVE sensors,
+    not sensors-ever-seen. An evicted sensor that returns re-enters
+    warm-up (first reading re-seeds the baseline; no judgment until
+    ``min_periods`` again) rather than being judged against a stale
+    baseline.
     """
 
     def fn(key, pdfs, state):
         (sensor_id,) = key
+        if state.hasTimedOut:
+            # dormant sensor: evict; on return it re-enters warm-up
+            state.remove()
+            return
         mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+        if mean != mean or var != var:  # heal NaN-poisoned legacy state
+            mean, var, n = 0.0, 0.0, 0
         rows = []
         for pdf in pdfs:
             rows.extend(pdf[["timestamp", "value"]].itertuples(index=False))
@@ -297,6 +322,8 @@ def ewma_anomalies(
         out = []
         for r in rows:
             x = float(r.value)
+            if x != x:  # literal NaN double: unjudgeable, never folded
+                continue
             if n == 0:
                 out.append(
                     {
@@ -330,20 +357,30 @@ def ewma_anomalies(
             var = (1 - alpha) * (var + alpha * d * d)
             n += 1
         state.update((mean, var, n))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if out:
             yield pd.DataFrame(out)
 
-    keyed = readings.select(
-        F.col(id_col).alias("sensor_id"),
-        F.col(ts_col).alias("timestamp"),
-        F.col(value_col).cast("double").alias("value"),
-    ).groupBy("sensor_id")
+    keyed = (
+        readings.where(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(id_col).alias("sensor_id"),
+            F.col(ts_col).alias("timestamp"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .groupBy("sensor_id")
+    )
     return keyed.applyInPandasWithState(
         fn,
         outputStructType=EWMA_OUTPUT,
         stateStructType=EWMA_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -365,6 +402,7 @@ def streaming_funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming counterpart of ``operators.funnel.funnel_stages``:
     each user's latest-anchor DP vector (k doubles — the latest time
@@ -377,18 +415,41 @@ def streaming_funnel(
 
     Same DP as the batch operator (latest anchor dominates — see
     operators/funnel.py docstring for why greedy first-match is wrong
-    under a budget), applied incrementally: state IS the DP vector,
-    so batch boundaries are invisible to the semantics — INCLUDING
-    for late data: an event whose ts precedes the matched previous
-    stage can never advance (the delta check is two-sided), and a
-    late arrival never regresses a stored anchor (anchors only move
-    forward), so the stream agrees with a batch run over the same
-    events regardless of how they split across micro-batches. Rows
-    within a batch are processed in (ts, step) order for determinism;
-    k doubles per user of RocksDB-backed state, written only for
-    users with funnel-relevant events (the stream is pre-filtered to
-    the step types, so the heartbeat firehose neither shuffles nor
-    creates state).
+    under a budget), applied incrementally: state IS the DP vector, so
+    batch boundaries are invisible WITHIN the information the stream
+    has seen so far. Guarantees, precisely:
+
+    - **No false advancement, ever**: an event whose ts precedes the
+      matched previous stage can never advance (the delta check is
+      two-sided), and a late arrival never regresses a stored anchor
+      (anchors only move forward). Every emitted (user, stage) is one
+      a batch run over the same events would also report.
+    - **Lower bound under cross-batch out-of-order arrival**: the
+      stream folds each event once, against the state AT ARRIVAL. If
+      step-2@t=5 lands in batch 1 and step-1@t=3 arrives late in
+      batch 2, a batch run reports stage 2, but the stream examined
+      the step-2 event while best[0] was unset and does not revisit
+      it — it reports stage 1. Events are not buffered or replayed;
+      batch-equality holds exactly when each user's events arrive in
+      non-decreasing stage-completion order across batches (in-batch
+      disorder is handled by the sort). Feed the stream through a
+      watermark-delayed source if replay-exact parity is required.
+
+    Rows within a batch are processed in (ts, step) order for
+    determinism; k doubles per user of RocksDB-backed state, written
+    only for users with funnel-relevant events (the stream is
+    pre-filtered to the step types, so the heartbeat firehose neither
+    shuffles nor creates state).
+
+    NULL hygiene: rows with a null ts are dropped before the shuffle
+    (Arrow delivers them as NaN; a NaN anchor would make every later
+    delta check False and freeze the user's funnel), NaN ts that still
+    arrive are skipped in the fold, and NaN anchors persisted by an
+    older build are healed to None on state read.
+
+    State TTL: with ``state_ttl_ms`` set, users dormant for that long
+    have their DP vector evicted (processing-time timeout), bounding
+    state by active users; a returning user restarts from stage 0.
     """
     import math as _math
 
@@ -401,12 +462,21 @@ def streaming_funnel(
 
     def fn(key, pdfs, state):
         (user,) = key
+        if state.hasTimedOut:
+            # dormant user: evict; on return the funnel restarts at 0
+            state.remove()
+            return
         best = list(state.get[0]) if state.exists else [None] * k
+        # heal NaN anchors persisted by a pre-NULL-hygiene build: NaN
+        # compares False against everything, freezing the funnel
+        best = [b if (b is not None and b == b) else None for b in best]
         rows = []
         for pdf in pdfs:
             for r in pdf[["event_type", "ts"]].itertuples(index=False):
                 if r.event_type in idx:
-                    rows.append((float(r.ts), idx[r.event_type]))
+                    t = float(r.ts)
+                    if t == t:  # skip NaN ts: an unusable anchor
+                        rows.append((t, idx[r.event_type]))
         rows.sort()
         out = []
         for t, s in rows:
@@ -426,11 +496,13 @@ def streaming_funnel(
                     out.append({"user": user, "stage_reached": s + 1, "ts": t})
         if rows:
             state.update((best,))
+        if state_ttl_ms is not None and (rows or state.exists):
+            state.setTimeoutDuration(state_ttl_ms)
         if out:
             yield pd.DataFrame(out)
 
     keyed = (
-        events.where(F.col(type_col).isin(steps))
+        events.where(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
         .select(
             F.col(user_col).cast("string").alias("user"),
             F.col(type_col).alias("event_type"),
@@ -443,5 +515,9 @@ def streaming_funnel(
         outputStructType=FUNNEL_OUTPUT,
         stateStructType=FUNNEL_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -265,3 +265,63 @@ def test_profile_columns_skips_complex_types(spark):
     assert [r.column for r in profile_columns(df).collect()] == ["id"]
     with _pytest.raises(ValueError, match="no profilable"):
         profile_columns(df.select("arr"))
+
+
+def test_merge_aggregates_all_null_group_reports_null_stats(spark):
+    """A group whose partials saw only NULL values (n_v = 0) must
+    report NULL avg AND NULL stddev — greatest(NULL, 0.0) = 0.0 used
+    to leak a definite zero spread for a group with no data."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        merge_aggregates,
+        partial_aggregates,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    partials = partial_aggregates(df, ["g"], "v")
+    merged = {r.g: r for r in merge_aggregates(partials, ["g"]).collect()}
+    assert merged["a"].n_v == 2 and merged["a"].avg_v == 2.0
+    b = merged["b"]
+    assert b.n_v == 0
+    assert b.avg_v is None and b.stddev_pop_v is None and b.sum_v is None
+
+
+def test_profile_columns_empty_table_does_not_crash(spark):
+    """ANSI mode throws DIVIDE_BY_ZERO on n_rows = 0 unless null_frac
+    is try_divide-guarded — profiling a zero-row landing must work."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import profile_columns
+
+    df = spark.createDataFrame([], "a int, b string")
+    prof = {r.column: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"a", "b"}
+    assert prof["a"].n_rows == 0 and prof["a"].n_null == 0
+    assert prof["a"].null_frac is None  # no rows -> no fraction, not a crash
+    assert prof["a"].min_str is None and prof["a"].approx_distinct == 0
+
+
+def test_profile_columns_wide_table_chunks(spark):
+    """Above max_cols_per_scan the aggregation chunks: a 120-column
+    frame at max_cols_per_scan=50 profiles correctly in ceil(120/50)=3
+    scans — never one job per column, never one 480-aggregate
+    projection."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import profile_columns
+
+    n_cols = 120
+    base = spark.range(200)
+    df = base.select(
+        *[
+            F.when(F.col("id") % (i + 2) != 0, F.col("id") + i).alias(f"c{i}")
+            for i in range(n_cols)
+        ]
+    )
+    prof = {r.column: r for r in profile_columns(df, max_cols_per_scan=50).collect()}
+    assert len(prof) == n_cols
+    for i in (0, 49, 50, 99, 100, 119):  # chunk seams
+        r = prof[f"c{i}"]
+        assert r.n_rows == 200
+        exp_null = sum(1 for x in range(200) if x % (i + 2) == 0)
+        assert r.n_null == exp_null, (i, r.n_null, exp_null)
+        assert r.null_frac == round(exp_null / 200, 6)
+        assert r.min_str is not None

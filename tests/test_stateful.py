@@ -357,3 +357,220 @@ def test_streaming_funnel_late_data_matches_batch_semantics(spark, tmp_path):
 
     got = sorted((r.user, r.stage_reached, r.ts) for r in out)
     assert got == [("u1", 1, 50.0), ("u2", 1, 50.0), ("u2", 2, 60.0)]
+
+
+def test_ewma_null_readings_never_poison_state(spark, tmp_path):
+    """A null reading (PERMISSIVE ingest drift) used to fold NaN into
+    the EWMA moments, after which the sensor silently emitted
+    is_anomaly=False forever. Null value/ts rows are now dropped
+    pre-shuffle: the baseline survives them and a later spike is still
+    flagged."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.stateful import ewma_anomalies
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = []
+
+    def feed(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"sensor_id": s, "timestamp": ts, "value": v})
+                for s, ts, v in rows
+            )
+        )
+
+    raw = (
+        spark.readStream.schema("sensor_id string, timestamp string, value double")
+        .json(str(src))
+        .withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    )
+    q = (
+        ewma_anomalies(raw, alpha=0.2, k_sigma=3.0, min_periods=5)
+        .writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # warm baseline WITH null values and a null timestamp mixed in
+        feed(
+            "b1.json",
+            [("A", f"2026-01-01 00:00:{i:02d}", 20.0 + (i % 2) * 0.4) for i in range(8)]
+            + [("A", "2026-01-01 00:00:03", None), ("A", None, 21.0)],
+        )
+        q.processAllAvailable()
+        feed("b2.json", [("A", "2026-01-01 00:01:00", None),
+                         ("A", "2026-01-01 00:01:01", 50.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # null rows emit nothing (they are filtered, not judged)
+    assert all(r.value is not None for r in out)
+    spike = [r for r in out if str(r.timestamp) == "2026-01-01 00:01:01"][0]
+    assert spike.is_anomaly is True            # baseline NOT NaN-poisoned
+    assert abs(spike.mu - 20.2) < 0.5
+
+
+def test_streaming_funnel_null_ts_never_freezes_user(spark, tmp_path):
+    """A null ts used to arrive as NaN, set best[0]=NaN, and freeze the
+    user at stage 1 forever (NaN fails every later delta check). Null-
+    ts rows are now dropped pre-shuffle; the funnel still completes."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.stateful import streaming_funnel
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = []
+
+    def feed(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "event_type": e, "ts": t})
+                for u, e, t in rows
+            )
+        )
+
+    raw = spark.readStream.schema("user_id string, event_type string, ts double").json(
+        str(src)
+    )
+    q = (
+        streaming_funnel(raw, ["A", "B"], within_seconds=100)
+        .writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        feed("b1.json", [("u1", "A", None)])   # poison attempt
+        q.processAllAvailable()
+        feed("b2.json", [("u1", "A", 10.0), ("u1", "B", 20.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted((r.user, r.stage_reached, r.ts) for r in out)
+    assert got == [("u1", 1, 10.0), ("u1", 2, 20.0)]
+
+
+def _poll(predicate, timeout_s=60):
+    """Poll until predicate() is truthy. With ProcessingTimeTimeout the
+    query runs state-cleanup batches on EVERY trigger, so
+    processAllAvailable never settles — polling (the stale_sensors
+    test's pattern) is the only correct wait."""
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.5)
+    return predicate()
+
+
+def test_ewma_state_ttl_evicts_and_rewarms(spark, tmp_path):
+    """With state_ttl_ms, a dormant sensor's moments are evicted (the
+    timeout fires in the no-data cleanup batches); when it returns, it
+    re-enters WARM-UP (first reading seeds, mu=None) — NOT judged
+    against the stale baseline. Bounds state by active sensors, not
+    sensors-ever-seen."""
+    import json as _json
+    import time
+
+    from iot_sensor_data_pipeline_spark.streaming.stateful import ewma_anomalies
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = []
+
+    def feed(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"sensor_id": s, "timestamp": ts, "value": v})
+                for s, ts, v in rows
+            )
+        )
+
+    raw = (
+        spark.readStream.schema("sensor_id string, timestamp string, value double")
+        .json(str(src))
+        .withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    )
+    q = (
+        ewma_anomalies(raw, alpha=0.2, k_sigma=3.0, min_periods=3,
+                       state_ttl_ms=4000)
+        .writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        feed("b1.json",
+             [("A", f"2026-01-01 00:00:{i:02d}", 20.0) for i in range(6)])
+        assert _poll(lambda: len([r for r in out if r.sensor_id == "A"]) >= 6), \
+            "batch 1 never produced output"
+        time.sleep(10)  # > ttl + trigger margin: cleanup batches evict A
+        feed("probe.json", [("A", "2026-01-01 02:00:00", 50.0)])
+        assert _poll(lambda: any(str(r.timestamp) == "2026-01-01 02:00:00"
+                                 for r in out)), "probe reading never surfaced"
+    finally:
+        q.stop()
+
+    probe = [r for r in out if str(r.timestamp) == "2026-01-01 02:00:00"][0]
+    # evicted -> re-warm-up: the 50.0 seeds a FRESH baseline (mu None,
+    # no judgment); stale-state behavior would flag it True vs mu~20
+    assert probe.mu is None and probe.is_anomaly is None
+
+
+def test_streaming_funnel_state_ttl_evicts(spark, tmp_path):
+    """With state_ttl_ms, a dormant user's DP vector is evicted: a B
+    arriving after eviction advances nothing (the funnel restarted at
+    stage 0)."""
+    import json as _json
+    import time
+
+    from iot_sensor_data_pipeline_spark.streaming.stateful import streaming_funnel
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = []
+
+    def feed(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "event_type": e, "ts": t})
+                for u, e, t in rows
+            )
+        )
+
+    raw = spark.readStream.schema("user_id string, event_type string, ts double").json(
+        str(src)
+    )
+    q = (
+        streaming_funnel(raw, ["A", "B"], within_seconds=10_000,
+                         state_ttl_ms=4000)
+        .writeStream.foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        feed("b1.json", [("u1", "A", 10.0)])
+        assert _poll(lambda: any(r.user == "u1" for r in out)), \
+            "batch 1 never produced output"
+        time.sleep(10)  # > ttl: cleanup batches evict u1's DP vector
+        # u2's fresh A is the processed-sentinel for the probe batch
+        feed("probe.json", [("u1", "B", 20.0), ("u2", "A", 100.0)])
+        assert _poll(lambda: any(r.user == "u2" for r in out)), \
+            "probe batch never surfaced"
+    finally:
+        q.stop()
+
+    u1 = sorted((r.stage_reached, r.ts) for r in out if r.user == "u1")
+    # stage 1 from batch 1; the post-eviction B must NOT complete stage 2
+    assert u1 == [(1, 10.0)]
