@@ -199,6 +199,8 @@ def fuzzy_join(
     max_distance: int,
     q: int = 3,
     max_gram_freq: int | None = None,
+    left_id: str | None = None,
+    right_id: str | None = None,
 ) -> DataFrame:
     """Edit-distance join without a cross join: pairs every left row
     with the right rows whose string is within ``max_distance``
@@ -227,22 +229,47 @@ def fuzzy_join(
     from candidate generation; pairs sharing ONLY stopgrams are lost
     (recall trade, documented) unless they fall in the short stratum.
 
-    Output: the left row's and right row's text columns (aliased
-    ``a``, ``b``) plus ``distance``; join back on these to recover
-    full rows (texts may repeat — dedup upstream if ids matter).
+    Output (text mode, the default): the left row's and right row's
+    text columns (aliased ``a``, ``b``) plus ``distance``; join back
+    on these to recover full rows (texts may repeat — dedup upstream
+    if ids matter).
+
+    Id mode (``left_id``/``right_id`` set, both or neither): output is
+    ``(left_id, right_id, a, b, distance)`` and — the scale point —
+    the candidate dedup shuffles ONLY fixed-width id pairs, never the
+    strings (the same id-only-shuffle fix the LSH pair path uses):
+    candidates reduce to (left_id, right_id) before the distinct, and
+    texts are re-attached by two equi-joins on the (deduped) id
+    relations just for the final levenshtein verify. This also removes
+    the caller's join-back, and ids that share equal text are distinct
+    output rows. Ids must be unique per row (enforced via
+    dropDuplicates on the id).
     """
     from iot_sensor_data_pipeline_spark.functions.text import char_grams
 
     if max_distance < 0:
         raise ValueError("fuzzy_join: max_distance must be >= 0")
+    if (left_id is None) != (right_id is None):
+        raise ValueError("fuzzy_join: pass both left_id and right_id, or neither")
+    id_mode = left_id is not None
     floor = q * (max_distance + 1)
 
-    a = left.select(F.col(left_text).alias("a")).distinct()
-    b = right.select(F.col(right_text).alias("b")).distinct()
+    if id_mode:
+        a = left.select(
+            F.col(left_id).alias("left_id"), F.col(left_text).alias("a")
+        ).dropDuplicates(["left_id"])
+        b = right.select(
+            F.col(right_id).alias("right_id"), F.col(right_text).alias("b")
+        ).dropDuplicates(["right_id"])
+        pair_cols = ["left_id", "right_id"]
+    else:
+        a = left.select(F.col(left_text).alias("a")).distinct()
+        b = right.select(F.col(right_text).alias("b")).distinct()
+        pair_cols = ["a", "b"]
     a_long = a.where(F.length("a") >= floor)
     b_long = b.where(F.length("b") >= floor)
-    ga = a_long.select("a", F.explode(F.array_distinct(char_grams(F.col("a"), q))).alias("g"))
-    gb = b_long.select("b", F.explode(F.array_distinct(char_grams(F.col("b"), q))).alias("g"))
+    ga = a_long.select("*", F.explode(F.array_distinct(char_grams(F.col("a"), q))).alias("g"))
+    gb = b_long.select("*", F.explode(F.array_distinct(char_grams(F.col("b"), q))).alias("g"))
     if max_gram_freq is not None:
         # the cap must hold PER SIDE: this is a two-relation join (not
         # a self-join like RP-LSH), so a gram that floods only the
@@ -266,8 +293,8 @@ def fuzzy_join(
     # would exchange the largest intermediate twice
     cand = (
         ga.join(gb, "g")
-        .select("a", "b")
         .where(F.abs(F.length("a") - F.length("b")) <= max_distance)
+        .select(*pair_cols)
     )
     # short stratum: the OTHER side only needs strings the length
     # filter could accept (< floor + d) — without this prefilter one
@@ -282,10 +309,15 @@ def fuzzy_join(
             .crossJoin(b.where(F.length("b") < floor))
             .where(len_ok)
         )
+        .select(*pair_cols)
     )
-    return (
-        cand.unionByName(short_pairs)
-        .distinct()
-        .withColumn("distance", F.levenshtein("a", "b", max_distance))
-        .where(F.col("distance") >= 0)  # threshold form returns -1 beyond it
-    )
+    # in id mode this distinct exchanges fixed-width id pairs only —
+    # the strings rejoin afterwards, partitioned by id, for the verify
+    pairs = cand.unionByName(short_pairs).distinct()
+    if id_mode:
+        pairs = pairs.join(a, "left_id").join(b, "right_id").select(
+            "left_id", "right_id", "a", "b"
+        )
+    return pairs.withColumn(
+        "distance", F.levenshtein("a", "b", max_distance)
+    ).where(F.col("distance") >= 0)  # threshold form returns -1 beyond it

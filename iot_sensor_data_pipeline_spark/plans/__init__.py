@@ -9,5 +9,6 @@ from iot_sensor_data_pipeline_spark.plans import queries_scalars  # noqa: E402,F
 from iot_sensor_data_pipeline_spark.plans import queries_relational  # noqa: E402,F401
 from iot_sensor_data_pipeline_spark.plans import queries_relational2  # noqa: E402,F401
 from iot_sensor_data_pipeline_spark.plans import queries_pipeline  # noqa: E402,F401
+from iot_sensor_data_pipeline_spark.plans import queries_analytics  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "RegisteredQuery", "register"]

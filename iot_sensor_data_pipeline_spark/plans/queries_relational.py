@@ -507,21 +507,8 @@ def lineitem_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Array ops: split + explode + re-aggregate
+# Array ops: split + explode + re-aggregate — formerly the standalone
+# documents_token_counts entry; now the 'tokens' branch of
+# documents_string_scalars (queries_scalars.py), merged to free a
+# registry slot for the analytics gate. Same projection, same oracle.
 # ---------------------------------------------------------------------------
-
-_TOKENS_ORACLE = """
-SELECT token, count(*) AS n
-FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-GROUP BY token
-"""
-
-
-@register("documents_token_counts", oracle=_TOKENS_ORACLE, tags=("relational", "array", "text"))
-def documents_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(F.split("text", " ", -1)).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )

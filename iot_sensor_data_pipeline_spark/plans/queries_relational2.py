@@ -138,40 +138,10 @@ def string_agg_argmax_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Null-handling functions
-# ---------------------------------------------------------------------------
-
-_NULLS_ORACLE = """
-WITH lj AS (
-  SELECT c_custkey, c_acctbal, o_totalprice
-  FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 450000
-)
-SELECT
-  c_custkey,
-  coalesce(o_totalprice, 0.0)             AS price_or_zero,
-  nullif(c_acctbal, 0.0)                  AS bal_nullif,
-  CASE WHEN o_totalprice IS NULL THEN 'none' ELSE 'big' END AS has_big,
-  ifnull(o_totalprice, c_acctbal)         AS price_or_bal
-FROM lj
-"""
-
-
-@register("customers_null_handling", oracle=_NULLS_ORACLE, tags=("scalars", "nulls"))
-def customers_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
-    lj = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-    return lj.select(
-        "c_custkey",
-        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
-        F.nullif("c_acctbal", F.lit(0.0)).alias("bal_nullif"),
-        F.when(F.col("o_totalprice").isNull(), "none").otherwise("big").alias("has_big"),
-        F.ifnull("o_totalprice", "c_acctbal").alias("price_or_bal"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Subquery forms through the SQL API: IN, scalar, correlated
+# Null-handling functions + subquery forms, as one tagged union
+# (formerly the separate customers_null_handling and
+# customers_subqueries entries — merged to free a registry slot for
+# the analytics gate; each branch keeps its exact former projection).
 # ---------------------------------------------------------------------------
 
 _SUBQUERY_SQL = """
@@ -186,14 +156,67 @@ WHERE c.c_nationkey IN (
   AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
 """
 
+_NULLS_SUBQ_ORACLE = f"""
+WITH lj AS (
+  SELECT c_custkey, c_acctbal, o_totalprice
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 450000
+)
+SELECT
+  'nulls' AS src,
+  c_custkey,
+  coalesce(o_totalprice, 0.0)             AS price_or_zero,
+  nullif(c_acctbal, 0.0)                  AS bal_nullif,
+  CASE WHEN o_totalprice IS NULL THEN 'none' ELSE 'big' END AS has_big,
+  ifnull(o_totalprice, c_acctbal)         AS price_or_bal,
+  CAST(NULL AS DOUBLE)                    AS c_acctbal_subq,
+  CAST(NULL AS BIGINT)                    AS n_orders
+FROM lj
+UNION ALL
+SELECT
+  'subq' AS src,
+  c_custkey,
+  CAST(NULL AS DOUBLE) AS price_or_zero,
+  CAST(NULL AS DOUBLE) AS bal_nullif,
+  CAST(NULL AS VARCHAR) AS has_big,
+  CAST(NULL AS DOUBLE) AS price_or_bal,
+  c_acctbal AS c_acctbal_subq,
+  n_orders
+FROM ({_SUBQUERY_SQL})
+"""
 
-@register("customers_subqueries", oracle=_SUBQUERY_SQL, tags=("relational", "subquery"))
-def customers_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery + correlated scalar subquery + uncorrelated scalar
-    subquery — Catalyst decorrelates these into joins; same SQL text
-    runs on both engines."""
+
+@register("customers_null_subqueries", oracle=_NULLS_SUBQ_ORACLE, tags=("relational", "nulls", "subquery"))
+def customers_null_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch 'nulls': coalesce/nullif/ifnull over a deliberately
+    NULL-producing left join. Branch 'subq': IN-subquery + correlated
+    scalar subquery + uncorrelated scalar subquery — Catalyst
+    decorrelates these into joins; the same SQL text runs on both
+    engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    lj = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    nulls = lj.select(
+        F.lit("nulls").alias("src"),
+        "c_custkey",
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+        F.nullif("c_acctbal", F.lit(0.0)).alias("bal_nullif"),
+        F.when(F.col("o_totalprice").isNull(), "none").otherwise("big").alias("has_big"),
+        F.ifnull("o_totalprice", "c_acctbal").alias("price_or_bal"),
+        F.lit(None).cast("double").alias("c_acctbal_subq"),
+        F.lit(None).cast("long").alias("n_orders"),
+    )
     register_views(spark, sf_dir)
-    return spark.sql(_SUBQUERY_SQL)
+    subq = spark.sql(_SUBQUERY_SQL).select(
+        F.lit("subq").alias("src"),
+        "c_custkey",
+        F.lit(None).cast("double").alias("price_or_zero"),
+        F.lit(None).cast("double").alias("bal_nullif"),
+        F.lit(None).cast("string").alias("has_big"),
+        F.lit(None).cast("double").alias("price_or_bal"),
+        F.col("c_acctbal").alias("c_acctbal_subq"),
+        "n_orders",
+    )
+    return nulls.unionByName(subq)
 
 
 # ---------------------------------------------------------------------------

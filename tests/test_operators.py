@@ -321,3 +321,57 @@ def test_fuzzy_join_short_stratum_is_length_bounded(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the cross-join inputs are length-filtered on BOTH sides
     assert plan.count("length") >= 2
+
+
+def test_fuzzy_join_id_mode_matches_naive(spark):
+    """Id-keyed mode: same pair set as the naive cross join, keyed by
+    (left_id, right_id) — including ids that share equal text (each id
+    is its own output row), and the short stratum."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
+
+    left, right = _name_corpus(spark)
+    # duplicate-text ids: two left ids with identical text
+    left = left.unionByName(
+        left.limit(1).select((F.col("lid") + 1000).alias("lid"), "name")
+    )
+    got = {
+        (r.left_id, r.right_id, r.distance)
+        for r in fuzzy_join(
+            left, right, "name", "name2", max_distance=2,
+            left_id="lid", right_id="rid",
+        ).collect()
+    }
+    naive = {
+        (r.lid, r.rid, r.d)
+        for r in left.crossJoin(right)
+        .select("lid", "rid", F.levenshtein("name", "name2").alias("d"))
+        .where(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == naive and len(got) >= 9
+
+
+def test_fuzzy_join_id_mode_short_stratum(spark):
+    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(1, "ab")], "lid long, s string")
+    right = spark.createDataFrame([(2, "ax"), (3, "zz")], "rid long, t string")
+    got = {
+        (r.left_id, r.right_id)
+        for r in fuzzy_join(
+            left, right, "s", "t", max_distance=1, left_id="lid", right_id="rid"
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_fuzzy_join_id_mode_requires_both_ids(spark):
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(1, "ab")], "lid long, s string")
+    with _pytest.raises(ValueError, match="both left_id and right_id"):
+        fuzzy_join(left, left, "s", "s", max_distance=1, left_id="lid")
