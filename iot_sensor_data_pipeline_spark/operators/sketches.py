@@ -274,3 +274,134 @@ def profile_columns(
     for chunk in chunks[1:]:
         out = out.unionByName(one_scan(chunk))
     return out
+
+
+def histogram_bins(
+    df: DataFrame, value_col: str, n_bins: int = 128, rel_err: float = 0.001
+) -> list[float]:
+    """Quantile-spaced bin edges for :func:`histogram_partials` — ONE
+    approxQuantile pass over a representative slice of the data.
+    Quantile spacing (not uniform width) keeps the per-bin mass even
+    under skew, which is what bounds the later quantile-estimation
+    error; like a sketch's lg_k, the edges are pinned for the table's
+    lifetime (every partial row must use the same edges to merge).
+    Returns len == n_bins - 1 strictly increasing interior edges
+    (duplicates from discrete data are collapsed)."""
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.selectExpr(f"CAST({value_col} AS DOUBLE) AS __v").approxQuantile(
+        "__v", probs, rel_err
+    )
+    out: list[float] = []
+    for c in cuts:
+        if not out or c > out[-1]:
+            out.append(c)
+    if not out:
+        raise ValueError("histogram_bins: no non-null values to bin")
+    return out
+
+
+def histogram_partials(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    value_col: str,
+    bins: Sequence[float],
+) -> DataFrame:
+    """Mergeable histogram rows — the quantile sibling of
+    :func:`partial_aggregates`: per ``partition_keys`` group (ingest
+    day / source / tenant), one row per occupied bin with
+    ``(bin, n, lo, hi)``: the searchsorted bin index over the shared
+    ``bins`` edges, the count, and the EXACT min/max of the bin's
+    values (tightening interpolation at the unbounded edge bins).
+    Bin assignment is a pure codegen fold (count of edges <= value —
+    the same expression as the Z-order bucketizer), so the build is
+    one aggregation with map-side combine; rows shuffle as
+    (keys, bin) pairs, never values. NULLs are excluded (quantiles of
+    nothing), matching percentile semantics.
+
+    Histograms over FIXED edges are trivially mergeable (counts add,
+    min/lo and max/hi fold), so any coarser rollup or incremental
+    refresh is :func:`merge_histogram_quantiles` over the partial
+    rows — history is never rescanned."""
+    edges = F.array(*[F.lit(float(x)) for x in bins])
+    v = F.col(value_col).cast("double")
+    bin_idx = F.aggregate(
+        F.filter(edges, lambda e: e <= v),
+        F.lit(0).cast("int"),
+        lambda acc, _: acc + 1,
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(*partition_keys, v.alias("__v"), bin_idx.alias("bin"))
+        .groupBy(*partition_keys, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+    )
+
+
+def merge_histogram_quantiles(
+    partials: DataFrame,
+    qs: Sequence[float],
+    group_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Estimate quantiles per ``group_keys`` from persisted
+    :func:`histogram_partials` rows (empty keys = one global row):
+    merge bin counts, walk the cumulative mass to the target rank,
+    and linearly interpolate inside the located bin between its exact
+    (lo, hi) bounds. Returns one row per group with a ``q_<...>``
+    column per requested quantile.
+
+    Cost is #partial-rows (a groupBy on (keys, bin) then one small
+    per-group fold over <= n_bins rows via collect_list of structs —
+    bounded by the bin count, NOT the data), independent of history
+    size. Rank error <= one bin of mass; with quantile-spaced edges
+    from :func:`histogram_bins` that is ~1/n_bins of the build
+    distribution, plus drift if the live distribution wanders from
+    the edge-fitting slice."""
+    qs = list(qs)
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("merge_histogram_quantiles: qs must be in [0, 1]")
+    merged = partials.groupBy(*group_keys, "bin").agg(
+        F.sum("n").alias("n"), F.min("lo").alias("lo"), F.max("hi").alias("hi")
+    )
+    grouped = (
+        merged.groupBy(*group_keys) if group_keys else merged.groupBy()
+    )
+    hist = grouped.agg(
+        F.array_sort(F.collect_list(F.struct("bin", "n", "lo", "hi"))).alias("h"),
+        F.sum("n").alias("__total"),
+    )
+
+    def one_quantile(q: float):
+        # target rank in [1, total]; walk bins accumulating mass, emit
+        # the interpolated value inside the bin where it lands
+        rank = F.greatest(F.ceil(F.lit(q) * F.col("__total")), F.lit(1))
+        # fold state: (cum mass so far, answer or null)
+        init = F.named_struct(
+            F.lit("cum"), F.lit(0).cast("long"),
+            F.lit("ans"), F.lit(None).cast("double"),
+        )
+        step = lambda acc, b: F.named_struct(  # noqa: E731
+            F.lit("cum"), acc.getField("cum") + b.getField("n"),
+            F.lit("ans"),
+            F.when(acc.getField("ans").isNotNull(), acc.getField("ans")).when(
+                acc.getField("cum") + b.getField("n") >= rank,
+                # position of the target rank inside THIS bin, linear
+                # between the bin's exact observed lo/hi
+                b.getField("lo")
+                + (b.getField("hi") - b.getField("lo"))
+                * (
+                    (rank - acc.getField("cum")).cast("double")
+                    / b.getField("n").cast("double")
+                ),
+            ),
+        )
+        return F.aggregate(F.col("h"), init, step).getField("ans")
+
+    return hist.select(
+        *group_keys,
+        F.col("__total").alias("n"),
+        *[one_quantile(q).alias(f"q_{str(q).replace('.', '_')}") for q in qs],
+    )

@@ -21,9 +21,44 @@ def write_partitioned_parquet(
     partition_cols: Sequence[str] = (),
     mode: str = "append",
     max_records_per_file: int | None = 1_000_000,
+    zorder_by: Sequence[str] = (),
+    zorder_files: int | None = None,
+    zorder_bits: int = 7,
 ) -> None:
     """Partitioned parquet write. ``max_records_per_file`` bounds file
-    size so one skewed partition value doesn't produce a 100 GB file."""
+    size so one skewed partition value doesn't produce a 100 GB file.
+
+    ``zorder_by`` (two or more columns) lays the files out along a
+    Z-order curve over those columns before writing: each column is
+    rank-bucketed into ``2^zorder_bits`` quantile buckets
+    (operators/layout.bucketize_for_zorder — one approxQuantile pass,
+    skew-proof), the buckets Morton-interleave into one codegen sort
+    key (zorder_key), and rows are range-partitioned + sorted on it —
+    so parquet min/max footers prune predicates on EVERY z-ordered
+    dimension, not only a leading sort column. ``zorder_files``
+    fixes the number of output files (defaults to the session's
+    shuffle parallelism). Combine with ``partition_cols``: the range
+    partitioning leads with the hive partition columns so each
+    directory's files stay z-clustered.
+    """
+    zorder_by = list(zorder_by)
+    if zorder_by:
+        from iot_sensor_data_pipeline_spark.operators.layout import (
+            bucketize_for_zorder,
+            zorder_key,
+        )
+
+        bucket_cols = [f"__zb_{c}" for c in zorder_by]
+        df = bucketize_for_zorder(df, zorder_by, bits=zorder_bits).withColumn(
+            "__zk", zorder_key(bucket_cols, bits=zorder_bits)
+        )
+        range_cols = [*partition_cols, "__zk"]
+        df = (
+            df.repartitionByRange(zorder_files, *range_cols)
+            if zorder_files
+            else df.repartitionByRange(*range_cols)
+        )
+        df = df.sortWithinPartitions(*range_cols).drop("__zk", *bucket_cols)
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

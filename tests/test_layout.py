@@ -115,3 +115,64 @@ def test_bucketize_for_zorder_timestamps(spark):
     assert len(counts) == 8
     assert max(counts) < 2 * (1000 / 8)
     assert "__zq_ts" not in b.columns  # helper column cleaned up
+
+
+def test_sink_zorder_by_prunes_at_file_grain(spark, tmp_path):
+    """write_partitioned_parquet(zorder_by=...) end to end: the sink's
+    z-ordered layout prunes a y-band predicate at the FILE grain where
+    the plain write cannot — footer-verified, same machinery as the
+    operator-level test."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        write_partitioned_parquet,
+    )
+
+    n = 100_000
+    df = spark.range(n).select(
+        (F.hash("id") % 512 + 512) % 512,
+        (F.hash(F.col("id") + 7) % 512 + 512) % 512,
+    ).toDF("x", "y")
+
+    plain = str(tmp_path / "plain")
+    zpath = str(tmp_path / "z")
+    files = 32
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(plain)
+    write_partitioned_parquet(
+        df, zpath, mode="overwrite", zorder_by=["x", "y"],
+        zorder_files=files, max_records_per_file=None,
+    )
+
+    band = (50, 59)  # y-only band predicate
+    plain_ranges = _file_ranges(plain, "y")
+    z_ranges = _file_ranges(zpath, "y")
+    assert _n_intersecting(plain_ranges, *band) == len(plain_ranges)  # no y pruning
+    assert _n_intersecting(z_ranges, *band) < 0.5 * len(z_ranges)
+    # x predicates still prune on the sink's layout too
+    assert _n_intersecting(_file_ranges(zpath, "x"), *band) < 0.5 * len(z_ranges)
+
+
+def test_sink_zorder_with_hive_partitions(spark, tmp_path):
+    """zorder_by composes with partition_cols: every hive directory's
+    files are z-clustered (pruning holds inside each partition dir)."""
+    import glob as _glob
+
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        write_partitioned_parquet,
+    )
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 2).alias("part"),
+        ((F.hash("id") % 256 + 256) % 256).alias("x"),
+        ((F.hash(F.col("id") + 3) % 256 + 256) % 256).alias("y"),
+    )
+    path = str(tmp_path / "hp")
+    write_partitioned_parquet(
+        df, path, partition_cols=["part"], mode="overwrite",
+        zorder_by=["x", "y"], zorder_files=16, max_records_per_file=None,
+    )
+    for d in sorted(_glob.glob(f"{path}/part=*")):
+        ranges = _file_ranges(d, "y")
+        assert len(ranges) >= 4, d  # the dir actually got multiple files
+        assert _n_intersecting(ranges, 20, 29) < len(ranges), d
+    # read back respects hive partitioning + values survive
+    back = spark.read.parquet(path)
+    assert back.count() == 60_000 and set(back.columns) == {"part", "x", "y"}

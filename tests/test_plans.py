@@ -196,7 +196,15 @@ def test_no_query_has_single_partition_window_or_cartesian(spark):
     non-equi self-join)."""
     import __spark_entry__ as E
 
-    bnlj_by_design = {"embeddings_knn_brute_force", "embeddings_cosine_near_dup"}
+    bnlj_by_design = {
+        "embeddings_knn_brute_force",
+        "embeddings_cosine_near_dup",
+        # fuzzy_join's short-stratum branch: a cross join whose BOTH
+        # sides are length-bounded (< q*(d+1)+d chars) by construction
+        # — never |L| x |R|; empty on the customer-name fixture but
+        # present in the plan (operators/joins.py docstring)
+        "tokens_heavy_hitters_fuzzy",
+    }
 
     sf = "/root/testdata/sf0.001"
     offenders = {}
@@ -263,3 +271,36 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thresh,
         )
+
+
+def test_behavioral_analytics_plan_shape(spark):
+    """The union's three branches keep their operators' scale shapes:
+    the funnel is a groupBy + codegen array fold (no per-step join
+    chain), transitions come from lead() (no event self-join), and no
+    Python appears anywhere."""
+    plan = plan_of(spark, "events_behavioral_analytics")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # transitions use lead(), never a self-join of events on user_id
+    assert plan.count("SortMergeJoin") <= 1  # retention's first-event join may SMJ
+    assert "CartesianProduct" not in plan
+
+
+def test_timeseries_analytics_plan_shape(spark):
+    """zscore + pattern top-k: one exchange per branch (the series-key
+    window shuffle), per-partition heaps for the top-k (TakeOrdered),
+    no Python."""
+    plan = plan_of(spark, "events_timeseries_analytics")
+    assert plan.count("Exchange") <= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_heavy_hitters_fuzzy_plan_shape(spark):
+    """heavy branch: the only Python is the Arrow-batched MG sketch
+    (MapInPandas); the exact recount joins candidates (semi-join),
+    never groupBy-counting the full distinct token set ahead of the
+    filter. fuzzy branch: gram equi-join, bounded short stratum."""
+    plan = plan_of(spark, "tokens_heavy_hitters_fuzzy")
+    assert "MapInPandas" in plan  # the MG candidate sketch
+    assert "LeftSemi" in plan  # exact recount restricted to candidates
+    assert "CartesianProduct" not in plan

@@ -418,3 +418,59 @@ def test_fuzzy_join_property_vs_naive(spark, lefts, rights, d):
         .collect()
     }
     assert got == naive
+
+
+# ---------------------------------------------------------------------------
+# funnel_stages latest-anchor DP vs brute-force chain existence
+# ---------------------------------------------------------------------------
+
+funnel_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # user
+        st.integers(min_value=0, max_value=2),   # step index (A/B/C)
+        st.integers(min_value=0, max_value=20),  # ts
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+def _brute_stage(events, k_steps, budget):
+    """Deepest m such that a chain e_0..e_{m-1} exists with step(e_i)=i
+    and 0 <= t_i - t_{i-1} <= budget — exhaustive search, no DP."""
+
+    def extend(prefix_len, last_t):
+        if prefix_len == k_steps:
+            return k_steps
+        best = prefix_len
+        for (s, t) in events:
+            if s == prefix_len and (prefix_len == 0 or 0 <= t - last_t <= budget):
+                best = max(best, extend(prefix_len + 1, t))
+        return best
+
+    return extend(0, None)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
+@given(funnel_strategy, st.integers(min_value=0, max_value=6))
+def test_funnel_stages_matches_brute_force_chain_search(spark, rows, budget):
+    """The latest-anchor DP must agree with exhaustive chain search on
+    tie-heavy tiny inputs — the greedy-trap, equal-timestamp, and
+    zero-budget corners all live here."""
+    from iot_sensor_data_pipeline_spark.operators.funnel import funnel_stages
+
+    steps = ["A", "B", "C"]
+    df = spark.createDataFrame(
+        [(u, steps[s], float(t)) for u, s, t in rows],
+        "user_id long, event_type string, ts double",
+    )
+    got = {
+        r.user: r.stage_reached
+        for r in funnel_stages(df, steps, within_seconds=float(budget)).collect()
+    }
+    by_user = {}
+    for u, s, t in rows:
+        by_user.setdefault(u, []).append((s, t))
+    for u, events in by_user.items():
+        want = _brute_stage(events, len(steps), budget)
+        assert got.get(u, 0) == want, (u, sorted(events), budget, got.get(u), want)

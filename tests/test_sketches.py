@@ -325,3 +325,90 @@ def test_profile_columns_wide_table_chunks(spark):
         assert r.n_null == exp_null, (i, r.n_null, exp_null)
         assert r.null_frac == round(exp_null / 200, 6)
         assert r.min_str is not None
+
+
+# ---------------------------------------------------------------------------
+# histogram_partials / merge_histogram_quantiles (mergeable quantiles)
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantiles_accuracy_vs_exact(spark):
+    """Quantiles estimated from merged histogram rows land within ~one
+    bin of rank of the exact percentiles."""
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        histogram_bins,
+        histogram_partials,
+        merge_histogram_quantiles,
+    )
+
+    rnd = random.Random(11)
+    vals = sorted(rnd.lognormvariate(0, 1.2) for _ in range(20000))  # skewed
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    bins = histogram_bins(df, "v", n_bins=128)
+    partials = histogram_partials(df, [], "v", bins)
+    got = merge_histogram_quantiles(partials, [0.1, 0.5, 0.9, 0.99]).collect()[0]
+    assert got.n == 20000
+    for q, col in [(0.1, "q_0_1"), (0.5, "q_0_5"), (0.9, "q_0_9"), (0.99, "q_0_99")]:
+        est = got[col]
+        # rank of the estimate in the exact sorted data
+        import bisect
+
+        r = bisect.bisect_right(vals, est) / len(vals)
+        assert abs(r - q) <= 2.5 / 128, (q, est, r)
+
+
+def test_histogram_partials_append_equals_recompute(spark):
+    """Yesterday's histogram rows + today's new rows answer the same
+    quantiles as a full rebuild — the continuous-aggregate property
+    (identical, not just close: same bins, counts add exactly)."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        histogram_bins,
+        histogram_partials,
+        merge_histogram_quantiles,
+    )
+
+    df = spark.range(10000).select((F.hash("id") % 1000).cast("double").alias("v"),
+                                   (F.col("id") % 4).alias("day"))
+    bins = histogram_bins(df, "v", n_bins=64)
+    old = histogram_partials(df.where(F.col("day") != 3), ["day"], "v", bins)
+    new = histogram_partials(df.where(F.col("day") == 3), ["day"], "v", bins)
+    inc = merge_histogram_quantiles(old.unionByName(new), [0.25, 0.75]).collect()[0]
+    full = merge_histogram_quantiles(
+        histogram_partials(df, ["day"], "v", bins), [0.25, 0.75]
+    ).collect()[0]
+    assert inc == full
+
+
+def test_histogram_quantiles_grouped_and_null_excluded(spark):
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        histogram_partials,
+        merge_histogram_quantiles,
+    )
+
+    rows = [("a", float(i)) for i in range(100)] + [("b", float(i * 10)) for i in range(100)]
+    rows += [("a", None)] * 5  # nulls never counted
+    df = spark.createDataFrame(rows, "g string, v double")
+    bins = [float(x) for x in range(10, 1000, 10)]
+    partials = histogram_partials(df, ["g"], "v", bins)
+    out = {r.g: r for r in merge_histogram_quantiles(partials, [0.5], ["g"]).collect()}
+    assert out["a"].n == 100 and out["b"].n == 100
+    assert abs(out["a"].q_0_5 - 50) <= 2
+    assert abs(out["b"].q_0_5 - 500) <= 20  # same rank, 10x scale
+
+
+def test_histogram_quantiles_validates_qs(spark):
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        merge_histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(0, 1, 0.0, 1.0)], "bin int, n long, lo double, hi double")
+    with _pytest.raises(ValueError, match="qs must be"):
+        merge_histogram_quantiles(df, [1.5])
