@@ -510,12 +510,41 @@ def embeddings_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     - gemm         — Arrow+BLAS mapInPandas exact top-k
     - near_dup_lsh — LSH-bucketed cosine near-dup pairs (i -> qid,
                      j -> nid, rn null)
+    - pq           — product-quantization ADC shortlist + exact
+                     re-rank (operators/quantization.py): L2-normalized
+                     vectors so squared-L2 is rank-equivalent to
+                     cosine; score = exact re-ranked distance negated
+                     into the shared 'higher is closer' convention
 
     Rows-only: hash/quantizer families are engine-specific. Recall
     floors vs the exact baselines are asserted in
-    tests/test_similarity.py; the exact baselines themselves
-    (embeddings_knn_brute_force, embeddings_cosine_near_dup) keep
-    hash-checked DuckDB oracles."""
+    tests/test_similarity.py and tests/test_quantization.py; the
+    exact baselines themselves (embeddings_knn_brute_force,
+    embeddings_cosine_near_dup) keep hash-checked DuckDB oracles."""
+    from iot_sensor_data_pipeline_spark.operators.quantization import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from iot_sensor_data_pipeline_spark.operators.similarity import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / l2_norm(F.col("embedding")),
+        ).alias("embedding"),
+    )
+    books = pq_train(unit, m=4, k=64, sample_rows=5000, iters=8)
+    pq = pq_topk(
+        unit.where(F.col("vec_id") % 100 == 0),
+        pq_encode(unit, books),
+        books,
+        k=10,
+        refine=unit,
+        shortlist_factor=5,
+    )
     parts = [
         embeddings_knn_lsh(spark, sf_dir).select(
             F.lit("lsh").alias("method"), "qid", "nid", "score", F.col("rn").cast("long")
@@ -532,6 +561,13 @@ def embeddings_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("nid"),
             "score",
             F.lit(None).cast("long").alias("rn"),
+        ),
+        pq.select(
+            F.lit("pq").alias("method"),
+            "qid",
+            "nid",
+            (-F.col("dist")).alias("score"),
+            F.col("rn").cast("long"),
         ),
     ]
     out = parts[0]
