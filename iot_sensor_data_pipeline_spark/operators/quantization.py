@@ -220,10 +220,26 @@ def pq_topk(
     adc = partials.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= adc_k)
     if refine is None:
         return adc
-    # exact re-rank of the shortlist: raw vectors fetched ONLY for
-    # shortlist rows via the id equi-join; query vectors ride a
-    # broadcast driver-small relation
-    spark = queries.sparkSession
+    return _exact_rerank(
+        adc, qrows, qid_type, refine, refine_id, refine_vec, k, round_dist
+    )
+
+
+def _exact_rerank(
+    adc: DataFrame,
+    qrows,
+    qid_type: str,
+    refine: DataFrame,
+    refine_id: str,
+    refine_vec: str,
+    k: int,
+    round_dist: int,
+) -> DataFrame:
+    """Exact squared-L2 re-rank of an ADC shortlist: raw vectors are
+    fetched ONLY for shortlist rows via the id equi-join; query
+    vectors ride a broadcast driver-small relation; the distance is a
+    codegen zip_with/aggregate fold."""
+    spark = adc.sparkSession
     qvec = F.broadcast(
         spark.createDataFrame(
             [(r.qid, list(map(float, r.qv))) for r in qrows],
@@ -245,4 +261,113 @@ def pq_topk(
         .join(qvec, "qid")
         .select("qid", "nid", F.round(exact_d, round_dist).alias("dist"))
     )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
     return rescored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    codes_with_cid: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int = 3,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dist: int = 6,
+    refine: DataFrame | None = None,
+    refine_id: str = "vec_id",
+    refine_vec: str = "embedding",
+    shortlist_factor: int = 5,
+) -> DataFrame:
+    """IVF x PQ — the FAISS-style composition both halves were built
+    for: the IVF coarse quantizer restricts WHICH codes are scored
+    (each query ADC-scans only its ``n_probe`` nearest cells' posting
+    lists), PQ restricts what scoring a code COSTS (m LUT lookups).
+    Build once::
+
+        assignments, centroids = ivf_build(corpus)          # (cid, nid, cv)
+        books = pq_train(corpus, ...)
+        codes = pq_encode(corpus, books).join(
+            assignments.select("cid", "nid"), "nid")         # (cid, nid, codes)
+        codes.write.bucketBy(n, "cid").sortBy("cid").saveAsTable(...)
+
+    then probe any time with this function. The (qid, cid) probe
+    relation is driver-built (queries are the documented driver-small
+    regime; centroid assignment is a tiny numpy GEMM) and broadcast
+    into the join, so with the code table BUCKETED by cid the probe
+    is exchange-free on the index side — the same layout argument as
+    ivf_probe and the near-dup band index. Scoring joins each probed
+    cell's codes to the probing queries and folds m fancy-indexed LUT
+    adds per Arrow batch; per-partition per-query top-k partials cap
+    the shuffle. ``refine`` adds the exact re-rank of the shortlist
+    (see :func:`pq_topk`). Returns ``(qid, nid, dist, rn)``.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("ivfpq_topk: k must be >= 1")
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = C.shape
+    qrows = queries.select(
+        F.col(query_id).alias("qid"), as_double_array(F.col(vec_col)).alias("qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("ivfpq_topk: empty query set")
+    qids = [r.qid for r in qrows]
+    Qf = np.stack([r.qv for r in qrows])
+    Q = Qf.reshape(len(qids), m, dsub)
+    lut = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+    qindex = {qid: i for i, qid in enumerate(qids)}
+
+    # driver-side coarse assignment (centroids are driver-small by the
+    # ivf_build contract): n_probe nearest cells per query
+    CC = np.asarray(centroids, dtype=np.float64)
+    d2c = (
+        (Qf * Qf).sum(1)[:, None] - 2.0 * (Qf @ CC.T) + (CC * CC).sum(1)[None, :]
+    )
+    npb = min(n_probe, len(CC))
+    probe = np.argpartition(d2c, npb - 1, axis=1)[:, :npb]
+    qid_type = dict(queries.dtypes)[query_id]
+    spark = queries.sparkSession
+    q_cells = spark.createDataFrame(
+        [(qid, int(c)) for i, qid in enumerate(qids) for c in probe[i]],
+        f"qid {qid_type}, cid int",
+    )
+    cand = codes_with_cid.withColumn("cid", F.col("cid").cast("int")).join(
+        F.broadcast(q_cells), "cid"
+    )
+
+    adc_k = k if refine is None else max(k, k * shortlist_factor)
+
+    def scan(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qi = pdf["qid"].map(qindex).to_numpy()
+            nids = pdf["nid"].to_numpy()
+            B = np.stack(pdf["codes"].to_numpy())
+            dist = np.zeros(len(nids))
+            for j in range(m):
+                dist += lut[qi, j, B[:, j]]
+            out = pd.DataFrame(
+                {"qid": pdf["qid"], "nid": nids, "dist": np.round(dist, round_dist)}
+            )
+            # per-partition per-query shortlist cap
+            yield out.groupby("qid", group_keys=False, sort=False).apply(
+                lambda g: g.nsmallest(adc_k, "dist")
+            )
+
+    nid_type = dict(codes_with_cid.dtypes)["nid"]
+    partials = cand.select("qid", "nid", "codes").mapInPandas(
+        scan, f"qid {qid_type}, nid {nid_type}, dist double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
+    adc = partials.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= adc_k)
+    if refine is None:
+        return adc
+    return _exact_rerank(
+        adc, qrows, qid_type, refine, refine_id, refine_vec, k, round_dist
+    )

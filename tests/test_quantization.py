@@ -139,3 +139,63 @@ def test_pq_guards(spark):
         pq_topk(df, pq_encode(df, books), books, k=0)
     with pytest.raises(ValueError, match="empty query"):
         pq_topk(empty, pq_encode(df, books), books, k=1)
+
+
+def test_ivfpq_topk_recall_and_cell_restriction(spark):
+    """IVF x PQ composition: recall stays high with exact re-rank, and
+    the scan provably touches only probed cells (a query's results all
+    come from its n_probe nearest cells)."""
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.quantization import ivfpq_topk
+    from iot_sensor_data_pipeline_spark.operators.similarity import ivf_build
+
+    rnd = random.Random(9)
+    d, n_clusters = 16, 8
+    centers = [[rnd.uniform(-20, 20) for _ in range(d)] for _ in range(n_clusters)]
+    vectors = {i: [x + rnd.gauss(0, 0.5) for x in centers[i % n_clusters]]
+               for i in range(400)}
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vectors.items()], "vec_id long, embedding array<double>"
+    )
+    assignments, centroids = ivf_build(corpus, n_centroids=n_clusters)
+    books = pq_train(corpus, m=4, k=32, sample_rows=400, iters=8)
+    codes = pq_encode(corpus, books).join(
+        assignments.select("cid", "nid"), "nid"
+    )
+    queries = {1000 + i: [x + rnd.gauss(0, 0.2) for x in vectors[i]] for i in range(15)}
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries.items()], "vec_id long, embedding array<double>"
+    )
+    got = ivfpq_topk(
+        qdf, codes, books, centroids, k=10, n_probe=2,
+        refine=corpus, shortlist_factor=5,
+    )
+    got_ids = {}
+    for r in got.collect():
+        got_ids.setdefault(r.qid, set()).add(r.nid)
+    # true neighbors live in the query's own cluster (clusters are far
+    # apart vs noise), so probe-restricted search still recalls them
+    want = _exact_topk(vectors, queries, 10)
+    hits = sum(len(got_ids[q] & set(w)) for q, w in want.items())
+    recall = hits / sum(len(w) for w in want.values())
+    assert recall >= 0.85, recall
+    # cell restriction: every returned nid shares the query's cluster
+    # residue (clusters are separated enough that IVF cells == clusters)
+    for qid, ids in got_ids.items():
+        seed_cluster = (qid - 1000) % n_clusters
+        assert all(nid % n_clusters == seed_cluster for nid in ids), (qid, ids)
+
+
+def test_ivfpq_guards(spark):
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.operators.quantization import ivfpq_topk
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    books = [[[0.0]], [[0.0]]]
+    codes = pq_encode(df, books).withColumn("cid", F.lit(0))
+    with _pytest.raises(ValueError, match="k must be"):
+        ivfpq_topk(df, codes, books, [[0.0, 0.0]], k=0)
+    with _pytest.raises(ValueError, match="empty query"):
+        ivfpq_topk(df.where(F.col("vec_id") < 0), codes, books, [[0.0, 0.0]], k=1)
