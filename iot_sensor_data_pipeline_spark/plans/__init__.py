@@ -1,7 +1,13 @@
 """Query plans: the registry of named queries with their DuckDB oracle
 SQL. Importing this package populates the registry."""
 
-from iot_sensor_data_pipeline_spark.plans.registry import REGISTRY, RegisteredQuery, register
+from iot_sensor_data_pipeline_spark.plans.registry import (
+    EXTENDED_REGISTRY,
+    REGISTRY,
+    RegisteredQuery,
+    register,
+    register_extended,
+)
 
 # populate the registry (import order = SURVEY.md §7 milestone order)
 from iot_sensor_data_pipeline_spark.plans import queries_reference  # noqa: E402,F401
@@ -10,5 +16,12 @@ from iot_sensor_data_pipeline_spark.plans import queries_relational  # noqa: E40
 from iot_sensor_data_pipeline_spark.plans import queries_relational2  # noqa: E402,F401
 from iot_sensor_data_pipeline_spark.plans import queries_pipeline  # noqa: E402,F401
 from iot_sensor_data_pipeline_spark.plans import queries_analytics  # noqa: E402,F401
+from iot_sensor_data_pipeline_spark.plans import queries_tpch_full  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "RegisteredQuery", "register"]
+__all__ = [
+    "EXTENDED_REGISTRY",
+    "REGISTRY",
+    "RegisteredQuery",
+    "register",
+    "register_extended",
+]
