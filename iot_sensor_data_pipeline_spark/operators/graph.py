@@ -138,3 +138,77 @@ def pagerank(
         f"pagerank did not converge within {max_iterations} iterations "
         f"(last L1 delta {delta:.2e} >= tol {tol:.0e}); raise max_iterations"
     )
+
+
+def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Normalize a (possibly directed, noisy) edge relation into the
+    undirected canonical form: (u, v) with u < v, self-loops dropped,
+    duplicates collapsed."""
+    u = F.least(F.col(src), F.col(dst)).alias("u")
+    v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    return (
+        edges.select(u, v)
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count via degree-ordered edge orientation
+    (the MapReduce-era trick of Suri & Vassilvitskii's "Counting
+    triangles and the curse of the last reducer", WWW'11).
+
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one; every triangle then has exactly one
+    vertex with two out-edges, so counting (wedge e1=a->b, e2=a->c,
+    closing edge b->c) sees each triangle once. The payoff at scale:
+    out-degree is bounded by O(sqrt(m)) regardless of how skewed the
+    raw degree distribution is, so the wedge join never explodes on a
+    celebrity vertex — the naive 3-way self-join on the raw edge list
+    does.
+
+    Two shuffles (degree agg + wedge join) plus a semi-ish closing join;
+    returns a 1-row DataFrame (n_triangles).
+    """
+    # canonical edges are consumed twice (degrees + orientation); the
+    # caller can persist the input if recomputing its lineage is costly
+    e = canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (degree, id): from the smaller endpoint to the larger
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    keyed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    w1 = oriented.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+    w2 = oriented.select(F.col("a").alias("xa"), F.col("b").alias("xb"))
+    wedges = w1.join(w2, (F.col("wa") == F.col("xa")) & (F.col("wb") < F.col("xb")))
+    closing = oriented.select(
+        F.col("a").alias("ca"), F.col("b").alias("cb")
+    ).unionAll(oriented.select(F.col("b").alias("ca"), F.col("a").alias("cb")))
+    closed = wedges.join(
+        closing.dropDuplicates(["ca", "cb"]),
+        (F.col("wb") == F.col("ca")) & (F.col("xb") == F.col("cb")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def degree_histogram(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distribution of undirected vertex degrees: (degree, n_vertices)."""
+    e = canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))

@@ -63,3 +63,62 @@ def documents_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_removed").cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over a derived co-supply graph: suppliers are linked
+# when they supply the same order. Tagged union: ('triangles', 0, count)
+# + ('degree_hist', degree, n_vertices).
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), tri AS (
+  SELECT count(*) AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+), deg AS (
+  SELECT n, count(*) AS degree FROM (
+    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs
+  ) GROUP BY n
+)
+SELECT 'triangles' AS tag, 0 AS k, cast(c AS BIGINT) AS v FROM tri
+UNION ALL
+SELECT 'degree_hist' AS tag, cast(degree AS INT) AS k, cast(count(*) AS BIGINT) AS v
+FROM deg GROUP BY degree
+"""
+
+
+@register_extended(
+    "suppliers_cosupply_graph", oracle=_TRIANGLE_ORACLE, tags=("graph",)
+)
+def suppliers_cosupply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iot_sensor_data_pipeline_spark.operators.graph import (
+        degree_histogram,
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    edges = li.join(
+        other,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") < F.col("s2")),
+    ).select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+    tri = triangle_count(edges).select(
+        F.lit("triangles").alias("tag"),
+        F.lit(0).alias("k"),
+        F.col("n_triangles").cast("long").alias("v"),
+    )
+    hist = degree_histogram(edges).select(
+        F.lit("degree_hist").alias("tag"),
+        F.col("degree").cast("int").alias("k"),
+        F.col("n_vertices").cast("long").alias("v"),
+    )
+    return tri.unionAll(hist)

@@ -1,0 +1,61 @@
+"""Triangle counting / degree histogram (operators/graph.py): goldens
+on known graphs, orientation invariants, the DuckDB differential."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from iot_sensor_data_pipeline_spark.operators.graph import (
+    canonical_edges,
+    degree_histogram,
+    triangle_count,
+)
+from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+from tests.oracle_harness import compare_query
+
+SF = "/root/testdata/sf0.01"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _count(spark, pairs):
+    return triangle_count(_edges(spark, pairs)).collect()[0]["n_triangles"]
+
+
+def test_k4_has_four_triangles(spark):
+    k4 = list(combinations(range(4), 2))
+    assert _count(spark, k4) == 4
+
+
+def test_cycle_has_none_and_chord_adds_two(spark):
+    cycle = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert _count(spark, cycle) == 0
+    assert _count(spark, cycle + [(0, 2)]) == 2
+
+
+def test_direction_duplicates_and_self_loops_ignored(spark):
+    messy = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 0)]
+    assert _count(spark, messy) == 1
+    assert canonical_edges(_edges(spark, messy)).count() == 3
+
+
+def test_star_graph_skew_no_triangles(spark):
+    # a celebrity hub: naive wedge enumeration from the hub is O(d^2);
+    # degree orientation points every edge INTO the hub, so zero wedges
+    # originate there
+    star = [(0, i) for i in range(1, 40)]
+    assert _count(spark, star) == 0
+    hist = {r["degree"]: r["n_vertices"] for r in degree_histogram(_edges(spark, star)).collect()}
+    assert hist == {39: 1, 1: 39}
+
+
+def test_k5_exact(spark):
+    assert _count(spark, list(combinations(range(5), 2))) == 10
+
+
+def test_matches_duckdb_oracle(spark):
+    q = EXTENDED_REGISTRY["suppliers_cosupply_graph"]
+    ok, msg = compare_query(spark, SF, q.fn, q.oracle)
+    assert ok, msg
