@@ -67,16 +67,24 @@ def documents_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Graph analytics over a derived co-supply graph: suppliers are linked
-# when they supply the same order. Tagged union: ('triangles', 0, count)
-# + ('degree_hist', degree, n_vertices).
+# when they co-supply >= _MIN_COSUPPLY distinct orders — the threshold
+# keeps edges statistically meaningful AND keeps the graph sparse (the
+# unthresholded version converges to a complete graph as |orders| grows,
+# which no triangle algorithm survives: density, not skew, is the
+# scale hazard there). Tagged union: ('triangles', 0, count) +
+# ('degree_hist', degree, n_vertices).
 # ---------------------------------------------------------------------------
 
-_TRIANGLE_ORACLE = """
+_MIN_COSUPPLY = 5
+
+_TRIANGLE_ORACLE = f"""
 WITH pairs AS (
-  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
-                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  SELECT least(a.l_suppkey, b.l_suppkey) AS u,
+         greatest(a.l_suppkey, b.l_suppkey) AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= {_MIN_COSUPPLY}
 ), tri AS (
   SELECT count(*) AS c
   FROM pairs e1
@@ -104,13 +112,32 @@ def suppliers_cosupply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    other = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    # per-order supplier SET first (one shuffle of the fact table),
+    # then array-side pair expansion — beats the lineitem self-join +
+    # countDistinct formulation (no second fact shuffle, pairs are
+    # order-distinct by construction so a plain count(*) counts orders)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
     )
-    edges = li.join(
-        other,
-        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") < F.col("s2")),
-    ).select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+    pair_structs = F.flatten(
+        F.transform(
+            "supps",
+            lambda x, i: F.transform(
+                F.slice("supps", i + 2, F.greatest(F.size("supps") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    edges = (
+        per_order.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.src", "p.dst")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= _MIN_COSUPPLY)
+        .select("src", "dst")
+        # consumed three times downstream (degrees, orientation,
+        # histogram); checkpoint so the derivation runs once
+        .localCheckpoint()
+    )
     tri = triangle_count(edges).select(
         F.lit("triangles").alias("tag"),
         F.lit(0).alias("k"),
