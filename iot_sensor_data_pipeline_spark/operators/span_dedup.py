@@ -48,7 +48,12 @@ _SEP = "\x1f"
 
 
 def _tokens(text: Column) -> Column:
-    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    # NULL text -> empty token array (size(NULL) is -1, which would
+    # otherwise poison n_tokens/n_removed downstream)
+    return F.coalesce(
+        F.filter(F.split(text, r"\s+"), lambda x: x != ""),
+        F.array().cast("array<string>"),
+    )
 
 
 def duplicated_spans(

@@ -96,3 +96,54 @@ def test_plan_no_python_and_hash_only_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_null_text_treated_as_empty(spark):
+    df = _docs(spark, [(1, None), (2, f"{W} x"), (3, f"{W} y")])
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=8).collect()}
+    assert out[1]["text_clean"] == ""
+    assert out[1]["n_tokens"] == 0 and out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "x"
+
+
+def _ref_span_dedup(docs: dict[int, str], k: int) -> dict[int, tuple[str, int, int]]:
+    """Independent Python reference: corpus span counts -> per-doc cut."""
+    from collections import Counter
+
+    toks = {i: (t or "").split() for i, t in docs.items()}
+    cnt: Counter = Counter()
+    for t in toks.values():
+        for s in range(len(t) - k + 1):
+            cnt[tuple(t[s : s + k])] += 1
+    out = {}
+    for i, t in toks.items():
+        removed: set[int] = set()
+        for s in range(len(t) - k + 1):
+            if cnt[tuple(t[s : s + k])] >= 2:
+                removed.update(range(s, s + k))
+        kept = [t[j] for j in range(len(t)) if j not in removed]
+        out[i] = (" ".join(kept), len(t), len(removed))
+    return out
+
+
+def test_random_corpora_match_python_reference(spark):
+    """Tiny vocabulary + small k forces dense duplication, overlap
+    chains, and within-doc repeats — the adversarial regime for the
+    interval-merge fold."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    vocab = ["a", "b", "c"]
+    for trial in range(6):
+        k = rng.choice([2, 3])
+        docs = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+            for i in range(8)
+        }
+        expected = _ref_span_dedup(docs, k)
+        df = _docs(spark, list(docs.items()))
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+            for r in remove_duplicated_spans(df, k=k).collect()
+        }
+        assert got == expected, (trial, k, docs)

@@ -59,3 +59,30 @@ def test_matches_duckdb_oracle(spark):
     q = EXTENDED_REGISTRY["suppliers_cosupply_graph"]
     ok, msg = compare_query(spark, SF, q.fn, q.oracle)
     assert ok, msg
+
+
+def test_random_graphs_match_python_reference(spark):
+    """Random G(n, p) graphs (with noisy directions/dupes/self-loops)
+    vs a set-intersection reference count."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    for trial in range(5):
+        n = rng.randint(4, 14)
+        p = rng.choice([0.2, 0.5, 0.8])
+        base = [(a, b) for a, b in combinations(range(n), 2) if rng.random() < p]
+        # inject direction flips, duplicates, self-loops
+        noisy = [e if rng.random() < 0.5 else (e[1], e[0]) for e in base]
+        noisy += [e for e in base if rng.random() < 0.3]
+        noisy += [(i, i) for i in range(0, n, 3)]
+        if not noisy:
+            noisy = [(0, 1)]
+        adj = {i: set() for i in range(n)}
+        for a, b in base:
+            adj[a].add(b)
+            adj[b].add(a)
+        expected = sum(
+            1 for a, b, c in combinations(range(n), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        assert _count(spark, noisy) == expected, (trial, n, p, base)
