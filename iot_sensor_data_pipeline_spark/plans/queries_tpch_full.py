@@ -30,7 +30,7 @@ driver collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iot_sensor_data_pipeline_spark.plans.registry import register_extended
@@ -678,10 +678,16 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q21 (adapted): suppliers who kept orders waiting — EXISTS + NOT EXISTS
-# over the same fact table. No receipt/commit dates -> "late" is
-# shipping >90 days after the order date; the semi + anti join pair
-# (some other supplier on the order; no other LATE supplier) is kept.
+# Q21 (adapted): suppliers who kept orders waiting. No receipt/commit
+# dates -> "late" is shipping >90 days after the order date. The oracle
+# keeps the classic EXISTS + NOT EXISTS formulation as the semantic
+# spec; the Spark side deliberately does NOT translate it (that costs
+# three scans of the fact table: l1 + a semi probe + an anti probe).
+# Instead it computes per-(order, supplier) late-line counts and
+# per-order supplier statistics in one scan — a row qualifies iff its
+# order has >= 2 suppliers and exactly ONE late supplier (necessarily
+# itself, since the row is late). Equivalence with the EXISTS form is
+# what the differential test checks.
 # ---------------------------------------------------------------------------
 
 _Q21_ORACLE = """
@@ -719,23 +725,26 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate"
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    l1 = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("l_shipdate") > late_cut)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines")
     )
-    l2 = li.select(F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey"),
-                   F.col("l_shipdate").alias("x_shipdate"))
-    some_other = (F.col("x_orderkey") == F.col("l_orderkey")) & (
-        F.col("x_suppkey") != F.col("l_suppkey")
+    w = Window.partitionBy("l_orderkey")
+    stats = per_os.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_suppliers"),
+        F.sum((F.col("n_late_lines") > 0).cast("int")).over(w).alias("n_late_suppliers"),
     )
-    with_other = l1.join(l2, some_other, "left_semi")
-    other_late = some_other & (F.col("x_shipdate") > late_cut)
-    alone_late = with_other.join(l2, other_late, "left_anti")
+    qual = stats.where(
+        (F.col("n_late_lines") > 0)
+        & (F.col("n_suppliers") >= 2)
+        & (F.col("n_late_suppliers") == 1)
+    )
     return (
-        alone_late.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        qual.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )

@@ -62,9 +62,14 @@ def test_q19_single_scan_disjunction(spark):
     assert "Union" not in plan
 
 
-def test_q21_semi_and_anti_are_hash_joins(spark):
+def test_q21_single_fact_scan(spark):
+    """The EXISTS + NOT EXISTS oracle would naively cost three lineitem
+    scans; the aggregate rewrite must touch the fact table once."""
     plan = _plan(spark, "tpch_q21_waiting_suppliers")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    li_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln
+    ]
+    assert len(li_scans) == 1, plan
     assert "CartesianProduct" not in plan
 
 
