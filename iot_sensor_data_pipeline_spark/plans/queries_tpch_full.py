@@ -88,20 +88,18 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    # supplier is tiny at every SF (10k rows/SF) -> broadcast; supply
-    # stays partitioned on l_partkey across both the min and the final
-    # equi-join, so the correlated min costs one shuffle total.
+    # supplier is tiny at every SF (10k rows/SF) -> broadcast; the
+    # correlated min is a WINDOW over l_partkey, so the fact table is
+    # scanned once and the supply relation is consumed once (the
+    # agg-then-join-back formulation scans lineitem twice)
     supply_eu = supply.join(F.broadcast(eu), supply.l_suppkey == eu.s_suppkey)
-    min_cost = supply_eu.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
     part = F.broadcast(
         load_table(spark, sf_dir, "part").where((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
     )
+    w = Window.partitionBy("l_partkey")
     out = (
-        supply_eu.join(min_cost,
-                       (F.col("l_partkey") == F.col("mc_partkey"))
-                       & (F.col("unit_cost") == F.col("min_cost")))
+        supply_eu.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
                 F.round("unit_cost", 4).alias("unit_cost"))
@@ -408,10 +406,17 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "total_revenue"
+    # checkpoint the per-supplier aggregate (10k rows/SF): it feeds both
+    # the max and the equality probe, and rescanning lineitem for each
+    # would double the fact-scan count
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
         )
+        .localCheckpoint()
     )
     # both sides round to 4 dp before the equality, so summation-order
     # noise cannot create a cross-engine membership difference
@@ -462,12 +467,21 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .select("l_partkey", "l_extendedprice")
     )
-    per_part = li.groupBy("l_partkey").agg(
-        F.round(F.sum("l_extendedprice"), 4).alias("value")
+    # one fact scan: the global total is the sum of the per-part sums
+    # (identical after the 2-dp rounding, which recovers the exact
+    # decimal total); per_part is consumed twice so checkpoint the
+    # aggregated (#parts-sized) relation instead of rescanning lineitem
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+        .localCheckpoint()
     )
-    thresh = li.agg((F.round(F.sum("l_extendedprice"), 2) * F.lit(0.001)).alias("thresh"))
+    thresh = per_part.agg(
+        (F.round(F.sum("raw_value"), 2) * F.lit(0.001)).alias("thresh")
+    )
     return (
-        per_part.join(F.broadcast(thresh), F.col("value") > F.col("thresh"))
+        per_part.withColumn("value", F.round("raw_value", 4))
+        .join(F.broadcast(thresh), F.col("value") > F.col("thresh"))
         .select("l_partkey", "value")
     )
 
@@ -535,14 +549,16 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     # the correlated avg touches ALL lineitems of the brand's parts, so
-    # restrict to those parts first (semi join), then compute the per-part
-    # threshold on that slice only — one shuffle on l_partkey
+    # restrict to those parts first (semi join), then express the
+    # per-part threshold as a WINDOW over l_partkey — one fact scan and
+    # one shuffle, where the agg-then-join-back formulation scans the
+    # fact twice
     li_brand = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-    thresh = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.round(F.lit(0.5) * F.avg("l_quantity"), 6).alias("qty_thresh")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li_brand.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        li_brand.withColumn(
+            "qty_thresh", F.round(F.lit(0.5) * F.avg("l_quantity").over(w), 6)
+        )
         .where(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"))
     )

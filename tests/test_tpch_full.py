@@ -85,3 +85,19 @@ def test_q13_preserves_customers_without_orders(spark):
         "(SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT')"
     ).fetchone()[0]
     assert rows.get(0, 0) == n_zero
+
+
+def test_correlated_subqueries_scan_fact_once(spark):
+    """q2/q17's correlated min/avg must be windows over one fact scan,
+    not agg-then-join-back (two scans). q11/q15 checkpoint the
+    aggregated relation, so no lineitem scan survives in their final
+    plans at all."""
+    for name, want in {
+        "tpch_q2_min_cost_supplier": 1,
+        "tpch_q17_small_quantity": 1,
+        "tpch_q11_important_stock": 0,
+        "tpch_q15_top_supplier": 0,
+    }.items():
+        plan = _plan(spark, name)
+        got = sum(1 for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln)
+        assert got == want, (name, got, plan)
