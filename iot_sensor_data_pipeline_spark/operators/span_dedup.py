@@ -56,22 +56,11 @@ def _tokens(text: Column) -> Column:
     )
 
 
-def duplicated_spans(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-    min_count: int = 2,
-) -> DataFrame:
-    """All (doc, start) positions whose k-token window occurs at least
-    ``min_count`` times corpus-wide (within-doc repeats count, as in the
-    reference algorithm). Start positions are 0-based token offsets.
-
-    Returns (id, start, span_hash, n_occurrences).
-    """
+def _doc_spans(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, start, span_hash) for every k-token window, 0-based starts."""
     toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
     n = F.size("__toks")
-    spans = (
+    return (
         toks.where(n >= k)
         .select(
             F.col(id_col),
@@ -89,6 +78,22 @@ def duplicated_spans(
         )
         .select(id_col, "s.start", "s.span_hash")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """All (doc, start) positions whose k-token window occurs at least
+    ``min_count`` times corpus-wide (within-doc repeats count, as in the
+    reference algorithm). Start positions are 0-based token offsets.
+
+    Returns (id, start, span_hash, n_occurrences).
+    """
+    spans = _doc_spans(df, id_col, text_col, k)
     counts = (
         spans.groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -130,9 +135,17 @@ def remove_duplicated_spans(
     Returns (id, text_clean, n_tokens, n_removed); docs shorter than k
     tokens pass through untouched (whitespace-normalized).
     """
-    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
     dup = duplicated_spans(df, id_col, text_col, k, min_count)
-    per_doc = dup.groupBy(id_col).agg(
+    return _cut_documents(df, dup, id_col, text_col, k)
+
+
+def _cut_documents(
+    df: DataFrame, dup_positions: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Apply the interval-merge cut: remove every token of ``df`` covered
+    by a (id, start) row of ``dup_positions``."""
+    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    per_doc = dup_positions.groupBy(id_col).agg(
         F.sort_array(F.collect_list("start")).alias("__starts")
     )
     joined = toks.join(per_doc, id_col, "left_outer").withColumn(
@@ -156,3 +169,70 @@ def remove_duplicated_spans(
         n.alias("n_tokens"),
         (n - F.size(kept)).alias("n_removed"),
     )
+
+
+def span_dedup_incremental(
+    new_docs: DataFrame,
+    corpus_spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-substring dedup of a NEW batch against an already-ingested
+    corpus — the production flow where the corpus is too large to
+    re-window per increment (the span sibling of
+    ``dedup.neardup_incremental``).
+
+    ``corpus_spans``: the persisted (id, start, span_hash) relation —
+    exactly this function's returned delta, appended after each batch
+    (bucket it by ``span_hash`` so the probe below joins in place).
+
+    Returns ``(cleaned, span_delta)``:
+
+    - ``cleaned`` — (id, text_clean, n_tokens, n_removed) for the new
+      batch. A window is duplicated iff its corpus occurrences plus its
+      batch occurrences reach ``min_count``, so this EQUALS the batch
+      operator's output over (corpus ∪ batch) restricted to the batch's
+      ids (tested). Already-ingested documents are not revisited —
+      append-only history, the same contract as the other incremental
+      dedup operators.
+    - ``span_delta`` — the batch's (id, start, span_hash) rows to
+      append.
+
+    Scale shape: the corpus side is semi-join-restricted to the hashes
+    present in the batch BEFORE aggregating (never a corpus-wide
+    count), and only 8-byte hashes + ints move; the batch side is small
+    and broadcasts into the probe.
+
+    Replay-safe: corpus rows whose id appears in the batch are excluded
+    (broadcast anti-join), so a crash-replayed epoch whose delta was
+    already appended yields exactly the original output.
+    """
+    spans = _doc_spans(new_docs, id_col, text_col, k).localCheckpoint(eager=False)
+
+    new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+    corpus = corpus_spans.join(
+        F.broadcast(new_ids), F.col(id_col) == F.col("id"), "left_anti"
+    )
+    batch_hashes = spans.select("span_hash").distinct()
+    # restrict BEFORE counting: only hashes the batch can care about
+    corpus_counts = (
+        corpus.join(F.broadcast(batch_hashes), "span_hash", "left_semi")
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
+    )
+    batch_counts = spans.groupBy("span_hash").agg(
+        F.count(F.lit(1)).alias("n_batch")
+    )
+    dup_hashes = (
+        batch_counts.join(corpus_counts, "span_hash", "left_outer")
+        .where(
+            F.col("n_batch") + F.coalesce(F.col("n_corpus"), F.lit(0))
+            >= min_count
+        )
+        .select("span_hash")
+    )
+    dup_positions = spans.join(dup_hashes, "span_hash", "left_semi")
+    cleaned = _cut_documents(new_docs, dup_positions, id_col, text_col, k)
+    return cleaned, spans

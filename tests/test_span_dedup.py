@@ -147,3 +147,75 @@ def test_random_corpora_match_python_reference(spark):
             for r in remove_duplicated_spans(df, k=k).collect()
         }
         assert got == expected, (trial, k, docs)
+
+
+# ---------------------------------------------------------------------------
+# incremental variant
+# ---------------------------------------------------------------------------
+
+
+def _inc(spark, batch_rows, corpus_spans, k=8):
+    from iot_sensor_data_pipeline_spark.operators.span_dedup import (
+        span_dedup_incremental,
+    )
+
+    return span_dedup_incremental(_docs(spark, batch_rows), corpus_spans, k=k)
+
+
+def _empty_spans(spark):
+    return spark.createDataFrame([], "doc_id long, start int, span_hash long")
+
+
+def test_incremental_cleans_against_corpus_history(spark):
+    # batch 1: W appears once -> kept; its spans enter the index
+    cleaned1, delta1 = _inc(spark, [(1, f"{W} one")], _empty_spans(spark))
+    assert cleaned1.collect()[0]["n_removed"] == 0
+    # batch 2: W appears once IN THE BATCH but already in the corpus
+    cleaned2, _ = _inc(spark, [(2, f"two {W}")], delta1)
+    row = cleaned2.collect()[0]
+    assert row["text_clean"] == "two" and row["n_removed"] == 8
+
+
+def test_incremental_detects_within_batch_duplicates(spark):
+    cleaned, _ = _inc(
+        spark, [(1, f"{W} a"), (2, f"b {W}")], _empty_spans(spark)
+    )
+    out = {r["doc_id"]: r["text_clean"] for r in cleaned.collect()}
+    assert out == {1: "a", 2: "b"}
+
+
+def test_incremental_equals_batch_restricted_to_new_ids(spark):
+    """The documented invariant: incremental cleaning of batch 2 equals
+    the batch operator over (batch1 ∪ batch2), restricted to batch-2
+    docs — window counts add across history exactly."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c"]
+    b1 = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10)))) for i in range(5)]
+    b2 = [(i + 10, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10)))) for i in range(5)]
+    k = 3
+    _, delta1 = _inc(spark, b1, _empty_spans(spark), k=k)
+    cleaned2, _ = _inc(spark, b2, delta1, k=k)
+    full = remove_duplicated_spans(_docs(spark, b1 + b2), k=k)
+    want = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in full.collect()
+        if r["doc_id"] >= 10
+    }
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"]) for r in cleaned2.collect()
+    }
+    assert got == want
+
+
+def test_incremental_replay_is_idempotent(spark):
+    """Crash-replay: the batch's delta was already appended; re-running
+    the same batch must yield the original output (id exclusion)."""
+    batch = [(5, f"{W} solo")]
+    cleaned_a, delta = _inc(spark, batch, _empty_spans(spark))
+    first = cleaned_a.collect()
+    # replayed epoch probes an index that already contains its own rows
+    cleaned_b, _ = _inc(spark, batch, delta)
+    assert cleaned_b.collect() == first
+    assert first[0]["n_removed"] == 0  # its own appended spans don't count
