@@ -211,9 +211,12 @@ def span_dedup_incremental(
     """
     spans = _doc_spans(new_docs, id_col, text_col, k).localCheckpoint(eager=False)
 
-    new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+    # frame-qualified join condition: works even when id_col == "id"
+    new_ids = new_docs.select(F.col(id_col).alias("__batch_id")).distinct()
     corpus = corpus_spans.join(
-        F.broadcast(new_ids), F.col(id_col) == F.col("id"), "left_anti"
+        F.broadcast(new_ids),
+        corpus_spans[id_col] == new_ids["__batch_id"],
+        "left_anti",
     )
     batch_hashes = spans.select("span_hash").distinct()
     # restrict BEFORE counting: only hashes the batch can care about

@@ -788,3 +788,130 @@ def compact_semdedup_index(spark, index_dir: str) -> int:
     return _compact_parquet_dir(
         spark, f"{index_dir}/postings", f"{index_dir}/.postings", ["nid"]
     )
+
+
+def start_incremental_spandedup(
+    docs: DataFrame,
+    index_dir: str | None,
+    checkpoint: str,
+    cleaned_sink: BatchSink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    trigger: str | None = None,
+    available_now: bool = False,
+    query_name: str | None = None,
+    index_tables: str | None = None,
+    index_buckets: int = 64,
+) -> StreamingQuery:
+    """Streaming EXACT-SUBSTRING sibling of
+    :func:`start_incremental_neardup`: each micro-batch of documents is
+    cleaned against the persistent corpus span index (corpus-duplicated
+    AND within-batch-duplicated k-token windows are cut — see
+    ``operators.span_dedup.span_dedup_incremental``), the cleaned
+    (id, text_clean, n_tokens, n_removed) rows go to ``cleaned_sink``,
+    and the batch's (id, start, span_hash) rows append to the index.
+    The corpus is never re-windowed; per-batch cost tracks batch size
+    plus the corpus rows matching the BATCH's hashes only.
+
+    Index layout: ``{index_dir}/spans`` parquet appends, or — with
+    ``index_tables`` (mutually exclusive) — the catalog table
+    ``{prefix}_spans`` BUCKETED by span_hash (``index_buckets``
+    buckets), so the per-batch hash probe sort-merge-joins against the
+    pre-bucketed index with no exchange on the index side, exactly the
+    neardup band-table layout.
+
+    Replay-safe, two layers: the operator excludes corpus rows whose id
+    is in the batch (a crash-replayed epoch whose delta was already
+    appended re-emits the original cleaned rows), and duplicate index
+    ROWS from such replays are folded by a read-side
+    ``dropDuplicates`` over the full (id, start, span_hash) identity —
+    without it a replayed append would double a span's corpus count
+    and could push a unique window over ``min_count``.
+    ``cleaned_sink`` may accept ``(df, epoch_id)``.
+    """
+    from iot_sensor_data_pipeline_spark.operators.span_dedup import (
+        _doc_spans,
+        span_dedup_incremental,
+    )
+
+    if (index_dir is None) == (index_tables is None):
+        raise ValueError(
+            "start_incremental_spandedup: pass exactly one of index_dir "
+            "(parquet-path index) or index_tables (bucketed-table index)"
+        )
+    spans_dir = f"{index_dir}/spans" if index_dir else None
+    spans_tbl = f"{index_tables}_spans" if index_tables else None
+    sink_wants_epoch = _wants_epoch(cleaned_sink)
+    identity = [id_col, "start", "span_hash"]
+
+    def read_index(spark, batch_df):
+        if index_tables is not None:
+            if spark.catalog.tableExists(spans_tbl):
+                return spark.table(spans_tbl).dropDuplicates(identity)
+            if spark.catalog.tableExists(f"{spans_tbl}_compacting"):
+                raise RuntimeError(
+                    f"span index table {spans_tbl} is missing but "
+                    f"{spans_tbl}_compacting exists — a compaction "
+                    "crashed mid-swap; rename it back before resuming"
+                )
+        elif _hadoop_path_exists(spark, spans_dir):
+            return spark.read.parquet(spans_dir).dropDuplicates(identity)
+        # legitimate first batch: empty index with the operator's schema
+        return _doc_spans(batch_df.limit(0), id_col, text_col, k)
+
+    def append_delta(span_delta):
+        if index_tables is not None:
+            (
+                span_delta.write.format("parquet")
+                .bucketBy(index_buckets, "span_hash")
+                .sortBy("span_hash")
+                .mode("append")
+                .saveAsTable(spans_tbl)
+            )
+        else:
+            span_delta.write.mode("append").parquet(spans_dir)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        corpus_spans = read_index(spark, batch_df)
+        cleaned, span_delta = span_dedup_incremental(
+            batch_df, corpus_spans, id_col, text_col, k=k, min_count=min_count
+        )
+        # the delta feeds both the sink path (via the duplicated-hash
+        # probe) and the append; span_dedup_incremental already
+        # checkpoints the window pass lazily, so each side reuses it
+        if sink_wants_epoch:
+            cleaned_sink(cleaned, epoch_id)
+        else:
+            cleaned_sink(cleaned)
+        append_delta(span_delta)
+
+    writer = (
+        docs.writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()
+
+
+def compact_spandedup_index(spark, index_dir: str, id_col: str = "doc_id") -> int:
+    """Fold the span index's per-epoch append files and crash-replay
+    duplicate rows into one clean snapshot (the same crash-safe
+    rename-aside as :func:`compact_neardup_index`); returns the row
+    count after compaction."""
+    return _compact_parquet_dir(
+        spark,
+        f"{index_dir}/spans",
+        f"{index_dir}/.spans",
+        [id_col, "start", "span_hash"],
+    )

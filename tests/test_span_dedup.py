@@ -219,3 +219,67 @@ def test_incremental_replay_is_idempotent(spark):
     cleaned_b, _ = _inc(spark, batch, delta)
     assert cleaned_b.collect() == first
     assert first[0]["n_removed"] == 0  # its own appended spans don't count
+
+
+# ---------------------------------------------------------------------------
+# streaming job
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_spandedup_cleans_across_restart(spark, tmp_path):
+    """Streaming exact-substring dedup: batch 2 (after a restart) is
+    cleaned against the span index batch 1 persisted — no streaming
+    state carries the memory — and the index holds only hashes+ints,
+    never text. Also covers within-batch duplication and compaction."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        compact_spandedup_index,
+        start_incremental_spandedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+    idx_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def sink(df):
+        df.write.mode("append").parquet(str(out_dir))
+
+    def drain():
+        docs = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = start_incremental_spandedup(
+            docs, idx_dir, ckpt, sink, k=8, available_now=True
+        )
+        q.awaitTermination(120)
+
+    # batch 1: docs 1 and 2 share W within the batch; doc 3 unique
+    write_batch("b1.json", [(1, f"{W} one"), (2, f"two {W}"), (3, "unique doc")])
+    drain()
+    got1 = {r.doc_id: (r.text_clean, r.n_removed)
+            for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got1 == {1: ("one", 8), 2: ("two", 8), 3: ("unique doc", 0)}
+
+    # batch 2 after a RESTART: doc 4 repeats W (only via the index)
+    write_batch("b2.json", [(4, f"{W} four")])
+    drain()
+    got2 = {r.doc_id: (r.text_clean, r.n_removed)
+            for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got2[4] == ("four", 8)
+
+    # index carries no text
+    idx = spark.read.parquet(f"{idx_dir}/spans")
+    assert set(idx.columns) == {"doc_id", "start", "span_hash"}
+
+    # compaction folds append files without changing the row multiset
+    before = idx.count()
+    after = compact_spandedup_index(spark, idx_dir)
+    assert after == before  # no replay duplicates in a clean run
+    got_after = spark.read.parquet(f"{idx_dir}/spans").count()
+    assert got_after == after
