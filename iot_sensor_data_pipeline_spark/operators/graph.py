@@ -153,7 +153,12 @@ def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
     """Global triangle count via degree-ordered edge orientation
     (the MapReduce-era trick of Suri & Vassilvitskii's "Counting
     triangles and the curse of the last reducer", WWW'11).
@@ -171,8 +176,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     returns a 1-row DataFrame (n_triangles).
     """
     # canonical edges are consumed twice (degrees + orientation); the
-    # caller can persist the input if recomputing its lineage is costly
-    e = canonical_edges(edges, src, dst)
+    # caller can persist the input if recomputing its lineage is costly,
+    # and pass assume_canonical=True when the input is already the
+    # canonical (u, v) relation to skip the dedup shuffle entirely
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        if assume_canonical
+        else canonical_edges(edges, src, dst)
+    )
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
@@ -203,9 +214,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def degree_histogram(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def degree_histogram(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
     """Distribution of undirected vertex degrees: (degree, n_vertices)."""
-    e = canonical_edges(edges, src, dst)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        if assume_canonical
+        else canonical_edges(edges, src, dst)
+    )
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")

@@ -274,13 +274,22 @@ def fuzzy_join(
         # the cap must hold PER SIDE: this is a two-relation join (not
         # a self-join like RP-LSH), so a gram that floods only the
         # left still multiplies candidates — drop grams exceeding the
-        # cap in EITHER relation
+        # cap in EITHER relation. Frequency counts DISTINCT STRINGS,
+        # not id rows: in id mode one text value repeated across many
+        # ids would otherwise push every one of its grams over the cap
+        # and silently un-block the whole corpus (id mode must equal
+        # text mode + join-back). The flip side — repeated texts DO
+        # multiply id-grain candidates — is the documented dedup trade.
+        fa = a_long.select("a").distinct() if id_mode else a_long.select("a")
+        fb = b_long.select("b").distinct() if id_mode else b_long.select("b")
+        fga = fa.select(F.explode(F.array_distinct(char_grams(F.col("a"), q))).alias("g"))
+        fgb = fb.select(F.explode(F.array_distinct(char_grams(F.col("b"), q))).alias("g"))
         bad = (
-            ga.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+            fga.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
             .where(F.col("__f") > max_gram_freq)
             .select("g")
             .unionByName(
-                gb.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+                fgb.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
                 .where(F.col("__f") > max_gram_freq)
                 .select("g")
             )

@@ -204,13 +204,19 @@ def pq_topk(
             dist = np.zeros((nq, b))
             for j in range(m):
                 dist += lut[:, j, B[:, j]]
+            # round BEFORE selecting and break distance ties by nid
+            # (lexsort: last key is primary) so the per-batch shortlist
+            # keeps exactly the rows the global (dist, nid) window
+            # would — an argpartition trim drops tied candidates
+            # arbitrarily, making output batch-layout-dependent
+            dist = np.round(dist, round_dist)
             top = min(k_scan, b)
-            part = np.argpartition(dist, top - 1, axis=1)[:, :top]
             out_q, out_n, out_d = [], [], []
             for i in range(nq):
+                order = np.lexsort((nids, dist[i]))[:top]
                 out_q.extend([qids[i]] * top)
-                out_n.extend(nids[part[i]])
-                out_d.extend(np.round(dist[i, part[i]], round_dist))
+                out_n.extend(nids[order])
+                out_d.extend(dist[i, order])
             yield pd.DataFrame({"qid": out_q, "nid": out_n, "dist": out_d})
 
     partials = codes.mapInPandas(
@@ -307,6 +313,8 @@ def ivfpq_topk(
 
     if k < 1:
         raise ValueError("ivfpq_topk: k must be >= 1")
+    if n_probe < 1:
+        raise ValueError("ivfpq_topk: n_probe must be >= 1")
     C = np.asarray(codebooks, dtype=np.float64)
     m, _, dsub = C.shape
     qrows = queries.select(
@@ -355,9 +363,12 @@ def ivfpq_topk(
             out = pd.DataFrame(
                 {"qid": pdf["qid"], "nid": nids, "dist": np.round(dist, round_dist)}
             )
-            # per-partition per-query shortlist cap
-            yield out.groupby("qid", group_keys=False, sort=False).apply(
-                lambda g: g.nsmallest(adc_k, "dist")
+            # per-partition per-query shortlist cap, distance ties
+            # broken by nid so the trim agrees with the global window
+            yield (
+                out.sort_values(["qid", "dist", "nid"], kind="mergesort")
+                .groupby("qid", group_keys=False, sort=False)
+                .head(adc_k)
             )
 
     nid_type = dict(codes_with_cid.dtypes)["nid"]

@@ -205,9 +205,14 @@ def span_dedup_incremental(
     count), and only 8-byte hashes + ints move; the batch side is small
     and broadcasts into the probe.
 
-    Replay-safe: corpus rows whose id appears in the batch are excluded
-    (broadcast anti-join), so a crash-replayed epoch whose delta was
-    already appended yields exactly the original output.
+    Replay-safe, two layers, both applied AFTER the hash restriction so
+    neither ever touches the full corpus index: corpus rows whose id
+    appears in the batch are excluded (broadcast anti-join), and
+    duplicate index ROWS (a crash-replayed append from a DIFFERENT
+    earlier batch) are folded by deduplicating on the full
+    (id, start, span_hash) identity — legitimate rows are unique on it,
+    and without the fold a replayed append would double a span's corpus
+    count and could push a once-seen window over ``min_count``.
     """
     spans = _doc_spans(new_docs, id_col, text_col, k).localCheckpoint(eager=False)
 
@@ -219,9 +224,12 @@ def span_dedup_incremental(
         "left_anti",
     )
     batch_hashes = spans.select("span_hash").distinct()
-    # restrict BEFORE counting: only hashes the batch can care about
+    # restrict BEFORE counting or deduplicating: only hashes the batch
+    # can care about — a read-side dedup of the raw index would
+    # aggregate O(corpus tokens) rows per batch
     corpus_counts = (
         corpus.join(F.broadcast(batch_hashes), "span_hash", "left_semi")
+        .dropDuplicates([id_col, "start", "span_hash"])
         .groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("n_corpus"))
     )

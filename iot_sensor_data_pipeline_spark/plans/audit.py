@@ -60,14 +60,26 @@ def audit_plan(df: DataFrame, *, allow_bnlj_scalar: bool = True) -> list[Finding
                     "CartesianProduct in plan: O(|L| x |R|) rows; add an "
                     "equi-condition or bucketize a range key")
         )
-    if "BroadcastNestedLoopJoin" in plan:
-        sev = "warn" if allow_bnlj_scalar else "block"
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        # the sanctioned pattern: the broadcast build side is a global
+        # (no-grouping-key) aggregate — a 1-row scalar threshold. In
+        # the printed tree the build subtree follows the join line;
+        # a global agg prints as HashAggregate(keys=[], ...).
+        subtree = "\n".join(lines[i + 1: i + 10])
+        scalar_build = (
+            "HashAggregate(keys=[]" in subtree or "SortAggregate(key=[]" in subtree
+        )
+        sev = "warn" if (allow_bnlj_scalar and scalar_build) else "block"
         findings.append(
             Finding(sev, "broadcast-nested-loop",
                     "BroadcastNestedLoopJoin: every probe row scans the whole "
                     "build side; acceptable only when the build side is a "
-                    "1-row scalar (threshold) relation")
+                    "1-row scalar (threshold) relation"
+                    + ("" if scalar_build else " — and this build side is not one"))
         )
+        break
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
             # the printed tree reads top-down: consumers are ABOVE the

@@ -135,15 +135,18 @@ def suppliers_cosupply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") >= _MIN_COSUPPLY)
         .select("src", "dst")
         # consumed three times downstream (degrees, orientation,
-        # histogram); checkpoint so the derivation runs once
+        # histogram); checkpoint so the derivation runs once. The
+        # (least, greatest) pair construction already emits canonical
+        # u < v edges exactly once, so both consumers skip the
+        # canonicalization dedup shuffle.
         .localCheckpoint()
     )
-    tri = triangle_count(edges).select(
+    tri = triangle_count(edges, assume_canonical=True).select(
         F.lit("triangles").alias("tag"),
         F.lit(0).alias("k"),
         F.col("n_triangles").cast("long").alias("v"),
     )
-    hist = degree_histogram(edges).select(
+    hist = degree_histogram(edges, assume_canonical=True).select(
         F.lit("degree_hist").alias("tag"),
         F.col("degree").cast("int").alias("k"),
         F.col("n_vertices").cast("long").alias("v"),

@@ -822,13 +822,12 @@ def start_incremental_spandedup(
     pre-bucketed index with no exchange on the index side, exactly the
     neardup band-table layout.
 
-    Replay-safe, two layers: the operator excludes corpus rows whose id
-    is in the batch (a crash-replayed epoch whose delta was already
-    appended re-emits the original cleaned rows), and duplicate index
-    ROWS from such replays are folded by a read-side
-    ``dropDuplicates`` over the full (id, start, span_hash) identity —
-    without it a replayed append would double a span's corpus count
-    and could push a unique window over ``min_count``.
+    Replay safety lives entirely inside the operator (batch-id
+    exclusion + identity dedup of the hash-restricted corpus slice —
+    see ``span_dedup_incremental``), so the index is read RAW here: a
+    read-side dedup would aggregate the O(corpus tokens) index on
+    every micro-batch. ``compact_spandedup_index`` folds replay
+    duplicates and small append files offline.
     ``cleaned_sink`` may accept ``(df, epoch_id)``.
     """
     from iot_sensor_data_pipeline_spark.operators.span_dedup import (
@@ -844,12 +843,11 @@ def start_incremental_spandedup(
     spans_dir = f"{index_dir}/spans" if index_dir else None
     spans_tbl = f"{index_tables}_spans" if index_tables else None
     sink_wants_epoch = _wants_epoch(cleaned_sink)
-    identity = [id_col, "start", "span_hash"]
 
     def read_index(spark, batch_df):
         if index_tables is not None:
             if spark.catalog.tableExists(spans_tbl):
-                return spark.table(spans_tbl).dropDuplicates(identity)
+                return spark.table(spans_tbl)
             if spark.catalog.tableExists(f"{spans_tbl}_compacting"):
                 raise RuntimeError(
                     f"span index table {spans_tbl} is missing but "
@@ -857,7 +855,7 @@ def start_incremental_spandedup(
                     "crashed mid-swap; rename it back before resuming"
                 )
         elif _hadoop_path_exists(spark, spans_dir):
-            return spark.read.parquet(spans_dir).dropDuplicates(identity)
+            return spark.read.parquet(spans_dir)
         # legitimate first batch: empty index with the operator's schema
         return _doc_spans(batch_df.limit(0), id_col, text_col, k)
 

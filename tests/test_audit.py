@@ -82,8 +82,30 @@ def test_bnlj_warns_by_default_blocks_when_strict(spark):
 def test_engine_headline_queries_have_no_blocking_findings(spark):
     """The auditor agrees with the suite's own plan pins: every benched
     registry query audits clean."""
+    # documented exception: brute-force kNN broadcasts the driver-small
+    # query set and cross-scores it against the corpus scan — a BNLJ by
+    # design, with the build side bounded by the broadcast threshold
+    # (plan pinned in test_plans.test_knn_broadcasts_queries_not_corpus)
+    sanctioned_bnlj = {"embeddings_knn_brute_force"}
     for name, q in REGISTRY.items():
         if not q.bench:
             continue
         f = blocking(audit_plan(q.fn(spark, SF)))
+        if name in sanctioned_bnlj:
+            f = [x for x in f if x.rule != "broadcast-nested-loop"]
         assert not f, (name, f)
+
+
+def test_full_relation_bnlj_blocks_even_with_scalar_allowance(spark):
+    """allow_bnlj_scalar only sanctions 1-row scalar builds; a BNLJ
+    whose build side is a real relation must still block."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+        a = spark.range(1000).withColumnRenamed("id", "x")
+        b = spark.range(500).withColumnRenamed("id", "y")
+        theta = a.join(F.broadcast(b), F.col("x") > F.col("y"))
+        f = blocking(audit_plan(theta))
+        assert "broadcast-nested-loop" in _rules(f)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

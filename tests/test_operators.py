@@ -375,3 +375,25 @@ def test_fuzzy_join_id_mode_requires_both_ids(spark):
     left = spark.createDataFrame([(1, "ab")], "lid long, s string")
     with _pytest.raises(ValueError, match="both left_id and right_id"):
         fuzzy_join(left, left, "s", "s", max_distance=1, left_id="lid")
+
+
+def test_fuzzy_join_id_mode_gram_cap_counts_distinct_texts(spark):
+    """A text value repeated across many ids must not push its grams
+    over max_gram_freq: the cap is a property of the string
+    distribution (id mode == text mode + join-back), not of row
+    multiplicity."""
+    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
+
+    # 30 left ids share ONE long text; right has a 1-edit variant
+    left = spark.createDataFrame(
+        [(i, "warehouse-north-building") for i in range(30)], "lid long, s string"
+    )
+    right = spark.createDataFrame(
+        [(100, "warehouse-north-buildinq")], "rid long, t string"
+    )
+    got = fuzzy_join(
+        left, right, "s", "t", max_distance=1, q=3,
+        max_gram_freq=5,  # << 30 id rows, > 1 distinct text
+        left_id="lid", right_id="rid",
+    )
+    assert got.count() == 30  # every id pairs with the variant

@@ -199,3 +199,47 @@ def test_ivfpq_guards(spark):
         ivfpq_topk(df, codes, books, [[0.0, 0.0]], k=0)
     with _pytest.raises(ValueError, match="empty query"):
         ivfpq_topk(df.where(F.col("vec_id") < 0), codes, books, [[0.0, 0.0]], k=1)
+
+
+def test_pq_topk_tie_determinism_across_partitionings(spark):
+    """Duplicate corpus vectors create exact ADC-distance ties; the
+    per-batch shortlist must break them by nid so the result is
+    identical no matter how rows land in Arrow batches."""
+    codebooks = [
+        [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]],
+        [[5.0, 5.0], [-5.0, 5.0], [0.0, -5.0]],
+    ]
+    base = [0.0, 0.0, 5.0, 5.0]
+    # 40 identical vectors (all ties) + a few distinct ones
+    rows = [(i, base) for i in range(40)] + [
+        (100, [10.0, 0.0, 5.0, 5.0]),
+        (101, [0.0, 10.0, 0.0, -5.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(0, base)], "vec_id long, embedding array<double>")
+
+    def run(npart):
+        codes = pq_encode(corpus, codebooks).repartition(npart)
+        df = pq_topk(queries, codes, codebooks, k=5)
+        return [(r["qid"], r["nid"], r["dist"]) for r in
+                df.orderBy("qid", "dist", "nid").collect()]
+
+    a, b = run(1), run(7)
+    assert a == b
+    # ties resolved toward the smallest nids
+    assert [n for _, n, _ in a] == [0, 1, 2, 3, 4]
+
+
+def test_ivfpq_rejects_bad_n_probe(spark):
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.operators.quantization import ivfpq_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    books = [[[0.0], [5.0]], [[0.0], [5.0]]]
+    codes = pq_encode(df, books).withColumn("cid", F.lit(0))
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="n_probe"):
+            ivfpq_topk(df, codes, books, [[0.0, 0.0]], k=1, n_probe=bad)

@@ -283,3 +283,22 @@ def test_streaming_spandedup_cleans_across_restart(spark, tmp_path):
     assert after == before  # no replay duplicates in a clean run
     got_after = spark.read.parquet(f"{idx_dir}/spans").count()
     assert got_after == after
+
+
+def test_incremental_folds_replayed_index_rows(spark):
+    """A crash-replayed append duplicates index ROWS; the operator must
+    dedup the hash-restricted corpus slice on full row identity or a
+    span's corpus count doubles. With min_count=3: corpus holds the
+    span ONCE (but its row is appended twice) and the batch once —
+    true total 2 < 3, so nothing may be cut."""
+    from iot_sensor_data_pipeline_spark.operators.span_dedup import (
+        span_dedup_incremental,
+    )
+
+    _, delta = _inc(spark, [(1, f"{W} one")], _empty_spans(spark))
+    doubled = delta.unionAll(delta)  # replayed append of batch 1
+    cleaned, _ = span_dedup_incremental(
+        _docs(spark, [(2, f"two {W}")]), doubled, k=8, min_count=3
+    )
+    row = cleaned.collect()[0]
+    assert row["n_removed"] == 0 and row["text_clean"] == f"two {W}"
