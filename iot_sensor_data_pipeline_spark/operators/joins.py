@@ -330,3 +330,72 @@ def fuzzy_join(
     return pairs.withColumn(
         "distance", F.levenshtein("a", "b", max_distance)
     ).where(F.col("distance") >= 0)  # threshold form returns -1 beyond it
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Interval x interval overlap join (half-open: ``[lo, hi)``
+    overlap iff ``l_lo < r_hi AND r_lo < l_hi``) — downtime
+    attribution, session-vs-outage overlap, concurrent-activity
+    detection. The interval sibling of :func:`range_join`, and like it
+    an EQUI-join by binning where the naive formulation is a
+    nested-loop O(|L| x |R|).
+
+    Both sides explode to the buckets their interval covers and
+    equi-join on the bucket (plus ``extra_on``). Two overlapping
+    intervals share every bucket in [max(lo buckets), min(hi
+    buckets)] — to emit the pair exactly ONCE without a distinct
+    shuffle, the join keeps only the FIRST shared bucket:
+    ``bucket == greatest(floor(l_lo/w), floor(r_lo/w))``, which both
+    sides cover whenever they overlap. Shuffle volume is
+    (|L| + |R|) x (mean span / width): pick ``bucket_width`` near the
+    MEDIAN interval length of the finer side; split pathological
+    long-tail spans into their own branch as with :func:`range_join`.
+
+    Column names must be disjoint apart from ``extra_on`` (both sides
+    pass through unprefixed).
+    """
+    w = float(bucket_width)
+    if not (w > 0.0) or math.isinf(w):
+        raise ValueError(
+            f"interval_overlap_join: bucket_width must be a positive finite number, got {bucket_width}"
+        )
+    overlap = (set(left.columns) & set(right.columns)) - set(extra_on)
+    if overlap:
+        raise ValueError(
+            "interval_overlap_join: left and right share non-key columns "
+            f"{sorted(overlap)} — rename or drop them, or list join keys in extra_on"
+        )
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(F.floor(F.col(left_lo) / w), F.floor(F.col(left_hi) / w))
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(F.floor(F.col(right_lo) / w), F.floor(F.col(right_hi) / w))
+        ),
+    )
+    on = ["__bucket", *extra_on]
+    first_shared = F.greatest(
+        F.floor(F.col(left_lo) / w), F.floor(F.col(right_lo) / w)
+    )
+    return (
+        lb.join(rb, on)
+        .where(
+            (F.col("__bucket") == first_shared)
+            & (F.col(left_lo) < F.col(right_hi))
+            & (F.col(right_lo) < F.col(left_hi))
+        )
+        .drop("__bucket")
+    )

@@ -152,3 +152,56 @@ def suppliers_cosupply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vertices").cast("long").alias("v"),
     )
     return tri.unionAll(hist)
+
+
+# ---------------------------------------------------------------------------
+# Interval x interval overlap join: 3-day activity windows of urgent
+# orders overlapping those of low-priority orders, counted per year.
+# Epochs derive TZ-independently on both engines (see the module note
+# in queries_analytics.py).
+# ---------------------------------------------------------------------------
+
+_WINDOW_S = 259200  # 3 days
+
+_OVERLAP_ORACLE = f"""
+WITH u AS (
+  SELECT epoch_us(o_orderdate) / 1000000.0 AS u_lo,
+         epoch_us(o_orderdate) / 1000000.0 + {_WINDOW_S} AS u_hi,
+         year(o_orderdate) AS u_year
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), l AS (
+  SELECT epoch_us(o_orderdate) / 1000000.0 AS l_lo,
+         epoch_us(o_orderdate) / 1000000.0 + {_WINDOW_S} AS l_hi
+  FROM orders WHERE o_orderpriority = '5-LOW'
+)
+SELECT u_year, cast(count(*) AS BIGINT) AS n_overlaps
+FROM u JOIN l ON u_lo < l_hi AND l_lo < u_hi
+GROUP BY u_year
+"""
+
+
+@register_extended(
+    "orders_window_overlap_join", oracle=_OVERLAP_ORACLE, tags=("join", "interval")
+)
+def orders_window_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iot_sensor_data_pipeline_spark.operators.joins import interval_overlap_join
+
+    eps = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        )
+        / F.lit(1000000.0)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        eps.alias("u_lo"),
+        (eps + _WINDOW_S).alias("u_hi"),
+        F.year("o_orderdate").alias("u_year"),
+    )
+    low = orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        eps.alias("l_lo"), (eps + _WINDOW_S).alias("l_hi")
+    )
+    pairs = interval_overlap_join(
+        urgent, low, "u_lo", "u_hi", "l_lo", "l_hi", bucket_width=float(_WINDOW_S)
+    )
+    return pairs.groupBy("u_year").agg(F.count(F.lit(1)).alias("n_overlaps"))

@@ -1,0 +1,87 @@
+"""interval_overlap_join (operators/joins.py): goldens, exact-once
+emission across shared buckets, random differential vs a naive cross
+join, guards, plan hygiene, DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from iot_sensor_data_pipeline_spark.operators.joins import interval_overlap_join
+from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+from tests.oracle_harness import compare_query
+
+SF = "/root/testdata/sf0.01"
+
+
+def _mk(spark, rows, lo, hi, extra=""):
+    return spark.createDataFrame(rows, f"{lo} double, {hi} double{extra}")
+
+
+def _run(spark, lrows, rrows, w):
+    left = _mk(spark, lrows, "a_lo", "a_hi")
+    right = _mk(spark, rrows, "b_lo", "b_hi")
+    return interval_overlap_join(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=w
+    )
+
+
+def test_golden_overlap_semantics(spark):
+    left = [(0.0, 5.0)]
+    rights = [
+        (4.9, 10.0),   # overlaps
+        (5.0, 8.0),    # touches at hi -> half-open, NO overlap
+        (-3.0, 0.0),   # touches at lo -> NO overlap
+        (1.0, 2.0),    # contained
+        (-1.0, 9.0),   # contains
+        (7.0, 9.0),    # disjoint
+    ]
+    got = {(r["b_lo"], r["b_hi"]) for r in _run(spark, left, rights, 2.0).collect()}
+    assert got == {(4.9, 10.0), (1.0, 2.0), (-1.0, 9.0)}
+
+
+def test_wide_intervals_emit_each_pair_exactly_once(spark):
+    # both intervals span ~50 buckets; the first-shared-bucket rule
+    # must keep exactly one copy without a distinct
+    df = _run(spark, [(0.0, 100.0)], [(-50.0, 99.0)], 2.0)
+    assert df.count() == 1
+
+
+def test_random_differential_vs_cross_join(spark):
+    import random
+
+    rng = random.Random(31337)
+    for w in (0.5, 3.0, 17.0):
+        lrows = [(i * 1.0, i + rng.uniform(0.1, 20.0)) for i in (rng.uniform(-50, 50) for _ in range(60))]
+        lrows = [(lo, lo + rng.uniform(0.1, 20.0)) for lo, _ in lrows]
+        rrows = [(lo, lo + rng.uniform(0.1, 20.0)) for lo in (rng.uniform(-50, 50) for _ in range(60))]
+        got = _run(spark, lrows, rrows, w).count()
+        want = sum(
+            1
+            for (alo, ahi) in lrows
+            for (blo, bhi) in rrows
+            if alo < bhi and blo < ahi
+        )
+        assert got == want, (w, got, want)
+
+
+def test_guards(spark):
+    left = _mk(spark, [(0.0, 1.0)], "a_lo", "a_hi")
+    right = _mk(spark, [(0.0, 1.0)], "b_lo", "b_hi")
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_overlap_join(left, right, "a_lo", "a_hi", "b_lo", "b_hi", 0.0)
+    clash = _mk(spark, [(0.0, 1.0)], "a_lo", "c_hi")
+    with pytest.raises(ValueError, match="share non-key columns"):
+        interval_overlap_join(left, clash, "a_lo", "a_hi", "a_lo", "c_hi", 1.0)
+
+
+def test_plan_is_equi_join(spark):
+    df = _run(spark, [(0.0, 5.0)], [(1.0, 2.0)], 2.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_matches_duckdb_oracle(spark):
+    q = EXTENDED_REGISTRY["orders_window_overlap_join"]
+    ok, msg = compare_query(spark, SF, q.fn, q.oracle)
+    assert ok, msg
