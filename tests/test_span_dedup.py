@@ -302,3 +302,58 @@ def test_incremental_folds_replayed_index_rows(spark):
     )
     row = cleaned.collect()[0]
     assert row["n_removed"] == 0 and row["text_clean"] == f"two {W}"
+
+
+def test_streaming_spandedup_bucketed_table_index(spark, tmp_path):
+    """The index_tables variant: the span index lives as a catalog
+    table bucketed by span_hash, appends repeat the spec across
+    epochs/restarts, and cleaning agrees with the parquet-path run."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        start_incremental_spandedup,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS spanidx_spans")
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def sink(df):
+        df.write.mode("append").parquet(str(out_dir))
+
+    def drain():
+        docs = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = start_incremental_spandedup(
+            docs, None, ckpt, sink, k=8, available_now=True,
+            index_tables="spanidx", index_buckets=4,
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1.json", [(1, f"{W} one"), (2, "plain unique")])
+    drain()
+    write_batch("b2.json", [(3, f"three {W}")])  # dup only via the index
+    drain()
+    got = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got[3] == ("three", 8)
+    assert got[1] == (f"{W} one", 0)  # batch 1 saw no duplication yet
+
+    # the catalog table is bucketed by span_hash: joining it to itself
+    # on span_hash plans without an exchange on either side
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table("spanidx_spans")
+        j = t.alias("x").join(t.alias("y"), "span_hash")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS spanidx_spans")
