@@ -64,13 +64,20 @@ def audit_plan(df: DataFrame, *, allow_bnlj_scalar: bool = True) -> list[Finding
         if "BroadcastNestedLoopJoin" not in ln:
             continue
         # the sanctioned pattern: the broadcast build side is a global
-        # (no-grouping-key) aggregate — a 1-row scalar threshold. In
-        # the printed tree the build subtree follows the join line;
-        # a global agg prints as HashAggregate(keys=[], ...).
-        subtree = "\n".join(lines[i + 1: i + 10])
-        scalar_build = (
-            "HashAggregate(keys=[]" in subtree or "SortAggregate(key=[]" in subtree
-        )
+        # (no-grouping-key) aggregate — a 1-row scalar threshold. The
+        # build side is marked by a BroadcastExchange with
+        # IdentityBroadcastMode (BNLJ-specific); the probe subtree
+        # prints first and can be arbitrarily deep, so locate the
+        # marker and check IT is fed by a keys=[] aggregate.
+        scalar_build = False
+        for j in range(i + 1, min(i + 40, len(lines))):
+            if "BroadcastExchange IdentityBroadcastMode" in lines[j]:
+                below = "\n".join(lines[j + 1: j + 4])
+                scalar_build = (
+                    "HashAggregate(keys=[]" in below
+                    or "SortAggregate(key=[]" in below
+                )
+                break
         sev = "warn" if (allow_bnlj_scalar and scalar_build) else "block"
         findings.append(
             Finding(sev, "broadcast-nested-loop",

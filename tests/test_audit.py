@@ -109,3 +109,15 @@ def test_full_relation_bnlj_blocks_even_with_scalar_allowance(spark):
         assert "broadcast-nested-loop" in _rules(f)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_extended_registry_queries_have_no_blocking_findings(spark):
+    """The extended registry (TPC-H full suite, span dedup, graph,
+    interval join) must audit clean too — scalar-threshold BNLJs
+    (q11/q15/q22) downgrade to warn by the build-side check, never
+    block."""
+    from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+
+    for name, q in EXTENDED_REGISTRY.items():
+        f = blocking(audit_plan(q.fn(spark, SF)))
+        assert not f, (name, f)
