@@ -1,0 +1,134 @@
+"""BPE tokenizer induction (operators/bpe.py): merge-table equality
+with an independent Python reference (same deterministic tie-break),
+partitioning invariance, encode semantics, training-path plan hygiene."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from iot_sensor_data_pipeline_spark.operators.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_train,
+    bpe_vocabulary,
+    word_frequencies,
+)
+
+CORPUS = (
+    "low low low lower lower newest newest newest newest widest "
+    "the cat sat on the mat the cat ran the low road"
+)
+
+
+def _ref_bpe(text: str, n_merges: int, min_pair_freq: int = 2):
+    """Independent reference: Sennrich's algorithm with the pinned
+    (count desc, lexicographic pair) tie-break."""
+    vocab = Counter(text.split())
+    words = {w: list(w) + [EOW] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        eligible = [(n, p) for p, n in pairs.items() if n >= min_pair_freq]
+        if not eligible:
+            break
+        # max by count then LEX SMALLEST pair
+        top_n = max(n for n, _ in eligible)
+        a, b = sorted(p for n, p in eligible if n == top_n)[0]
+        merges.append((a, b))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def _docs(spark, text=CORPUS, npart=1):
+    return spark.createDataFrame([(1, text)], "id long, text string").repartition(npart)
+
+
+def test_merges_match_python_reference(spark):
+    got = bpe_train(_docs(spark), n_merges=12)
+    want = _ref_bpe(CORPUS, 12)
+    assert got == want
+
+
+def test_training_is_partitioning_invariant(spark):
+    many_docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(CORPUS.split())], "id long, text string"
+    )
+    a = bpe_train(_docs(spark, npart=1), n_merges=8)
+    b = bpe_train(many_docs.repartition(13), n_merges=8)
+    assert a == b  # corpus = same multiset of words either way
+
+
+def test_early_stop_when_corpus_exhausted(spark):
+    merges = bpe_train(_docs(spark, "aa aa bb"), n_merges=50, min_pair_freq=2)
+    # only ('a','a') reaches freq 2 at char level; ('aa', EOW) then has
+    # freq 2 as well; 'b' pairs have freq 1 -> early stop well below 50
+    assert 0 < len(merges) < 50
+
+
+def test_encode_matches_training_segmentation(spark):
+    """Encoding the training corpus with the learned table reproduces
+    the reference's final word segmentations."""
+    n = 12
+    merges = bpe_train(_docs(spark), n_merges=n)
+    ref_merges = _ref_bpe(CORPUS, n)
+    # reference final segmentation
+    words = {w: list(w) + [EOW] for w in set(CORPUS.split())}
+    for a, b in ref_merges:
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            words[w] = out
+    df = bpe_encode(_docs(spark), merges)
+    toks = df.collect()[0]["bpe_tokens"]
+    want = [t for w in CORPUS.split() for t in words[w]]
+    assert toks == want
+
+
+def test_vocabulary_lists_merge_results(spark):
+    merges = bpe_train(_docs(spark), n_merges=5)
+    assert bpe_vocabulary(merges) == [a + b for a, b in merges]
+
+
+def test_training_rounds_are_jvm_side(spark):
+    """The pair-count aggregation (the per-round corpus-scale job)
+    must contain no Python evaluation."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.bpe import (
+        _adjacent_pairs,
+        _initial_symbols,
+    )
+
+    vocab = word_frequencies(_docs(spark)).select(
+        _initial_symbols(F.col("word")).alias("syms"), "freq"
+    )
+    pair_counts = (
+        vocab.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "freq")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("n"))
+    )
+    plan = pair_counts._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_guards(spark):
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(_docs(spark), n_merges=0)
