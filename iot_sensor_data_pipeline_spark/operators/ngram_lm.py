@@ -1,0 +1,178 @@
+"""Count-based n-gram language model with stupid backoff — the
+perplexity quality filter of the classic web-corpus pipelines (CCNet
+trains a wiki LM and drops high-perplexity documents; Brants et al.
+2007 showed "stupid backoff" matches smoothed LMs at corpus scale
+precisely because it needs only raw counts, which distribute).
+
+Training IS aggregation: one explode of the token stream per order,
+hash-aggregated into (gram, count) relations — no iteration, fully
+JVM-side, map-side combined. Scoring joins each document's trigrams
+against the three count tables (equi-joins on the gram string; hash
+or bucket them at 100 TB) and applies the backoff cascade:
+
+    S(w | a b) = count(a b w) / count(a b)           if trigram seen
+               = 0.4 * count(b w) / count(b)         elif bigram seen
+               = 0.4^2 * count(w) / total_tokens     elif unigram seen
+               = 0.4^2 * alpha_unk / total_tokens    else (OOV floor)
+
+Documents are padded with <s> <s> ... </s> so every token has a
+trigram context and sentence length is modeled. Scores are exact
+decimal-free ratios of BIGINT counts — deterministic across engines,
+which is why the DuckDB oracle can hash-match the per-document
+log-probabilities (rounded at 6 dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BOS = "<s>"
+EOS = "</s>"
+BACKOFF = 0.4
+UNK_ALPHA = 0.1  #: pseudo-count for OOV words, relative to total tokens
+
+
+def _tokens(text: Column) -> Column:
+    return F.coalesce(
+        F.filter(F.split(text, r"\s+"), lambda x: x != ""),
+        F.array().cast("array<string>"),
+    )
+
+
+def _padded(text: Column) -> Column:
+    return F.concat(
+        F.array(F.lit(BOS), F.lit(BOS)), _tokens(text), F.array(F.lit(EOS))
+    )
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """All n-grams of a token array as space-joined strings."""
+    size = F.size(toks)
+    return F.when(size < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(gram, n_count) over BOS/EOS-padded documents."""
+    return (
+        df.select(F.explode(_grams(_padded(F.col(text_col)), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_count"))
+    )
+
+
+def train_ngram_lm(df: DataFrame, text_col: str = "text") -> dict:
+    """Train the three count relations plus the unigram total.
+
+    Returns {"uni": DF(gram, n_count), "bi": ..., "tri": ...,
+    "total": DF(total_tokens)} — persist them as (bucketed) tables for
+    repeated scoring; the relations, not a driver object, ARE the
+    model (vocabulary can exceed driver memory at corpus scale).
+    """
+    uni = ngram_counts(df, text_col, 1)
+    bi = ngram_counts(df, text_col, 2)
+    tri = ngram_counts(df, text_col, 3)
+    total = uni.where(~F.col("gram").isin(BOS, EOS)).agg(
+        F.sum("n_count").alias("total_tokens")
+    )
+    return {"uni": uni, "bi": bi, "tri": tri, "total": total}
+
+
+def score_perplexity(
+    docs: DataFrame,
+    lm: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = BACKOFF,
+    unk_alpha: float = UNK_ALPHA,
+) -> DataFrame:
+    """Per-document stupid-backoff score: (id, n_scored, avg_logprob,
+    perplexity). ``avg_logprob`` is the mean natural-log score over the
+    document's tokens (incl. EOS); ``perplexity = exp(-avg_logprob)``.
+    An empty (or NULL) document scores its lone EOS trigram — the
+    model's surprise at a document ending immediately.
+
+    Dataflow: explode each doc's trigrams WITH their context grams,
+    left-join the three count tables (three equi-joins on the gram
+    string), apply the cascade per position, aggregate per doc. The
+    count tables never shuffle more than their own size; at scale
+    bucket all three by gram.
+    """
+    toks = _padded(F.col(text_col))
+    size = F.size(toks)
+    pos = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), size - 3),
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(toks, i + 1, 3)).alias("tri_g"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, 2)).alias("ctx2_g"),
+                    F.concat_ws(" ", F.slice(toks, i + 2, 2)).alias("bi_g"),
+                    F.element_at(toks, i + 2).alias("ctx1_g"),
+                    F.element_at(toks, i + 3).alias("uni_g"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.*")
+
+    tri = lm["tri"].select(F.col("gram").alias("tri_g"), F.col("n_count").alias("c_tri"))
+    bi_num = lm["bi"].select(F.col("gram").alias("bi_g"), F.col("n_count").alias("c_bi"))
+    bi_ctx = lm["bi"].select(F.col("gram").alias("ctx2_g"), F.col("n_count").alias("c_ctx2"))
+    uni_num = lm["uni"].select(F.col("gram").alias("uni_g"), F.col("n_count").alias("c_uni"))
+    uni_ctx = lm["uni"].select(F.col("gram").alias("ctx1_g"), F.col("n_count").alias("c_ctx1"))
+
+    j = (
+        pos.join(tri, "tri_g", "left")
+        .join(bi_num, "bi_g", "left")
+        .join(bi_ctx, "ctx2_g", "left")
+        .join(uni_num, "uni_g", "left")
+        .join(uni_ctx, "ctx1_g", "left")
+        .crossJoin(F.broadcast(lm["total"]))
+    )
+    score = (
+        F.when(
+            F.col("c_tri").isNotNull() & F.col("c_ctx2").isNotNull(),
+            F.col("c_tri") / F.col("c_ctx2"),
+        )
+        .when(
+            F.col("c_bi").isNotNull() & F.col("c_ctx1").isNotNull(),
+            F.lit(backoff) * F.col("c_bi") / F.col("c_ctx1"),
+        )
+        .when(
+            F.col("c_uni").isNotNull(),
+            F.lit(backoff * backoff) * F.col("c_uni") / F.col("total_tokens"),
+        )
+        .otherwise(F.lit(backoff * backoff * unk_alpha) / F.col("total_tokens"))
+    )
+    per_doc = j.select(F.col(id_col), F.log(score).alias("lp")).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"), F.avg("lp").alias("avg_logprob")
+    )
+    # left join back so zero-token docs appear with NULL scores
+    ids = docs.select(id_col).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+        "avg_logprob",
+        F.exp(-F.col("avg_logprob")).alias("perplexity"),
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    lm: dict,
+    max_perplexity: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style gate: keep documents the LM finds unsurprising
+    (perplexity <= threshold). Join-back by id keeps full rows."""
+    keep = score_perplexity(docs, lm, id_col, text_col).where(
+        F.col("perplexity") <= max_perplexity
+    )
+    return docs.join(keep.select(id_col), id_col, "left_semi")

@@ -205,3 +205,88 @@ def orders_window_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         urgent, low, "u_lo", "u_hi", "l_lo", "l_hi", bucket_width=float(_WINDOW_S)
     )
     return pairs.groupBy("u_year").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM self-perplexity (operators/ngram_lm.py): train on the
+# documents table, score the same table — the CCNet-style quality
+# signal. Constants appear as the same double expressions on both
+# sides (0.4::DOUBLE * 0.4::DOUBLE folds to python's 0.4*0.4; a DECIMAL 0.16
+# would NOT equal python's 0.4*0.4); divisions associate identically;
+# avg_logprob rounds at 6, perplexity at 4.
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         ['<s>', '<s>'] ||
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')
+         || ['</s>'] AS t
+  FROM documents
+), g1 AS (
+  SELECT unnest(t) AS g FROM toks
+), uni AS (
+  SELECT g, count(*) AS c FROM g1 GROUP BY g
+), g2 AS (
+  SELECT array_to_string(list_slice(t, i, i + 1), ' ') AS g
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+), bi AS (
+  SELECT g, count(*) AS c FROM g2 GROUP BY g
+), g3 AS (
+  SELECT array_to_string(list_slice(t, i, i + 2), ' ') AS g
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+), tri AS (
+  SELECT g, count(*) AS c FROM g3 GROUP BY g
+), total AS (
+  SELECT sum(c) AS tt FROM uni WHERE g NOT IN ('<s>', '</s>')
+), pos AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i, i + 2), ' ') AS tri_g,
+         array_to_string(list_slice(t, i, i + 1), ' ') AS ctx2_g,
+         array_to_string(list_slice(t, i + 1, i + 2), ' ') AS bi_g,
+         t[i + 1] AS ctx1_g,
+         t[i + 2] AS uni_g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+), scored AS (
+  SELECT doc_id,
+         ln(CASE
+              WHEN t3.c IS NOT NULL AND c2.c IS NOT NULL THEN t3.c / c2.c
+              WHEN b.c IS NOT NULL AND c1.c IS NOT NULL THEN 0.4::DOUBLE * b.c / c1.c
+              WHEN u.c IS NOT NULL THEN 0.4::DOUBLE * 0.4::DOUBLE * u.c / total.tt
+              ELSE 0.4::DOUBLE * 0.4::DOUBLE * 0.1::DOUBLE / total.tt
+            END) AS lp
+  FROM pos
+  LEFT JOIN tri t3 ON t3.g = pos.tri_g
+  LEFT JOIN bi  b  ON b.g = pos.bi_g
+  LEFT JOIN bi  c2 ON c2.g = pos.ctx2_g
+  LEFT JOIN uni u  ON u.g = pos.uni_g
+  LEFT JOIN uni c1 ON c1.g = pos.ctx1_g
+  CROSS JOIN total
+)
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_scored,
+       round(avg(lp), 6) AS avg_logprob,
+       round(exp(-avg(lp)), 4) AS perplexity
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register_extended(
+    "documents_lm_perplexity", oracle=_LM_ORACLE, tags=("pipeline", "quality")
+)
+def documents_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iot_sensor_data_pipeline_spark.operators.ngram_lm import (
+        score_perplexity,
+        train_ngram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_ngram_lm(docs)
+    out = score_perplexity(docs, lm)
+    return out.select(
+        "doc_id",
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
