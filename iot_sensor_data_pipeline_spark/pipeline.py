@@ -1,0 +1,155 @@
+"""End-to-end corpus curation: the engine's operators composed into
+the standard LLM training-data pipeline, one call.
+
+Stage order follows the production playbook — cheap scans first, then
+the dedup tiers (each stage shrinks the input of the next, so ordering
+is a cost statement, not just taste):
+
+1. quality gate      — heuristic ``quality_score`` floor (pure scan)
+2. exact dedup       — one survivor (min id) per identical text
+3. near-dup dedup    — MinHash/LSH pairs -> connected components ->
+                       keep each cluster's canonical (min-id) doc
+4. perplexity gate   — stupid-backoff LM trained on a REFERENCE
+                       corpus (CCNet trains on wikipedia), drop what
+                       it finds surprising. Self-training is refused:
+                       a document's own trigrams are in a self-trained
+                       model with matching contexts, so even gibberish
+                       scores perplexity ~1 and the gate is a no-op
+5. span dedup        — cut corpus-duplicated k-token substrings from
+                       the survivors' text (repairs, doesn't drop)
+6. packing           — first-fit-decreasing into training sequences
+
+Every stage is optional (None/False disables); the output is the
+curated corpus plus, with ``report=True``, a per-stage row-count
+report — the number a pipeline operator actually watches. The report
+costs one count() action per enabled stage; stage boundaries are
+localCheckpointed so counting never recomputes an earlier stage's
+dedup work.
+
+Determinism: every stage's keep-decision is content- or id-keyed
+(min-id survivors, md5 ordering, pinned tie-breaks) — the same corpus
+curates identically on any partitioning (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.functions.text import quality_score, tokens
+from iot_sensor_data_pipeline_spark.operators.dedup import (
+    duplicate_clusters,
+    minhash_dedup_pairs,
+)
+from iot_sensor_data_pipeline_spark.operators.curation import pack_sequences
+from iot_sensor_data_pipeline_spark.operators.ngram_lm import (
+    score_perplexity,
+    train_ngram_lm,
+)
+from iot_sensor_data_pipeline_spark.operators.span_dedup import remove_duplicated_spans
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float | None = None,
+    exact_dedup: bool = True,
+    neardup_threshold: float | None = 0.5,
+    max_perplexity: float | None = None,
+    lm_reference: DataFrame | None = None,
+    span_k: int | None = None,
+    pack_max_tokens: int | None = None,
+    shingle_n: int = 3,
+    report: bool = True,
+) -> tuple[DataFrame, list[dict]]:
+    """Run the curation pipeline; returns ``(curated, stages)``.
+
+    ``curated`` carries (id, text, n_tokens) — text is the span-cleaned
+    version when ``span_k`` is set — plus (pack_id, pack_pos) when
+    ``pack_max_tokens`` is set. ``stages`` is a list of
+    ``{"stage", "rows_in", "rows_out"}`` dicts (empty when
+    ``report=False``).
+    """
+    stages: list[dict] = []
+    cur = docs.select(F.col(id_col), F.col(text_col))
+
+    def _step(name: str, nxt: DataFrame) -> DataFrame:
+        nonlocal cur
+        if report:
+            nxt = nxt.localCheckpoint()
+            stages.append(
+                {"stage": name, "rows_in": cur.count(), "rows_out": nxt.count()}
+            )
+        cur = nxt
+        return cur
+
+    if min_quality is not None:
+        _step(
+            "quality_gate",
+            cur.where(quality_score(F.col(text_col)) >= min_quality),
+        )
+
+    if exact_dedup:
+        keepers = (
+            cur.groupBy(text_col)
+            .agg(F.min(id_col).alias("__keep"))
+            .select(F.col("__keep").alias(id_col))
+        )
+        _step("exact_dedup", cur.join(keepers, id_col, "left_semi"))
+
+    if neardup_threshold is not None:
+        pairs = minhash_dedup_pairs(
+            cur, id_col, text_col, threshold=neardup_threshold, shingle_n=shingle_n
+        )
+        ids = cur.select(F.col(id_col).alias("id"))
+        clusters = duplicate_clusters(ids, pairs.select("i", "j"))
+        survivors = clusters.where(F.col("id") == F.col("cluster")).select(
+            F.col("id").alias(id_col)
+        )
+        _step("neardup_dedup", cur.join(survivors, id_col, "left_semi"))
+
+    if max_perplexity is not None:
+        if lm_reference is None:
+            raise ValueError(
+                "curate_corpus: max_perplexity needs lm_reference (a "
+                "held-out corpus to train the LM on) — a self-trained "
+                "LM scores every document's own trigrams ~1, making "
+                "the gate a silent no-op"
+            )
+        lm = train_ngram_lm(lm_reference, text_col)
+        keep = score_perplexity(cur, lm, id_col, text_col).where(
+            F.col("perplexity") <= max_perplexity
+        )
+        _step(
+            "perplexity_gate",
+            cur.join(keep.select(id_col), id_col, "left_semi"),
+        )
+
+    if span_k is not None:
+        cleaned = remove_duplicated_spans(cur, id_col, text_col, k=span_k).select(
+            F.col(id_col), F.col("text_clean").alias(text_col)
+        )
+        _step("span_dedup", cleaned)
+
+    with_tokens = cur.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+    if pack_max_tokens is not None:
+        packs = pack_sequences(
+            with_tokens, id_col, "n_tokens", max_tokens=pack_max_tokens
+        )
+        # pack_sequences normalizes its id column to "id"
+        out = with_tokens.join(
+            packs.select(F.col("id").alias(id_col), "pack_id", "pack_pos"), id_col
+        )
+        if report:
+            out = out.localCheckpoint()
+            stages.append(
+                {
+                    "stage": "pack_sequences",
+                    "rows_in": cur.count(),
+                    "rows_out": out.count(),
+                }
+            )
+        return out, stages
+    return with_tokens, stages
