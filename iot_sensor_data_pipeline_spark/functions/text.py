@@ -30,8 +30,25 @@ BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens (empty-string artifacts filtered)."""
+    """Single-space tokens (empty-string artifacts filtered).
+
+    NOTE: splits on the literal space character only — kept for
+    backward compatibility with the oracle-checked text-feature
+    queries. New operators should use :func:`ws_tokens`, which treats
+    ALL whitespace as separators.
+    """
     return F.filter(F.split(text, " ", -1), lambda t: t != "")
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace-run tokens (the tokenizer shared by span dedup, the
+    n-gram LM, BPE induction, and the curation pipeline — one
+    definition so their token accounting agrees). NULL text -> empty
+    array."""
+    return F.coalesce(
+        F.filter(F.split(text, r"\s+"), lambda t: t != ""),
+        F.array().cast("array<string>"),
+    )
 
 
 def token_count(text: Column) -> Column:

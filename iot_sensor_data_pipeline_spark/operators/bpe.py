@@ -40,14 +40,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from iot_sensor_data_pipeline_spark.functions.text import ws_tokens as _words
+
 #: end-of-word sentinel (classic BPE): lets merges distinguish
 #: word-final from word-internal contexts and makes detokenization
 #: unambiguous
 EOW = "</w>"
-
-
-def _words(text: Column) -> Column:
-    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
 
 
 def word_frequencies(

@@ -396,6 +396,12 @@ def interval_overlap_join(
             (F.col("__bucket") == first_shared)
             & (F.col(left_lo) < F.col(right_hi))
             & (F.col(right_lo) < F.col(left_hi))
+            # an empty interval (lo >= hi, incl. reversed bounds from a
+            # swapped-column bug upstream) overlaps NOTHING under the
+            # half-open semantics — without these conjuncts a reversed
+            # interval can still satisfy the pairwise predicate
+            & (F.col(left_lo) < F.col(left_hi))
+            & (F.col(right_lo) < F.col(right_hi))
         )
         .drop("__bucket")
     )

@@ -27,17 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from iot_sensor_data_pipeline_spark.functions.text import ws_tokens as _tokens
+
 BOS = "<s>"
 EOS = "</s>"
 BACKOFF = 0.4
 UNK_ALPHA = 0.1  #: pseudo-count for OOV words, relative to total tokens
-
-
-def _tokens(text: Column) -> Column:
-    return F.coalesce(
-        F.filter(F.split(text, r"\s+"), lambda x: x != ""),
-        F.array().cast("array<string>"),
-    )
 
 
 def _padded(text: Column) -> Column:
@@ -77,8 +72,19 @@ def train_ngram_lm(df: DataFrame, text_col: str = "text") -> dict:
     uni = ngram_counts(df, text_col, 1)
     bi = ngram_counts(df, text_col, 2)
     tri = ngram_counts(df, text_col, 3)
+    # a zero-token reference would make total NULL and NULL-poison the
+    # unigram/OOV tiers (every doc silently dropped by a perplexity
+    # gate); assert_true keeps the check lazy but fails the job loudly
+    raw_total = F.sum("n_count")
     total = uni.where(~F.col("gram").isin(BOS, EOS)).agg(
-        F.sum("n_count").alias("total_tokens")
+        F.when(
+            F.assert_true(
+                raw_total.isNotNull() & (raw_total > 0),
+                "train_ngram_lm: reference corpus has zero non-padding "
+                "tokens — the model cannot score anything",
+            ).isNull(),
+            raw_total,
+        ).alias("total_tokens")
     )
     return {"uni": uni, "bi": bi, "tri": tri, "total": total}
 

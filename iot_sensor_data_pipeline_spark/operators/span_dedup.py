@@ -47,13 +47,7 @@ from pyspark.sql import functions as F
 _SEP = "\x1f"
 
 
-def _tokens(text: Column) -> Column:
-    # NULL text -> empty token array (size(NULL) is -1, which would
-    # otherwise poison n_tokens/n_removed downstream)
-    return F.coalesce(
-        F.filter(F.split(text, r"\s+"), lambda x: x != ""),
-        F.array().cast("array<string>"),
-    )
+from iot_sensor_data_pipeline_spark.functions.text import ws_tokens as _tokens
 
 
 def _doc_spans(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

@@ -22,9 +22,9 @@ is a cost statement, not just taste):
 Every stage is optional (None/False disables); the output is the
 curated corpus plus, with ``report=True``, a per-stage row-count
 report — the number a pipeline operator actually watches. The report
-costs one count() action per enabled stage; stage boundaries are
-localCheckpointed so counting never recomputes an earlier stage's
-dedup work.
+costs one count() action per enabled stage (rows_in carries the
+previous stage's rows_out); stage boundaries are localCheckpointed so
+counting never recomputes an earlier stage's dedup work.
 
 Determinism: every stage's keep-decision is content- or id-keyed
 (min-id survivors, md5 ordering, pinned tie-breaks) — the same corpus
@@ -36,14 +36,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from iot_sensor_data_pipeline_spark.functions.text import quality_score, tokens
+from iot_sensor_data_pipeline_spark.functions.text import quality_score, ws_tokens
 from iot_sensor_data_pipeline_spark.operators.dedup import (
     duplicate_clusters,
     minhash_dedup_pairs,
 )
 from iot_sensor_data_pipeline_spark.operators.curation import pack_sequences
 from iot_sensor_data_pipeline_spark.operators.ngram_lm import (
-    score_perplexity,
+    perplexity_filter,
     train_ngram_lm,
 )
 from iot_sensor_data_pipeline_spark.operators.span_dedup import remove_duplicated_spans
@@ -74,13 +74,16 @@ def curate_corpus(
     """
     stages: list[dict] = []
     cur = docs.select(F.col(id_col), F.col(text_col))
+    prev_count: int | None = None  # carried forward: rows_in == last rows_out
 
     def _step(name: str, nxt: DataFrame) -> DataFrame:
-        nonlocal cur
+        nonlocal cur, prev_count
         if report:
             nxt = nxt.localCheckpoint()
+            rows_in = cur.count() if prev_count is None else prev_count
+            prev_count = nxt.count()
             stages.append(
-                {"stage": name, "rows_in": cur.count(), "rows_out": nxt.count()}
+                {"stage": name, "rows_in": rows_in, "rows_out": prev_count}
             )
         cur = nxt
         return cur
@@ -119,12 +122,9 @@ def curate_corpus(
                 "the gate a silent no-op"
             )
         lm = train_ngram_lm(lm_reference, text_col)
-        keep = score_perplexity(cur, lm, id_col, text_col).where(
-            F.col("perplexity") <= max_perplexity
-        )
         _step(
             "perplexity_gate",
-            cur.join(keep.select(id_col), id_col, "left_semi"),
+            perplexity_filter(cur, lm, max_perplexity, id_col, text_col),
         )
 
     if span_k is not None:
@@ -133,7 +133,9 @@ def curate_corpus(
         )
         _step("span_dedup", cleaned)
 
-    with_tokens = cur.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+    # ws_tokens: the SAME tokenizer the LM/BPE/span stages use, so
+    # packing budgets count the tokens those stages counted
+    with_tokens = cur.withColumn("n_tokens", F.size(ws_tokens(F.col(text_col))))
     if pack_max_tokens is not None:
         packs = pack_sequences(
             with_tokens, id_col, "n_tokens", max_tokens=pack_max_tokens
@@ -147,7 +149,7 @@ def curate_corpus(
             stages.append(
                 {
                     "stage": "pack_sequences",
-                    "rows_in": cur.count(),
+                    "rows_in": cur.count() if prev_count is None else prev_count,
                     "rows_out": out.count(),
                 }
             )

@@ -32,6 +32,39 @@ def _executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _node_depth(line: str) -> int:
+    """Character position of a plan line's tree connector ('+-'/':-'),
+    -3 for the root line (no connector) so root children sit at 0."""
+    for idx in range(len(line) - 1):
+        if line[idx] in "+:" and line[idx + 1] == "-":
+            return idx
+        if line[idx] not in " :":
+            break
+    return -3
+
+
+def _build_child(lines: list[str], join_idx: int) -> int | None:
+    """Line index of the BUILD child subtree root of the join printed
+    at ``join_idx`` (children print at depth+3; BuildRight = second
+    child, BuildLeft = first)."""
+    want = _node_depth(lines[join_idx]) + 3
+    children = []
+    for j in range(join_idx + 1, len(lines)):
+        d = _node_depth(lines[j])
+        if d < want:
+            break  # left the join's subtree
+        if d == want:
+            children.append(j)
+            if len(children) == 2:
+                break
+    if not children:
+        return None
+    build_right = "BuildLeft" not in lines[join_idx]
+    if build_right:
+        return children[1] if len(children) == 2 else None
+    return children[0]
+
+
 def audit_plan(df: DataFrame, *, allow_bnlj_scalar: bool = True) -> list[Finding]:
     """Inspect ``df``'s executed physical plan and return findings.
 
@@ -63,21 +96,21 @@ def audit_plan(df: DataFrame, *, allow_bnlj_scalar: bool = True) -> list[Finding
     for i, ln in enumerate(lines):
         if "BroadcastNestedLoopJoin" not in ln:
             continue
-        # the sanctioned pattern: the broadcast build side is a global
-        # (no-grouping-key) aggregate — a 1-row scalar threshold. The
-        # build side is marked by a BroadcastExchange with
-        # IdentityBroadcastMode (BNLJ-specific); the probe subtree
-        # prints first and can be arbitrarily deep, so locate the
-        # marker and check IT is fed by a keys=[] aggregate.
+        # the sanctioned pattern: THIS join's broadcast build side is a
+        # global (no-grouping-key) aggregate — a 1-row scalar
+        # threshold. The build side must be located by TREE STRUCTURE
+        # (the build child of this join node), not by scanning forward
+        # for the first IdentityBroadcastMode — the probe subtree
+        # prints first and may itself contain a nested sanctioned BNLJ
+        # whose marker would otherwise be misattributed to this join.
+        build = _build_child(lines, i)
         scalar_build = False
-        for j in range(i + 1, min(i + 40, len(lines))):
-            if "BroadcastExchange IdentityBroadcastMode" in lines[j]:
-                below = "\n".join(lines[j + 1: j + 4])
-                scalar_build = (
-                    "HashAggregate(keys=[]" in below
-                    or "SortAggregate(key=[]" in below
-                )
-                break
+        if build is not None and "BroadcastExchange IdentityBroadcastMode" in lines[build]:
+            below = "\n".join(lines[build + 1: build + 4])
+            scalar_build = (
+                "HashAggregate(keys=[]" in below
+                or "SortAggregate(key=[]" in below
+            )
         sev = "warn" if (allow_bnlj_scalar and scalar_build) else "block"
         findings.append(
             Finding(sev, "broadcast-nested-loop",
@@ -86,7 +119,6 @@ def audit_plan(df: DataFrame, *, allow_bnlj_scalar: bool = True) -> list[Finding
                     "1-row scalar (threshold) relation"
                     + ("" if scalar_build else " — and this build side is not one"))
         )
-        break
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
             # the printed tree reads top-down: consumers are ABOVE the

@@ -121,3 +121,19 @@ def test_extended_registry_queries_have_no_blocking_findings(spark):
     for name, q in EXTENDED_REGISTRY.items():
         f = blocking(audit_plan(q.fn(spark, SF)))
         assert not f, (name, f)
+
+
+def test_nested_scalar_bnlj_does_not_sanction_outer_join(spark):
+    """A sanctioned scalar BNLJ nested in the PROBE subtree must not
+    launder the outer full-relation BNLJ: build-side detection is by
+    tree structure, not first-marker-after-the-join-line."""
+    big = spark.range(200).withColumnRenamed("id", "x")
+    one = spark.range(50).agg(F.max("id").alias("m"))
+    inner = big.join(F.broadcast(one), F.col("x") > F.col("m"))
+    other = spark.range(100).withColumnRenamed("id", "y")
+    outer = inner.join(F.broadcast(other), F.col("x") > F.col("y"))
+    f = audit_plan(outer)
+    bnlj = [x for x in f if x.rule == "broadcast-nested-loop"]
+    assert len(bnlj) == 2  # one finding per join, no early break
+    assert any(x.severity == "block" for x in bnlj)   # the outer
+    assert any(x.severity == "warn" for x in bnlj)    # the inner

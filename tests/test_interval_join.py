@@ -51,8 +51,7 @@ def test_random_differential_vs_cross_join(spark):
 
     rng = random.Random(31337)
     for w in (0.5, 3.0, 17.0):
-        lrows = [(i * 1.0, i + rng.uniform(0.1, 20.0)) for i in (rng.uniform(-50, 50) for _ in range(60))]
-        lrows = [(lo, lo + rng.uniform(0.1, 20.0)) for lo, _ in lrows]
+        lrows = [(lo, lo + rng.uniform(0.1, 20.0)) for lo in (rng.uniform(-50, 50) for _ in range(60))]
         rrows = [(lo, lo + rng.uniform(0.1, 20.0)) for lo in (rng.uniform(-50, 50) for _ in range(60))]
         got = _run(spark, lrows, rrows, w).count()
         want = sum(
