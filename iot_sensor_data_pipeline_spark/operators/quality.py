@@ -110,3 +110,38 @@ def quality_importance_filter(
         md5_bucket_expr(id_col)
         < (F.pow(F.col(prob_col), F.lit(float(alpha))) * F.lit(1_000_000)).cast("long")
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "compression_ratio"
+) -> DataFrame:
+    """zlib(deflate) compressed size / raw UTF-8 size per document —
+    the cheap repetitiveness detector of the natural-language heuristic
+    suites (RefinedWeb/Gopher family): templated or looping junk
+    compresses far below genuine prose, so a low ratio flags documents
+    the repetition metrics (operators/curation.py:repetition_metrics)
+    would also catch, at a fraction of the cost and with no tokenizer.
+
+    Arrow-batched pandas UDF (zlib runs at C speed; the Python boundary
+    is the documented batch regime — never row-at-a-time). Empty and
+    NULL texts yield NULL (a ratio of header bytes over zero content is
+    noise, not signal).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def ratio_series(s):
+        import zlib
+
+        import pandas as pd
+
+        out = []
+        for x in s:
+            if not x:
+                out.append(None)
+                continue
+            raw = x.encode("utf-8")
+            out.append(len(zlib.compress(raw, 6)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    ratio = pandas_udf(ratio_series, "double")
+    return df.withColumn(out_col, ratio(F.col(text_col)))

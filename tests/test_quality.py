@@ -103,3 +103,26 @@ def test_importance_filter_alpha_zero_keeps_null_scores(spark):
     assert quality_importance_filter(scored, "doc_id", alpha=0.0).count() == 3
     kept = quality_importance_filter(scored, "doc_id", alpha=1.0)
     assert kept.where(F.col("quality_prob").isNull()).count() == 0
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    from iot_sensor_data_pipeline_spark.operators.quality import compression_ratio
+
+    rows = [
+        (1, "spam spam spam spam " * 50),
+        (2, "the quiet harbor holds seven boats while gulls wheel over "
+            "the gray water and fishermen mend their torn nets slowly"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(df).collect()}
+    assert out[1] < out[2]          # repetitive compresses far better
+    assert out[1] < 0.1 and out[2] > 0.5
+    assert out[3] is None and out[4] is None
+
+    # deterministic across partitionings
+    again = {r["doc_id"]: r["compression_ratio"]
+             for r in compression_ratio(df.repartition(5)).collect()}
+    assert again == out
