@@ -129,6 +129,7 @@ def range_join(
     right_hi: str,
     bucket_width: float,
     extra_on: Sequence[str] = (),
+    long_span_buckets: int | None = None,
 ) -> DataFrame:
     """Scale-safe interval join: pairs every left row with the right
     rows whose half-open interval ``[lo, hi)`` contains its point
@@ -150,7 +151,14 @@ def range_join(
     unrelated rows into one bucket and pushes work into the residual
     filter. A long-tail interval (>> width) multiplies accordingly;
     split pathological spans into a separate branch if the tail is
-    heavy. Columns are numeric; join on timestamps by passing epoch
+    heavy — ``long_span_buckets`` does exactly that: intervals covering
+    MORE than that many buckets skip the explode and instead broadcast
+    into a nested-loop branch against the points (union with the
+    bucketed branch; each pair still matches exactly once since every
+    interval takes exactly one branch). The long stratum must be
+    broadcast-small — that is the premise (a heavy tail of wide spans
+    means the bucket width is wrong, not that this branch should
+    grow). Columns are numeric; join on timestamps by passing epoch
     expressions (``F.unix_timestamp``) in a prior select.
 
     Column names must be disjoint apart from ``extra_on`` (both
@@ -172,7 +180,13 @@ def range_join(
             "pass through unprefixed), or list join keys in extra_on"
         )
     lb = left.withColumn("__bucket", F.floor(F.col(left_point) / w))
-    rb = right.withColumn(
+    span_buckets = F.floor(F.col(right_hi) / w) - F.floor(F.col(right_lo) / w) + 1
+    narrow = right
+    if long_span_buckets is not None:
+        if long_span_buckets < 1:
+            raise ValueError("range_join: long_span_buckets must be >= 1")
+        narrow = right.where(span_buckets <= long_span_buckets)
+    rb = narrow.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -181,14 +195,22 @@ def range_join(
         ),
     )
     on = ["__bucket", *extra_on]
-    return (
-        lb.join(rb, on)
-        .where(
-            (F.col(right_lo) <= F.col(left_point))
-            & (F.col(left_point) < F.col(right_hi))
-        )
-        .drop("__bucket")
+    residual = (F.col(right_lo) <= F.col(left_point)) & (
+        F.col(left_point) < F.col(right_hi)
     )
+    bucketed = lb.join(rb, on).where(residual).drop("__bucket")
+    if long_span_buckets is None:
+        return bucketed
+    wide = right.where(span_buckets > long_span_buckets)
+    cond = residual
+    for c in extra_on:
+        cond = cond & (lb[c] == wide[c])
+    broadcast_branch = lb.drop("__bucket").join(F.broadcast(wide), cond)
+    # the equi branch merges each extra_on pair into one column; drop
+    # the wide side's copies so both branches align for the union
+    for c in extra_on:
+        broadcast_branch = broadcast_branch.drop(wide[c])
+    return bucketed.unionByName(broadcast_branch.select(bucketed.columns))
 
 
 def fuzzy_join(

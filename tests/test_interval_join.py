@@ -84,3 +84,44 @@ def test_matches_duckdb_oracle(spark):
     q = EXTENDED_REGISTRY["orders_window_overlap_join"]
     ok, msg = compare_query(spark, SF, q.fn, q.oracle)
     assert ok, msg
+
+
+def test_range_join_long_span_branch_equivalence(spark):
+    """With long_span_buckets set, wide intervals take a broadcast
+    branch instead of exploding to thousands of bucket rows; output is
+    identical to the pure-bucketed plan, each pair exactly once."""
+    from iot_sensor_data_pipeline_spark.operators.joins import range_join
+
+    import random
+
+    rng = random.Random(99)
+    points = [(float(rng.uniform(0, 1000)),) for _ in range(200)]
+    ivs = [(lo, lo + rng.uniform(0.5, 8.0)) for lo in
+           (rng.uniform(0, 1000) for _ in range(50))]
+    ivs += [(100.0, 900.0), (0.0, 999.0)]  # pathological wide spans
+    left = spark.createDataFrame(points, "p double")
+    right = spark.createDataFrame(ivs, "lo double, hi double")
+
+    def rows(**kw):
+        return sorted(
+            (r["p"], r["lo"], r["hi"])
+            for r in range_join(left, right, "p", "lo", "hi", 4.0, **kw).collect()
+        )
+
+    base = rows()
+    split = rows(long_span_buckets=16)
+    assert base == split and len(base) > 0
+
+    # the wide stratum actually broadcasts
+    df = range_join(left, right, "p", "lo", "hi", 4.0, long_span_buckets=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "Union" in plan
+
+
+def test_range_join_long_span_guard(spark):
+    from iot_sensor_data_pipeline_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([(1.0,)], "p double")
+    right = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="long_span_buckets"):
+        range_join(left, right, "p", "lo", "hi", 1.0, long_span_buckets=0)
