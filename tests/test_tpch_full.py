@@ -23,12 +23,15 @@ def test_suite_is_complete():
                     "q16", "q17", "q18", "q19", "q20", "q21", "q22"}
 
 
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
 @pytest.mark.parametrize("name", TPCH_FULL)
-def test_matches_duckdb_oracle(spark, name):
+def test_matches_duckdb_oracle(spark, name, sf):
+    """Two scale points: a query that only matches at one SF has a
+    scale-dependent constant baked in."""
     q = EXTENDED_REGISTRY[name]
     assert q.oracle, f"{name} must carry an oracle"
-    ok, msg = compare_query(spark, SF, q.fn, q.oracle)
-    assert ok, f"{name}: {msg}"
+    ok, msg = compare_query(spark, sf, q.fn, q.oracle)
+    assert ok, f"{name}@{sf}: {msg}"
 
 
 def _plan(spark, name: str) -> str:
