@@ -80,9 +80,10 @@ def test_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_matches_duckdb_oracle(spark):
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
+def test_matches_duckdb_oracle(spark, sf):
     q = EXTENDED_REGISTRY["orders_window_overlap_join"]
-    ok, msg = compare_query(spark, SF, q.fn, q.oracle)
+    ok, msg = compare_query(spark, sf, q.fn, q.oracle)
     assert ok, msg
 
 

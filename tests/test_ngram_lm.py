@@ -97,9 +97,13 @@ def test_empty_doc_scores_eos_only(spark):
     assert rows[0]["n_scored"] == 1 and rows[1]["n_scored"] == 1
 
 
-def test_matches_duckdb_oracle(spark):
+import pytest
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
+def test_matches_duckdb_oracle(spark, sf):
     q = EXTENDED_REGISTRY["documents_lm_perplexity"]
-    ok, msg = compare_query(spark, SF, q.fn, q.oracle)
+    ok, msg = compare_query(spark, sf, q.fn, q.oracle)
     assert ok, msg
 
 

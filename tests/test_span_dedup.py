@@ -81,9 +81,13 @@ def test_duplicated_spans_reports_occurrences(spark):
     assert {r["start"] for r in rows} == {0}
 
 
-def test_matches_duckdb_oracle(spark):
+import pytest
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
+def test_matches_duckdb_oracle(spark, sf):
     q = EXTENDED_REGISTRY["documents_span_dedup"]
-    ok, msg = compare_query(spark, SF, q.fn, q.oracle)
+    ok, msg = compare_query(spark, sf, q.fn, q.oracle)
     assert ok, msg
 
 

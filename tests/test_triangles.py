@@ -55,9 +55,13 @@ def test_k5_exact(spark):
     assert _count(spark, list(combinations(range(5), 2))) == 10
 
 
-def test_matches_duckdb_oracle(spark):
+import pytest
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
+def test_matches_duckdb_oracle(spark, sf):
     q = EXTENDED_REGISTRY["suppliers_cosupply_graph"]
-    ok, msg = compare_query(spark, SF, q.fn, q.oracle)
+    ok, msg = compare_query(spark, sf, q.fn, q.oracle)
     assert ok, msg
 
 
