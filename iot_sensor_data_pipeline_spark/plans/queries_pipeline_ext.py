@@ -290,3 +290,64 @@ def documents_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_logprob", 6).alias("avg_logprob"),
         F.round("perplexity", 4).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules: parts co-ordered within an order.
+# Ratios are identical-structure IEEE divisions on both engines, then
+# rounded at 6.
+# ---------------------------------------------------------------------------
+
+_MIN_PAIR = 3
+
+_RULES_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), nb AS (
+  SELECT count(DISTINCT l_orderkey) AS n FROM lineitem
+), ic AS (
+  SELECT l_partkey AS item, count(*) AS n_item FROM b GROUP BY 1
+), pc AS (
+  SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS n_pair
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_MIN_PAIR}
+), d AS (
+  SELECT pa AS a, pb AS bb, n_pair FROM pc
+  UNION ALL
+  SELECT pb, pa, n_pair FROM pc
+)
+SELECT d.a AS antecedent, d.bb AS consequent,
+       cast(d.n_pair AS BIGINT) AS n_pair,
+       cast(ia.n_item AS BIGINT) AS n_antecedent,
+       round(d.n_pair / nb.n, 6) AS support,
+       round(d.n_pair / ia.n_item, 6) AS confidence,
+       round((d.n_pair / nb.n) / ((ia.n_item / nb.n) * (ib.n_item / nb.n)), 6)
+         AS lift
+FROM d
+JOIN ic ia ON ia.item = d.a
+JOIN ic ib ON ib.item = d.bb
+CROSS JOIN nb
+"""
+
+
+@register_extended(
+    "parts_association_rules", oracle=_RULES_ORACLE, tags=("analytics", "itemsets")
+)
+def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iot_sensor_data_pipeline_spark.operators.itemsets import (
+        pair_association_rules,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = pair_association_rules(li, "l_orderkey", "l_partkey", min_pair_count=_MIN_PAIR)
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_pair",
+        "n_antecedent",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    )
