@@ -36,7 +36,11 @@ def basket_items(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     )
 
 
-def _pair_structs():
+def pair_structs():
+    """Array-side unordered-pair expansion over the sorted ``items``
+    column of :func:`basket_items` output: every (a, b) with a < b,
+    each exactly once per basket (shared with the co-supply graph
+    query — one implementation of the slice arithmetic)."""
     return F.flatten(
         F.transform(
             "items",
@@ -74,7 +78,7 @@ def pair_association_rules(
         .agg(F.count(F.lit(1)).alias("n_item"))
     )
     pair_counts = (
-        baskets.select(F.explode(_pair_structs()).alias("p"))
+        baskets.select(F.explode(pair_structs()).alias("p"))
         .groupBy("p.a", "p.b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .where(F.col("n_pair") >= min_pair_count)

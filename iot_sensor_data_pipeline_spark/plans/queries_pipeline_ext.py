@@ -111,33 +111,28 @@ def suppliers_cosupply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_count,
     )
 
+    from iot_sensor_data_pipeline_spark.operators.itemsets import (
+        basket_items,
+        pair_structs,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # per-order supplier SET first (one shuffle of the fact table),
     # then array-side pair expansion — beats the lineitem self-join +
     # countDistinct formulation (no second fact shuffle, pairs are
-    # order-distinct by construction so a plain count(*) counts orders)
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            "supps",
-            lambda x, i: F.transform(
-                F.slice("supps", i + 2, F.greatest(F.size("supps") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        )
-    )
+    # order-distinct by construction so a plain count(*) counts orders).
+    # Shares the itemsets module's expansion helper — same dataflow.
+    per_order = basket_items(li, "l_orderkey", "l_suppkey")
     edges = (
-        per_order.select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.src", "p.dst")
+        per_order.select(F.explode(pair_structs()).alias("p"))
+        .groupBy(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= _MIN_COSUPPLY)
         .select("src", "dst")
         # consumed three times downstream (degrees, orientation,
         # histogram); checkpoint so the derivation runs once. The
-        # (least, greatest) pair construction already emits canonical
-        # u < v edges exactly once, so both consumers skip the
+        # sorted-set pair expansion already emits canonical u < v
+        # edges exactly once, so both consumers skip the
         # canonicalization dedup shuffle.
         .localCheckpoint()
     )

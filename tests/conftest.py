@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from iot_sensor_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
+SF_SMALL = SF0001  #: second scale point for two-scale oracle differentials
 SF001 = "/root/testdata/sf0.01"
 
 

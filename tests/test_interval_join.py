@@ -8,6 +8,7 @@ import pytest
 
 from iot_sensor_data_pipeline_spark.operators.joins import interval_overlap_join
 from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+from tests.conftest import SF_SMALL
 from tests.oracle_harness import compare_query
 
 SF = "/root/testdata/sf0.01"
@@ -80,7 +81,7 @@ def test_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
+@pytest.mark.parametrize("sf", [SF, SF_SMALL])
 def test_matches_duckdb_oracle(spark, sf):
     q = EXTENDED_REGISTRY["orders_window_overlap_join"]
     ok, msg = compare_query(spark, sf, q.fn, q.oracle)

@@ -11,6 +11,7 @@ from iot_sensor_data_pipeline_spark.operators.itemsets import (
     pair_association_rules,
 )
 from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+from tests.conftest import SF_SMALL
 from tests.oracle_harness import compare_query
 
 SF = "/root/testdata/sf0.01"
@@ -98,7 +99,7 @@ def test_basket_items_sorted_distinct(spark):
     assert out["items"] == ["a", "b", "c"]
 
 
-@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
+@pytest.mark.parametrize("sf", [SF, SF_SMALL])
 def test_matches_duckdb_oracle(spark, sf):
     q = EXTENDED_REGISTRY["parts_association_rules"]
     ok, msg = compare_query(spark, sf, q.fn, q.oracle)

@@ -4,6 +4,8 @@ differential, plan hygiene."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from iot_sensor_data_pipeline_spark.operators.ngram_lm import (
@@ -14,6 +16,7 @@ from iot_sensor_data_pipeline_spark.operators.ngram_lm import (
     train_ngram_lm,
 )
 from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+from tests.conftest import SF_SMALL
 from tests.oracle_harness import compare_query
 
 SF = "/root/testdata/sf0.01"
@@ -97,10 +100,7 @@ def test_empty_doc_scores_eos_only(spark):
     assert rows[0]["n_scored"] == 1 and rows[1]["n_scored"] == 1
 
 
-import pytest
-
-
-@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
+@pytest.mark.parametrize("sf", [SF, SF_SMALL])
 def test_matches_duckdb_oracle(spark, sf):
     q = EXTENDED_REGISTRY["documents_lm_perplexity"]
     ok, msg = compare_query(spark, sf, q.fn, q.oracle)

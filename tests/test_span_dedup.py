@@ -10,6 +10,7 @@ from iot_sensor_data_pipeline_spark.operators.span_dedup import (
     remove_duplicated_spans,
 )
 from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+from tests.conftest import SF_SMALL
 from tests.oracle_harness import compare_query
 
 SF = "/root/testdata/sf0.01"
@@ -81,10 +82,7 @@ def test_duplicated_spans_reports_occurrences(spark):
     assert {r["start"] for r in rows} == {0}
 
 
-import pytest
-
-
-@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
+@pytest.mark.parametrize("sf", [SF, SF_SMALL])
 def test_matches_duckdb_oracle(spark, sf):
     q = EXTENDED_REGISTRY["documents_span_dedup"]
     ok, msg = compare_query(spark, sf, q.fn, q.oracle)

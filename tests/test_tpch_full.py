@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+from tests.conftest import SF_SMALL
 from tests.oracle_harness import compare_query
 
 SF = "/root/testdata/sf0.01"
@@ -23,7 +24,7 @@ def test_suite_is_complete():
                     "q16", "q17", "q18", "q19", "q20", "q21", "q22"}
 
 
-@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
+@pytest.mark.parametrize("sf", [SF, SF_SMALL])
 @pytest.mark.parametrize("name", TPCH_FULL)
 def test_matches_duckdb_oracle(spark, name, sf):
     """Two scale points: a query that only matches at one SF has a

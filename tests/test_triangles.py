@@ -3,6 +3,8 @@ on known graphs, orientation invariants, the DuckDB differential."""
 
 from __future__ import annotations
 
+import pytest
+
 from itertools import combinations
 
 from iot_sensor_data_pipeline_spark.operators.graph import (
@@ -11,6 +13,7 @@ from iot_sensor_data_pipeline_spark.operators.graph import (
     triangle_count,
 )
 from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+from tests.conftest import SF_SMALL
 from tests.oracle_harness import compare_query
 
 SF = "/root/testdata/sf0.01"
@@ -55,10 +58,7 @@ def test_k5_exact(spark):
     assert _count(spark, list(combinations(range(5), 2))) == 10
 
 
-import pytest
-
-
-@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.001"])
+@pytest.mark.parametrize("sf", [SF, SF_SMALL])
 def test_matches_duckdb_oracle(spark, sf):
     q = EXTENDED_REGISTRY["suppliers_cosupply_graph"]
     ok, msg = compare_query(spark, sf, q.fn, q.oracle)
