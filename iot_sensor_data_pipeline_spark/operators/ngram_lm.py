@@ -5,10 +5,15 @@ trains a wiki LM and drops high-perplexity documents; Brants et al.
 precisely because it needs only raw counts, which distribute).
 
 Training IS aggregation: one explode of the token stream per order,
-hash-aggregated into (gram, count) relations — no iteration, fully
-JVM-side, map-side combined. Scoring joins each document's trigrams
-against the three count tables (equi-joins on the gram string; hash
-or bucket them at 100 TB) and applies the backoff cascade:
+hash-aggregated into (gram_h, count) relations — no iteration, fully
+JVM-side, map-side combined. Grams are keyed by ``xxhash64`` of the
+token-slice ARRAY (8 bytes), never the space-joined string: the
+count-table groupBys and all five scoring joins shuffle fixed-width
+longs instead of variable-length text — the same 8-byte-key
+discipline as span_dedup's window hashes (a 64-bit collision rate is
+negligible at any realistic gram cardinality, and identical trade to
+the near-dup hash families). Scoring joins each document's trigrams
+against the three count tables and applies the backoff cascade:
 
     S(w | a b) = count(a b w) / count(a b)           if trigram seen
                = 0.4 * count(b w) / count(b)         elif bigram seen
@@ -41,22 +46,27 @@ def _padded(text: Column) -> Column:
     )
 
 
-def _grams(toks: Column, n: int) -> Column:
-    """All n-grams of a token array as space-joined strings."""
+def _gram_hashes(toks: Column, n: int) -> Column:
+    """All n-gram keys of a token array: xxhash64 of each length-n
+    token slice (hashing the ARRAY directly — no string concat, and
+    token boundaries stay unambiguous by construction)."""
     size = F.size(toks)
-    return F.when(size < n, F.array().cast("array<string>")).otherwise(
+    return F.when(size < n, F.array().cast("array<bigint>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), size - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
         )
     )
 
 
 def ngram_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """(gram, n_count) over BOS/EOS-padded documents."""
+    """(gram_h, n_count) over BOS/EOS-padded documents — 8-byte hashed
+    gram keys (see module docstring)."""
     return (
-        df.select(F.explode(_grams(_padded(F.col(text_col)), n)).alias("gram"))
-        .groupBy("gram")
+        df.select(
+            F.explode(_gram_hashes(_padded(F.col(text_col)), n)).alias("gram_h")
+        )
+        .groupBy("gram_h")
         .agg(F.count(F.lit(1)).alias("n_count"))
     )
 
@@ -64,19 +74,28 @@ def ngram_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
 def train_ngram_lm(df: DataFrame, text_col: str = "text") -> dict:
     """Train the three count relations plus the unigram total.
 
-    Returns {"uni": DF(gram, n_count), "bi": ..., "tri": ...,
-    "total": DF(total_tokens)} — persist them as (bucketed) tables for
-    repeated scoring; the relations, not a driver object, ARE the
-    model (vocabulary can exceed driver memory at corpus scale).
+    Returns {"uni": DF(gram_h, n_count), "bi": ..., "tri": ...,
+    "total": DF(total_tokens)} — persist them as tables bucketed by
+    ``gram_h`` for repeated scoring; the relations, not a driver
+    object, ARE the model (vocabulary can exceed driver memory at
+    corpus scale).
     """
     uni = ngram_counts(df, text_col, 1)
     bi = ngram_counts(df, text_col, 2)
     tri = ngram_counts(df, text_col, 3)
     # a zero-token reference would make total NULL and NULL-poison the
     # unigram/OOV tiers (every doc silently dropped by a perplexity
-    # gate); assert_true keeps the check lazy but fails the job loudly
+    # gate); assert_true keeps the check lazy but fails the job loudly.
+    # BOS/EOS exclusion compares against constant-folded hashes of the
+    # padding literals (Catalyst folds xxhash64-of-literal to a long)
     raw_total = F.sum("n_count")
-    total = uni.where(~F.col("gram").isin(BOS, EOS)).agg(
+    pad_hashes = [
+        F.xxhash64(F.array(F.lit(BOS))),
+        F.xxhash64(F.array(F.lit(EOS))),
+    ]
+    total = uni.where(
+        (F.col("gram_h") != pad_hashes[0]) & (F.col("gram_h") != pad_hashes[1])
+    ).agg(
         F.when(
             F.assert_true(
                 raw_total.isNotNull() & (raw_total > 0),
@@ -103,11 +122,12 @@ def score_perplexity(
     An empty (or NULL) document scores its lone EOS trigram — the
     model's surprise at a document ending immediately.
 
-    Dataflow: explode each doc's trigrams WITH their context grams,
-    left-join the three count tables (three equi-joins on the gram
-    string), apply the cascade per position, aggregate per doc. The
-    count tables never shuffle more than their own size; at scale
-    bucket all three by gram.
+    Dataflow: explode each doc's trigram KEYS with their context-gram
+    keys (all 8-byte xxhash64 of token slices — five longs per
+    position, never gram text), left-join the three count tables,
+    apply the cascade per position, aggregate per doc. The count
+    tables never shuffle more than their own size; at scale bucket
+    all three by gram_h.
     """
     toks = _padded(F.col(text_col))
     size = F.size(toks)
@@ -117,21 +137,21 @@ def score_perplexity(
             F.transform(
                 F.sequence(F.lit(0), size - 3),
                 lambda i: F.struct(
-                    F.concat_ws(" ", F.slice(toks, i + 1, 3)).alias("tri_g"),
-                    F.concat_ws(" ", F.slice(toks, i + 1, 2)).alias("ctx2_g"),
-                    F.concat_ws(" ", F.slice(toks, i + 2, 2)).alias("bi_g"),
-                    F.element_at(toks, i + 2).alias("ctx1_g"),
-                    F.element_at(toks, i + 3).alias("uni_g"),
+                    F.xxhash64(F.slice(toks, i + 1, 3)).alias("tri_g"),
+                    F.xxhash64(F.slice(toks, i + 1, 2)).alias("ctx2_g"),
+                    F.xxhash64(F.slice(toks, i + 2, 2)).alias("bi_g"),
+                    F.xxhash64(F.slice(toks, i + 2, 1)).alias("ctx1_g"),
+                    F.xxhash64(F.slice(toks, i + 3, 1)).alias("uni_g"),
                 ),
             )
         ).alias("p"),
     ).select(id_col, "p.*")
 
-    tri = lm["tri"].select(F.col("gram").alias("tri_g"), F.col("n_count").alias("c_tri"))
-    bi_num = lm["bi"].select(F.col("gram").alias("bi_g"), F.col("n_count").alias("c_bi"))
-    bi_ctx = lm["bi"].select(F.col("gram").alias("ctx2_g"), F.col("n_count").alias("c_ctx2"))
-    uni_num = lm["uni"].select(F.col("gram").alias("uni_g"), F.col("n_count").alias("c_uni"))
-    uni_ctx = lm["uni"].select(F.col("gram").alias("ctx1_g"), F.col("n_count").alias("c_ctx1"))
+    tri = lm["tri"].select(F.col("gram_h").alias("tri_g"), F.col("n_count").alias("c_tri"))
+    bi_num = lm["bi"].select(F.col("gram_h").alias("bi_g"), F.col("n_count").alias("c_bi"))
+    bi_ctx = lm["bi"].select(F.col("gram_h").alias("ctx2_g"), F.col("n_count").alias("c_ctx2"))
+    uni_num = lm["uni"].select(F.col("gram_h").alias("uni_g"), F.col("n_count").alias("c_uni"))
+    uni_ctx = lm["uni"].select(F.col("gram_h").alias("ctx1_g"), F.col("n_count").alias("c_ctx1"))
 
     j = (
         pos.join(tri, "tri_g", "left")

@@ -53,11 +53,19 @@ def pq_train(
     point (standard Lloyd's repair). Distances are squared-L2 per
     subspace — for cosine search, L2-normalize vectors before train
     AND encode AND query (then L2^2 = 2 - 2 cos, rank-equivalent).
+
+    The capped sample is drawn by ordering on ``xxhash64(vector)`` —
+    a bare ``limit()`` takes the FIRST partitions only, so a corpus
+    clustered by date/tenant would train codebooks on a biased slice;
+    hash order is layout-independent and deterministic, and
+    ``orderBy().limit()`` compiles to ``TakeOrderedAndProject``
+    (per-partition top-N heaps, no full sort shuffle).
     """
     import numpy as np
 
     rows = (
         corpus.select(as_double_array(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64(F.col("v")))
         .limit(sample_rows)
         .collect()
     )
@@ -231,10 +239,9 @@ def pq_topk(
     )
 
 
-def _exact_rerank(
+def _rerank_core(
     adc: DataFrame,
-    qrows,
-    qid_type: str,
+    qvec: DataFrame,
     refine: DataFrame,
     refine_id: str,
     refine_vec: str,
@@ -242,16 +249,9 @@ def _exact_rerank(
     round_dist: int,
 ) -> DataFrame:
     """Exact squared-L2 re-rank of an ADC shortlist: raw vectors are
-    fetched ONLY for shortlist rows via the id equi-join; query
-    vectors ride a broadcast driver-small relation; the distance is a
-    codegen zip_with/aggregate fold."""
-    spark = adc.sparkSession
-    qvec = F.broadcast(
-        spark.createDataFrame(
-            [(r.qid, list(map(float, r.qv))) for r in qrows],
-            f"qid {qid_type}, qv array<double>",
-        )
-    )
+    fetched ONLY for shortlist rows via the id equi-join; ``qvec`` is
+    a (qid, qv array<double>) relation (broadcast by the caller when
+    driver-small); the distance is a codegen zip_with/aggregate fold."""
     raw = refine.select(
         F.col(refine_id).alias("nid"),
         as_double_array(F.col(refine_vec)).alias("cv"),
@@ -269,6 +269,28 @@ def _exact_rerank(
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
     return rescored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def _exact_rerank(
+    adc: DataFrame,
+    qrows,
+    qid_type: str,
+    refine: DataFrame,
+    refine_id: str,
+    refine_vec: str,
+    k: int,
+    round_dist: int,
+) -> DataFrame:
+    """:func:`_rerank_core` with the query vectors rebuilt from the
+    already-collected driver-small query rows (broadcast join)."""
+    spark = adc.sparkSession
+    qvec = F.broadcast(
+        spark.createDataFrame(
+            [(r.qid, list(map(float, r.qv))) for r in qrows],
+            f"qid {qid_type}, qv array<double>",
+        )
+    )
+    return _rerank_core(adc, qvec, refine, refine_id, refine_vec, k, round_dist)
 
 
 def ivfpq_topk(

@@ -295,8 +295,16 @@ def ivf_build(
         F.col(corpus_id).alias("nid"), as_double_array(F.col(vec_col)).alias("cv")
     )
     # quantizer training needs only a sample — cap it so fitting cost
-    # stays constant as the corpus grows (standard IVF practice)
-    train = c.select(array_to_vector("cv").alias("features")).limit(200_000)
+    # stays constant as the corpus grows (standard IVF practice).
+    # Hash-ordered top-N (TakeOrderedAndProject) rather than a bare
+    # limit(): limit takes the FIRST partitions only, which on data
+    # clustered by date/tenant trains the quantizer on a biased slice
+    train = (
+        c.select("cv")
+        .orderBy(F.xxhash64(F.col("cv")))
+        .limit(200_000)
+        .select(array_to_vector("cv").alias("features"))
+    )
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
     assign_one, _ = _centroid_assigners(centroids, 1)

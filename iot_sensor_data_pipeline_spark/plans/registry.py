@@ -49,7 +49,7 @@ def register(
     """Decorator: register a query under ``name`` with its oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in REGISTRY:
+        if name in REGISTRY or name in EXTENDED_REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = RegisteredQuery(name, fn, oracle, tags, bench)
         return fn

@@ -132,3 +132,76 @@ def test_training_rounds_are_jvm_side(spark):
 def test_guards(spark):
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(_docs(spark), n_merges=0)
+    with pytest.raises(ValueError, match="batch_size"):
+        bpe_train(_docs(spark), n_merges=1, batch_size=0)
+
+
+# conflict-rich fixtures: count ties everywhere, pairs sharing symbols,
+# chaining runs (aaa), abab overlap patterns, and a merge whose output
+# string ("ab") collides with a pre-existing word's prefix path
+CONFLICT_FIXTURES = [
+    "aa aa aa aab aab ab ab ab b a aaa aaa abab abab ba ba",
+    "xy xy xyz xyz xyzw xyzw zw zw wx wx yz yz x y z w",
+    "the the then then them hem hem he he th th e t",
+    "ab ab ab ab cd cd cd ef ef gh ij",  # disjoint pairs, decaying counts
+    "aaaa aaaa aaa aa a",  # pure chaining
+]
+
+
+@pytest.mark.parametrize("text", CONFLICT_FIXTURES)
+def test_batched_and_driver_paths_exact(spark, text):
+    """All cadence regimes — singleton distributed, batched
+    distributed, in-memory driver — produce the identical merge list,
+    equal to the independent Python reference."""
+    want = _ref_bpe(text, 20)
+    docs = _docs(spark, text)
+    # driver fast path (default cap)
+    st = {}
+    assert bpe_train(docs, n_merges=20, stats=st) == want
+    assert st["mode"] == "driver" and st["rounds"] == 2
+    # distributed paths (cap disabled)
+    for bs in (1, 4, 64):
+        st = {}
+        got = bpe_train(
+            docs, n_merges=20, batch_size=bs, driver_vocab_cap=0, stats=st
+        )
+        assert got == want, f"batch_size={bs}"
+        assert st["mode"] == "distributed"
+
+
+def test_driver_path_cuts_rounds_10x(spark):
+    """The in-memory path learns the full merge table in 2 driver
+    actions; singleton-distributed needs one per merge — >=10x fewer
+    rounds whenever >=20 merges are learnable."""
+    rich = CORPUS + (
+        " stream stream streaming streaming streams window windows "
+        "window partition partition partitions shuffle shuffles shuffle "
+        "broadcast broadcasts broadcast cluster clusters clustering"
+    )
+    st_fast, st_slow = {}, {}
+    fast = bpe_train(_docs(spark, rich), n_merges=60, stats=st_fast)
+    slow = bpe_train(
+        _docs(spark, rich),
+        n_merges=60,
+        batch_size=1,
+        driver_vocab_cap=0,
+        stats=st_slow,
+    )
+    assert fast == slow
+    assert st_slow["merges"] >= 20
+    assert st_fast["rounds"] * 10 <= st_slow["rounds"]
+
+
+def test_distributed_batching_reduces_rounds(spark):
+    """Even without the driver path, the commuting-prefix batch applies
+    >1 merge per round on a corpus with decaying disjoint pair counts."""
+    text = " ".join(["ab"] * 64 + ["cd"] * 32 + ["ef"] * 16 + ["gh"] * 8)
+    st1, stb = {}, {}
+    m1 = bpe_train(
+        _docs(spark, text), n_merges=8, batch_size=1, driver_vocab_cap=0, stats=st1
+    )
+    mb = bpe_train(
+        _docs(spark, text), n_merges=8, batch_size=32, driver_vocab_cap=0, stats=stb
+    )
+    assert m1 == mb
+    assert stb["rounds"] < st1["rounds"]
