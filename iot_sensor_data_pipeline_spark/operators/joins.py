@@ -127,9 +127,11 @@ def range_join(
     left_point: str,
     right_lo: str,
     right_hi: str,
-    bucket_width: float,
+    bucket_width: float | None = None,
     extra_on: Sequence[str] = (),
     long_span_buckets: int | None = None,
+    tune_sample_rows: int = 100_000,
+    tuned: dict | None = None,
 ) -> DataFrame:
     """Scale-safe interval join: pairs every left row with the right
     rows whose half-open interval ``[lo, hi)`` contains its point
@@ -161,11 +163,44 @@ def range_join(
     grow). Columns are numeric; join on timestamps by passing epoch
     expressions (``F.unix_timestamp``) in a prior select.
 
+    ``bucket_width=None`` AUTO-TUNES both knobs from the data instead
+    of asking the user to guess: a hash-ordered capped sample of the
+    interval spans (``tune_sample_rows``, TakeOrderedAndProject — no
+    full sort, layout-independent) feeds ``approxQuantile``; the width
+    becomes the median span (p90, then 1.0, when degenerate
+    zero-length spans drag the median to 0), and — unless the caller
+    pinned ``long_span_buckets`` — the long stratum cut becomes
+    ``ceil(p99 span / width)`` (min 2), so the per-row explode factor
+    is bounded by the p99/p50 span ratio and at most ~1% of intervals
+    take the broadcast branch. Pass a dict as ``tuned`` to receive the
+    chosen ``{"bucket_width", "long_span_buckets"}``.
+
     Column names must be disjoint apart from ``extra_on`` (both
     sides' columns pass through unprefixed); overlapping names raise
     here at plan-build time instead of surfacing as an
     AMBIGUOUS_REFERENCE from the residual predicate.
     """
+    if bucket_width is None:
+        spans = (
+            right.select(
+                (F.col(right_hi) - F.col(right_lo)).cast("double").alias("__span")
+            )
+            .orderBy(F.xxhash64(F.col("__span"), F.monotonically_increasing_id()))
+            .limit(tune_sample_rows)
+        )
+        qs = spans.approxQuantile("__span", [0.5, 0.9, 0.99], 0.01)
+        if not qs:
+            raise ValueError(
+                "range_join: cannot auto-tune bucket_width on an empty "
+                "right side — pass it explicitly"
+            )
+        p50, p90, p99 = qs
+        bucket_width = next((v for v in (p50, p90) if v > 0.0), 1.0)
+        if long_span_buckets is None:
+            long_span_buckets = max(2, math.ceil(p99 / bucket_width))
+        if tuned is not None:
+            tuned["bucket_width"] = bucket_width
+            tuned["long_span_buckets"] = long_span_buckets
     w = float(bucket_width)
     if not (w > 0.0) or math.isinf(w):
         # w=0 would floor every value into one bucket (Infinity /

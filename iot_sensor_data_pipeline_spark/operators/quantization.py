@@ -293,6 +293,110 @@ def _exact_rerank(
     return _rerank_core(adc, qvec, refine, refine_id, refine_vec, k, round_dist)
 
 
+def pq_topk_blocked(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dist: int = 6,
+    refine: DataFrame | None = None,
+    refine_id: str = "vec_id",
+    refine_vec: str = "embedding",
+    shortlist_factor: int = 5,
+    q_blocks: int = 8,
+    c_blocks: int = 8,
+) -> DataFrame:
+    """ADC top-k when the QUERY side is also large — corpus-vs-corpus
+    semantic search over PQ codes with NO driver collect anywhere.
+
+    :func:`pq_topk` collects the query set once (driver-small regime)
+    and broadcasts per-query LUTs in the task closure; that collapses
+    when queries are themselves a corpus (kNN-graph construction over
+    compressed vectors). This operator applies the
+    :func:`~iot_sensor_data_pipeline_spark.operators.similarity.cosine_topk_blocked`
+    block scheme to the ADC scan: hash-block both sides, replicate
+    queries to each of ``c_blocks`` and codes to each of ``q_blocks``
+    (shuffle volume |Q|*CB + |C|*QB rows — the standard block
+    outer-product cost, and the code side ships m SMALL INTS per row,
+    not raw vectors), then per (q-block, c-block) tile compute the
+    tile's LUTs and fold m fancy-indexed adds per candidate inside
+    ``cogroup().applyInPandas``. Each tile emits at most
+    shortlist-k rows per query; the merge window ranks CB*k
+    candidates per query.
+
+    Distances, rounding, and (dist, nid) tie-breaks are IDENTICAL to
+    :func:`pq_topk` (agreement pinned in tests); ``refine`` adds the
+    exact re-rank, with the query vectors joined as a distributed
+    relation instead of a driver broadcast. Returns
+    ``(qid, nid, dist, rn)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("pq_topk_blocked: k must be >= 1")
+    if q_blocks < 1 or c_blocks < 1:
+        raise ValueError("pq_topk_blocked: block counts must be >= 1")
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, kk, dsub)
+    m, _, dsub = C.shape
+    qid_type = dict(queries.dtypes)[query_id]
+    nid_type = dict(codes.dtypes)["nid"]
+    adc_k = k if refine is None else max(k, k * shortlist_factor)
+
+    qprep = queries.select(
+        F.col(query_id).alias("qid"), as_double_array(F.col(vec_col)).alias("qv")
+    )
+    # (qb, cb) int on BOTH sides (as cosine_topk_blocked): cogroup key
+    # matching never depends on cross-side implicit coercion
+    q = qprep.withColumn(
+        "qb", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).cast("int")
+    ).withColumn("cb", F.explode(F.array(*[F.lit(i) for i in range(c_blocks)])))
+    c = (
+        codes.select("nid", "codes")
+        .withColumn("cb", F.pmod(F.xxhash64("nid"), F.lit(c_blocks)).cast("int"))
+        .withColumn("qb", F.explode(F.array(*[F.lit(i) for i in range(q_blocks)])))
+    )
+
+    def tile(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"qid": [], "nid": [], "dist": []})
+        Q = np.stack(qpdf["qv"].to_numpy()).reshape(len(qpdf), m, dsub)
+        # tile-local LUTs: (nq_tile, m, kk)
+        lut = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+        qids = qpdf["qid"].to_numpy()
+        nids = cpdf["nid"].to_numpy()
+        B = np.stack(cpdf["codes"].to_numpy())
+        dist = np.zeros((len(qids), len(nids)))
+        for j in range(m):
+            dist += lut[:, j, B[:, j]]
+        # round BEFORE selecting, ties by nid — identical trim contract
+        # to pq_topk's per-partition partials
+        dist = np.round(dist, round_dist)
+        top = min(adc_k, len(nids))
+        out_q, out_n, out_d = [], [], []
+        for i in range(len(qids)):
+            order = np.lexsort((nids, dist[i]))[:top]
+            out_q.extend([qids[i]] * top)
+            out_n.extend(nids[order])
+            out_d.extend(dist[i, order])
+        return pd.DataFrame({"qid": out_q, "nid": out_n, "dist": out_d})
+
+    partials = (
+        q.groupBy("qb", "cb")
+        .cogroup(c.groupBy("qb", "cb"))
+        .applyInPandas(tile, f"qid {qid_type}, nid {nid_type}, dist double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
+    adc = partials.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= adc_k)
+    if refine is None:
+        return adc
+    return _rerank_core(
+        adc, qprep, refine, refine_id, refine_vec, k, round_dist
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     codes_with_cid: DataFrame,

@@ -9,15 +9,20 @@ is a cost statement, not just taste):
 2. exact dedup       — one survivor (min id) per identical text
 3. near-dup dedup    — MinHash/LSH pairs -> connected components ->
                        keep each cluster's canonical (min-id) doc
-4. perplexity gate   — stupid-backoff LM trained on a REFERENCE
+4. semantic dedup    — SemDeDup over an EMBEDDINGS relation keyed by
+                       the doc id (cosine-similar groups keep their
+                       min-id representative; documents without an
+                       embedding pass through — the gate only drops
+                       what it can judge)
+5. perplexity gate   — stupid-backoff LM trained on a REFERENCE
                        corpus (CCNet trains on wikipedia), drop what
                        it finds surprising. Self-training is refused:
                        a document's own trigrams are in a self-trained
                        model with matching contexts, so even gibberish
                        scores perplexity ~1 and the gate is a no-op
-5. span dedup        — cut corpus-duplicated k-token substrings from
+6. span dedup        — cut corpus-duplicated k-token substrings from
                        the survivors' text (repairs, doesn't drop)
-6. packing           — first-fit-decreasing into training sequences
+7. packing           — first-fit-decreasing into training sequences
 
 Every stage is optional (None/False disables); the output is the
 curated corpus plus, with ``report=True``, a per-stage row-count
@@ -57,6 +62,11 @@ def curate_corpus(
     min_quality: float | None = None,
     exact_dedup: bool = True,
     neardup_threshold: float | None = 0.5,
+    semantic_threshold: float | None = None,
+    embeddings: DataFrame | None = None,
+    vec_col: str = "embedding",
+    semantic_clusters: int | None = None,
+    semantic_max_cluster_size: int | None = None,
     max_perplexity: float | None = None,
     lm_reference: DataFrame | None = None,
     span_k: int | None = None,
@@ -112,6 +122,36 @@ def curate_corpus(
             F.col("id").alias(id_col)
         )
         _step("neardup_dedup", cur.join(survivors, id_col, "left_semi"))
+
+    if semantic_threshold is not None:
+        if embeddings is None:
+            raise ValueError(
+                "curate_corpus: semantic_threshold needs embeddings (a "
+                f"relation carrying ({id_col}, {vec_col}) for the "
+                "documents being curated)"
+            )
+        from iot_sensor_data_pipeline_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        # restrict the (possibly corpus-wide) embedding relation to the
+        # current survivors BEFORE any pair generation — the same
+        # probe-restriction discipline as the incremental dedup indexes
+        emb_cur = embeddings.select(F.col(id_col), F.col(vec_col)).join(
+            cur.select(id_col), id_col, "left_semi"
+        )
+        marks = semantic_dedup(
+            emb_cur,
+            semantic_threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_clusters=semantic_clusters,
+            max_cluster_size=semantic_max_cluster_size,
+        )
+        dups = marks.where(F.col("kept") == 0).select(F.col("id").alias(id_col))
+        # anti-join: embedded near-duplicates drop, everything else —
+        # including docs with NO embedding row — passes through
+        _step("semantic_dedup", cur.join(dups, id_col, "left_anti"))
 
     if max_perplexity is not None:
         if lm_reference is None:

@@ -158,3 +158,48 @@ def audit_plan(df: DataFrame, *, allow_bnlj_scalar: bool = True) -> list[Finding
 
 def blocking(findings: list[Finding]) -> list[Finding]:
     return [f for f in findings if f.severity == "block"]
+
+
+class StreamAuditor:
+    """The same scale-killer gate for STREAMING pipelines:
+    ``audit_plan`` reads a batch DataFrame's executed plan, so it can't
+    see inside a running stream — but every foreachBatch callback
+    receives a plain batch DataFrame. Pass an instance to the job
+    builders in ``streaming.jobs`` (``auditor=StreamAuditor()``) and
+    each micro-batch's inner plan (including any per-batch
+    ``transform``) is audited as it runs.
+
+    Warn-once channel: a long-running stream re-executes the same plan
+    shape every trigger, so each distinct (severity, rule) logs ONE
+    warning (``logging`` logger of this module) and is recorded in
+    ``findings`` — poll that list from tests/monitoring, or gate hard
+    by checking ``blocking(auditor.findings)`` after a smoke run.
+    Auditing never fails the stream: a finding is a report, and plan
+    introspection errors are swallowed (the data path wins).
+    """
+
+    def __init__(self, name: str = "stream", allow_bnlj_scalar: bool = True):
+        self.name = name
+        self.allow_bnlj_scalar = allow_bnlj_scalar
+        self.findings: list[Finding] = []
+        self._seen: set[tuple[str, str]] = set()
+
+    def check(self, batch_df: DataFrame) -> None:
+        import logging
+
+        try:
+            found = audit_plan(
+                batch_df, allow_bnlj_scalar=self.allow_bnlj_scalar
+            )
+        except Exception:  # pragma: no cover - defensive: never kill the stream
+            return
+        for f in found:
+            key = (f.severity, f.rule)
+            if key in self._seen:
+                continue
+            self._seen.add(key)
+            self.findings.append(f)
+            logging.getLogger(__name__).warning(
+                "[%s] micro-batch plan finding (%s) %s: %s",
+                self.name, f.severity, f.rule, f.detail,
+            )

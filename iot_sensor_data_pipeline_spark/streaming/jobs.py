@@ -57,17 +57,23 @@ def _wants_epoch(sink: BatchSink) -> bool:
         return False
 
 
-def _fanout(sinks: Sequence[BatchSink]) -> Callable[[DataFrame, int], None]:
+def _fanout(
+    sinks: Sequence[BatchSink], auditor=None
+) -> Callable[[DataFrame, int], None]:
     """One foreachBatch callback feeding every sink from ONE computed
     batch. The batch is persisted so N sinks don't recompute the
     lineage N times (the reference recomputed per count() call,
     reference data_persistance.py:41,55). Sinks declaring a second
-    parameter receive the epoch id (replay-dedup key)."""
+    parameter receive the epoch id (replay-dedup key). ``auditor``
+    (a ``plans.audit.StreamAuditor``) gates each micro-batch's inner
+    plan against the scale-killer rules, warn-once per rule."""
     epoch_aware = [(sink, _wants_epoch(sink)) for sink in sinks]
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if auditor is not None:
+            auditor.check(batch_df)
         batch_df.persist()
         try:
             for sink, wants_epoch in epoch_aware:
@@ -89,9 +95,10 @@ def _start(
     trigger: str | None = None,
     query_name: str | None = None,
     foreach_batch: Callable[[DataFrame, int], None] | None = None,
+    auditor=None,
 ) -> StreamingQuery:
     writer = (
-        df.writeStream.foreachBatch(foreach_batch or _fanout(sinks))
+        df.writeStream.foreachBatch(foreach_batch or _fanout(sinks, auditor=auditor))
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
     )
@@ -106,6 +113,7 @@ def _fanout_quarantined(
     sinks: Sequence[BatchSink],
     dead_letter: BatchSink,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    auditor=None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback over a corrupt-capturing parsed stream:
     one persisted batch split into clean readings (optionally run
@@ -129,6 +137,10 @@ def _fanout_quarantined(
                     dead_letter(dead)
             if transform is not None:
                 clean = transform(clean)
+            if auditor is not None:
+                # post-transform: the plan sinks actually consume
+                # (covers a transform-introduced scale-killer too)
+                auditor.check(clean)
             if not clean.isEmpty():
                 for sink, wants_epoch in epoch_aware:
                     if wants_epoch:
@@ -171,11 +183,14 @@ def start_persistence(
     parsed = parse_json_column(
         raw, "value", SENSOR_READING_SCHEMA, corrupt_col=CORRUPT_COL
     )
+    auditor = kw.pop("auditor", None)
     return _start(
         parsed,
         sinks,
         checkpoint,
-        foreach_batch=_fanout_quarantined(sinks, dead_letter, transform=transform),
+        foreach_batch=_fanout_quarantined(
+            sinks, dead_letter, transform=transform, auditor=auditor
+        ),
         **kw,
     )
 
@@ -206,12 +221,16 @@ def start_alerts(
     parsed = parse_json_column(
         raw, "value", SENSOR_READING_SCHEMA, corrupt_col=CORRUPT_COL
     )
+    auditor = kw.pop("auditor", None)
     return _start(
         parsed,
         sinks,
         checkpoint,
         foreach_batch=_fanout_quarantined(
-            sinks, dead_letter, transform=lambda df: detect_alerts(df, rules)
+            sinks,
+            dead_letter,
+            transform=lambda df: detect_alerts(df, rules),
+            auditor=auditor,
         ),
         **kw,
     )

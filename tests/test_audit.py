@@ -137,3 +137,109 @@ def test_nested_scalar_bnlj_does_not_sanction_outer_join(spark):
     assert len(bnlj) == 2  # one finding per join, no early break
     assert any(x.severity == "block" for x in bnlj)   # the outer
     assert any(x.severity == "warn" for x in bnlj)    # the inner
+
+
+def test_stream_auditor_flags_bnlj_batch_and_warns_once(spark, tmp_path):
+    """VERDICT r6 item 6: a deliberately BNLJ-shaped per-batch
+    transform is flagged by the StreamAuditor inside the foreachBatch
+    fan-out — once, across multiple micro-batches."""
+    import json
+    import time
+
+    from iot_sensor_data_pipeline_spark.plans.audit import StreamAuditor
+    from iot_sensor_data_pipeline_spark.streaming.jobs import start_persistence
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def reading(mm):
+        return json.dumps(
+            {
+                "sensor_id": "A_1_100_temperature",
+                "sensor_type": "temperature",
+                "location": {"building": "A", "floor": 1, "room": "100"},
+                "timestamp": f"2026-01-01T00:{mm}:00",
+                "value": 20.0,
+                "unit": "celsius",
+                "metadata": {"battery_level": 90, "signal_strength": -60},
+            }
+        )
+
+    def write_batch(name, lines):
+        tmp = src / f".{name}.tmp"
+        tmp.write_text("\n".join(lines) + "\n")
+        tmp.rename(src / name)
+        time.sleep(0.05)
+
+    dim = spark.createDataFrame([(30.0,), (60.0,)], "cutoff double")
+    # non-equi join against a broadcast dim -> BroadcastNestedLoopJoin
+    # with a NON-scalar build side -> block
+    transform = lambda df: df.join(  # noqa: E731
+        F.broadcast(dim), F.col("value") < F.col("cutoff")
+    )
+    auditor = StreamAuditor(name="bnlj-stream")
+    collected: list = []
+    raw = spark.readStream.text(str(src))
+    q = start_persistence(
+        raw,
+        sinks=[lambda df: collected.extend(df.collect())],
+        checkpoint=str(tmp_path / "chk"),
+        dead_letter=lambda df: None,
+        transform=transform,
+        auditor=auditor,
+    )
+    try:
+        write_batch("b1.json", [reading("01"), reading("02")])
+        q.processAllAvailable()
+        write_batch("b2.json", [reading("03")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(collected) == 6  # 3 readings x 2 matching cutoffs
+    rules = [f.rule for f in auditor.findings]
+    assert rules.count("broadcast-nested-loop") == 1  # warn-once
+    assert any(
+        f.rule == "broadcast-nested-loop" and f.severity == "block"
+        for f in auditor.findings
+    )
+
+
+def test_stream_auditor_silent_on_clean_stream(spark, tmp_path):
+    from iot_sensor_data_pipeline_spark.plans.audit import StreamAuditor, blocking
+    from iot_sensor_data_pipeline_spark.streaming.jobs import start_persistence
+
+    import json
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    line = json.dumps(
+        {
+            "sensor_id": "A_1_100_temperature",
+            "sensor_type": "temperature",
+            "location": {"building": "A", "floor": 1, "room": "100"},
+            "timestamp": "2026-01-01T00:01:00",
+            "value": 20.0,
+            "unit": "celsius",
+            "metadata": {"battery_level": 90, "signal_strength": -60},
+        }
+    )
+    tmp = src / ".b1.json.tmp"
+    tmp.write_text(line + "\n")
+    tmp.rename(src / "b1.json")
+    time.sleep(0.05)
+
+    auditor = StreamAuditor()
+    got: list = []
+    q = start_persistence(
+        spark.readStream.text(str(src)),
+        sinks=[lambda df: got.extend(df.collect())],
+        checkpoint=str(tmp_path / "chk"),
+        auditor=auditor,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    assert not blocking(auditor.findings), auditor.findings

@@ -116,3 +116,62 @@ def test_self_trained_perplexity_is_refused(spark):
 
     with _pytest.raises(ValueError, match="lm_reference"):
         curate_corpus(_corpus(spark), max_perplexity=10.0)
+
+
+def test_semantic_dedup_stage_removes_planted_embedding_dups(spark):
+    """VERDICT r6 item 7: planted semantic duplicates (near-identical
+    embeddings, different text) collapse to the min-id representative;
+    docs without an embedding row pass through; the stage reports."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD2), (3, GOOD3), (4, GOOD4)],
+        "doc_id long, text string",
+    )
+    # 1 and 3 are semantic twins; 2 is far away; 4 has NO embedding
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.999, 0.001, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out, stages = curate_corpus(
+        docs,
+        exact_dedup=False,
+        neardup_threshold=None,
+        semantic_threshold=0.95,
+        embeddings=emb,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 4}
+    by_name = {s["stage"]: s for s in stages}
+    assert by_name["semantic_dedup"]["rows_in"] == 4
+    assert by_name["semantic_dedup"]["rows_out"] == 3
+
+    with pytest.raises(ValueError, match="needs embeddings"):
+        curate_corpus(docs, semantic_threshold=0.9)
+
+
+def test_semantic_stage_is_partitioning_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f"{GOOD} variant {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0 if i % 2 else 0.99, 0.01 * i, 0.0]) for i in range(8)],
+        "doc_id long, embedding array<double>",
+    )
+
+    def run(npart):
+        out, _ = curate_corpus(
+            docs.repartition(npart),
+            exact_dedup=False,
+            neardup_threshold=None,
+            semantic_threshold=0.9,
+            embeddings=emb.repartition(npart),
+            report=False,
+        )
+        return sorted(r["doc_id"] for r in out.collect())
+
+    assert run(1) == run(13)

@@ -127,6 +127,67 @@ def test_pq_append_only_encode_matches_full(spark):
     assert inc == ful
 
 
+def test_pq_topk_blocked_agrees_with_pq_topk(spark):
+    """The no-collect blocked ADC (corpus-vs-corpus regime) returns the
+    IDENTICAL (qid, nid, dist, rn) relation as the driver-broadcast
+    path — pure ADC and with exact re-rank — across block counts that
+    do and don't divide the data."""
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.quantization import (
+        pq_topk_blocked,
+    )
+
+    rnd = random.Random(11)
+    d = 16
+    vecs = [(i, [rnd.uniform(-5, 5) for _ in range(d)]) for i in range(300)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    books = pq_train(corpus, m=4, k=32, sample_rows=300, iters=8)
+    codes = pq_encode(corpus, books).localCheckpoint()
+    queries = spark.createDataFrame(
+        [(1000 + i, [x + rnd.gauss(0, 0.4) for x in v]) for i, v in vecs[:40]],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rel(df):
+        return sorted(
+            (r.qid, r.nid, r.dist, r.rn) for r in df.collect()
+        )
+
+    want_adc = rel(pq_topk(queries, codes, books, k=5))
+    want_ref = rel(
+        pq_topk(queries, codes, books, k=5, refine=corpus, shortlist_factor=4)
+    )
+    for qb, cb in [(1, 1), (4, 4), (3, 7)]:
+        got = rel(
+            pq_topk_blocked(queries, codes, books, k=5, q_blocks=qb, c_blocks=cb)
+        )
+        assert got == want_adc, (qb, cb)
+    got_ref = rel(
+        pq_topk_blocked(
+            queries, codes, books, k=5,
+            refine=corpus, shortlist_factor=4, q_blocks=4, c_blocks=4,
+        )
+    )
+    assert got_ref == want_ref
+
+
+def test_pq_topk_blocked_guards(spark):
+    from iot_sensor_data_pipeline_spark.operators.quantization import (
+        pq_topk_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    books = [[[0.0]], [[0.0]], [[0.0]]]
+    codes = pq_encode(df, books)
+    with pytest.raises(ValueError, match="k must be"):
+        pq_topk_blocked(df, codes, books, k=0)
+    with pytest.raises(ValueError, match="block counts"):
+        pq_topk_blocked(df, codes, books, k=1, q_blocks=0)
+
+
 def test_pq_guards(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="not divisible"):
