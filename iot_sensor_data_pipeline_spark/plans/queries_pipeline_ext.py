@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iot_sensor_data_pipeline_spark.operators.span_dedup import remove_duplicated_spans
-from iot_sensor_data_pipeline_spark.plans.registry import register_extended
+from iot_sensor_data_pipeline_spark.plans.registry import register, register_extended
 from iot_sensor_data_pipeline_spark.sources.tables import load_table
 
 _K = 8
@@ -51,7 +51,7 @@ FROM docs d
 """
 
 
-@register_extended(
+@register(
     "documents_span_dedup", oracle=_SPAN_DEDUP_ORACLE, tags=("pipeline", "dedup")
 )
 def documents_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,7 +327,7 @@ CROSS JOIN nb
 """
 
 
-@register_extended(
+@register(
     "parts_association_rules", oracle=_RULES_ORACLE, tags=("analytics", "itemsets")
 )
 def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

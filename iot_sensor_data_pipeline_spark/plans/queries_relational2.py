@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iot_sensor_data_pipeline_spark.plans.registry import register
+from iot_sensor_data_pipeline_spark.plans.registry import register, register_extended
 from iot_sensor_data_pipeline_spark.sources.tables import load_table, register_views
 
 # ---------------------------------------------------------------------------
@@ -447,7 +447,7 @@ SELECT l_orderkey, l_linenumber, 'tax'      AS measure, l_tax      AS val FROM l
 """
 
 
-@register("lineitem_unpivot", oracle=_UNPIVOT_ORACLE, tags=("relational", "pivot"))
+@register_extended("lineitem_unpivot", oracle=_UNPIVOT_ORACLE, tags=("relational", "pivot"))
 def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide -> long via DataFrame.unpivot (a.k.a. melt)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -483,7 +483,7 @@ FROM spend
 """
 
 
-@register("customers_spend_quartiles", oracle=_NTILE_ORACLE, tags=("relational", "window", "join"))
+@register_extended("customers_spend_quartiles", oracle=_NTILE_ORACLE, tags=("relational", "window", "join"))
 def customers_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT JOIN + aggregation (the former customers_left_join_agg —
     customers with no orders keep spend 0) feeding distribution

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iot_sensor_data_pipeline_spark.plans.registry import register
+from iot_sensor_data_pipeline_spark.plans.registry import register, register_extended
 from iot_sensor_data_pipeline_spark.sources.tables import load_table
 
 _SCALARS_ORACLE = """
@@ -220,7 +220,7 @@ GROUP BY token
 """
 
 
-@register("documents_string_scalars", oracle=_STRING_ORACLE, tags=("scalars", "regex", "array"))
+@register_extended("documents_string_scalars", oracle=_STRING_ORACLE, tags=("scalars", "regex", "array"))
 def documents_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String + regex function surface over documents.text, plus the
     split -> explode -> re-aggregate token-count branch (formerly the

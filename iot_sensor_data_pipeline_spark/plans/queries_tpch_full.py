@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iot_sensor_data_pipeline_spark.plans.registry import register_extended
+from iot_sensor_data_pipeline_spark.plans.registry import register, register_extended
 from iot_sensor_data_pipeline_spark.sources.tables import load_table
 
 
@@ -291,7 +291,7 @@ GROUP BY nation, o_year
 """
 
 
-@register_extended("tpch_q9_product_profit", oracle=_Q9_ORACLE, tags=("relational", "join"))
+@register("tpch_q9_product_profit", oracle=_Q9_ORACLE, tags=("relational", "join"))
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%")).select(
         "p_partkey"

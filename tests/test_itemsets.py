@@ -10,7 +10,7 @@ from iot_sensor_data_pipeline_spark.operators.itemsets import (
     basket_items,
     pair_association_rules,
 )
-from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+from iot_sensor_data_pipeline_spark.plans import REGISTRY
 from tests.conftest import SF_SMALL
 from tests.oracle_harness import compare_query
 
@@ -101,6 +101,6 @@ def test_basket_items_sorted_distinct(spark):
 
 @pytest.mark.parametrize("sf", [SF, SF_SMALL])
 def test_matches_duckdb_oracle(spark, sf):
-    q = EXTENDED_REGISTRY["parts_association_rules"]
+    q = REGISTRY["parts_association_rules"]
     ok, msg = compare_query(spark, sf, q.fn, q.oracle)
     assert ok, msg

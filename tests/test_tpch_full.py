@@ -14,23 +14,32 @@ from tests.oracle_harness import compare_query
 SF = "/root/testdata/sf0.01"
 
 TPCH_FULL = sorted(n for n in EXTENDED_REGISTRY if n.startswith("tpch_"))
+# every extended query with an oracle — covers the TPC-H shapes AND
+# queries rotated OUT of the driver gate (COVERAGE.md rotation map),
+# so leaving the 50-slot gate never loses two-SF hash coverage
+EXTENDED_WITH_ORACLE = sorted(
+    n for n, q in EXTENDED_REGISTRY.items() if q.oracle is not None
+)
 
 
 def test_suite_is_complete():
-    """q1/3/5/6/10/14 live in the driver gate; everything else is here —
-    a user gets all 22 TPC-H query shapes across the two registries."""
+    """q1/3/5/6/9/10/14 live in the driver gate (q9 rotated in, round
+    7); everything else is here — a user gets all 22 TPC-H query
+    shapes across the two registries."""
+    from iot_sensor_data_pipeline_spark.plans import REGISTRY
+
     have = {n.split("_")[1] for n in TPCH_FULL}
-    assert have == {"q2", "q4", "q7", "q8", "q9", "q11", "q12", "q13", "q15",
+    assert have == {"q2", "q4", "q7", "q8", "q11", "q12", "q13", "q15",
                     "q16", "q17", "q18", "q19", "q20", "q21", "q22"}
+    assert "tpch_q9_product_profit" in REGISTRY
 
 
 @pytest.mark.parametrize("sf", [SF, SF_SMALL])
-@pytest.mark.parametrize("name", TPCH_FULL)
+@pytest.mark.parametrize("name", EXTENDED_WITH_ORACLE)
 def test_matches_duckdb_oracle(spark, name, sf):
     """Two scale points: a query that only matches at one SF has a
     scale-dependent constant baked in."""
     q = EXTENDED_REGISTRY[name]
-    assert q.oracle, f"{name} must carry an oracle"
     ok, msg = compare_query(spark, sf, q.fn, q.oracle)
     assert ok, f"{name}@{sf}: {msg}"
 
