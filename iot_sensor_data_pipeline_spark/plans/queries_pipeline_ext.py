@@ -346,3 +346,165 @@ def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("confidence", 6).alias("confidence"),
         F.round("lift", 6).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (operators/decontamination.py): eval set =
+# every 7th doc, train = the rest; union of the drop-mode survivors
+# ('kept', n=0) and the contamination evidence ('hits', n = matching
+# k-gram windows per contaminated doc). DuckDB mirrors the algorithm on
+# gram STRINGS (chr(31)-joined slices) vs Spark's 64-bit hashes — the
+# span-dedup oracle convention.
+# ---------------------------------------------------------------------------
+
+_K_DECON = 6
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), tr AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE doc_id % 7 <> 0
+), ev AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE doc_id % 7 = 0
+), evg AS (
+  SELECT DISTINCT array_to_string(list_slice(t, i, i + {_K_DECON} - 1), chr(31)) AS g
+  FROM (SELECT t, unnest(generate_series(1, n - {_K_DECON} + 1)) AS i
+        FROM ev WHERE n >= {_K_DECON})
+), trg AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + {_K_DECON} - 1), chr(31)) AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, n - {_K_DECON} + 1)) AS i
+        FROM tr WHERE n >= {_K_DECON})
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM trg
+  WHERE g IN (SELECT g FROM evg)
+  GROUP BY doc_id
+)
+SELECT 'hits' AS branch, doc_id, cast(n AS BIGINT) AS n FROM hits
+UNION ALL
+SELECT 'kept' AS branch, doc_id, cast(0 AS BIGINT) AS n
+FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+@register_extended(
+    "documents_decontaminate", oracle=_DECON_ORACLE, tags=("pipeline", "dedup")
+)
+def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iot_sensor_data_pipeline_spark.operators.decontamination import (
+        contaminated_spans,
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    eval_docs = docs.where(F.col("doc_id") % 7 == 0)
+    kept = decontaminate(train, eval_docs, k=_K_DECON, mode="drop").select(
+        F.lit("kept").alias("branch"),
+        "doc_id",
+        F.lit(0).cast("long").alias("n"),
+    )
+    hits = (
+        contaminated_spans(train, eval_docs, k=_K_DECON)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("hits").alias("branch"), "doc_id", F.col("n"))
+    )
+    return hits.unionByName(kept)
+
+
+# ---------------------------------------------------------------------------
+# Data mixing (operators/mixing.py): a weighted token-budget mixture
+# over three sources plus a deterministic md5-threshold split — both
+# content-keyed, so DuckDB reproduces them EXACTLY (md5 is
+# engine-portable; the window cumsum ordering (md5(id), id) is total).
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+_MIX_BUDGET = 2000
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _mix_budgets() -> dict[str, int]:
+    wsum = sum(_MIX_WEIGHTS.values())
+    return {d: int(_MIX_BUDGET * w / wsum) for d, w in _MIX_WEIGHTS.items()}
+
+
+def _split_thresholds() -> list[tuple[str, str]]:
+    """(label, upper md5-hex threshold) in declaration order; the last
+    label is the open-ended remainder."""
+    from iot_sensor_data_pipeline_spark.operators.mixing import _hex_threshold
+
+    out, cum = [], 0.0
+    labels = list(_SPLITS)
+    for label in labels[:-1]:
+        cum += _SPLITS[label]
+        out.append((label, _hex_threshold(cum)))
+    return out
+
+
+def _mix_oracle() -> str:
+    budgets = _mix_budgets()
+    budget_case = " ".join(
+        f"WHEN '{d}' THEN {b}" for d, b in sorted(budgets.items())
+    )
+    srcs = ", ".join(f"'{d}'" for d in sorted(budgets))
+    th = _split_thresholds()
+    split_case = " ".join(
+        f"WHEN md5(CAST(doc_id AS VARCHAR)) < '{t}' THEN '{lbl}'"
+        for lbl, t in th
+    )
+    last_label = list(_SPLITS)[-1]
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+), mix AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum,
+         CASE source {budget_case} END AS budget
+  FROM toks WHERE source IN ({srcs})
+), mix_stats AS (
+  SELECT 'mix' AS branch, source AS k,
+         cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM mix WHERE cum <= budget GROUP BY source
+), split_stats AS (
+  SELECT 'split' AS branch,
+         CASE {split_case} ELSE '{last_label}' END AS k,
+         cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 2
+)
+SELECT * FROM mix_stats UNION ALL SELECT * FROM split_stats
+"""
+
+
+@register_extended(
+    "documents_mixture_split", oracle=_mix_oracle(), tags=("pipeline", "mixing")
+)
+def documents_mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iot_sensor_data_pipeline_spark.operators.mixing import (
+        mixture_sample,
+        split_by_hash,
+    )
+    from iot_sensor_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    mix = mixture_sample(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, domain_col="source", id_col="doc_id"
+    )
+    mix_stats = mix.groupBy(F.col("source").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).select(F.lit("mix").alias("branch"), "k", "n_docs", "n_tokens")
+    split = split_by_hash(docs, _SPLITS, id_col="doc_id").withColumn(
+        "__n", F.size(ws_tokens(F.col("text")))
+    )
+    split_stats = split.groupBy(F.col("split").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").cast("long").alias("n_tokens"),
+    ).select(F.lit("split").alias("branch"), "k", "n_docs", "n_tokens")
+    return mix_stats.unionByName(split_stats)
