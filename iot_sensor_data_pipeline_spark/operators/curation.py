@@ -380,6 +380,48 @@ def repetition_metrics(
     )
 
 
+def mixture_report(
+    sampled: DataFrame,
+    domain_col: str,
+    budgets: dict[str, int],
+    tokens_col: str,
+) -> DataFrame:
+    """Achieved-vs-target accounting for a :func:`token_budget_sample`
+    output — the number a data-recipe owner actually watches: a domain
+    whose corpus is SMALLER than its budget silently under-fills (the
+    sampler can't invent tokens), and this surfaces the shortfall
+    instead of letting the published mix proportions be fiction.
+
+    One row per budgeted domain: (domain, target_tokens,
+    achieved_tokens, achieved_docs, fill_ratio). fill_ratio < 1 means
+    the domain exhausted before its budget (raise other budgets or
+    up-sample that domain upstream); slightly > 1 is normal —
+    token_budget_sample includes the budget-crossing document. Domains
+    with zero sampled docs still appear (outer join against the
+    driver-small budget dim).
+    """
+    spark = sampled.sparkSession
+    targets = spark.createDataFrame(
+        [(d, int(b)) for d, b in budgets.items()],
+        f"{domain_col} string, target_tokens long",
+    )
+    achieved = sampled.groupBy(domain_col).agg(
+        F.sum(tokens_col).cast("long").alias("achieved_tokens"),
+        F.count(F.lit(1)).alias("achieved_docs"),
+    )
+    return targets.join(achieved, domain_col, "left_outer").select(
+        domain_col,
+        "target_tokens",
+        F.coalesce("achieved_tokens", F.lit(0)).alias("achieved_tokens"),
+        F.coalesce("achieved_docs", F.lit(0)).alias("achieved_docs"),
+        F.round(
+            F.coalesce("achieved_tokens", F.lit(0))
+            / F.greatest(F.col("target_tokens"), F.lit(1)),
+            6,
+        ).alias("fill_ratio"),
+    )
+
+
 def contamination_tags(
     corpus_shingles: DataFrame,
     eval_shingles: DataFrame,
@@ -400,6 +442,10 @@ def contamination_tags(
     magnitude smaller than the corpus) equi-joined on shingle, then one
     count-distinct per doc. ``max_shingle_freq`` drops boilerplate
     shingles on the corpus side first — same skew guard as LSH.
+
+    This is the detection METRIC; to ACT on contamination (drop whole
+    docs, or scrub just the overlapping spans with the interval-merge
+    cut) use ``operators.decontamination.decontaminate``.
     """
     if max_shingle_freq is not None:
         freq = corpus_shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))

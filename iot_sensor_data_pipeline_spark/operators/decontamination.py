@@ -4,6 +4,14 @@ pre-training hygiene step (GPT-3's appendix C removes 13-gram overlaps
 with its benchmarks; PaLM/Llama recipes do the same), without which
 benchmark scores measure memorization, not capability.
 
+Division of labor with ``curation.contamination_tags``: that operator
+is the DETECTION METRIC (per-doc shared-shingle counts over the
+string-shingle relations, for audit dashboards and threshold tuning);
+this module is the ACTING GATE — it drops or surgically scrubs, keyed
+on the span-dedup 8-byte window hashes so its evidence relation
+(id, start, span_hash) composes directly with the interval-merge cut
+and with persisted span indexes.
+
 Spark-first shape — this is span_dedup's window machinery pointed at a
 second relation instead of at the corpus itself:
 

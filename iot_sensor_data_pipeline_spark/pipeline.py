@@ -20,9 +20,14 @@ is a cost statement, not just taste):
                        a document's own trigrams are in a self-trained
                        model with matching contexts, so even gibberish
                        scores perplexity ~1 and the gate is a no-op
-6. span dedup        — cut corpus-duplicated k-token substrings from
+6. decontamination   — drop documents sharing long k-grams with a
+                       held-out EVAL set (GPT-3 appendix-C hygiene;
+                       runs late because the eval key set is tiny and
+                       the gate must see exactly the docs that would
+                       otherwise ship)
+7. span dedup        — cut corpus-duplicated k-token substrings from
                        the survivors' text (repairs, doesn't drop)
-7. packing           — first-fit-decreasing into training sequences
+8. packing           — first-fit-decreasing into training sequences
 
 Every stage is optional (None/False disables); the output is the
 curated corpus plus, with ``report=True``, a per-stage row-count
@@ -69,6 +74,8 @@ def curate_corpus(
     semantic_max_cluster_size: int | None = None,
     max_perplexity: float | None = None,
     lm_reference: DataFrame | None = None,
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_k: int = 13,
     span_k: int | None = None,
     pack_max_tokens: int | None = None,
     shingle_n: int = 3,
@@ -165,6 +172,23 @@ def curate_corpus(
         _step(
             "perplexity_gate",
             perplexity_filter(cur, lm, max_perplexity, id_col, text_col),
+        )
+
+    if decontaminate_against is not None:
+        from iot_sensor_data_pipeline_spark.operators.decontamination import (
+            decontaminate,
+        )
+
+        _step(
+            "decontaminate",
+            decontaminate(
+                cur,
+                decontaminate_against,
+                id_col=id_col,
+                text_col=text_col,
+                k=decontaminate_k,
+                mode="drop",
+            ),
         )
 
     if span_k is not None:

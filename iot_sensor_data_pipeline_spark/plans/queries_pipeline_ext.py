@@ -413,98 +413,3 @@ def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.unionByName(kept)
 
 
-# ---------------------------------------------------------------------------
-# Data mixing (operators/mixing.py): a weighted token-budget mixture
-# over three sources plus a deterministic md5-threshold split — both
-# content-keyed, so DuckDB reproduces them EXACTLY (md5 is
-# engine-portable; the window cumsum ordering (md5(id), id) is total).
-# ---------------------------------------------------------------------------
-
-_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
-_MIX_BUDGET = 2000
-_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
-
-
-def _mix_budgets() -> dict[str, int]:
-    wsum = sum(_MIX_WEIGHTS.values())
-    return {d: int(_MIX_BUDGET * w / wsum) for d, w in _MIX_WEIGHTS.items()}
-
-
-def _split_thresholds() -> list[tuple[str, str]]:
-    """(label, upper md5-hex threshold) in declaration order; the last
-    label is the open-ended remainder."""
-    from iot_sensor_data_pipeline_spark.operators.mixing import _hex_threshold
-
-    out, cum = [], 0.0
-    labels = list(_SPLITS)
-    for label in labels[:-1]:
-        cum += _SPLITS[label]
-        out.append((label, _hex_threshold(cum)))
-    return out
-
-
-def _mix_oracle() -> str:
-    budgets = _mix_budgets()
-    budget_case = " ".join(
-        f"WHEN '{d}' THEN {b}" for d, b in sorted(budgets.items())
-    )
-    srcs = ", ".join(f"'{d}'" for d in sorted(budgets))
-    th = _split_thresholds()
-    split_case = " ".join(
-        f"WHEN md5(CAST(doc_id AS VARCHAR)) < '{t}' THEN '{lbl}'"
-        for lbl, t in th
-    )
-    last_label = list(_SPLITS)[-1]
-    return f"""
-WITH toks AS (
-  SELECT doc_id, source,
-         len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '')) AS n_tokens
-  FROM documents
-), mix AS (
-  SELECT source, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY source
-                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum,
-         CASE source {budget_case} END AS budget
-  FROM toks WHERE source IN ({srcs})
-), mix_stats AS (
-  SELECT 'mix' AS branch, source AS k,
-         cast(count(*) AS BIGINT) AS n_docs,
-         cast(sum(n_tokens) AS BIGINT) AS n_tokens
-  FROM mix WHERE cum <= budget GROUP BY source
-), split_stats AS (
-  SELECT 'split' AS branch,
-         CASE {split_case} ELSE '{last_label}' END AS k,
-         cast(count(*) AS BIGINT) AS n_docs,
-         cast(sum(n_tokens) AS BIGINT) AS n_tokens
-  FROM toks GROUP BY 2
-)
-SELECT * FROM mix_stats UNION ALL SELECT * FROM split_stats
-"""
-
-
-@register_extended(
-    "documents_mixture_split", oracle=_mix_oracle(), tags=("pipeline", "mixing")
-)
-def documents_mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iot_sensor_data_pipeline_spark.operators.mixing import (
-        mixture_sample,
-        split_by_hash,
-    )
-    from iot_sensor_data_pipeline_spark.functions.text import ws_tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    mix = mixture_sample(
-        docs, _MIX_WEIGHTS, _MIX_BUDGET, domain_col="source", id_col="doc_id"
-    )
-    mix_stats = mix.groupBy(F.col("source").alias("k")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-    ).select(F.lit("mix").alias("branch"), "k", "n_docs", "n_tokens")
-    split = split_by_hash(docs, _SPLITS, id_col="doc_id").withColumn(
-        "__n", F.size(ws_tokens(F.col("text")))
-    )
-    split_stats = split.groupBy(F.col("split").alias("k")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__n").cast("long").alias("n_tokens"),
-    ).select(F.lit("split").alias("branch"), "k", "n_docs", "n_tokens")
-    return mix_stats.unionByName(split_stats)

@@ -754,3 +754,22 @@ def test_curation_pipeline_composition_end_to_end(spark):
         bins.setdefault(r.pack_id, 0)
         bins[r.pack_id] += r.n_tokens
     assert all(total <= 8 for total in bins.values())
+
+
+def test_mixture_report_shortfall_and_crossing_doc(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        mixture_report,
+        token_budget_sample,
+    )
+
+    rows = [(i, "a" if i < 10 else "b", 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, dom string, n long")
+    budgets = {"a": 1_000, "b": 25, "z": 50}  # a under-fills, z empty
+    mix = token_budget_sample(df, "dom", budgets, "id", "n")
+    rep = {r.dom: r for r in mixture_report(mix, "dom", budgets, "n").collect()}
+    assert set(rep) == {"a", "b", "z"}
+    assert rep["z"].achieved_docs == 0 and rep["z"].fill_ratio == 0.0
+    # "a" has only 100 tokens against a 1000 budget
+    assert rep["a"].achieved_tokens == 100 and rep["a"].fill_ratio == 0.1
+    # "b": budget 25, docs of 10 -> crossing doc included -> 30 tokens
+    assert rep["b"].achieved_tokens == 30 and rep["b"].fill_ratio == 1.2

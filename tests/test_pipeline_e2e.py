@@ -175,3 +175,22 @@ def test_semantic_stage_is_partitioning_invariant(spark):
         return sorted(r["doc_id"] for r in out.collect())
 
     assert run(1) == run(13)
+
+
+def test_decontamination_stage_drops_eval_overlap(spark):
+    eval_docs = spark.createDataFrame(
+        [(900, GOOD)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, GOOD + " trailing banter"), (2, GOOD2)], "doc_id long, text string"
+    )
+    out, stages = curate_corpus(
+        docs,
+        exact_dedup=False,
+        neardup_threshold=None,
+        decontaminate_against=eval_docs,
+        decontaminate_k=13,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2}
+    by_name = {s["stage"]: s for s in stages}
+    assert by_name["decontaminate"]["rows_out"] == 1
