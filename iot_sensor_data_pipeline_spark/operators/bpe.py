@@ -56,7 +56,8 @@ relation fits under ``driver_vocab_cap`` rows, training collects it
 ONCE and runs the exact incremental algorithm in memory (lazy max-heap
 over pair counts + per-pair word index — the structure subword-nmt /
 fastBPE use), with the SAME deterministic tie-break: zero cluster
-actions per merge, two driver actions total. Only a corpus whose
+actions per merge, ONE driver action total (the capped collect both
+fetches the vocabulary and proves it fits). Only a corpus whose
 distinct-word count exceeds the cap pays the distributed per-round
 path — and there the batch prefix still cuts the driver cadence. At
 100 TB the corpus pass is one shuffle of (word, 1) partials (map-side
@@ -291,16 +292,17 @@ def bpe_train(
         raise ValueError("bpe_train: batch_size must be >= 1")
     wf = word_frequencies(df, text_col)
     if driver_vocab_cap > 0:
-        # capped probe: LIMIT cap+1 then count the (tiny) result —
-        # never a full count over an unboundedly wide vocabulary
-        probe = wf.limit(driver_vocab_cap + 1).count()
-        if probe <= driver_vocab_cap:
-            rows = wf.collect()
+        # capped collect: LIMIT cap+1 bounds the driver transfer AND
+        # answers does-it-fit in the SAME corpus pass (a separate
+        # count-probe would scan the corpus twice); one extra row
+        # proves overflow without materializing the full vocabulary
+        rows = wf.limit(driver_vocab_cap + 1).collect()
+        if len(rows) <= driver_vocab_cap:
             merges = _train_in_memory(
                 [(r["word"], r["freq"]) for r in rows], n_merges, min_pair_freq
             )
             if stats is not None:
-                stats["rounds"] = 2
+                stats["rounds"] = 1
                 stats["merges"] = len(merges)
                 stats["mode"] = "driver"
             return merges

@@ -158,7 +158,7 @@ def test_batched_and_driver_paths_exact(spark, text):
     # driver fast path (default cap)
     st = {}
     assert bpe_train(docs, n_merges=20, stats=st) == want
-    assert st["mode"] == "driver" and st["rounds"] == 2
+    assert st["mode"] == "driver" and st["rounds"] == 1
     # distributed paths (cap disabled)
     for bs in (1, 4, 64):
         st = {}
@@ -205,3 +205,29 @@ def test_distributed_batching_reduces_rounds(spark):
     )
     assert m1 == mb
     assert stb["rounds"] < st1["rounds"]
+
+
+def test_in_memory_trainer_hypothesis_differential():
+    """The incremental in-memory trainer (lazy heap + per-pair word
+    index) vs the naive recount reference, on randomized small-alphabet
+    corpora where ties, chains, and collisions are dense. Pure Python on
+    both sides — no Spark — so hypothesis can hammer it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iot_sensor_data_pipeline_spark.operators.bpe import _train_in_memory
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    corpus = st.lists(word, min_size=1, max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(corpus=corpus, n_merges=st.integers(1, 25),
+           min_freq=st.integers(1, 3))
+    def check(corpus, n_merges, min_freq):
+        text = " ".join(corpus)
+        wf = Counter(corpus)
+        got = _train_in_memory(sorted(wf.items()), n_merges, min_freq)
+        want = _ref_bpe(text, n_merges, min_freq)
+        assert got == want, (text, n_merges, min_freq)
+
+    check()

@@ -204,6 +204,10 @@ def test_no_query_has_single_partition_window_or_cartesian(spark):
         # — never |L| x |R|; empty on the customer-name fixture but
         # present in the plan (operators/joins.py docstring)
         "tokens_heavy_hitters_fuzzy",
+        # rotated into the gate in r07: the n-baskets total rides as a
+        # 1-row broadcast crossJoin (operators/itemsets.py) — the
+        # sanctioned scalar pattern audit_plan downgrades to warn
+        "parts_association_rules",
     }
 
     sf = "/root/testdata/sf0.001"
