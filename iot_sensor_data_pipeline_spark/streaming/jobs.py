@@ -823,6 +823,7 @@ def start_incremental_spandedup(
     query_name: str | None = None,
     index_tables: str | None = None,
     index_buckets: int = 64,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
     """Streaming EXACT-SUBSTRING sibling of
     :func:`start_incremental_neardup`: each micro-batch of documents is
@@ -848,6 +849,16 @@ def start_incremental_spandedup(
     every micro-batch. ``compact_spandedup_index`` folds replay
     duplicates and small append files offline.
     ``cleaned_sink`` may accept ``(df, epoch_id)``.
+
+    ``transform`` runs ONCE per batch on the raw documents BEFORE
+    dedup and indexing — the streaming composition point for stateless
+    document gates: e.g. ``lambda df: decontaminate(df, eval_keys,
+    k=13)`` filters eval-set contamination out of the stream so
+    contaminated docs never reach the sink OR the span index
+    (operators/decontamination.py; eval_gram_keys output is static and
+    broadcasts per batch). Stateless transforms only, as in
+    :func:`start_persistence`. Docs the transform removes are simply
+    never ingested (a batch reduced to empty is skipped whole).
     """
     from iot_sensor_data_pipeline_spark.operators.span_dedup import (
         _doc_spans,
@@ -893,6 +904,10 @@ def start_incremental_spandedup(
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if transform is not None:
+            batch_df = transform(batch_df)
+            if batch_df.isEmpty():
+                return
         spark = batch_df.sparkSession
         corpus_spans = read_index(spark, batch_df)
         cleaned, span_delta = span_dedup_incremental(
