@@ -154,3 +154,45 @@ def test_streaming_ingest_with_decontamination_transform(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(f"{idx_dir}/spans").collect()
     }
     assert 2 not in idx_ids  # ...nor the persistent index
+
+
+def test_scrub_random_differential_vs_python(spark):
+    """Randomized scrub-mode differential: small-alphabet corpora make
+    shared k-grams dense; the Spark interval-merge cut must equal a
+    naive python mark-and-remove on every doc."""
+    import random
+
+    rng = random.Random(777)
+    words = ["a", "b", "c", "d"]
+    K = 3
+
+    def doc(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    train_rows = [(i, doc(rng.randint(0, 12))) for i in range(40)]
+    eval_rows = [(100 + i, doc(rng.randint(3, 8))) for i in range(5)]
+
+    ev_grams = set()
+    for _, t in eval_rows:
+        toks = t.split()
+        for i in range(len(toks) - K + 1):
+            ev_grams.add(tuple(toks[i : i + K]))
+
+    def ref_scrub(t):
+        toks = t.split()
+        marked = [False] * len(toks)
+        for i in range(len(toks) - K + 1):
+            if tuple(toks[i : i + K]) in ev_grams:
+                for j in range(i, i + K):
+                    marked[j] = True
+        kept = [tok for tok, m in zip(toks, marked) if not m]
+        return " ".join(kept), sum(marked)
+
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in decontaminate(train, ev, k=K, mode="scrub").collect()
+    }
+    for i, t in train_rows:
+        assert got[i] == ref_scrub(t), (i, t)
