@@ -46,7 +46,10 @@ ranking that provably equals what sequential BPE would pick next:
 These conditions make batched training EXACTLY equal to singleton
 training (tested for batch sizes 1/4/16/64 on conflict-rich fixtures).
 The symbol relation is localCheckpointed every ``checkpoint_interval``
-APPLIED MERGES to keep lineage flat.
+APPLIED MERGES — this keeps lineage flat AND bounds the nested-fold
+depth a single projection ever compiles: a large batch is applied in
+sub-chunks of at most ``checkpoint_interval`` folds per checkpoint, so
+analysis/codegen cost stays constant as ``batch_size`` grows.
 
 Above the batching sits the bigger lever: after the corpus pass, BPE
 statistics live entirely on the DISTINCT-WORD frequency relation,
@@ -290,26 +293,48 @@ def bpe_train(
         raise ValueError("bpe_train: n_merges must be >= 1")
     if batch_size < 1:
         raise ValueError("bpe_train: batch_size must be >= 1")
+    if min_pair_freq < 1:
+        # the distributed path's `n >= min_pair_freq` filter only ever
+        # sees pairs that EXIST (count >= 1), so freq <= 0 silently
+        # behaves like 1 there — while the in-memory path's heap keeps
+        # count-0 entries for fully-merged pairs, which a <= 0 floor
+        # would let through as phantom merges; pin the shared domain
+        raise ValueError("bpe_train: min_pair_freq must be >= 1")
     wf = word_frequencies(df, text_col)
     if driver_vocab_cap > 0:
         # capped collect: LIMIT cap+1 bounds the driver transfer AND
         # answers does-it-fit in the SAME corpus pass (a separate
         # count-probe would scan the corpus twice); one extra row
-        # proves overflow without materializing the full vocabulary
-        rows = wf.limit(driver_vocab_cap + 1).collect()
-        if len(rows) <= driver_vocab_cap:
-            merges = _train_in_memory(
-                [(r["word"], r["freq"]) for r in rows], n_merges, min_pair_freq
+        # proves overflow without materializing the full vocabulary.
+        # Persist first so the OVERFLOW path reuses the aggregated
+        # relation instead of re-running the corpus pass from scratch
+        # (at scale the probe is the expensive aggregation itself).
+        wf = wf.persist()
+        try:
+            rows = wf.limit(driver_vocab_cap + 1).collect()
+            if len(rows) <= driver_vocab_cap:
+                merges = _train_in_memory(
+                    [(r["word"], r["freq"]) for r in rows],
+                    n_merges,
+                    min_pair_freq,
+                )
+                if stats is not None:
+                    stats["rounds"] = 1
+                    stats["merges"] = len(merges)
+                    stats["mode"] = "driver"
+                return merges
+            vocab = wf.select(
+                _initial_symbols(F.col("word")).alias("syms"), "freq"
             )
-            if stats is not None:
-                stats["rounds"] = 1
-                stats["merges"] = len(merges)
-                stats["mode"] = "driver"
-            return merges
-    vocab = wf.select(
-        _initial_symbols(F.col("word")).alias("syms"), "freq"
-    )
-    vocab = vocab.localCheckpoint()
+            # eager localCheckpoint materializes from the persisted wf
+            vocab = vocab.localCheckpoint()
+        finally:
+            wf.unpersist()
+    else:
+        vocab = wf.select(
+            _initial_symbols(F.col("word")).alias("syms"), "freq"
+        )
+        vocab = vocab.localCheckpoint()
     merges: list[tuple[str, str]] = []
     prior_outputs = {EOW}
     rounds = 0
@@ -335,16 +360,26 @@ def bpe_train(
             min(batch_size, n_merges - len(merges)),
             prior_outputs,
         )
-        col = F.col("syms")
-        for a, b in batch:
-            merges.append((a, b))
-            prior_outputs.add(a + b)
-            col = _apply_merge(col, a, b)
-        vocab = vocab.select(col.alias("syms"), "freq")
-        since_ckpt += len(batch)
-        if since_ckpt >= checkpoint_interval:
-            vocab = vocab.localCheckpoint()
-            since_ckpt = 0
+        # apply the batch in sub-chunks so the UNCHECKPOINTED fold
+        # depth never exceeds checkpoint_interval: nested F.aggregate
+        # folds grow analysis/codegen cost linearly, and Catalyst's
+        # CollapseProject re-inlines consecutive selects — only a
+        # localCheckpoint truncates the expression tree, so a batch of
+        # 64 must never compile as a 64-deep fold
+        i = 0
+        while i < len(batch):
+            chunk = batch[i : i + max(1, checkpoint_interval - since_ckpt)]
+            i += len(chunk)
+            col = F.col("syms")
+            for a, b in chunk:
+                merges.append((a, b))
+                prior_outputs.add(a + b)
+                col = _apply_merge(col, a, b)
+            vocab = vocab.select(col.alias("syms"), "freq")
+            since_ckpt += len(chunk)
+            if since_ckpt >= checkpoint_interval:
+                vocab = vocab.localCheckpoint()
+                since_ckpt = 0
     if stats is not None:
         stats["rounds"] = rounds
         stats["merges"] = len(merges)

@@ -183,10 +183,23 @@ def range_join(
     if bucket_width is None:
         spans = (
             right.select(
-                (F.col(right_hi) - F.col(right_lo)).cast("double").alias("__span")
+                (F.col(right_hi) - F.col(right_lo)).cast("double").alias("__span"),
+                # order by a hash of DATA columns, not row position:
+                # monotonically_increasing_id encodes partition id +
+                # offset, so it would make the sample (hence the tuned
+                # knobs) vary with layout and stage retries; endpoint
+                # hashes are layout-independent, and hash-ties are
+                # exact duplicate intervals whose spans are identical
+                # — the sampled span multiset is deterministic
+                F.xxhash64(
+                    F.col(right_lo),
+                    F.col(right_hi),
+                    *[F.col(c) for c in extra_on],
+                ).alias("__h"),
             )
-            .orderBy(F.xxhash64(F.col("__span"), F.monotonically_increasing_id()))
+            .orderBy("__h")
             .limit(tune_sample_rows)
+            .drop("__h")
         )
         qs = spans.approxQuantile("__span", [0.5, 0.9, 0.99], 0.01)
         if not qs:

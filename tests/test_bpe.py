@@ -134,6 +134,10 @@ def test_guards(spark):
         bpe_train(_docs(spark), n_merges=0)
     with pytest.raises(ValueError, match="batch_size"):
         bpe_train(_docs(spark), n_merges=1, batch_size=0)
+    # min_pair_freq <= 0 would let the in-memory path emit phantom
+    # count-0 merges the distributed path can never see — rejected
+    with pytest.raises(ValueError, match="min_pair_freq"):
+        bpe_train(_docs(spark), n_merges=1, min_pair_freq=0)
 
 
 # conflict-rich fixtures: count ties everywhere, pairs sharing symbols,
