@@ -122,43 +122,80 @@ def score_perplexity(
     An empty (or NULL) document scores its lone EOS trigram — the
     model's surprise at a document ending immediately.
 
-    Dataflow: explode each doc's trigram KEYS with their context-gram
-    keys (all 8-byte xxhash64 of token slices — five longs per
-    position, never gram text), left-join the three count tables,
-    apply the cascade per position, aggregate per doc. The count
-    tables never shuffle more than their own size; at scale bucket
-    all three by gram_h.
+    Dataflow — ONE lookup join, not five: each position explodes to
+    five thin (role, order, key) probe rows (all 8-byte xxhash64 of
+    token slices — never gram text), which join ONCE against an
+    order-tagged UNION of the three count tables, then a conditional
+    aggregation pivots the five counts back per position and the
+    cascade applies. Five sequential left joins would re-shuffle the
+    O(corpus tokens) position relation at every join (~5x the minimum
+    shuffle volume at 100 TB); here the position relation crosses an
+    exchange exactly twice — once into the lookup join (5x thinner
+    rows: id, pos, role, order, key) and once into the per-position
+    pivot — and each count table ships exactly once (the bigram table
+    serves both its numerator and context roles from the same rows).
+    At scale bucket all three count tables by gram_h.
     """
     toks = _padded(F.col(text_col))
     size = F.size(toks)
-    pos = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), size - 3),
-                lambda i: F.struct(
-                    F.xxhash64(F.slice(toks, i + 1, 3)).alias("tri_g"),
-                    F.xxhash64(F.slice(toks, i + 1, 2)).alias("ctx2_g"),
-                    F.xxhash64(F.slice(toks, i + 2, 2)).alias("bi_g"),
-                    F.xxhash64(F.slice(toks, i + 2, 1)).alias("ctx1_g"),
-                    F.xxhash64(F.slice(toks, i + 3, 1)).alias("uni_g"),
-                ),
-            )
-        ).alias("p"),
-    ).select(id_col, "p.*")
+    # roles: 0=trigram numerator (order 3), 1=trigram context (order
+    # 2), 2=bigram numerator (order 2), 3=bigram context (order 1),
+    # 4=unigram numerator (order 1)
+    role_specs = [
+        (0, 3, lambda i: (i + 1, 3)),
+        (1, 2, lambda i: (i + 1, 2)),
+        (2, 2, lambda i: (i + 2, 2)),
+        (3, 1, lambda i: (i + 2, 1)),
+        (4, 1, lambda i: (i + 3, 1)),
+    ]
 
-    tri = lm["tri"].select(F.col("gram_h").alias("tri_g"), F.col("n_count").alias("c_tri"))
-    bi_num = lm["bi"].select(F.col("gram_h").alias("bi_g"), F.col("n_count").alias("c_bi"))
-    bi_ctx = lm["bi"].select(F.col("gram_h").alias("ctx2_g"), F.col("n_count").alias("c_ctx2"))
-    uni_num = lm["uni"].select(F.col("gram_h").alias("uni_g"), F.col("n_count").alias("c_uni"))
-    uni_ctx = lm["uni"].select(F.col("gram_h").alias("ctx1_g"), F.col("n_count").alias("c_ctx1"))
+    def lookups(i):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(role).cast("int").alias("role"),
+                    F.lit(order).cast("int").alias("ord"),
+                    F.xxhash64(F.slice(toks, *slc(i))).alias("key"),
+                )
+                for role, order, slc in role_specs
+            ]
+        )
 
+    pos = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), size - 3), lookups)
+            ).alias("pos", "ls"),
+        )
+        .select(id_col, "pos", F.explode("ls").alias("l"))
+        .select(id_col, "pos", "l.*")
+    )
+
+    def tagged(rel: DataFrame, order: int) -> DataFrame:
+        return rel.select(
+            F.lit(order).cast("int").alias("ord"),
+            F.col("gram_h").alias("key"),
+            F.col("n_count").alias("cnt"),
+        )
+
+    counts = (
+        tagged(lm["tri"], 3)
+        .unionByName(tagged(lm["bi"], 2))
+        .unionByName(tagged(lm["uni"], 1))
+    )
+    roles = {
+        "c_tri": 0, "c_ctx2": 1, "c_bi": 2, "c_ctx1": 3, "c_uni": 4,
+    }
     j = (
-        pos.join(tri, "tri_g", "left")
-        .join(bi_num, "bi_g", "left")
-        .join(bi_ctx, "ctx2_g", "left")
-        .join(uni_num, "uni_g", "left")
-        .join(uni_ctx, "ctx1_g", "left")
+        pos.join(counts, ["ord", "key"], "left")
+        .groupBy(id_col, "pos")
+        .agg(
+            *[
+                F.max(F.when(F.col("role") == r, F.col("cnt"))).alias(name)
+                for name, r in roles.items()
+            ]
+        )
         .crossJoin(F.broadcast(lm["total"]))
     )
     score = (

@@ -397,6 +397,132 @@ def pq_topk_blocked(
     )
 
 
+def ivfpq_topk_blocked(
+    queries: DataFrame,
+    codes_with_cid: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int = 3,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dist: int = 6,
+    refine: DataFrame | None = None,
+    refine_id: str = "vec_id",
+    refine_vec: str = "embedding",
+    shortlist_factor: int = 5,
+    q_blocks: int = 8,
+) -> DataFrame:
+    """IVF-pruned ADC top-k with NO driver collect anywhere — the
+    corpus-vs-corpus composition of :func:`ivfpq_topk` (which collects
+    the query set) and :func:`pq_topk_blocked` (which prunes nothing,
+    so every query block scans the ENTIRE code table). At a 100 TB
+    code table only a pruned no-collect path survives; this is it.
+
+    Plan shape: the query relation is assigned to its ``n_probe``
+    nearest cells DISTRIBUTIVELY (broadcast-centroid assignment kernel
+    shared with ``ivf_build``/``ivf_probe`` — literal JVM expression
+    for small quantizers, Arrow GEMM above ``IVF_LITERAL_CEILING``;
+    deterministic (distance, cid) ties either way), then hash-blocked
+    into ``q_blocks`` slices per cell. The code side replicates each
+    cell's posting list to the ``q_blocks`` slices, and each
+    ``cogroup((cid, qb)).applyInPandas`` tile builds the tile-local
+    LUTs and folds m fancy-indexed adds per candidate — exactly
+    :func:`pq_topk_blocked`'s tile kernel, with the IVF cell id
+    replacing the hash-block id on the candidate axis.
+
+    Cost vs ``pq_topk_blocked``: ADC pairs scored drop from |Q| x |C|
+    to ~(n_probe / n_cells) x |Q| x |C| (each query meets only its
+    probed cells' postings); shuffle is |Q| x n_probe raw query
+    vectors + |C| x q_blocks PQ codes (m SMALL INTS per row). The
+    unpruned operator stays the right tool when the index has no cell
+    structure; the driver-collect :func:`ivfpq_topk` stays right when
+    queries are genuinely driver-small.
+
+    Distances, rounding, per-tile shortlist trim (round BEFORE
+    selecting, (dist, nid) ties), and the global merge window are
+    IDENTICAL to ``ivfpq_topk`` (agreement pinned in tests); every
+    cell a query probes contributes at most ``adc_k`` candidates and
+    the window ranks n_probe x adc_k per query. ``refine`` re-ranks
+    the shortlist with exact squared-L2, query vectors joined as a
+    distributed relation. Returns ``(qid, nid, dist, rn)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        _centroid_assigners,
+    )
+
+    if k < 1:
+        raise ValueError("ivfpq_topk_blocked: k must be >= 1")
+    if n_probe < 1:
+        raise ValueError("ivfpq_topk_blocked: n_probe must be >= 1")
+    if q_blocks < 1:
+        raise ValueError("ivfpq_topk_blocked: q_blocks must be >= 1")
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, kk, dsub)
+    m, _, dsub = C.shape
+    qid_type = dict(queries.dtypes)[query_id]
+    nid_type = dict(codes_with_cid.dtypes)["nid"]
+    adc_k = k if refine is None else max(k, k * shortlist_factor)
+
+    qprep = queries.select(
+        F.col(query_id).alias("qid"), as_double_array(F.col(vec_col)).alias("qv")
+    )
+    _, assign_probe = _centroid_assigners(
+        centroids, min(n_probe, len(centroids))
+    )
+    # one row per (query, probed cell): the |Q| x n_probe raw-vector
+    # shuffle — the price of meeting each posting list where it lives
+    q = qprep.select(
+        "qid",
+        "qv",
+        F.explode(assign_probe(F.col("qv"))).alias("cid"),
+    ).withColumn("qb", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).cast("int"))
+    c = (
+        codes_with_cid.select(
+            F.col("cid").cast("int").alias("cid"), "nid", "codes"
+        )
+        .withColumn("qb", F.explode(F.array(*[F.lit(i) for i in range(q_blocks)])))
+    )
+
+    def tile(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"qid": [], "nid": [], "dist": []})
+        Q = np.stack(qpdf["qv"].to_numpy()).reshape(len(qpdf), m, dsub)
+        lut = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+        qids = qpdf["qid"].to_numpy()
+        nids = cpdf["nid"].to_numpy()
+        B = np.stack(cpdf["codes"].to_numpy())
+        dist = np.zeros((len(qids), len(nids)))
+        for j in range(m):
+            dist += lut[:, j, B[:, j]]
+        # round BEFORE selecting, ties by nid — identical trim
+        # contract to pq_topk / pq_topk_blocked
+        dist = np.round(dist, round_dist)
+        top = min(adc_k, len(nids))
+        out_q, out_n, out_d = [], [], []
+        for i in range(len(qids)):
+            order = np.lexsort((nids, dist[i]))[:top]
+            out_q.extend([qids[i]] * top)
+            out_n.extend(nids[order])
+            out_d.extend(dist[i, order])
+        return pd.DataFrame({"qid": out_q, "nid": out_n, "dist": out_d})
+
+    partials = (
+        q.groupBy("cid", "qb")
+        .cogroup(c.groupBy("cid", "qb"))
+        .applyInPandas(tile, f"qid {qid_type}, nid {nid_type}, dist double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
+    adc = partials.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= adc_k)
+    if refine is None:
+        return adc
+    return _rerank_core(
+        adc, qprep, refine, refine_id, refine_vec, k, round_dist
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     codes_with_cid: DataFrame,

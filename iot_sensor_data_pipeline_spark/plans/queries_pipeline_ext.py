@@ -387,7 +387,8 @@ FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 
-@register_extended(
+# moved INTO the driver gate in r08 (VERDICT r7 item 3)
+@register(
     "documents_decontaminate", oracle=_DECON_ORACLE, tags=("pipeline", "dedup")
 )
 def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,3 +414,126 @@ def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.unionByName(kept)
 
 
+
+# ---------------------------------------------------------------------------
+# Data mixing (operators/curation.py): one query oracle-stamps the
+# whole mixing family — weighted_mix (md5 bucket variant, engine-exact
+# by construction), token_budget_sample (md5-order prefix), and
+# mixture_report (achieved-vs-target accounting incl. an under-filled
+# and a zero budget). DuckDB mirrors the md5 bucket arithmetic and the
+# cumulative-window prefix exactly.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.0}
+_MIX_DEFAULT = 0.8
+#: src3's budget exceeds its corpus (fill_ratio < 1 surfaces the
+#: shortfall); src4's zero budget keeps nothing but still reports
+_MIX_BUDGETS = {"src0": 3000, "src1": 1500, "src3": 100_000, "src4": 0}
+
+_MIX_RATE_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {int(round(r * 1_000_000))}" for s, r in _MIX_RATES.items()
+) + f" ELSE {int(round(_MIX_DEFAULT * 1_000_000))} END"
+_MIX_BUDGET_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {b}" for s, b in _MIX_BUDGETS.items()
+) + " ELSE NULL END"
+_MIX_TARGET_VALUES = ", ".join(f"('{s}', {b})" for s, b in _MIX_BUDGETS.items())
+
+_MIXING_ORACLE = f"""
+WITH mixb AS (
+  SELECT doc_id, source, n_chars,
+         cast(trunc(cast(('0x' || substr(md5(source || ':' || cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              * 1000000 / 4294967296.0) AS BIGINT) AS b
+  FROM documents
+), mix AS (
+  SELECT 'mix' AS branch, source, doc_id, cast(n_chars AS DOUBLE) AS n
+  FROM mixb WHERE b < {_MIX_RATE_CASE}
+), ordered AS (
+  SELECT doc_id, source, n_chars,
+         cast(coalesce(sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before,
+         {_MIX_BUDGET_CASE} AS budget
+  FROM documents
+), kept AS (
+  SELECT * FROM ordered WHERE cum_before < budget
+), targets(source, target_tokens) AS (VALUES {_MIX_TARGET_VALUES}),
+achieved AS (
+  SELECT source, cast(sum(n_chars) AS BIGINT) AS a_tok, count(*) AS a_docs
+  FROM kept GROUP BY source
+), rep AS (
+  SELECT t.source, t.target_tokens,
+         coalesce(a.a_tok, 0) AS a_tok, coalesce(a.a_docs, 0) AS a_docs,
+         round(coalesce(a.a_tok, 0) / greatest(t.target_tokens, 1), 6) AS fill
+  FROM targets t LEFT JOIN achieved a USING (source)
+)
+SELECT branch, source, doc_id, n FROM mix
+UNION ALL
+SELECT 'budget', source, doc_id, cast(cum_before AS DOUBLE) FROM kept
+UNION ALL
+SELECT 'report_target', source, cast(NULL AS BIGINT), cast(target_tokens AS DOUBLE) FROM rep
+UNION ALL
+SELECT 'report_achieved', source, cast(NULL AS BIGINT), cast(a_tok AS DOUBLE) FROM rep
+UNION ALL
+SELECT 'report_docs', source, cast(NULL AS BIGINT), cast(a_docs AS DOUBLE) FROM rep
+UNION ALL
+SELECT 'report_fill', source, cast(NULL AS BIGINT), fill FROM rep
+"""
+
+
+# in the driver gate from birth (r08): the mixing family's first
+# independent CORRECTNESS stamp
+@register(
+    "documents_data_mixing", oracle=_MIXING_ORACLE, tags=("pipeline", "mixing")
+)
+def documents_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        md5_mix_bucket_expr,
+        mixture_report,
+        token_budget_sample,
+        weighted_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    null_id = F.lit(None).cast("long")
+
+    mix = weighted_mix(
+        docs,
+        "source",
+        _MIX_RATES,
+        id_col="doc_id",
+        default_rate=_MIX_DEFAULT,
+        bucket_expr=md5_mix_bucket_expr("source", "doc_id"),
+    ).select(
+        F.lit("mix").alias("branch"),
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n"),
+    )
+
+    sampled = token_budget_sample(
+        docs, "source", _MIX_BUDGETS, id_col="doc_id", tokens_col="n_chars"
+    )
+    budget = sampled.select(
+        F.lit("budget").alias("branch"),
+        "source",
+        "doc_id",
+        F.col("cum_before").cast("double").alias("n"),
+    )
+
+    rep = mixture_report(sampled, "source", _MIX_BUDGETS, "n_chars")
+    rep_rows = None
+    for br, col in [
+        ("report_target", F.col("target_tokens").cast("double")),
+        ("report_achieved", F.col("achieved_tokens").cast("double")),
+        ("report_docs", F.col("achieved_docs").cast("double")),
+        ("report_fill", F.col("fill_ratio")),
+    ]:
+        part = rep.select(
+            F.lit(br).alias("branch"), "source", null_id.alias("doc_id"),
+            col.alias("n"),
+        )
+        rep_rows = part if rep_rows is None else rep_rows.unionByName(part)
+
+    return mix.unionByName(budget).unionByName(rep_rows)

@@ -258,7 +258,9 @@ FROM (SELECT * FROM asia_nations EXCEPT SELECT * FROM cust_nations)
 """
 
 
-@register("orders_bag_set_ops", oracle=_BAG_SETOPS_ORACLE, tags=("relational", "setops", "distinct"))
+# rotated out of the driver gate in r08 (long-green since r04; the
+# extended two-SF differential keeps the identical oracle checked)
+@register_extended("orders_bag_set_ops", oracle=_BAG_SETOPS_ORACLE, tags=("relational", "setops", "distinct"))
 def orders_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """intersectAll / exceptAll: per-row multiplicity is min(counts) /
     count difference — verified against ANSI INTERSECT ALL / EXCEPT ALL.
@@ -411,7 +413,9 @@ FROM per_order
 """
 
 
-@register("lineitem_array_hof", oracle=_ARRAY_HOF_ORACLE, tags=("relational", "array"))
+# rotated out of the driver gate in r08 (long-green since r04; the
+# extended two-SF differential keeps the identical oracle checked)
+@register_extended("lineitem_array_hof", oracle=_ARRAY_HOF_ORACLE, tags=("relational", "array"))
 def lineitem_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list -> array_sort -> transform/filter/aggregate/exists —
     the higher-order-function surface over grouped arrays."""

@@ -281,6 +281,8 @@ def start_incremental_dedup(
     trigger: str | None = None,
     available_now: bool = False,
     query_name: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    auditor=None,
 ) -> StreamingQuery:
     """Streaming ingestion front of a training-data pipeline: each
     micro-batch is exact-deduped within itself AND against every
@@ -299,6 +301,17 @@ def start_incremental_dedup(
     not in streaming state), so there is no state-store growth and no
     watermark bound — unlike ``dedup_within_watermark``, which
     forgets keys once the watermark passes.
+
+    ``transform`` runs once per batch on the raw documents BEFORE
+    dedup and indexing (stateless gates only — the
+    :func:`start_incremental_spandedup` composition point, e.g. a
+    ``decontaminate`` filter). ``auditor`` (a
+    ``plans.audit.StreamAuditor``) gates each batch's POST-TRANSFORM
+    plan with the engine's scale-killer rules, warn-once per rule —
+    the point where a caller-supplied transform can smuggle in a
+    cartesian/BNLJ; the operator's own inner plans are lazily
+    checkpointed (lineage not visible per-batch) and plan-pinned in
+    the batch test suite instead.
     """
     from iot_sensor_data_pipeline_spark.operators.dedup import dedup_incremental
 
@@ -307,6 +320,12 @@ def start_incremental_dedup(
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if transform is not None:
+            batch_df = transform(batch_df)
+            if batch_df.isEmpty():
+                return
+        if auditor is not None:
+            auditor.check(batch_df)
         spark = batch_df.sparkSession
         if _hadoop_path_exists(spark, index_dir):
             seen = spark.read.parquet(index_dir)  # unreadable -> FAIL loud
@@ -358,6 +377,8 @@ def start_incremental_neardup(
     index_tables: str | None = None,
     index_buckets: int = 64,
     verify_exact: bool = False,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    auditor=None,
 ) -> StreamingQuery:
     """Streaming NEAR-dup sibling of :func:`start_incremental_dedup`:
     each micro-batch is MinHash-sketched once, probed against the
@@ -406,6 +427,9 @@ def start_incremental_neardup(
     touched documents' shingle sets; the batch is sketched once more
     for the shingle append (micro-batch-local, cheap next to index
     I/O).
+
+    ``transform`` / ``auditor``: pre-dedup stateless gate and
+    post-transform plan audit, as :func:`start_incremental_dedup`.
     """
     from iot_sensor_data_pipeline_spark.operators.dedup import (
         hashed_shingles,
@@ -517,6 +541,12 @@ def start_incremental_neardup(
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if transform is not None:
+            batch_df = transform(batch_df)
+            if batch_df.isEmpty():
+                return
+        if auditor is not None:
+            auditor.check(batch_df)
         spark = batch_df.sparkSession
         band_index, signatures, corpus_sh = read_index(spark, batch_df)
         pairs, sig_delta, band_delta = neardup_incremental(
@@ -702,6 +732,8 @@ def start_incremental_semdedup(
     trigger: str | None = None,
     available_now: bool = False,
     query_name: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    auditor=None,
 ) -> StreamingQuery:
     """Streaming SEMANTIC-dedup sibling of :func:`start_incremental_dedup`
     / :func:`start_incremental_neardup`, for embedding streams: each
@@ -734,6 +766,9 @@ def start_incremental_semdedup(
     drift skews posting-list sizes, rebuild offline with
     :func:`~iot_sensor_data_pipeline_spark.operators.similarity.ivf_build`
     and swap ``index_dir``.
+
+    ``transform`` / ``auditor``: pre-dedup stateless gate and
+    post-transform plan audit, as :func:`start_incremental_dedup`.
     """
     from iot_sensor_data_pipeline_spark.operators.similarity import (
         ivf_build,
@@ -747,6 +782,12 @@ def start_incremental_semdedup(
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if transform is not None:
+            batch_df = transform(batch_df)
+            if batch_df.isEmpty():
+                return
+        if auditor is not None:
+            auditor.check(batch_df)
         spark = batch_df.sparkSession
         if _hadoop_path_exists(spark, centroids_dir):
             rows = spark.read.parquet(centroids_dir).collect()  # driver-small
@@ -824,6 +865,7 @@ def start_incremental_spandedup(
     index_tables: str | None = None,
     index_buckets: int = 64,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    auditor=None,
 ) -> StreamingQuery:
     """Streaming EXACT-SUBSTRING sibling of
     :func:`start_incremental_neardup`: each micro-batch of documents is
@@ -859,6 +901,8 @@ def start_incremental_spandedup(
     broadcasts per batch). Stateless transforms only, as in
     :func:`start_persistence`. Docs the transform removes are simply
     never ingested (a batch reduced to empty is skipped whole).
+    ``auditor`` gates the post-transform batch plan, as
+    :func:`start_incremental_dedup`.
     """
     from iot_sensor_data_pipeline_spark.operators.span_dedup import (
         _doc_spans,
@@ -908,6 +952,8 @@ def start_incremental_spandedup(
             batch_df = transform(batch_df)
             if batch_df.isEmpty():
                 return
+        if auditor is not None:
+            auditor.check(batch_df)
         spark = batch_df.sparkSession
         corpus_spans = read_index(spark, batch_df)
         cleaned, span_delta = span_dedup_incremental(

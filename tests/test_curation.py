@@ -133,10 +133,15 @@ def test_pack_sequences_deterministic(spark):
     assert a == b
 
 
-def test_stratified_sample_duckdb_differential(spark, sf_dir_mid):
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+)
+def test_stratified_sample_duckdb_differential(spark, sf):
     """The md5-order sampler is engine-reproducible: DuckDB computes
     the identical sample (same md5 hex, same tiebreak) — differential
-    evidence at the same grade as the registry's oracle gate."""
+    evidence at the same grade as the registry's oracle gate, at TWO
+    scale points (the suite-wide convention — a query that only
+    matches at one SF has a scale-dependent constant baked in)."""
     from tests.oracle_harness import compare_query
 
     oracle = """
@@ -156,7 +161,7 @@ def test_stratified_sample_duckdb_differential(spark, sf_dir_mid):
             "doc_id", "lang"
         )
 
-    ok, msg = compare_query(spark, sf_dir_mid, q, oracle)
+    ok, msg = compare_query(spark, sf, q, oracle)
     assert ok, msg
 
 

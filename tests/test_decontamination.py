@@ -104,11 +104,12 @@ def test_plan_jvm_side_and_broadcast(spark):
 
 
 def test_matches_duckdb_oracle_by_name(spark):
-    from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+    # moved into the driver gate in r08 (REGISTRY, not extended)
+    from iot_sensor_data_pipeline_spark.plans import REGISTRY
     from tests.conftest import SF_SMALL
     from tests.oracle_harness import compare_query
 
-    q = EXTENDED_REGISTRY["documents_decontaminate"]
+    q = REGISTRY["documents_decontaminate"]
     for sf in ("/root/testdata/sf0.01", SF_SMALL):
         ok, msg = compare_query(spark, sf, q.fn, q.oracle)
         assert ok, (sf, msg)

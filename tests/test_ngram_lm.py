@@ -118,3 +118,30 @@ def test_scoring_plan_stays_jvm_side(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scoring_is_single_lookup_join(spark):
+    """Scoring must probe the count tables through ONE join against
+    the order-tagged union (five sequential left joins would shuffle
+    the O(corpus tokens) position relation five times): exactly one
+    non-broadcast join in the plan, and the position relation crosses
+    an exchange at most twice (lookup join + per-position pivot)
+    before the per-document aggregate."""
+    import re
+
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    lm = train_ngram_lm(docs)
+    plan = (
+        score_perplexity(docs, lm)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    shuffled_joins = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan))
+    assert shuffled_joins <= 1, plan
+    # exchanges: 3 count-table aggs + 1 total agg feed the union /
+    # broadcast; the position side contributes the lookup-join
+    # exchange, the pivot exchange, and the final doc agg — pin the
+    # ceiling so a regression back to sequential joins (4 extra
+    # position-relation exchanges) fails loudly
+    assert plan.count("Exchange hashpartitioning") <= 8, plan

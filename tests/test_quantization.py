@@ -304,3 +304,108 @@ def test_ivfpq_rejects_bad_n_probe(spark):
     for bad in (0, -3):
         with _pytest.raises(ValueError, match="n_probe"):
             ivfpq_topk(df, codes, books, [[0.0, 0.0]], k=1, n_probe=bad)
+
+
+def test_ivfpq_topk_blocked_agrees_with_ivfpq_topk(spark):
+    """The pruned no-collect path (distributed probe assignment +
+    per-cell cogroup tiles) returns the IDENTICAL (qid, nid, dist, rn)
+    relation as the driver-collect ivfpq_topk — pure ADC and with
+    exact re-rank — across q_blocks counts that do and don't divide
+    the query set."""
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.quantization import (
+        ivfpq_topk,
+        ivfpq_topk_blocked,
+    )
+    from iot_sensor_data_pipeline_spark.operators.similarity import ivf_build
+
+    rnd = random.Random(13)
+    d, n_clusters = 16, 6
+    centers = [[rnd.uniform(-20, 20) for _ in range(d)] for _ in range(n_clusters)]
+    vecs = [
+        (i, [x + rnd.gauss(0, 0.5) for x in centers[i % n_clusters]])
+        for i in range(360)
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    assignments, centroids = ivf_build(corpus, n_centroids=n_clusters)
+    books = pq_train(corpus, m=4, k=32, sample_rows=360, iters=8)
+    codes = (
+        pq_encode(corpus, books)
+        .join(assignments.select("cid", "nid"), "nid")
+        .localCheckpoint()
+    )
+    queries = spark.createDataFrame(
+        [(1000 + i, [x + rnd.gauss(0, 0.3) for x in v]) for i, v in vecs[:40]],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rel(df):
+        return sorted((r.qid, r.nid, r.dist, r.rn) for r in df.collect())
+
+    want_adc = rel(ivfpq_topk(queries, codes, books, centroids, k=5, n_probe=2))
+    want_ref = rel(
+        ivfpq_topk(
+            queries, codes, books, centroids, k=5, n_probe=2,
+            refine=corpus, shortlist_factor=4,
+        )
+    )
+    for qb in (1, 3, 4):
+        got = rel(
+            ivfpq_topk_blocked(
+                queries, codes, books, centroids, k=5, n_probe=2, q_blocks=qb
+            )
+        )
+        assert got == want_adc, qb
+    got_ref = rel(
+        ivfpq_topk_blocked(
+            queries, codes, books, centroids, k=5, n_probe=2,
+            refine=corpus, shortlist_factor=4, q_blocks=3,
+        )
+    )
+    assert got_ref == want_ref
+
+
+def test_ivfpq_topk_blocked_probes_all_cells_when_n_probe_exceeds(spark):
+    """n_probe >= n_cells degenerates to exact ADC over every cell —
+    results equal the unpruned pq_topk ranking."""
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.quantization import (
+        ivfpq_topk_blocked,
+    )
+    from iot_sensor_data_pipeline_spark.operators.similarity import ivf_build
+
+    rnd = random.Random(5)
+    vecs = [(i, [rnd.uniform(-5, 5) for _ in range(8)]) for i in range(120)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    assignments, centroids = ivf_build(corpus, n_centroids=4)
+    books = pq_train(corpus, m=2, k=16, sample_rows=120, iters=6)
+    codes = pq_encode(corpus, books).join(assignments.select("cid", "nid"), "nid")
+    queries = spark.createDataFrame(vecs[:10], "vec_id long, embedding array<double>")
+    full = pq_topk(queries, codes.select("nid", "codes"), books, k=4)
+    pruned = ivfpq_topk_blocked(
+        queries, codes, books, centroids, k=4, n_probe=99, q_blocks=2
+    )
+    assert sorted((r.qid, r.nid, r.dist, r.rn) for r in full.collect()) == sorted(
+        (r.qid, r.nid, r.dist, r.rn) for r in pruned.collect()
+    )
+
+
+def test_ivfpq_topk_blocked_guards(spark):
+    from iot_sensor_data_pipeline_spark.operators.quantization import (
+        ivfpq_topk_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    books = [[[0.0]], [[0.0]]]
+    codes = pq_encode(df, books).withColumn("cid", F.lit(0))
+    ctr = [[0.0, 0.0]]
+    with pytest.raises(ValueError, match="k must be"):
+        ivfpq_topk_blocked(df, codes, books, ctr, k=0)
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfpq_topk_blocked(df, codes, books, ctr, k=1, n_probe=0)
+    with pytest.raises(ValueError, match="q_blocks"):
+        ivfpq_topk_blocked(df, codes, books, ctr, k=1, q_blocks=0)
