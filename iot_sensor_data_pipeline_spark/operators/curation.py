@@ -178,6 +178,49 @@ def weighted_mix(
     return df.where(bucket_expr < threshold)
 
 
+def weighted_sample_exact(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+) -> DataFrame:
+    """EXACTLY min(n, |eligible|) rows sampled WITHOUT replacement
+    with probability proportional to ``weight_col`` — Efraimidis &
+    Spirakis 2006 ("Weighted random sampling with a reservoir"): each
+    row gets key ``u^(1/w)`` (computed as ``ln(u)/w`` for stability)
+    and the n LARGEST keys are the sample. The classic use: draw a
+    token-weighted document subset whose inclusion odds track document
+    length, without materializing per-token rows.
+
+    Deterministic and ENGINE-REPRODUCIBLE by construction: ``u`` is
+    the md5 id-bucket (``md5_bucket_expr`` arithmetic) shifted to the
+    bin center, so the identical sample falls out of any engine with
+    md5 — the mixing family's oracle discipline — and is stable under
+    repartitioning and corpus growth of non-sampled rows. Rows with
+    NULL or non-positive weight are ineligible and dropped (a zero
+    weight has zero inclusion probability; ES keys are undefined
+    there).
+
+    Scale shape: a scan-side key projection + ``orderBy().limit(n)``,
+    which Spark executes as TakeOrderedAndProject (per-partition
+    top-n heaps, no global sort shuffle); ties (identical key AND
+    weight) break by id on both engines.
+    """
+    if n < 1:
+        raise ValueError("weighted_sample_exact: n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (_md5_bucket(F.col(id_col).cast("string")) + F.lit(0.5)) / F.lit(
+        1_000_000.0
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__es_key", F.log(u) / w)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__es_key")
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     stratum_col: str,

@@ -153,3 +153,134 @@ def rolling_zscore_anomalies(
         F.round(sigma, round_stats).alias("sigma"),
         flag.alias("is_anomaly"),
     )
+
+
+_GAPFILL_AGGS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c: F.count(c),
+}
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    time_col: str,
+    bucket_width: int,
+    key_cols: list[str],
+    value_col: str,
+    agg: str = "avg",
+    fill: str = "locf",
+) -> DataFrame:
+    """Hypertable-style dense rollup (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``/``interpolate``): aggregate a
+    series into fixed-width time buckets, then EMIT EVERY bucket in
+    each key's [min, max] range — buckets with no data appear with a
+    filled value instead of silently vanishing (a dashboard or
+    downstream join that assumes dense time axes breaks on missing
+    rows, and "no data" is itself signal).
+
+    ``time_col`` is NUMERIC (epoch seconds or any monotone numeric
+    axis — convert timestamps with a timezone-independent
+    ``timestampdiff`` in a prior select; never a session-TZ cast) and
+    ``bucket_width`` a positive integer in the same unit. ``fill``:
+
+    - ``'null'``   — gap buckets carry NULL (bare dense axis);
+    - ``'locf'``   — last observation carried forward (leading-edge
+                     gaps stay NULL: nothing to carry);
+    - ``'linear'`` — linear interpolation between the nearest
+                     observed buckets on each side (edge gaps with
+                     only one side stay NULL — interpolation never
+                     extrapolates).
+
+    Output: ``key_cols``, ``bucket`` (the bucket's start on the
+    numeric axis), ``val`` (aggregated or filled, double), ``gap``
+    (1 when the bucket had no data). Scale shape: the ONE corpus-scale
+    shuffle is the bucket aggregation (map-side combined); the spine
+    explode, the spine-data join, and the fill windows all run on the
+    POST-aggregation relation, whose size is range/width buckets per
+    key — and the per-key fill windows are the standard per-series
+    sequential scan every gap-fill engine does (parallel across keys).
+    A key whose range/width exceeds ~2^31 buckets overflows the spine
+    array — split pathological ranges upstream; that many buckets is
+    a misconfigured width, not a workload.
+    """
+    if bucket_width < 1:
+        raise ValueError(
+            f"time_bucket_gapfill: bucket_width must be a positive "
+            f"integer, got {bucket_width}"
+        )
+    if agg not in _GAPFILL_AGGS:
+        raise ValueError(
+            f"time_bucket_gapfill: agg must be one of "
+            f"{sorted(_GAPFILL_AGGS)}, got {agg!r}"
+        )
+    if fill not in ("null", "locf", "linear"):
+        raise ValueError(
+            "time_bucket_gapfill: fill must be 'null', 'locf' or "
+            f"'linear', got {fill!r}"
+        )
+    if not key_cols:
+        # an un-keyed call would make every fill window one global
+        # partition — pass a constant key if the series is truly global
+        raise ValueError(
+            "time_bucket_gapfill: key_cols must be non-empty (use a "
+            "constant column for a single global series)"
+        )
+    w = int(bucket_width)
+    bucket = (F.floor(F.col(time_col) / w) * w).cast("long")
+    aggd = (
+        df.groupBy(*key_cols, bucket.alias("bucket"))
+        .agg(_GAPFILL_AGGS[agg](F.col(value_col)).cast("double").alias("__v"))
+    )
+    spine = (
+        aggd.groupBy(*key_cols)
+        .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(w))
+            ).alias("bucket"),
+        )
+    )
+    dense = spine.join(aggd, [*key_cols, "bucket"], "left")
+    has = F.col("__v").isNotNull()
+    if fill == "null":
+        val = F.col("__v")
+    elif fill == "locf":
+        wb = (
+            Window.partitionBy(*key_cols)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        val = F.last(F.when(has, F.col("__v")), ignorenulls=True).over(wb)
+    else:  # linear
+        wb = (
+            Window.partitionBy(*key_cols)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf_ = (
+            Window.partitionBy(*key_cols)
+            .orderBy("bucket")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        # paired (bucket, value) of the nearest observation on each
+        # side — the two columns stay consistent because both are
+        # gated by the SAME has-condition on the SAME row
+        pb = F.last(F.when(has, F.col("bucket")), ignorenulls=True).over(wb)
+        pv = F.last(F.when(has, F.col("__v")), ignorenulls=True).over(wb)
+        nb = F.first(F.when(has, F.col("bucket")), ignorenulls=True).over(wf_)
+        nv = F.first(F.when(has, F.col("__v")), ignorenulls=True).over(wf_)
+        # on gap rows pb < bucket < nb strictly, so nb - pb >= 2w > 0
+        val = F.when(has, F.col("__v")).when(
+            pb.isNotNull() & nb.isNotNull(),
+            pv + (nv - pv) * (F.col("bucket") - pb) / (nb - pb),
+        )
+    return dense.select(
+        *key_cols,
+        "bucket",
+        val.alias("val"),
+        (~has).cast("int").alias("gap"),
+    )

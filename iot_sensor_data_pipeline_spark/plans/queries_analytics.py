@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iot_sensor_data_pipeline_spark.plans.registry import register
+from iot_sensor_data_pipeline_spark.plans.registry import register, register_extended
 from iot_sensor_data_pipeline_spark.sources.tables import load_table
 
 def _epoch_s():
@@ -340,3 +340,86 @@ def tokens_heavy_hitters_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("distance").cast("long").alias("n"),
     )
     return heavy.unionByName(fuzzy)
+
+
+# ---------------------------------------------------------------------------
+# Dense time-bucket rollup with gap filling (time_bucket_gapfill):
+# per-event-type 300 s buckets of avg(value); the 'locf' and 'linear'
+# branches exercise both fill methods over the SAME dense spine. The
+# epoch arithmetic is the module's TZ-independent convention; both
+# engines floor identical doubles so the bucketing is engine-exact.
+# ---------------------------------------------------------------------------
+
+_GF_W = 300
+
+_GAPFILL_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 1000000.0 / {_GF_W}) * {_GF_W} AS BIGINT) AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, {_GF_W})) AS bucket
+  FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1)
+), dense AS (
+  SELECT s.event_type, s.bucket, b.v
+  FROM spine s LEFT JOIN b USING (event_type, bucket)
+), filled AS (
+  SELECT event_type, bucket, v,
+    last_value(v IGNORE NULLS) OVER wpast AS locf_v,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wpast AS pb,
+    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wpast AS pv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wfut AS nb,
+    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wfut AS nv
+  FROM dense
+  WINDOW
+    wpast AS (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wfut AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT 'locf' AS branch, event_type, bucket, round(locf_v, 6) AS val,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS gap
+FROM filled
+UNION ALL
+SELECT 'linear' AS branch, event_type, bucket,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pb IS NOT NULL AND nb IS NOT NULL
+                  THEN pv + (nv - pv) * (bucket - pb) / (nb - pb)
+             END, 6) AS val,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS gap
+FROM filled
+"""
+
+
+@register_extended(
+    "events_gapfill",
+    oracle=_GAPFILL_ORACLE,
+    tags=("analytics", "timeseries", "gapfill"),
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hypertable rollup: avg(value) per (event_type, 300 s
+    bucket) with EVERY bucket of each type's range present — gaps
+    filled by LOCF in one branch and linear interpolation in the
+    other (operators/timeseries.py:time_bucket_gapfill)."""
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", _epoch_s().alias("t"), "value"
+    )
+
+    def branch(fill):
+        out = time_bucket_gapfill(
+            events, "t", _GF_W, ["event_type"], "value", agg="avg", fill=fill
+        )
+        return out.select(
+            F.lit(fill).alias("branch"),
+            "event_type",
+            "bucket",
+            F.round("val", 6).alias("val"),
+            "gap",
+        )
+
+    return branch("locf").unionByName(branch("linear"))

@@ -537,3 +537,37 @@ def documents_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_rows = part if rep_rows is None else rep_rows.unionByName(part)
 
     return mix.unionByName(budget).unionByName(rep_rows)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis over md5-derived uniforms):
+# length-proportional document draw, engine-exact by the same md5
+# arithmetic as documents_data_mixing.
+# ---------------------------------------------------------------------------
+
+_WS_N = 100
+
+_WSAMPLE_ORACLE = f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ln((cast(trunc(cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             * 1000000 / 4294967296.0) AS BIGINT) + 0.5) / 1000000.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0
+) ORDER BY k DESC, doc_id LIMIT {_WS_N}
+"""
+
+
+@register_extended(
+    "documents_weighted_sample", oracle=_WSAMPLE_ORACLE, tags=("pipeline", "mixing")
+)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional sample of {_WS_N} documents
+    (operators/curation.py:weighted_sample_exact)."""
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        weighted_sample_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_exact(docs, "n_chars", _WS_N, "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )

@@ -778,3 +778,97 @@ def test_mixture_report_shortfall_and_crossing_doc(spark):
     assert rep["a"].achieved_tokens == 100 and rep["a"].fill_ratio == 0.1
     # "b": budget 25, docs of 10 -> crossing doc included -> 30 tokens
     assert rep["b"].achieved_tokens == 30 and rep["b"].fill_ratio == 1.2
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_exact (Efraimidis-Spirakis over md5 uniforms)
+# ---------------------------------------------------------------------------
+
+
+def _es_python_mirror(rows, n):
+    """Exact python mirror of the operator's key formula."""
+    import hashlib
+    import math
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        b = (h * 1_000_000) // 2**32
+        return math.log((b + 0.5) / 1_000_000.0) / w
+
+    elig = [(i, w) for i, w in rows if w is not None and w > 0]
+    return sorted(
+        (i for i, _ in sorted(elig, key=lambda t: (-key(*t), t[0]))[:n])
+    )
+
+
+def test_weighted_sample_matches_python_mirror(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        weighted_sample_exact,
+    )
+
+    rows = [(i, float(1 + (i * 7) % 40)) for i in range(300)] + [
+        (900, None), (901, 0.0), (902, -3.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sorted(
+        r["id"] for r in weighted_sample_exact(df, "w", 60, "id").collect()
+    )
+    assert got == _es_python_mirror(rows, 60)
+    # ineligible rows never sampled
+    assert not {900, 901, 902} & set(got)
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        weighted_sample_exact,
+    )
+
+    # 50 heavy rows (w=500) among 500 light (w=1): the heavy class
+    # dominates the sample far beyond its 10% population share
+    rows = [(i, 500.0 if i < 50 else 1.0) for i in range(550)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in weighted_sample_exact(df, "w", 50, "id").collect()}
+    assert len(got) == 50
+    assert sum(1 for i in got if i < 50) >= 40
+
+
+def test_weighted_sample_partitioning_and_growth_stable(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        weighted_sample_exact,
+    )
+
+    rows = [(i, float(1 + i % 9)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def run(d, npart):
+        return sorted(
+            r["id"]
+            for r in weighted_sample_exact(d.repartition(npart), "w", 30, "id").collect()
+        )
+
+    assert run(df, 1) == run(df, 11)
+    # growth: adding rows whose keys all lose cannot evict winners
+    # (per-row hash keys, not positional) — append tiny-weight rows
+    grown = df.unionByName(
+        spark.createDataFrame([(1000 + i, 1e-6) for i in range(50)], "id long, w double")
+    )
+    assert run(df, 4) == run(grown, 4)
+
+
+def test_weighted_sample_plan_is_top_n_not_global_sort(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        weighted_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(100)], "id long, w double"
+    )
+    plan = (
+        weighted_sample_exact(df, "w", 10, "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="n must be"):
+        weighted_sample_exact(df, "w", 0, "id")

@@ -210,3 +210,123 @@ def test_flat_window_float_cancellation_no_nan_leak(spark):
     assert all(not math.isnan(r.dist) for r in out)
     # only windows with real variation (those containing the 0.2) survive
     assert all(r.ts == 5 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# time_bucket_gapfill
+# ---------------------------------------------------------------------------
+
+
+def _series(spark):
+    # key 'a': buckets 0, 300 observed, 600 MISSING, 900 observed
+    # key 'b': single observation (degenerate range, no gaps)
+    rows = [
+        ("a", 10.0, 1.0),
+        ("a", 40.0, 3.0),     # same bucket 0 -> avg 2.0
+        ("a", 310.0, 4.0),
+        ("a", 910.0, 10.0),
+        ("b", 650.0, 7.0),
+    ]
+    return spark.createDataFrame(rows, "k string, t double, v double")
+
+
+def test_gapfill_locf_linear_null(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    df = _series(spark)
+
+    def run(fill):
+        out = time_bucket_gapfill(df, "t", 300, ["k"], "v", fill=fill)
+        return {
+            (r.k, r.bucket): (r.val, r.gap) for r in out.collect()
+        }
+
+    null_f = run("null")
+    assert null_f[("a", 0)] == (2.0, 0)
+    assert null_f[("a", 300)] == (4.0, 0)
+    assert null_f[("a", 600)] == (None, 1)   # the gap row EXISTS
+    assert null_f[("a", 900)] == (10.0, 0)
+    assert null_f[("b", 600)] == (7.0, 0)
+    assert len(null_f) == 5
+
+    locf = run("locf")
+    assert locf[("a", 600)] == (4.0, 1)      # carried forward
+
+    lin = run("linear")
+    # linear between (300, 4.0) and (900, 10.0) at 600 -> 7.0
+    assert lin[("a", 600)] == (7.0, 1)
+
+
+def test_gapfill_edges_never_extrapolate(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    # observations at buckets 300 and 900 only; spine covers 300..900 —
+    # interior gap 600 interpolates; there ARE no leading/trailing
+    # spine rows (spine is min..max), so test leading-gap via locf
+    # semantics on a spine that starts with a gap is impossible by
+    # construction — instead verify count(*) agg and a sum fill chain
+    df = spark.createDataFrame(
+        [("x", 350.0, 5.0), ("x", 950.0, 1.0)], "k string, t double, v double"
+    )
+    out = time_bucket_gapfill(df, "t", 300, ["k"], "v", agg="count", fill="null")
+    got = {(r.k, r.bucket): (r.val, r.gap) for r in out.collect()}
+    assert got == {
+        ("x", 300): (1.0, 0),
+        ("x", 600): (None, 1),
+        ("x", 900): (1.0, 0),
+    }
+
+
+def test_gapfill_partitioning_invariant(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    df = _series(spark)
+
+    def run(npart):
+        out = time_bucket_gapfill(
+            df.repartition(npart), "t", 300, ["k"], "v", fill="linear"
+        )
+        return sorted((r.k, r.bucket, r.val, r.gap) for r in out.collect())
+
+    assert run(1) == run(7)
+
+
+def test_gapfill_plan_is_jvm_side(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    df = _series(spark)
+    plan = (
+        time_bucket_gapfill(df, "t", 300, ["k"], "v", fill="linear")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_guards(spark):
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    df = _series(spark)
+    with pytest.raises(ValueError, match="bucket_width"):
+        time_bucket_gapfill(df, "t", 0, ["k"], "v")
+    with pytest.raises(ValueError, match="agg"):
+        time_bucket_gapfill(df, "t", 300, ["k"], "v", agg="median")
+    with pytest.raises(ValueError, match="fill"):
+        time_bucket_gapfill(df, "t", 300, ["k"], "v", fill="spline")
+    with pytest.raises(ValueError, match="key_cols"):
+        time_bucket_gapfill(df, "t", 300, [], "v")
