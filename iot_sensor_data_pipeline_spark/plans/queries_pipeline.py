@@ -515,18 +515,29 @@ def embeddings_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                      vectors so squared-L2 is rank-equivalent to
                      cosine; score = exact re-ranked distance negated
                      into the shared 'higher is closer' convention
+    - ivfpq_blocked — the NO-COLLECT IVF-pruned composition
+                     (ivfpq_topk_blocked): distributed probe
+                     assignment + per-cell cogroup ADC tiles — the
+                     100 TB corpus-vs-corpus path; same re-rank and
+                     score convention as 'pq'
 
     Rows-only: hash/quantizer families are engine-specific. Recall
     floors vs the exact baselines are asserted in
-    tests/test_similarity.py and tests/test_quantization.py; the
-    exact baselines themselves (embeddings_knn_brute_force,
-    embeddings_cosine_near_dup) keep hash-checked DuckDB oracles."""
+    tests/test_similarity.py and tests/test_quantization.py (incl.
+    exact agreement of ivfpq_topk_blocked with the driver-collect
+    ivfpq_topk); the exact baselines themselves
+    (embeddings_knn_brute_force, embeddings_cosine_near_dup) keep
+    hash-checked DuckDB oracles."""
     from iot_sensor_data_pipeline_spark.operators.quantization import (
+        ivfpq_topk_blocked,
         pq_encode,
         pq_topk,
         pq_train,
     )
-    from iot_sensor_data_pipeline_spark.operators.similarity import l2_norm
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        ivf_build,
+        l2_norm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     unit = emb.select(
@@ -537,13 +548,26 @@ def embeddings_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     books = pq_train(unit, m=4, k=64, sample_rows=5000, iters=8)
+    codes = pq_encode(unit, books)
     pq = pq_topk(
         unit.where(F.col("vec_id") % 100 == 0),
-        pq_encode(unit, books),
+        codes,
         books,
         k=10,
         refine=unit,
         shortlist_factor=5,
+    )
+    assignments, centroids = ivf_build(unit, n_centroids=8)
+    ivfpq_blocked = ivfpq_topk_blocked(
+        unit.where(F.col("vec_id") % 100 == 0),
+        codes.join(assignments.select("cid", "nid"), "nid"),
+        books,
+        centroids,
+        k=10,
+        n_probe=3,
+        refine=unit,
+        shortlist_factor=5,
+        q_blocks=4,
     )
     parts = [
         embeddings_knn_lsh(spark, sf_dir).select(
@@ -564,6 +588,13 @@ def embeddings_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pq.select(
             F.lit("pq").alias("method"),
+            "qid",
+            "nid",
+            (-F.col("dist")).alias("score"),
+            F.col("rn").cast("long"),
+        ),
+        ivfpq_blocked.select(
+            F.lit("ivfpq_blocked").alias("method"),
             "qid",
             "nid",
             (-F.col("dist")).alias("score"),

@@ -330,3 +330,70 @@ def test_gapfill_guards(spark):
         time_bucket_gapfill(df, "t", 300, ["k"], "v", fill="spline")
     with pytest.raises(ValueError, match="key_cols"):
         time_bucket_gapfill(df, "t", 300, [], "v")
+
+
+def test_gapfill_randomized_python_differential(spark):
+    """Randomized series with planted gaps vs a pure-python mirror of
+    bucket/spine/LOCF/linear semantics — catches frame or edge-case
+    drift the goldens might miss."""
+    import math
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    rnd = random.Random(17)
+    W = 10
+    rows = []
+    for k in ("a", "b", "c"):
+        # sparse observations over a 600-unit range -> plenty of gaps
+        for _ in range(rnd.randint(3, 25)):
+            rows.append((k, rnd.uniform(0, 600), round(rnd.uniform(-5, 5), 3)))
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+
+    def mirror(fill):
+        agg: dict = {}
+        for k, t, v in rows:
+            b = int(math.floor(t / W) * W)
+            agg.setdefault(k, {}).setdefault(b, []).append(v)
+        out = {}
+        for k, buckets in agg.items():
+            means = {b: sum(vs) / len(vs) for b, vs in buckets.items()}
+            lo, hi = min(means), max(means)
+            spine = list(range(lo, hi + 1, W))
+            for b in spine:
+                if b in means:
+                    out[(k, b)] = (means[b], 0)
+                    continue
+                prevs = [x for x in means if x < b]
+                nxts = [x for x in means if x > b]
+                if fill == "null":
+                    val = None
+                elif fill == "locf":
+                    val = means[max(prevs)] if prevs else None
+                else:
+                    if prevs and nxts:
+                        pb, nb = max(prevs), min(nxts)
+                        pv, nv = means[pb], means[nb]
+                        val = pv + (nv - pv) * (b - pb) / (nb - pb)
+                    else:
+                        val = None
+                out[(k, b)] = (val, 1)
+        return out
+
+    for fill in ("null", "locf", "linear"):
+        got = {
+            (r.k, r.bucket): (r.val, r.gap)
+            for r in time_bucket_gapfill(df, "t", W, ["k"], "v", fill=fill).collect()
+        }
+        want = mirror(fill)
+        assert set(got) == set(want), fill
+        for key in want:
+            gv, gg = got[key]
+            wv, wg = want[key]
+            assert gg == wg, (fill, key)
+            if wv is None:
+                assert gv is None, (fill, key)
+            else:
+                assert gv == pytest.approx(wv, rel=1e-9), (fill, key)
