@@ -647,3 +647,75 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pruned semi/anti join (operators/bloom.py). The bloom
+# stage is probabilistic but the composed operators are EXACT, so a
+# plain IN / NOT IN oracle checks them — the semi branch runs the
+# all-JVM broadcast-join probe path, the anti branch the Arrow/numpy
+# bitset path, putting both under the hash gate in one query.
+# ---------------------------------------------------------------------------
+
+_BLOOM_JOIN_ORACLE = """
+WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 350000)
+SELECT 'semi' AS branch, l_returnflag,
+       COUNT(*) AS n,
+       round(SUM(l_quantity), 4) AS sum_qty,
+       round(SUM(l_extendedprice), 4) AS sum_price
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM hv)
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'anti' AS branch, l_returnflag,
+       COUNT(*) AS n,
+       round(SUM(l_quantity), 4) AS sum_qty,
+       round(SUM(l_extendedprice), 4) AS sum_price
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM hv)
+GROUP BY l_returnflag
+"""
+
+
+@register_extended(
+    "lineitem_bloom_join", oracle=_BLOOM_JOIN_ORACLE, tags=("join", "bloom", "scale")
+)
+def lineitem_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact semi + anti join through bloom-filter pre-pruning.
+
+    At 100 TB the fact side never ships non-candidate rows to the join:
+    the packed bitset relation (<= m_bits/64 rows) broadcasts, each scan
+    task discards misses locally, and only survivors (true matches +
+    ~fpp false positives) reach the exact equi-join. Both probe paths
+    are exercised: 'join' (chained broadcast lookups, zero collect) for
+    the semi branch, 'pandas' (numpy bitset over Arrow batches) for the
+    anti branch."""
+    from iot_sensor_data_pipeline_spark.operators.bloom import (
+        bloom_anti_join,
+        bloom_semi_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 350000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+
+    def rollup(df: DataFrame, branch: str) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.lit(branch).alias("branch"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+
+    semi = rollup(
+        bloom_semi_join(li, hv, ["l_orderkey"], m_bits=1 << 17, n_hashes=6), "semi"
+    )
+    anti = rollup(
+        bloom_anti_join(
+            li, hv, ["l_orderkey"], m_bits=1 << 17, n_hashes=6, method="pandas"
+        ),
+        "anti",
+    )
+    cols = ["branch", "l_returnflag", "n", "sum_qty", "sum_price"]
+    return semi.select(*cols).unionByName(anti.select(*cols))

@@ -1,0 +1,248 @@
+"""File-level data skipping over plain parquet: a min/max manifest and
+a pruned reader — the lakehouse trick (Delta/Iceberg manifests, Parquet
+footer statistics) without a table format.
+
+The 100 TB problem: a selective predicate over an UN-partitioned (or
+wrong-partitioned) column still opens every file. Parquet footers
+already carry per-row-group min/max/null-count for every column; a
+manifest materializes them as a tiny relation so the DRIVER can drop
+whole files before the scan starts — complementary to partition
+pruning (directory level) and row-group/predicate pushdown (inside an
+already-opened file, footer round-trip per file per query). Pair with
+``operators/layout.py`` z-ordering: clustering narrows per-file ranges,
+which is exactly what makes these stats selective.
+
+Scale posture:
+
+- **Footer reads are distributed.** ``footer_stats`` ships the file
+  LIST (not the data) to executors; each task reads only parquet
+  footers (KBs per file) via pyarrow and emits one row per
+  (file, column). A million-file table is a million-row manifest —
+  trivially a DataFrame, never a driver loop over footers.
+- **Pruning is conservative.** A file is kept unless its stats PROVE
+  no row can match: interval-overlap test per column, missing stats or
+  files absent from a stale manifest are kept, and ``read_pruned``
+  re-applies the exact predicate — output equals the full scan's,
+  only the opened-file set shrinks.
+- The manifest lives at ``<path>/_manifest``: underscore-prefixed
+  paths are invisible to Spark/Hadoop parquet listings, so the data
+  directory stays readable as before.
+
+Scope: flat parquet directories (hive-partitioned layouts get
+directory-level pruning from Spark itself; explicit file lists would
+drop the inferred partition columns). Numeric, string, and timestamp
+columns (timestamps compare in epoch-seconds domain).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "footer_stats",
+    "write_manifest",
+    "read_manifest",
+    "prune_files",
+    "read_pruned",
+]
+
+MANIFEST_DIR = "_manifest"
+
+_STATS_SCHEMA = (
+    "file string, col string, n_rows long, null_count long, "
+    "has_stats boolean, min_num double, max_num double, "
+    "min_str string, max_str string"
+)
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
+    """Non-hidden *.parquet files directly under ``path`` (Hadoop FS,
+    so any supported filesystem scheme works)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"no parquet files under {path}")
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def _to_num(v) -> float | None:
+    """Project a stats value onto the numeric comparison domain."""
+    if isinstance(v, bool):
+        return float(v)
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=v.tzinfo or _dt.timezone.utc).timestamp()
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc).timestamp()
+    return None
+
+
+def footer_stats(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Per-(file, column) min/max/null-count from parquet FOOTERS.
+
+    One row per file per requested column; ``has_stats=False`` (and
+    null min/max) when the writer emitted no statistics — consumers
+    must treat such files as match-possible."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    files = _list_parquet_files(spark, path)
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), 64)
+    )
+    want = cols
+
+    def read_footers(batches: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                local = f[len("file:"):] if f.startswith("file:") else f
+                md = pq.ParquetFile(local).metadata
+                names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for c in want:
+                    idx = names.get(c)
+                    if idx is None:
+                        rows.append((f, c, md.num_rows, None, False,
+                                     None, None, None, None))
+                        continue
+                    mins, maxs, nulls, ok = [], [], 0, True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                        nulls += st.null_count or 0
+                    if not ok or not mins:
+                        rows.append((f, c, md.num_rows, None, False,
+                                     None, None, None, None))
+                        continue
+                    lo, hi = min(mins), max(maxs)
+                    lo_n, hi_n = _to_num(lo), _to_num(hi)
+                    lo_s = lo if isinstance(lo, str) else None
+                    hi_s = hi if isinstance(hi, str) else None
+                    rows.append((f, c, md.num_rows, nulls, True,
+                                 lo_n, hi_n, lo_s, hi_s))
+            yield pd.DataFrame(
+                rows,
+                columns=["file", "col", "n_rows", "null_count", "has_stats",
+                         "min_num", "max_num", "min_str", "max_str"],
+            )
+
+    return fdf.mapInPandas(read_footers, _STATS_SCHEMA)
+
+
+def write_manifest(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Materialize ``footer_stats`` at ``<path>/_manifest`` (overwrite).
+
+    The manifest is tiny (one row per file per column); a single output
+    file keeps the later driver-side read cheap."""
+    stats = footer_stats(spark, path, cols)
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+    return stats
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+
+
+def _normalize_bound(v):
+    if isinstance(v, str):
+        return v, "str"
+    n = _to_num(v)
+    if n is None:
+        raise ValueError(f"unsupported predicate bound type: {type(v).__name__}")
+    return n, "num"
+
+
+def prune_files(
+    spark: SparkSession,
+    path: str,
+    predicates: Mapping[str, tuple],
+) -> tuple[list[str], int]:
+    """(files that may contain matches, total file count).
+
+    ``predicates`` maps column -> (lo, hi) inclusive bounds (either may
+    be None for one-sided ranges). A file survives unless some column's
+    stats prove emptiness: max < lo or min > hi. Range predicates never
+    match NULL, so all-null columns only prune when stats exist and the
+    file has no non-null values in range. Files missing from the
+    manifest (stale manifest after new writes) are conservatively
+    kept."""
+    if not predicates:
+        raise ValueError("predicates must not be empty")
+    all_files = _list_parquet_files(spark, path)
+    stats = read_manifest(spark, path).collect()
+    by_file: dict[str, dict[str, dict]] = {}
+    for r in stats:
+        by_file.setdefault(r.file, {})[r.col] = r.asDict()
+    kept = []
+    for f in all_files:
+        fstats = by_file.get(f)
+        if fstats is None:
+            kept.append(f)  # not in manifest: must assume matches
+            continue
+        alive = True
+        for c, bounds in predicates.items():
+            lo, hi = bounds
+            st = fstats.get(c)
+            if st is None or not st["has_stats"]:
+                continue  # unknown: cannot prune on this column
+            for bound, cmp_max in ((lo, True), (hi, False)):
+                if bound is None:
+                    continue
+                val, domain = _normalize_bound(bound)
+                smin = st["min_str"] if domain == "str" else st["min_num"]
+                smax = st["max_str"] if domain == "str" else st["max_num"]
+                if smin is None or smax is None:
+                    continue  # stats in the other domain: skip
+                if cmp_max and smax < val:
+                    alive = False
+                elif not cmp_max and smin > val:
+                    alive = False
+            if not alive:
+                break
+        if alive:
+            kept.append(f)
+    return kept, len(all_files)
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates: Mapping[str, tuple],
+) -> DataFrame:
+    """Scan only the files that can match, then apply the EXACT
+    predicate — identical rows to a full scan + filter, fewer files
+    opened. Returns an empty DataFrame with the table's schema when
+    every file is pruned."""
+    kept, _total = prune_files(spark, path, predicates)
+    full = spark.read.parquet(path)
+    df = spark.read.schema(full.schema).parquet(*kept) if kept else full.limit(0)
+    for c, (lo, hi) in predicates.items():
+        if lo is not None:
+            df = df.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(c) <= F.lit(hi))
+    return df

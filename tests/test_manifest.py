@@ -1,0 +1,146 @@
+"""File-skipping manifest (sources/manifest.py): footer stats are
+faithful, pruning is conservative-exact (result == full scan + filter,
+strictly fewer files opened), stale manifests degrade safely."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.sources.manifest import (
+    footer_stats,
+    prune_files,
+    read_manifest,
+    read_pruned,
+    write_manifest,
+)
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    """8 range-clustered files over k in [0, 8000): file i holds
+    [i*1000, (i+1)*1000) — narrow per-file ranges, prunable."""
+    path = str(tmp_path_factory.mktemp("manifest") / "tbl")
+    df = spark.range(8000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("cat_"), (F.col("id") / 1000).cast("int")).alias("cat"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        (F.col("id") * 3 % 7).alias("v"),
+    )
+    # one append per 1000-row bucket: exact, sampling-free file ranges
+    for i in range(8):
+        df.where((F.col("k") >= i * 1000) & (F.col("k") < (i + 1) * 1000)).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    write_manifest(spark, path, ["k", "cat", "ts"])
+    return path
+
+
+def test_footer_stats_match_data(spark, table):
+    stats = footer_stats(spark, table, ["k"]).collect()
+    assert len(stats) == 8
+    assert sum(r.n_rows for r in stats) == 8000
+    def norm(uri):  # file:/x vs file:///x
+        return "/" + uri.split("file:")[-1].lstrip("/")
+
+    truth = {
+        norm(r.f): (r.lo, r.hi)
+        for r in spark.read.parquet(table)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    }
+    for r in stats:
+        assert truth[norm(r.file)] == (r.min_num, r.max_num)
+        assert r.has_stats and r.null_count == 0
+
+
+def test_numeric_prune_exact_and_fewer_files(spark, table):
+    kept, total = prune_files(spark, table, {"k": (2500, 3200)})
+    assert total == 8
+    assert 1 <= len(kept) <= 2
+    got = read_pruned(spark, table, {"k": (2500, 3200)})
+    want = spark.read.parquet(table).where(F.col("k").between(2500, 3200))
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in want.collect())
+
+
+def test_one_sided_and_string_predicates(spark, table):
+    got = read_pruned(spark, table, {"k": (7000, None)})
+    assert got.count() == 1000
+    kept, _ = prune_files(spark, table, {"k": (7000, None)})
+    assert len(kept) == 1
+    # string domain: cat_0..cat_7, lexicographic
+    got = read_pruned(spark, table, {"cat": ("cat_6", "cat_6")})
+    want = spark.read.parquet(table).where(F.col("cat") == "cat_6")
+    assert got.count() == want.count() == 1000
+
+
+def test_timestamp_predicate(spark, table):
+    lo = dt.datetime(2023, 11, 14, 22, 13, 20) + dt.timedelta(minutes=6500)
+    hi = lo + dt.timedelta(minutes=499)
+    got = read_pruned(spark, table, {"ts": (lo, hi)})
+    want = (
+        spark.read.parquet(table)
+        .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    )
+    assert got.count() == want.count() > 0
+    kept, total = prune_files(spark, table, {"ts": (lo, hi)})
+    assert len(kept) < total
+
+
+def test_conjunction_prunes_harder(spark, table):
+    kept_one, _ = prune_files(spark, table, {"k": (0, 999)})
+    kept_two, _ = prune_files(spark, table, {"k": (0, 999), "cat": ("cat_9", None)})
+    assert len(kept_two) == 0  # cat_9 exists nowhere
+    assert read_pruned(spark, table, {"k": (0, 999), "cat": ("cat_9", None)}).count() == 0
+    assert len(kept_one) == 1
+
+
+def test_all_pruned_keeps_schema(spark, table):
+    df = read_pruned(spark, table, {"k": (1_000_000, None)})
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "cat", "ts", "v"]
+
+
+def test_unknown_column_is_conservative(spark, table):
+    # v has no manifest entry -> cannot prune on it, but result stays exact
+    kept, total = prune_files(spark, table, {"v": (3, 3)})
+    assert len(kept) == total
+    got = read_pruned(spark, table, {"v": (3, 3)})
+    want = spark.read.parquet(table).where(F.col("v") == 3)
+    assert got.count() == want.count() > 0
+
+
+def test_stale_manifest_keeps_new_files(spark, table):
+    spark.range(5).select(
+        (F.col("id") + 100_000).alias("k"),
+        F.lit("zzz").alias("cat"),
+        F.lit(dt.datetime(2030, 1, 1)).cast("timestamp_ntz").alias("ts"),
+        F.lit(0).cast("long").alias("v"),
+    ).coalesce(1).write.mode("append").parquet(table)
+    try:
+        got = read_pruned(spark, table, {"k": (100_000, None)})
+        assert got.count() == 5  # unlisted file conservatively kept
+        kept, total = prune_files(spark, table, {"k": (0, 10)})
+        assert total == 9 and len(kept) == 2  # file 0 + the unlisted one
+    finally:
+        write_manifest(spark, table, ["k", "cat", "ts"])  # refresh for later tests
+
+
+def test_manifest_dir_invisible_to_reads(spark, table):
+    assert spark.read.parquet(table).count() in (8000, 8005)
+    assert read_manifest(spark, table).count() >= 24
+
+
+def test_validation(spark, table):
+    with pytest.raises(ValueError, match="predicates"):
+        prune_files(spark, table, {})
+    with pytest.raises(ValueError, match="cols"):
+        footer_stats(spark, table, [])
+    with pytest.raises(ValueError, match="no parquet files"):
+        footer_stats(spark, os.path.dirname(table) + "/empty_nowhere", ["k"])
