@@ -1,115 +1,75 @@
-"""Bucketed tables: co-located joins and aggregations without a
-shuffle — the pre-partitioning strategy SCALE.md prescribes for
-repeatedly-joined fact tables."""
+"""Bucketed materialization (operators/bucketing.py): the write-once /
+join-shuffle-free-forever contract, asserted at the byte level."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from iot_sensor_data_pipeline_spark.sources.tables import load_table
+from iot_sensor_data_pipeline_spark.operators.bucketing import (
+    bucketed_join,
+    write_bucketed,
+)
+from iot_sensor_data_pipeline_spark.plans.metrics import shuffle_summary
 
 
 @pytest.fixture(scope="module")
-def bucketed_tables(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    (
-        orders.write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .saveAsTable("b_orders")
+def bucketed_tables(spark):
+    fact = spark.range(50_000).select(
+        (F.col("id") % 5000).alias("k"), (F.col("id") * 7 % 997).alias("v")
     )
-    (
-        lineitem.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("b_lineitem")
+    dim = spark.range(5000).select(
+        F.col("id").alias("k"), F.concat(F.lit("n_"), F.col("id")).alias("name")
     )
-    return spark.table("b_orders"), spark.table("b_lineitem")
+    write_bucketed(fact, "bt_fact", ["k"], 8, sort_cols=["k"])
+    write_bucketed(dim, "bt_dim", ["k"], 8, sort_cols=["k"])
+    yield "bt_fact", "bt_dim"
+    spark.sql("DROP TABLE IF EXISTS bt_fact")
+    spark.sql("DROP TABLE IF EXISTS bt_dim")
 
 
-def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
-    b_orders, b_lineitem = bucketed_tables
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+def test_bucketed_join_zero_shuffle_bytes(spark, bucketed_tables):
+    left, right = bucketed_tables
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = b_lineitem.join(b_orders, b_lineitem.l_orderkey == b_orders.o_orderkey)
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        # both sides read pre-bucketed -> SortMergeJoin with ZERO exchanges
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan
-        # and it still computes the right thing
-        n = joined.count()
-        direct = (
-            load_table(spark, "/root/testdata/sf0.001", "lineitem")
-            .join(
-                load_table(spark, "/root/testdata/sf0.001", "orders"),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-            )
-            .count()
-        )
-        assert n == direct
+        joined = bucketed_join(spark, left, right, ["k"])
+        s = shuffle_summary(joined)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert s.n_shuffles == 0
+    assert s.shuffle_bytes == 0
+    assert joined.count() == 50_000
 
 
-def test_bucketed_aggregation_has_no_shuffle(spark, bucketed_tables):
-    _, b_lineitem = bucketed_tables
-    agg = b_lineitem.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
-    plan = agg._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # grouping key == bucket key
-
-
-def test_bucketed_band_index_probe_is_exchange_free_on_index_side(spark, sf_dir):
-    """VERDICT r04 #4: a near-dup band index stored bucketed by
-    (band_idx, band_hash) must sort-merge the batch probe with NO
-    exchange on the index side — at 100 TB the index is the corpus-
-    sized relation, and this is what makes probe cost independent of
-    corpus size. Exactly ONE shuffle is allowed: the (small) batch
-    delta repartitioning to the index's bucket layout."""
-    from iot_sensor_data_pipeline_spark.operators.dedup import (
-        hashed_shingles,
-        minhash_band_index,
-        minhash_signatures,
-    )
-    from iot_sensor_data_pipeline_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(hashed_shingles(docs, "doc_id", "text", n=3))
-    spark.sql("DROP TABLE IF EXISTS b_nd_bands")
-    (
-        minhash_band_index(sigs)
-        .write.format("parquet")
-        .bucketBy(8, "band_idx", "band_hash")
-        .sortBy("band_idx", "band_hash")
-        .saveAsTable("b_nd_bands")
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    left, right = bucketed_tables
+    got = bucketed_join(spark, left, right, ["k"], how="left")
+    want = spark.table(left).join(spark.table(right), ["k"], "left")
+    assert (
+        got.groupBy().agg(F.sum("v"), F.count("*")).collect()
+        == want.groupBy().agg(F.sum("v"), F.count("*")).collect()
     )
 
-    # literal delta (its lineage must not add exchanges of its own —
-    # the assertion is about the PROBE join's shape)
-    delta = spark.createDataFrame(
-        [(1_000_000 + n, n % 32, n * 7919) for n in range(50)],
-        "i long, band_idx int, band_hash long",
-    )
 
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+def test_one_side_bucketed_shuffles_only_other_side(spark, bucketed_tables):
+    left, _ = bucketed_tables
+    other = spark.range(5000).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        probe = delta.join(
-            spark.table("b_nd_bands").select(
-                F.col("id").alias("j"), "band_idx", "band_hash"
-            ),
-            ["band_idx", "band_hash"],
-        ).select("i", "j")
-        plan = probe._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
-        assert "BroadcastExchange" not in plan
-        # one exchange total: the delta side shuffling INTO the bucket
-        # layout; zero on the index side
-        assert plan.count("Exchange hashpartitioning") == 1, plan
+        joined = spark.table(left).join(other, ["k"])
+        s = shuffle_summary(joined)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS b_nd_bands")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # the 50k-row bucketed fact stays in place; only the 5k dim moves
+    assert s.n_shuffles == 1
+    assert s.shuffle_records <= 5000
+
+
+def test_validation(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_bucketed(df, "bt_bad", ["k"], 0)
+    with pytest.raises(ValueError, match="keys"):
+        write_bucketed(df, "bt_bad", [], 4)
