@@ -15,6 +15,7 @@ touch (dynamic partition overwrite) — the helper accepts a pre-filtered
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -73,3 +74,85 @@ def scd2_apply(
         .drop("__first_ts")
     )
     return untouched.unionByName(closed).unionByName(seq)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff of two snapshot versions of the same table:
+    (keys..., change) with change in added / removed / changed (and
+    unchanged when requested) — the audit primitive for incremental
+    pipelines (what did this batch actually do?) and corpus versioning
+    (which documents changed between crawl N and N+1?).
+
+    Semantics: a key only in ``new`` is added; only in ``old`` is
+    removed; in both, rows differing on any compare column (null-safe
+    ``<=>`` comparison, so NULL->value and value->NULL count as
+    changes) are changed. ``compare_cols`` defaults to all shared
+    non-key columns.
+
+    At scale this is ONE full-outer shuffle join on the keys —
+    co-located (zero shuffle) when both snapshot versions are stored
+    bucketed on the keys (operators/bucketing.py), which is exactly how
+    a recurring diff job should persist them.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must name at least one column")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    compare_cols = list(compare_cols)
+    # non-null presence markers survive the outer join even when key
+    # columns are legitimately NULL on a matched side; columns are
+    # prefix-renamed (not alias-qualified) so same-lineage snapshots —
+    # the common case: both versions derived from one source — don't
+    # trip the ambiguous-self-join analyzer
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in [*keys, *compare_cols]],
+        F.lit(1).alias("__op"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in [*keys, *compare_cols]],
+        F.lit(1).alias("__np"),
+    )
+    cond = [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys]
+    # join on null-safe key equality so NULL keys pair up instead of
+    # producing phantom added+removed rows
+    j = o.join(n, reduce(lambda a, b: a & b, cond), "full_outer")
+    old_present = F.col("__op").isNotNull()
+    new_present = F.col("__np").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(~old_present, F.lit("added"))
+        .when(~new_present, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = j.select(
+        *[F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k) for k in keys],
+        change.alias("change"),
+    )
+    if not include_unchanged:
+        out = out.where(F.col("change") != "unchanged")
+    return out
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """(change, n) counts for a snapshot diff, unchanged included."""
+    return (
+        snapshot_diff(old, new, keys, compare_cols, include_unchanged=True)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -571,3 +571,55 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_exact(docs, "n_chars", _WS_N, "doc_id").select(
         "doc_id", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (operators/merge.py:snapshot_diff): corpus-versioning
+# audit. A deterministic "next crawl" is constructed in-query (drop
+# doc_id%17, mutate text of doc_id%13, add doc_id%29 under shifted
+# ids) so Spark and DuckDB diff identical snapshot pairs.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || 'X' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 29 = 0
+)
+SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+            ELSE 'changed' END AS change
+FROM documents o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+           AND o.text IS NOT DISTINCT FROM n.text)
+"""
+
+
+@register_extended(
+    "documents_snapshot_diff",
+    oracle=_SNAPSHOT_DIFF_ORACLE,
+    tags=("pipeline", "versioning"),
+)
+def documents_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level added/removed/changed audit between two corpus
+    versions — one full-outer join on the id, null-safe column
+    compare; co-located (zero shuffle) when snapshots are bucketed."""
+    from iot_sensor_data_pipeline_spark.operators.merge import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 17 != 0)
+    mutated = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit("X"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    new = mutated.unionByName(added)
+    return snapshot_diff(docs, new, ["doc_id"], ["text"])

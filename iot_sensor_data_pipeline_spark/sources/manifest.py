@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "footer_stats",
     "write_manifest",
+    "update_manifest",
     "read_manifest",
     "prune_files",
     "read_pruned",
@@ -102,10 +103,13 @@ def footer_stats(
     files = _list_parquet_files(spark, path)
     if not files:
         raise ValueError(f"no parquet files under {path}")
-    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
-        min(len(files), 64)
-    )
-    want = cols
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+    return _footer_stats_for(fdf, cols, len(files))
+
+
+def _footer_stats_for(fdf: DataFrame, cols: Sequence[str], n_files: int) -> DataFrame:
+    fdf = fdf.repartition(min(n_files, 64))
+    want = list(cols)
 
     def read_footers(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -165,6 +169,44 @@ def write_manifest(
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+
+
+def update_manifest(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Incrementally extend the manifest: footer-read ONLY files not
+    yet listed, keep existing rows for files still present, drop rows
+    for deleted files. At 100 TB an append-heavy table re-reads a few
+    new footers per batch, never the historical million.
+
+    Falls back to a full :func:`write_manifest` when no manifest
+    exists yet or the column set changed."""
+    cols = list(cols)
+    files = set(_list_parquet_files(spark, path))
+    try:
+        existing = read_manifest(spark, path)
+        existing_rows = existing.collect()
+    except Exception:
+        return write_manifest(spark, path, cols)
+    have_cols = {r.col for r in existing_rows}
+    if have_cols != set(cols):
+        return write_manifest(spark, path, cols)
+    kept = [r for r in existing_rows if r.file in files]
+    known = {r.file for r in kept}
+    new_files = sorted(files - known)
+    merged = spark.createDataFrame(kept, _STATS_SCHEMA) if kept else None
+    if new_files:
+        fdf = spark.createDataFrame([(f,) for f in new_files], "file string")
+        fresh = _footer_stats_for(fdf, cols, len(new_files))
+        merged = fresh if merged is None else merged.unionByName(fresh)
+    if merged is None:
+        raise ValueError(f"no parquet files under {path}")
+    # materialize on the driver before overwriting: kept rows came FROM
+    # the manifest being replaced (tiny relation; one row per file-col)
+    rows = merged.collect()
+    final = spark.createDataFrame(rows, _STATS_SCHEMA)
+    final.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+    return final
 
 
 def _normalize_bound(v):

@@ -144,3 +144,48 @@ def test_validation(spark, table):
         footer_stats(spark, table, [])
     with pytest.raises(ValueError, match="no parquet files"):
         footer_stats(spark, os.path.dirname(table) + "/empty_nowhere", ["k"])
+
+
+def test_update_manifest_incremental(spark, tmp_path):
+    """Only unlisted files get footer-read; deleted files drop out;
+    column-set change falls back to a full rebuild."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import update_manifest
+
+    path = str(tmp_path / "inc")
+    mk = lambda lo, n: spark.range(lo, lo + n).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    ).coalesce(1)
+    mk(0, 100).write.mode("append").parquet(path)
+    m1 = write_manifest(spark, path, ["k"])
+    assert m1.count() == 1
+
+    mk(100, 50).write.mode("append").parquet(path)
+    m2 = update_manifest(spark, path, ["k"])
+    rows = {r.file: r for r in m2.collect()}
+    assert len(rows) == 2
+    assert {(r.min_num, r.max_num) for r in rows.values()} == {(0.0, 99.0), (100.0, 149.0)}
+    # manifest on disk matches
+    assert read_manifest(spark, path).count() == 2
+    # pruning works off the updated manifest
+    kept, total = prune_files(spark, path, {"k": (120, 130)})
+    assert total == 2 and len(kept) == 1
+
+    # column-set change -> full rebuild with the new columns
+    m3 = update_manifest(spark, path, ["k", "v"])
+    assert m3.count() == 4
+    assert {r.col for r in m3.collect()} == {"k", "v"}
+
+    # deletion: remove one data file, update drops its rows
+    import glob as _glob
+    import os as _os
+
+    victim = sorted(_glob.glob(f"{path}/part-*.parquet"))[0]
+    _os.remove(victim)
+    m4 = update_manifest(spark, path, ["k", "v"])
+    assert m4.count() == 2
+    assert all("part-00000" not in r.file or victim not in r.file for r in m4.collect())
+
+    # no manifest yet -> builds one
+    path2 = str(tmp_path / "fresh")
+    mk(0, 10).write.parquet(path2)
+    assert update_manifest(spark, path2, ["k"]).count() == 1

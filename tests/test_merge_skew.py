@@ -81,3 +81,68 @@ def test_salted_agg_matches_plain_agg(spark, sf_dir):
         for r in salted_agg(li, ["l_returnflag"], sum_cols=["l_quantity"]).collect()
     }
     assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff / diff_summary
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_all_change_kinds(spark):
+    from iot_sensor_data_pipeline_spark.operators.merge import (
+        diff_summary,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (None, "nk", 40)],
+        "id int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (None, "nk", 40)],
+        "id int, s string, v int",
+    )
+    got = {
+        r.id: r.change
+        for r in snapshot_diff(old, new, ["id"], include_unchanged=True).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added", None: "unchanged"}
+    # default: unchanged excluded
+    assert {r.id for r in snapshot_diff(old, new, ["id"]).collect()} == {2, 3, 4}
+    counts = {r.change: r.n for r in diff_summary(old, new, ["id"]).collect()}
+    assert counts == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_null_transitions_are_changes(spark):
+    from iot_sensor_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "id int, s string")
+    new = spark.createDataFrame([(1, "y"), (2, None)], "id int, s string")
+    got = {r.id: r.change for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_snapshot_diff_same_lineage_self_join(spark, sf_dir):
+    """Both versions derived from ONE source DataFrame (the common
+    production shape) must not trip the ambiguous-self-join analyzer."""
+    from iot_sensor_data_pipeline_spark.operators.merge import snapshot_diff
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 2 == 0)
+    d = snapshot_diff(docs, new, ["doc_id"])
+    assert d.where(F.col("change") == "removed").count() == docs.count() - new.count()
+    assert d.where(F.col("change") != "removed").count() == 0
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from iot_sensor_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1)], "id int, s string, noise int")
+    new = spark.createDataFrame([(1, "a", 2)], "id int, s string, noise int")
+    assert snapshot_diff(old, new, ["id"], ["s"]).count() == 0  # noise ignored
+    assert snapshot_diff(old, new, ["id"]).count() == 1  # default: all shared cols
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keys"):
+        snapshot_diff(old, new, [])
