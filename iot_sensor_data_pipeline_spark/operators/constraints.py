@@ -206,19 +206,26 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
                 )
             )
         elif c.kind == "ref":
-            orphans = (
-                df.where(F.col(c.column).isNotNull())
-                .join(
-                    c.ref_df.select(F.col(c.ref_col).alias(c.column)).distinct(),
-                    [c.column],
-                    "anti",
-                )
-                .agg(F.count(F.lit(1)).alias("__v"))
+            # one LEFT join + one aggregation: total rows and orphan
+            # count from the same pass (an anti-join + crossJoin pair
+            # would cost two scans and a nested-loop 1x1 join)
+            marked = c.ref_df.select(
+                F.col(c.ref_col).alias(c.column)
+            ).distinct().withColumn("__m", F.lit(1))
+            j = df.select(c.column).join(marked, [c.column], "left")
+            agg = j.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.coalesce(
+                    F.sum(
+                        (F.col(c.column).isNotNull() & F.col("__m").isNull()).cast(
+                            "long"
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("__v"),
             )
-            total = df.agg(F.count(F.lit(1)).alias("__n"))
-            both = total.crossJoin(orphans)
             parts.append(
-                both.select(
+                agg.select(
                     *_report_row(c.name, "ref", c.column, F.col("__n"), F.col("__v"))
                 )
             )

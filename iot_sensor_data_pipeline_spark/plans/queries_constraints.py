@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from iot_sensor_data_pipeline_spark.plans.registry import register_extended
+from iot_sensor_data_pipeline_spark.plans.registry import register
 from iot_sensor_data_pipeline_spark.sources.tables import load_table
 
 _CONSTRAINT_ORACLE = """
@@ -63,7 +63,8 @@ SELECT 'ref_integrity(o_custkey)', 'ref', 'o_custkey',
 """
 
 
-@register_extended(
+# rotated INTO the driver gate in r08
+@register(
     "orders_constraint_report",
     oracle=_CONSTRAINT_ORACLE,
     tags=("quality", "constraints"),

@@ -599,7 +599,8 @@ WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
 """
 
 
-@register_extended(
+# rotated INTO the driver gate in r08
+@register(
     "documents_snapshot_diff",
     oracle=_SNAPSHOT_DIFF_ORACLE,
     tags=("pipeline", "versioning"),

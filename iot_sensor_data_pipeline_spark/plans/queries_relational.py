@@ -25,7 +25,7 @@ from iot_sensor_data_pipeline_spark.operators.joins import (
 )
 from iot_sensor_data_pipeline_spark.operators.setops import difference, intersect
 from iot_sensor_data_pipeline_spark.operators.topk import top_k, top_k_per_group
-from iot_sensor_data_pipeline_spark.plans.registry import register
+from iot_sensor_data_pipeline_spark.plans.registry import register, register_extended
 from iot_sensor_data_pipeline_spark.sources.tables import load_table, register_views
 
 # ---------------------------------------------------------------------------
@@ -178,7 +178,9 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
-@register("customers_semi_anti_join", oracle=_SEMI_ANTI_ORACLE, tags=("relational", "join"))
+# rotated out of the driver gate in r08 (long-green since r02; bloom_join
+# now carries in-gate semi/anti coverage; extended two-SF sweep keeps the oracle)
+@register_extended("customers_semi_anti_join", oracle=_SEMI_ANTI_ORACLE, tags=("relational", "join"))
 def customers_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_semi + left_anti in one tagged union (one registry entry per
     join family keeps the registry inside the driver's 50-query gate)."""
@@ -460,7 +462,8 @@ GROUP BY l_returnflag
 """
 
 
-@register("lineitem_pivot_stats", oracle=_PIVOT_STATS_ORACLE, tags=("relational", "pivot", "agg"))
+# rotated out of the driver gate in r08 (long-green; extended sweep keeps the oracle)
+@register_extended("lineitem_pivot_stats", oracle=_PIVOT_STATS_ORACLE, tags=("relational", "pivot", "agg"))
 def lineitem_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (conditional aggregation via the .pivot operator) joined
     with the statistical-aggregate surface (stddev/var/corr/covar/

@@ -101,7 +101,8 @@ GROUP BY o_orderstatus
 """
 
 
-@register("string_agg_argmax_union", oracle=_STRINGAGG_ARGMAX_ORACLE, tags=("relational", "agg"))
+# rotated out of the driver gate in r08 (long-green; extended sweep keeps the oracle)
+@register_extended("string_agg_argmax_union", oracle=_STRINGAGG_ARGMAX_ORACLE, tags=("relational", "agg"))
 def string_agg_argmax_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (collect_list -> array_sort ->
     array_join) and arg-max/arg-min/count_if aggregates, as one tagged
@@ -675,7 +676,8 @@ GROUP BY l_returnflag
 """
 
 
-@register_extended(
+# rotated INTO the driver gate in r08
+@register(
     "lineitem_bloom_join", oracle=_BLOOM_JOIN_ORACLE, tags=("join", "bloom", "scale")
 )
 def lineitem_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
