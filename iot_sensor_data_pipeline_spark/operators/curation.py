@@ -710,3 +710,98 @@ def chunk_documents(
         F.array_join(F.col("chunk_toks"), " ").alias("chunk_text"),
         F.size(F.col("chunk_toks")).alias("n_tokens"),
     )
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    round_out: int = 6,
+) -> DataFrame:
+    """Per-domain health report — the aggregation level web-corpus
+    curation actually filters at (C4's blocklists, RefinedWeb's
+    per-URL rules, Gopher's per-source audits act on DOMAINS, not
+    documents: a spam farm's individual pages each look plausible;
+    the domain-level statistics give it away).
+
+    One row per domain: ``n_docs``, ``total_chars``, ``mean_quality``
+    (the shared :func:`~..functions.text.quality_score` heuristic) and
+    ``dup_rate`` — the fraction of the domain's docs whose
+    CCNet-normalized fingerprint (:func:`~..functions.text.normalize_text`)
+    collides with another doc of the SAME domain (templated/mirrored
+    content manifests as intra-domain duplication long before it is
+    visible globally).
+
+    Scale shape: one map-side-combinable aggregation per grain —
+    (domain, fingerprint) then domain — both shuffling only 8/16-byte
+    keys + counters; quality is a scan-side codegen expression. The
+    output is domains (tiny: ~10^6 rows for a web corpus), safe to
+    broadcast back against the corpus (:func:`filter_by_domain_stats`).
+    """
+    from iot_sensor_data_pipeline_spark.functions.text import (
+        fingerprint,
+        normalize_text,
+        quality_score,
+    )
+
+    t = F.col(text_col)
+    per_fp = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            fingerprint(normalize_text(t)).alias("__fp"),
+            F.length(t).alias("__chars"),
+            quality_score(t).alias("__q"),
+        )
+        .groupBy("domain", "__fp")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__chars").alias("__chars"),
+            F.sum("__q").alias("__q"),
+        )
+    )
+    return per_fp.groupBy("domain").agg(
+        F.sum("__c").alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.round(F.sum("__q") / F.sum("__c"), round_out).alias("mean_quality"),
+        F.round(
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0)))
+            / F.sum("__c"),
+            round_out,
+        ).alias("dup_rate"),
+    )
+
+
+def filter_by_domain_stats(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    min_mean_quality: float | None = None,
+    max_dup_rate: float | None = None,
+    min_docs: int | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Drop every document of a domain that fails the thresholds —
+    the act-on-:func:`domain_stats` step. Pass a precomputed ``stats``
+    relation to reuse one report across several filters (and to keep
+    the corpus single-scan); otherwise it is derived here.
+
+    The surviving-domain relation is domain-grain (tiny), so the
+    filter-back is a broadcast LEFT SEMI join — the corpus itself
+    never shuffles.
+    """
+    if min_mean_quality is None and max_dup_rate is None and min_docs is None:
+        raise ValueError(
+            "filter_by_domain_stats: set at least one of "
+            "min_mean_quality / max_dup_rate / min_docs"
+        )
+    if stats is None:
+        stats = domain_stats(df, domain_col=domain_col, text_col=text_col)
+    keep = stats
+    if min_mean_quality is not None:
+        keep = keep.where(F.col("mean_quality") >= float(min_mean_quality))
+    if max_dup_rate is not None:
+        keep = keep.where(F.col("dup_rate") <= float(max_dup_rate))
+    if min_docs is not None:
+        keep = keep.where(F.col("n_docs") >= int(min_docs))
+    keep = F.broadcast(keep.select(F.col("domain").alias(domain_col)))
+    return df.join(keep, domain_col, "left_semi")

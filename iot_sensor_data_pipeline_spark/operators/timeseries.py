@@ -155,6 +155,131 @@ def rolling_zscore_anomalies(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    time_col: str,
+    bucket_width: int,
+    key_cols: list[str],
+    value_col: str,
+    method: str = "locf",
+    id_col: str | None = None,
+    max_carry: float | None = None,
+    round_out: int = 6,
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) over IRREGULARLY sampled
+    series (TimescaleDB's ``time_weight('LOCF'|'Linear')`` +
+    ``average``): each sample holds from its timestamp to the next
+    sample's, the step (LOCF) or linear (trapezoidal) function is
+    integrated, and segments are CLIPPED at bucket boundaries so a
+    reading that straddles buckets contributes exactly its overlap to
+    each. A plain ``avg`` over-weights burst periods — ten readings in
+    one second count ten times a reading that held for ten minutes;
+    the time-weighted form is the physically meaningful mean for
+    sampled state (temperature, gauge levels, connection counts).
+
+    ``time_col`` is NUMERIC (epoch seconds — the module's
+    TZ-independent convention, see :func:`time_bucket_gapfill`),
+    ``bucket_width`` a positive integer in the same unit. ``id_col``
+    breaks ordering ties between equal timestamps so segment
+    construction is deterministic; equal-timestamp pairs form
+    zero-length segments which carry zero weight. ``max_carry`` (same
+    unit) truncates any segment at ``t0 + max_carry`` — both a
+    staleness bound (a sensor silent for a week should not project its
+    last reading across the week) and the explosion bound: a segment
+    covers span/width bucket rows, so carry is never unbounded.
+
+    Output: ``key_cols``, ``bucket`` (bucket start, long), ``twa``
+    (integral / covered time, double), ``covered`` (observed seconds
+    inside the bucket — exposed because twa over a 1 %-covered bucket
+    is a much weaker statement than over a fully covered one). Buckets
+    no segment touches are absent — compose with
+    :func:`time_bucket_gapfill` for a dense axis.
+
+    Scale shape: ONE shuffle on the series key for the lead() window,
+    then the bucket explode (covered buckets per segment, bounded by
+    ``max_carry``) feeds a map-side-combinable sum aggregation — the
+    same bucketize-don't-BNLJ discipline as ``range_join``
+    (operators/joins.py). No UDF, no driver collect.
+    """
+    if bucket_width < 1:
+        raise ValueError(
+            f"time_weighted_avg: bucket_width must be a positive "
+            f"integer, got {bucket_width}"
+        )
+    if method not in ("locf", "linear"):
+        raise ValueError(
+            f"time_weighted_avg: method must be 'locf' or 'linear', got {method!r}"
+        )
+    if not key_cols:
+        raise ValueError(
+            "time_weighted_avg: key_cols must be non-empty (use a "
+            "constant column for a single global series)"
+        )
+    if max_carry is not None and max_carry <= 0:
+        raise ValueError(
+            f"time_weighted_avg: max_carry must be positive, got {max_carry}"
+        )
+    w = int(bucket_width)
+    order = [F.col(time_col)] + ([F.col(id_col)] if id_col else [])
+    wk = Window.partitionBy(*key_cols).orderBy(*order)
+    t0 = F.col(time_col).cast("double")
+    v0 = F.col(value_col).cast("double")
+    segs = df.select(
+        *key_cols,
+        t0.alias("__t0"),
+        v0.alias("__v0"),
+        F.lead(t0).over(wk).alias("__t1"),
+        F.lead(v0).over(wk).alias("__v1"),
+    ).where(F.col("__t1") > F.col("__t0"))
+    # truncate the WEIGHTED span, not the slope: linear interpolation
+    # still runs along the original (t0,v0)->(t1,v1) chord
+    t_end = (
+        F.least(F.col("__t1"), F.col("__t0") + F.lit(float(max_carry)))
+        if max_carry is not None
+        else F.col("__t1")
+    )
+    i0 = F.floor(F.col("__t0") / w).cast("long")
+    # last covered bucket: strictly-before t_end (a segment ending
+    # exactly on a boundary does not touch the next bucket)
+    i1 = (
+        F.floor(t_end / w).cast("long")
+        - F.when(t_end == F.floor(t_end / w) * w, F.lit(1)).otherwise(F.lit(0))
+    )
+    exploded = segs.select(
+        *key_cols,
+        "__t0",
+        "__v0",
+        "__t1",
+        "__v1",
+        t_end.alias("__te"),
+        F.explode(F.sequence(i0, i1)).alias("__b"),
+    )
+    lo = F.greatest(F.col("__t0"), F.col("__b").cast("double") * w)
+    hi = F.least(F.col("__te"), (F.col("__b") + 1).cast("double") * w)
+    dt = hi - lo
+    if method == "locf":
+        contrib = F.col("__v0") * dt
+    else:  # linear: integral of the chord over [lo, hi] = mean of its
+        # endpoint values x overlap length (trapezoid)
+        slope = (F.col("__v1") - F.col("__v0")) / (F.col("__t1") - F.col("__t0"))
+        v_lo = F.col("__v0") + slope * (lo - F.col("__t0"))
+        v_hi = F.col("__v0") + slope * (hi - F.col("__t0"))
+        contrib = (v_lo + v_hi) / 2 * dt
+    return (
+        exploded.groupBy(*key_cols, (F.col("__b") * w).alias("bucket"))
+        .agg(
+            F.sum(contrib).alias("__num"),
+            F.sum(dt).alias("__den"),
+        )
+        .select(
+            *key_cols,
+            "bucket",
+            F.round(F.col("__num") / F.col("__den"), round_out).alias("twa"),
+            F.round(F.col("__den"), round_out).alias("covered"),
+        )
+    )
+
+
 _GAPFILL_AGGS = {
     "avg": F.avg,
     "sum": F.sum,

@@ -423,3 +423,84 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return branch("locf").unionByName(branch("linear"))
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (time_weighted_avg): per-event-type 600 s
+# buckets, LOCF and trapezoidal branches over the SAME segment
+# relation. Both engines build segments with lead() over (t, event_id),
+# explode to covered buckets with identical double arithmetic, and clip
+# overlaps at bucket edges — engine-exact like the gapfill oracle.
+# ---------------------------------------------------------------------------
+
+_TWA_W = 600
+
+_TWA_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) / 1000000.0 AS t, value AS v, event_id
+  FROM events
+), seg AS (
+  SELECT event_type, t AS t0, v AS v0,
+         lead(t) OVER wk AS t1, lead(v) OVER wk AS v1
+  FROM e
+  WINDOW wk AS (PARTITION BY event_type ORDER BY t, event_id)
+), sfil AS (
+  SELECT * FROM seg WHERE t1 > t0
+), ex AS (
+  SELECT event_type, t0, v0, t1, v1,
+         unnest(generate_series(
+           CAST(floor(t0 / {_TWA_W}) AS BIGINT),
+           CAST(floor(t1 / {_TWA_W}) AS BIGINT)
+             - CASE WHEN t1 = floor(t1 / {_TWA_W}) * {_TWA_W} THEN 1 ELSE 0 END
+         )) AS b
+  FROM sfil
+), ov AS (
+  SELECT event_type, b, t0, v0, t1, v1,
+         greatest(t0, b * {_TWA_W}) AS lo,
+         least(t1, (b + 1) * {_TWA_W}) AS hi
+  FROM ex
+)
+SELECT 'locf' AS branch, event_type, b * {_TWA_W} AS bucket,
+       round(sum(v0 * (hi - lo)) / sum(hi - lo), 6) AS twa,
+       round(sum(hi - lo), 6) AS covered
+FROM ov GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'linear' AS branch, event_type, b * {_TWA_W} AS bucket,
+       round(sum((v0 + (v1 - v0) / (t1 - t0) * (lo - t0)
+                  + v0 + (v1 - v0) / (t1 - t0) * (hi - t0)) / 2 * (hi - lo))
+             / sum(hi - lo), 6) AS twa,
+       round(sum(hi - lo), 6) AS covered
+FROM ov GROUP BY 1, 2, 3
+"""
+
+
+@register_extended(
+    "events_time_weighted_avg",
+    oracle=_TWA_ORACLE,
+    tags=("analytics", "timeseries", "twa"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per (event_type, 600 s
+    bucket) — LOCF step integration in one branch, trapezoidal linear
+    integration in the other
+    (operators/timeseries.py:time_weighted_avg). The physically
+    meaningful mean for irregularly sampled state: a plain avg()
+    over-weights burst periods."""
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", _epoch_s().alias("t"), "value", "event_id"
+    )
+
+    def branch(method):
+        out = time_weighted_avg(
+            events, "t", _TWA_W, ["event_type"], "value",
+            method=method, id_col="event_id",
+        )
+        return out.select(
+            F.lit(method).alias("branch"), "event_type", "bucket", "twa", "covered"
+        )
+
+    return branch("locf").unionByName(branch("linear"))

@@ -624,3 +624,76 @@ def documents_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = mutated.unionByName(added)
     return snapshot_diff(docs, new, ["doc_id"], ["text"])
+
+
+# ---------------------------------------------------------------------------
+# Domain-level curation (operators/curation.py domain_stats /
+# filter_by_domain_stats): per-source n_docs / total_chars /
+# mean_quality / intra-domain dup_rate, plus the kept flag at a
+# quality threshold chosen inside a wide inter-domain gap at both SFs
+# (0.195) so float summation-order differences can never flip it.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_MIN_QUALITY = 0.195
+
+
+def _en_stopword_list_sql() -> str:
+    from iot_sensor_data_pipeline_spark.functions.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+def _domain_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT source AS domain, text,
+         list_filter(string_split(text, ' '), t -> t != '') AS toks,
+         length(text) AS n_chars,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             '[0-9]', '0', 'g'), '[^a-z0\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), scored AS (
+  SELECT domain, fp, n_chars,
+    (least(len(toks), 200) / 200.0)
+    * (1 - (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / nullif(n_chars, 0))
+    * (1 - (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / nullif(n_chars, 0))
+    * (0.5 + 0.5 * (least(len(list_filter(toks, t -> t IN ({_en_stopword_list_sql()}))), 10) / 10.0)) AS q
+  FROM base
+), per_fp AS (
+  SELECT domain, fp, count(*) AS c, sum(n_chars) AS chars, sum(q) AS q
+  FROM scored GROUP BY 1, 2
+), stats AS (
+  SELECT domain, sum(c) AS n_docs, sum(chars) AS total_chars,
+         round(sum(q) / sum(c), 6) AS mean_quality,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_rate
+  FROM per_fp GROUP BY 1
+)
+SELECT domain, n_docs, total_chars, mean_quality, dup_rate,
+       CASE WHEN mean_quality >= {_DOMAIN_MIN_QUALITY} THEN 1 ELSE 0 END AS kept
+FROM stats
+"""
+
+
+@register_extended(
+    "documents_domain_curation",
+    oracle=_domain_oracle(),
+    tags=("pipeline", "curation", "domain"),
+)
+def documents_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-grain curation report: per-source doc count, char
+    volume, mean quality-heuristic score, intra-domain normalized-
+    fingerprint dup rate, and whether filter_by_domain_stats would
+    keep the domain at mean_quality >= 0.195 — the aggregation level
+    web-corpus pipelines (C4, RefinedWeb, Gopher) actually filter at."""
+    from iot_sensor_data_pipeline_spark.operators.curation import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = domain_stats(docs, domain_col="source", text_col="text")
+    return stats.select(
+        "domain",
+        "n_docs",
+        "total_chars",
+        "mean_quality",
+        "dup_rate",
+        (F.col("mean_quality") >= _DOMAIN_MIN_QUALITY).cast("int").alias("kept"),
+    )

@@ -49,6 +49,8 @@ __all__ = [
     "read_manifest",
     "prune_files",
     "read_pruned",
+    "plan_compaction",
+    "compact_files",
 ]
 
 MANIFEST_DIR = "_manifest"
@@ -288,3 +290,141 @@ def read_pruned(
         if hi is not None:
             df = df.where(F.col(c) <= F.lit(hi))
     return df
+
+
+def _list_parquet_files_with_size(
+    spark: SparkSession, path: str
+) -> list[tuple[str, int]]:
+    """(path, bytes) for non-hidden *.parquet files under ``path``."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"no parquet files under {path}")
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append((st.getPath().toString(), int(st.getLen())))
+    return sorted(out)
+
+
+def plan_compaction(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int,
+    min_bin_files: int = 2,
+) -> DataFrame:
+    """Small-file compaction plan — the maintenance half of the
+    lakehouse OPTIMIZE loop. Streaming/incremental writers (every
+    foreachBatch sink in ``streaming/jobs.py``) emit one file per
+    micro-batch per partition; at 100 TB the resulting million-file
+    directory pays a listing + footer + task-schedule cost per file on
+    EVERY read. This plans the rewrite: files already >= ``target_bytes``
+    are kept as-is, smaller files are packed into bins of ~``target_bytes``
+    by a cumulative-sum split over the (deterministic) name order.
+
+    Returns one row per file: ``(file, size, action, bin)`` where
+    ``action`` is 'keep' or 'compact' and ``bin`` numbers the rewrite
+    groups (NULL for keeps). A bin can exceed ``target_bytes`` by at
+    most one straddling file — the greedy cumsum split, same answer on
+    any engine (the python mirror in tests pins it). Bins holding fewer
+    than ``min_bin_files`` files are downgraded to 'keep' (rewriting a
+    single file buys nothing).
+
+    Scale note: the plan is FILE-METADATA-grain (one row per file from
+    one directory listing — no footer or data reads) and the cumsum is
+    a window over that tiny relation; a million-file table plans in
+    seconds. The global name-order window is single-partition BY DESIGN:
+    it runs on the metadata relation, never on data.
+    """
+    if target_bytes < 1:
+        raise ValueError(f"plan_compaction: target_bytes must be positive, got {target_bytes}")
+    files = _list_parquet_files_with_size(spark, path)
+    fdf = spark.createDataFrame(files, "file string, size long")
+    from pyspark.sql import Window
+
+    small = fdf.where(F.col("size") < target_bytes)
+    w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, -1)
+    binned = small.select(
+        "file",
+        "size",
+        F.floor(
+            F.coalesce(F.sum("size").over(w), F.lit(0)) / target_bytes
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("__n"))
+    binned = binned.join(counts, "bin").select(
+        "file",
+        "size",
+        F.when(F.col("__n") >= min_bin_files, F.lit("compact"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(F.col("__n") >= min_bin_files, F.col("bin")).alias("bin"),
+    )
+    keeps = fdf.where(F.col("size") >= target_bytes).select(
+        "file", "size", F.lit("keep").alias("action"), F.lit(None).cast("long").alias("bin")
+    )
+    return binned.unionByName(keeps)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int,
+    min_bin_files: int = 2,
+) -> tuple[DataFrame, list[str]]:
+    """Execute a :func:`plan_compaction` plan: rewrite every 'compact'
+    bin into ONE file under ``out_path`` in a single distributed job,
+    and return ``(plan, keep_files)`` — the caller swaps the directory
+    (or union-reads ``out_path`` + keeps) once the write commits.
+    Originals are never deleted here: publish-then-retire is the
+    caller's transaction to manage.
+
+    One job, no per-bin driver loop: the small files are read in one
+    scan, rows are tagged with their bin via a broadcast join on
+    ``input_file_name()``, hash-repartitioned BY BIN (each output task
+    receives whole bins), and written append-mode. Task count equals
+    bin count; each task writes ~``target_bytes``.
+    """
+    plan = plan_compaction(spark, path, target_bytes, min_bin_files).persist()
+    compact_rows = plan.where(F.col("action") == "compact")
+    pairs = [(r.file, r.bin) for r in compact_rows.select("file", "bin").collect()]
+    keep_files = [r.file for r in plan.where(F.col("action") == "keep").collect()]
+    if pairs:
+        n_bins = len({b for _, b in pairs})
+        bin_map = spark.createDataFrame(pairs, "file string, __bin long")
+        full_schema = spark.read.parquet(path).schema
+        # canonicalize the local-FS scheme: listStatus renders
+        # 'file:/x', input_file_name() 'file:///x' — same file
+        canon = lambda c: F.regexp_replace(c, r"^file:/+", "file:///")  # noqa: E731
+        df = (
+            spark.read.schema(full_schema)
+            .parquet(*[f for f, _ in pairs])
+            .withColumn("file", canon(F.input_file_name()))
+            .join(
+                F.broadcast(bin_map.select(canon(F.col("file")).alias("file"), "__bin")),
+                "file",
+                "left",
+            )
+            .drop("file")
+        )
+        df = df.persist()
+        n_unmatched = df.where(F.col("__bin").isNull()).count()
+        if n_unmatched:
+            df.unpersist()
+            raise RuntimeError(
+                f"compact_files: {n_unmatched} rows' input_file_name did not "
+                "match the plan's file list (URI scheme mismatch?) — refusing "
+                "to write a partial compaction"
+            )
+        (
+            df.repartition(n_bins, "__bin")
+            .drop("__bin")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        df.unpersist()
+    plan.unpersist()
+    return plan, keep_files

@@ -872,3 +872,89 @@ def test_weighted_sample_plan_is_top_n_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(ValueError, match="n must be"):
         weighted_sample_exact(df, "w", 0, "id")
+
+
+# ---------------------------------------------------------------------------
+# domain_stats / filter_by_domain_stats
+# ---------------------------------------------------------------------------
+
+
+# 'good': varied text; 'spam': one template repeated (dup_rate 1.0)
+# differing only by digits/case so only NORMALIZED dedup sees it;
+# 'tiny': a single doc (min_docs casualty)
+_DOMAIN_ROWS = [
+    (1, "good", "the cat sat on the mat and it was a fine day for all of them"),
+    (2, "good", "a completely different sentence about the weather in the north"),
+    (3, "good", "this is the third document and it is also unique in this set"),
+    (4, "spam", "Buy NOW for only 19 dollars call 555-0100 today"),
+    (5, "spam", "buy now for only 99 dollars CALL 555-0199 today"),
+    (6, "spam", "BUY now for only 42 dollars call 555-0142 TODAY"),
+    (7, "tiny", "one lonely document is all this domain has to offer the set"),
+]
+
+
+def _domain_fixture(spark):
+    return spark.createDataFrame(
+        _DOMAIN_ROWS, "doc_id long, source string, text string"
+    )
+
+
+def test_domain_stats_counts_and_dup_rate(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import domain_stats
+
+    stats = {r.domain: r for r in domain_stats(_domain_fixture(spark)).collect()}
+    assert stats["good"].n_docs == 3 and stats["good"].dup_rate == 0.0
+    assert stats["spam"].n_docs == 3 and stats["spam"].dup_rate == 1.0
+    assert stats["tiny"].n_docs == 1 and stats["tiny"].dup_rate == 0.0
+    for d, r in stats.items():
+        total = sum(len(t) for i, s, t in _DOMAIN_ROWS if s == d)
+        assert r.total_chars == total, d
+    assert 0.0 <= stats["good"].mean_quality <= 1.0
+
+
+def test_filter_by_domain_stats_drops_failing_domains(spark):
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        filter_by_domain_stats,
+    )
+
+    df = _domain_fixture(spark)
+    # dup_rate gate removes the template farm
+    kept = filter_by_domain_stats(df, max_dup_rate=0.5)
+    assert sorted(r.source for r in kept.select("source").distinct().collect()) == [
+        "good", "tiny",
+    ]
+    # min_docs gate removes the singleton domain
+    kept2 = filter_by_domain_stats(df, min_docs=2)
+    assert sorted(r.source for r in kept2.select("source").distinct().collect()) == [
+        "good", "spam",
+    ]
+    # composed gates
+    kept3 = filter_by_domain_stats(df, max_dup_rate=0.5, min_docs=2)
+    assert [r.source for r in kept3.select("source").distinct().collect()] == ["good"]
+    # docs of surviving domains come through untouched
+    assert kept3.count() == 3
+
+
+def test_filter_by_domain_stats_guard_and_broadcast_plan(spark):
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        domain_stats,
+        filter_by_domain_stats,
+    )
+
+    df = _domain_fixture(spark)
+    with pytest.raises(ValueError, match="at least one"):
+        filter_by_domain_stats(df)
+
+    # precomputed-stats reuse path + broadcast semi join (the corpus
+    # side must NOT shuffle for the filter-back)
+    stats = domain_stats(df)
+    plan = (
+        filter_by_domain_stats(df, min_docs=2, stats=stats)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

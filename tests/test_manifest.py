@@ -189,3 +189,96 @@ def test_update_manifest_incremental(spark, tmp_path):
     path2 = str(tmp_path / "fresh")
     mk(0, 10).write.parquet(path2)
     assert update_manifest(spark, path2, ["k"]).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# plan_compaction / compact_files
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fragmented(spark, tmp_path_factory):
+    """12 tiny single-row-group files plus one big one — the
+    post-streaming-sink shape compaction exists for."""
+    path = str(tmp_path_factory.mktemp("compact") / "tbl")
+    for i in range(12):
+        spark.range(i * 50, (i + 1) * 50).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ).coalesce(1).write.mode("append").parquet(path)
+    spark.range(10_000, 40_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+def _sizes(spark, path):
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        _list_parquet_files_with_size,
+    )
+
+    return _list_parquet_files_with_size(spark, path)
+
+
+def test_plan_compaction_bins_and_python_mirror(spark, fragmented):
+    from iot_sensor_data_pipeline_spark.sources.manifest import plan_compaction
+
+    files = _sizes(spark, fragmented)
+    big = max(s for _, s in files)
+    target = big  # the big file is kept, every tiny file is packable
+    plan = {r.file: r for r in plan_compaction(spark, fragmented, target).collect()}
+    assert len(plan) == len(files)
+
+    # python mirror of the cumsum split over name order
+    cum, want_bin = 0, {}
+    for f, s in files:  # already name-sorted
+        if s >= target:
+            want_bin[f] = None
+            continue
+        want_bin[f] = cum // target
+        cum += s
+    counts: dict = {}
+    for b in want_bin.values():
+        if b is not None:
+            counts[b] = counts.get(b, 0) + 1
+    for f, s in files:
+        r = plan[f]
+        assert r.size == s
+        b = want_bin[f]
+        if b is None or counts[b] < 2:
+            assert r.action == "keep" and r.bin is None, f
+        else:
+            assert r.action == "compact" and r.bin == b, f
+
+
+def test_plan_compaction_respects_min_bin_files(spark, fragmented):
+    from iot_sensor_data_pipeline_spark.sources.manifest import plan_compaction
+
+    # a target just above the largest tiny file -> every bin would hold
+    # 1-2 files; min_bin_files=3 downgrades them all to keep
+    files = _sizes(spark, fragmented)
+    tiny = sorted(s for _, s in files)[:-1]
+    plan = plan_compaction(spark, fragmented, max(tiny) + 1, min_bin_files=3)
+    assert plan.where(F.col("action") == "compact").count() == 0
+
+    with pytest.raises(ValueError, match="target_bytes"):
+        plan_compaction(spark, fragmented, 0)
+
+
+def test_compact_files_preserves_rows_and_reduces_files(spark, fragmented, tmp_path):
+    from iot_sensor_data_pipeline_spark.sources.manifest import compact_files
+
+    out = str(tmp_path / "compacted")
+    files = _sizes(spark, fragmented)
+    target = sum(s for _, s in files[:-1])  # pack all tinies generously
+    plan, keeps = compact_files(spark, fragmented, out, target)
+
+    n_compacted_in = plan.where(F.col("action") == "compact").count()
+    assert n_compacted_in >= 10 and len(keeps) >= 1
+
+    before = spark.read.parquet(fragmented)
+    after = spark.read.parquet(out, *keeps) if keeps else spark.read.parquet(out)
+    assert after.count() == before.count()
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, before.collect()))
+
+    n_out_files = len(_sizes(spark, out))
+    assert n_out_files < n_compacted_in  # strictly fewer files

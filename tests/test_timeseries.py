@@ -397,3 +397,206 @@ def test_gapfill_randomized_python_differential(spark):
                 assert gv is None, (fill, key)
             else:
                 assert gv == pytest.approx(wv, rel=1e-9), (fill, key)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg
+# ---------------------------------------------------------------------------
+
+
+def _twa_series(spark):
+    # key 'a': samples at 50 (v=2), 150 (v=4), 250 (v=10) with W=100:
+    #   locf:   bucket 0   = 2 over [50,100)                 -> 2.0
+    #           bucket 100 = 2*[100,150) + 4*[150,200)       -> 3.0
+    #           bucket 200 = 4 over [200,250)                -> 4.0
+    #   linear: bucket 0   = chord 2->4 over [50,100] mean (2+3)/2     -> 2.5
+    #           bucket 100 = (3+4)/2*50 + (4+7)/2*50 over 100          -> 4.5
+    #           bucket 200 = chord 4->10 over [200,250] mean (7+10)/2  -> 8.5
+    # key 'b': one sample -> no segment -> absent entirely
+    rows = [
+        ("a", 50.0, 2.0, 1),
+        ("a", 150.0, 4.0, 2),
+        ("a", 250.0, 10.0, 3),
+        ("b", 10.0, 5.0, 4),
+    ]
+    return spark.createDataFrame(rows, "k string, t double, v double, i int")
+
+
+def test_twa_locf_and_linear_golden(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = _twa_series(spark)
+
+    def run(method):
+        out = time_weighted_avg(df, "t", 100, ["k"], "v", method=method, id_col="i")
+        return {(r.k, r.bucket): (r.twa, r.covered) for r in out.collect()}
+
+    locf = run("locf")
+    assert locf == {
+        ("a", 0): (2.0, 50.0),
+        ("a", 100): (3.0, 100.0),
+        ("a", 200): (4.0, 50.0),
+    }
+    lin = run("linear")
+    assert lin == {
+        ("a", 0): (2.5, 50.0),
+        ("a", 100): (4.5, 100.0),
+        ("a", 200): (8.5, 50.0),
+    }
+
+
+def test_twa_boundary_segment_does_not_touch_next_bucket(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    # segment [0, 100) ends EXACTLY on the boundary -> bucket 100 absent
+    df = spark.createDataFrame(
+        [("k", 0.0, 3.0), ("k", 100.0, 9.0)], "k string, t double, v double"
+    )
+    out = time_weighted_avg(df, "t", 100, ["k"], "v")
+    got = {(r.k, r.bucket): (r.twa, r.covered) for r in out.collect()}
+    assert got == {("k", 0): (3.0, 100.0)}
+
+
+def test_twa_max_carry_truncates_stale_segments(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    # a 10_000-unit silence: untruncated LOCF would project v=1 across
+    # 100 buckets; max_carry=150 clips it to [0, 150)
+    df = spark.createDataFrame(
+        [("k", 0.0, 1.0), ("k", 10_000.0, 2.0), ("k", 10_050.0, 3.0)],
+        "k string, t double, v double",
+    )
+    out = time_weighted_avg(df, "t", 100, ["k"], "v", max_carry=150.0)
+    got = {(r.k, r.bucket): (r.twa, r.covered) for r in out.collect()}
+    assert got == {
+        ("k", 0): (1.0, 100.0),
+        ("k", 100): (1.0, 50.0),
+        ("k", 10_000): (2.0, 50.0),
+    }
+
+
+def test_twa_equal_timestamps_carry_zero_weight(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    # duplicate-ts pair forms a zero-length segment -> dropped; the
+    # surviving weight comes from (10, v=6) -> (20, ...) only
+    df = spark.createDataFrame(
+        [("k", 10.0, 2.0, 1), ("k", 10.0, 6.0, 2), ("k", 20.0, 8.0, 3)],
+        "k string, t double, v double, i int",
+    )
+    out = time_weighted_avg(df, "t", 100, ["k"], "v", method="locf", id_col="i")
+    got = {(r.k, r.bucket): (r.twa, r.covered) for r in out.collect()}
+    assert got == {("k", 0): (6.0, 10.0)}
+
+
+def test_twa_guards(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = _twa_series(spark)
+    with pytest.raises(ValueError, match="bucket_width"):
+        time_weighted_avg(df, "t", 0, ["k"], "v")
+    with pytest.raises(ValueError, match="method"):
+        time_weighted_avg(df, "t", 100, ["k"], "v", method="spline")
+    with pytest.raises(ValueError, match="key_cols"):
+        time_weighted_avg(df, "t", 100, [], "v")
+    with pytest.raises(ValueError, match="max_carry"):
+        time_weighted_avg(df, "t", 100, ["k"], "v", max_carry=0)
+
+
+def test_twa_partitioning_invariant_and_jvm_side(spark):
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = _twa_series(spark)
+
+    def run(npart):
+        out = time_weighted_avg(
+            df.repartition(npart), "t", 100, ["k"], "v",
+            method="linear", id_col="i",
+        )
+        return sorted((r.k, r.bucket, r.twa, r.covered) for r in out.collect())
+
+    assert run(1) == run(7)
+
+    plan = (
+        time_weighted_avg(df, "t", 100, ["k"], "v", id_col="i")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twa_randomized_python_differential(spark):
+    """Randomized irregular series vs a pure-python numeric-integration
+    mirror of both methods — catches clipping/interpolation drift."""
+    import math
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rnd = random.Random(23)
+    W = 25
+    rows = []
+    i = 0
+    for k in ("a", "b", "c"):
+        t = 0.0
+        for _ in range(rnd.randint(2, 40)):
+            t += rnd.uniform(0.1, 80)  # spans multiple buckets regularly
+            rows.append((k, round(t, 3), round(rnd.uniform(-5, 5), 3), i))
+            i += 1
+    df = spark.createDataFrame(rows, "k string, t double, v double, i int")
+
+    def mirror(method):
+        by_key: dict = {}
+        for k, t, v, _ in rows:
+            by_key.setdefault(k, []).append((t, v))
+        num: dict = {}
+        den: dict = {}
+        for k, pts in by_key.items():
+            pts.sort()
+            for (t0, v0), (t1, v1) in zip(pts, pts[1:]):
+                if t1 <= t0:
+                    continue
+                b = int(math.floor(t0 / W))
+                while b * W < t1:
+                    lo, hi = max(t0, b * W), min(t1, (b + 1) * W)
+                    if hi > lo:
+                        if method == "locf":
+                            c = v0 * (hi - lo)
+                        else:
+                            s = (v1 - v0) / (t1 - t0)
+                            c = (v0 + s * (lo - t0) + v0 + s * (hi - t0)) / 2 * (hi - lo)
+                        num[(k, b * W)] = num.get((k, b * W), 0.0) + c
+                        den[(k, b * W)] = den.get((k, b * W), 0.0) + (hi - lo)
+                    b += 1
+        return {key: (num[key] / den[key], den[key]) for key in num}
+
+    for method in ("locf", "linear"):
+        got = {
+            (r.k, r.bucket): (r.twa, r.covered)
+            for r in time_weighted_avg(
+                df, "t", W, ["k"], "v", method=method, id_col="i"
+            ).collect()
+        }
+        want = mirror(method)
+        assert set(got) == set(want), method
+        for key, (wv, wc) in want.items():
+            gv, gc = got[key]
+            assert gv == pytest.approx(wv, rel=1e-6, abs=1e-6), (method, key)
+            assert gc == pytest.approx(wc, rel=1e-6, abs=1e-6), (method, key)
