@@ -5,6 +5,10 @@ Stage order follows the production playbook — cheap scans first, then
 the dedup tiers (each stage shrinks the input of the next, so ordering
 is a cost statement, not just taste):
 
+0. domain filter     — per-domain stats gate (mean quality /
+                       intra-domain dup rate / min size); first
+                       because it is the C4/RefinedWeb blocklist
+                       analogue and cheapest per dropped row
 1. quality gate      — heuristic ``quality_score`` floor (pure scan)
 2. exact dedup       — one survivor (min id) per identical text
 3. near-dup dedup    — MinHash/LSH pairs -> connected components ->
@@ -64,6 +68,10 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
+    domain_col: str | None = None,
+    domain_min_quality: float | None = None,
+    domain_max_dup_rate: float | None = None,
+    domain_min_docs: int | None = None,
     min_quality: float | None = None,
     exact_dedup: bool = True,
     neardup_threshold: float | None = 0.5,
@@ -90,7 +98,20 @@ def curate_corpus(
     ``report=False``).
     """
     stages: list[dict] = []
-    cur = docs.select(F.col(id_col), F.col(text_col))
+    domain_gate = any(
+        v is not None
+        for v in (domain_min_quality, domain_max_dup_rate, domain_min_docs)
+    )
+    if domain_gate and domain_col is None:
+        raise ValueError(
+            "curate_corpus: domain_min_quality/domain_max_dup_rate/"
+            "domain_min_docs need domain_col (the per-document "
+            "domain/source column to aggregate by)"
+        )
+    cols = [F.col(id_col), F.col(text_col)]
+    if domain_gate:
+        cols.append(F.col(domain_col))
+    cur = docs.select(*cols)
     prev_count: int | None = None  # carried forward: rows_in == last rows_out
 
     def _step(name: str, nxt: DataFrame) -> DataFrame:
@@ -104,6 +125,26 @@ def curate_corpus(
             )
         cur = nxt
         return cur
+
+    if domain_gate:
+        from iot_sensor_data_pipeline_spark.operators.curation import (
+            filter_by_domain_stats,
+        )
+
+        _step(
+            "domain_filter",
+            filter_by_domain_stats(
+                cur,
+                domain_col=domain_col,
+                text_col=text_col,
+                min_mean_quality=domain_min_quality,
+                max_dup_rate=domain_max_dup_rate,
+                min_docs=domain_min_docs,
+            ),
+        )
+        # downstream stages are (id, text)-shaped; the domain column
+        # served its purpose
+        cur = cur.drop(domain_col)
 
     if min_quality is not None:
         _step(

@@ -194,3 +194,39 @@ def test_decontamination_stage_drops_eval_overlap(spark):
     assert {r["doc_id"] for r in out.collect()} == {2}
     by_name = {s["stage"]: s for s in stages}
     assert by_name["decontaminate"]["rows_out"] == 1
+
+
+def test_domain_filter_stage_drops_spam_farm(spark):
+    """A template-farm domain (intra-domain normalized dup_rate 1.0)
+    is removed wholesale by the stage-0 domain gate; per-document
+    stages then act on the survivors as before."""
+    rows = [
+        (1, "good", GOOD),
+        (2, "good", GOOD2),
+        (3, "good", GOOD3),
+        (4, "farm", "Buy NOW for only 19 dollars call 555-0100 today"),
+        (5, "farm", "buy now for only 99 dollars CALL 555-0199 today"),
+        (6, "good", GOOD),  # exact dup of 1, different stage's job
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out, stages = curate_corpus(
+        docs,
+        domain_col="source",
+        domain_max_dup_rate=0.5,
+        exact_dedup=True,
+        neardup_threshold=None,
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [1, 2, 3]  # farm gone via domain gate, 6 via exact dedup
+    by_name = {s["stage"]: s for s in stages}
+    assert by_name["domain_filter"]["rows_in"] == 6
+    assert by_name["domain_filter"]["rows_out"] == 4
+    assert by_name["exact_dedup"]["rows_out"] == 3
+    assert "source" not in out.columns
+
+
+def test_domain_thresholds_require_domain_col(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="domain_col"):
+        curate_corpus(_corpus(spark), domain_max_dup_rate=0.5)

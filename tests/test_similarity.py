@@ -505,3 +505,69 @@ def test_semdedup_incremental_replay_safe(spark):
     replayed_index = postings.unionByName(delta)
     pairs2, _ = semdedup_incremental(batch, replayed_index, centroids, 0.9)
     assert {(r.i, r.j) for r in pairs2.collect()} == want
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_report
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_report_goldens(spark):
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "qid long, nid long"
+    )
+    variants = {
+        # identical -> 1.0; q1 half right + q2 nothing -> macro .25,
+        # micro .25; duplicate rows in a variant must not double-count
+        "perfect": truth,
+        "half_q1": spark.createDataFrame(
+            [(1, 10), (1, 99), (1, 10)], "qid long, nid long"
+        ),
+        "empty": spark.createDataFrame([], "qid long, nid long"),
+    }
+    rep = {r.variant: r for r in ann_recall_report(truth, variants).collect()}
+    assert rep["perfect"].macro_recall == 1.0
+    assert rep["perfect"].micro_recall == 1.0
+    assert rep["perfect"].n_queries == 2 and rep["perfect"].n_truth_rows == 4
+    assert rep["half_q1"].macro_recall == 0.25
+    assert rep["half_q1"].micro_recall == 0.25
+    assert rep["empty"].macro_recall == 0.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        ann_recall_report(truth, {})
+
+
+def test_ann_recall_report_on_real_variants(spark, sf_dir_mid):
+    """Exhaustive-probe IVF must score EXACTLY 1.0 (probing every
+    centroid is brute force); the approximate variants land in (0, 1]
+    and brute-force-vs-itself pins the harness end-to-end."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        ivf_topk,
+        rp_lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir_mid, "embeddings").where(F.col("vec_id") < 300)
+    queries = emb.where(F.col("vec_id") < 20)
+    truth = cosine_topk(queries, emb, k=10).persist()
+    variants = {
+        "ivf_full_probe": ivf_topk(
+            queries, emb, k=10, n_centroids=8, n_probe=8, seed=7
+        ),
+        "ivf_p2": ivf_topk(queries, emb, k=10, n_centroids=8, n_probe=2, seed=7),
+        "rp_lsh": rp_lsh_topk(queries, emb, k=10, dim=64, n_planes=4),
+    }
+    rep = {r.variant: r for r in ann_recall_report(truth, variants).collect()}
+    truth.unpersist()
+    assert rep["ivf_full_probe"].macro_recall == 1.0
+    assert 0.0 < rep["ivf_p2"].macro_recall <= 1.0
+    assert 0.0 < rep["rp_lsh"].macro_recall <= 1.0
+    # pruning can only lose neighbors, never gain
+    assert rep["ivf_p2"].macro_recall <= rep["ivf_full_probe"].macro_recall
