@@ -110,3 +110,91 @@ def cume_dist_from_rank(rank: Column, n_rows: int) -> Column:
     """ANSI cume_dist over a UNIQUE sort key: rank / n_rows (with ties
     impossible, the last-peer rank is the rank itself)."""
     return rank / F.lit(float(max(n_rows, 1)))
+
+
+def ranking_metrics_report(
+    results: DataFrame,
+    relevance: DataFrame,
+    k: int,
+    query_col: str = "qid",
+    item_col: str = "nid",
+    rank_col: str = "rn",
+    rel_col: str = "rel",
+    round_out: int = 6,
+) -> DataFrame:
+    """Per-query ranking-quality metrics — the retrieval-evaluation
+    companion to ``similarity.ann_recall_report``: where recall asks
+    "did the index find the true neighbors", this asks "is the ranking
+    USEFUL against graded relevance judgments" (the RAG / search-eval
+    question, scored the way IR benchmarks score it).
+
+    ``results`` carries 1-based ranks (``rank_col``) per query —
+    e.g. :func:`~.similarity.cosine_topk` output; ``relevance`` is the
+    judgment relation (query, item, grade>0), absent pairs grade 0.
+    One row per DISTINCT query in ``results``:
+
+    - ``rr``           — reciprocal rank of the first relevant result
+                         (0.0 when nothing relevant in the top k);
+    - ``precision_at_k`` — relevant results in the top k / k;
+    - ``recall_at_k``  — relevant results in the top k / the query's
+                         total relevant count (NULL when the query has
+                         no judged-relevant items — undefined, not 0);
+    - ``ndcg_at_k``    — DCG/IDCG with the standard rel/log2(rank+1)
+                         gain and the ideal ranking truncated at k
+                         (NULL when undefined, as above).
+
+    Ties in the ideal ordering break by (grade DESC, item ASC) so the
+    IDCG is engine-deterministic. Shape: one equi-join of the top-k
+    relation with judgments plus two aggregations at query grain —
+    eval-set sized work; the corpus never appears here.
+    """
+    if k < 1:
+        raise ValueError(f"ranking_metrics_report: k must be >= 1, got {k}")
+    res = results.select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__rn"),
+    ).where(F.col("__rn") <= k)
+    rel = relevance.select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    ).where(F.col("__rel") > 0)
+
+    j = res.join(rel, ["__q", "__i"], "left").select(
+        "__q", "__rn", F.coalesce("__rel", F.lit(0.0)).alias("__rel")
+    )
+    got = j.groupBy("__q").agg(
+        F.min(F.when(F.col("__rel") > 0, F.col("__rn"))).alias("__first"),
+        F.sum((F.col("__rel") > 0).cast("int")).alias("__hits"),
+        F.sum(F.col("__rel") / F.log2(F.col("__rn") + 1)).alias("__dcg"),
+    )
+    wi = Window.partitionBy("__q").orderBy(F.col("__rel").desc(), F.col("__i").asc())
+    ideal = (
+        rel.withColumn("__ir", F.row_number().over(wi))
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("__n_rel"),
+            F.sum(
+                F.when(
+                    F.col("__ir") <= k, F.col("__rel") / F.log2(F.col("__ir") + 1)
+                ).otherwise(F.lit(0.0))
+            ).alias("__idcg"),
+        )
+    )
+    return (
+        got.join(ideal, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), round_out
+            ).alias("rr"),
+            F.round(F.col("__hits") / F.lit(float(k)), round_out).alias(
+                "precision_at_k"
+            ),
+            F.round(F.col("__hits") / F.col("__n_rel"), round_out).alias(
+                "recall_at_k"
+            ),
+            F.round(F.col("__dcg") / F.col("__idcg"), round_out).alias("ndcg_at_k"),
+        )
+    )

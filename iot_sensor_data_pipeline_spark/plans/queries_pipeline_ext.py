@@ -697,3 +697,90 @@ def documents_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_rate",
         (F.col("mean_quality") >= _DOMAIN_MIN_QUALITY).cast("int").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality metrics (operators/ranking.py ranking_metrics_report)
+# over the exact kNN ranking, judged by label agreement: every 50th
+# vector queries the corpus, a neighbor is relevant iff it shares the
+# query's label. Both engines rank by the 6dp-rounded cosine with nid
+# tie-break (the cosine_topk contract), so ranks — and therefore DCG —
+# are engine-identical before the final rounding.
+# ---------------------------------------------------------------------------
+
+_RANKMETRICS_K = 10
+
+_RANKMETRICS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+), q AS (
+  SELECT * FROM e WHERE vec_id % 50 = 0
+), pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS score
+  FROM q CROSS JOIN e c
+  WHERE q.vec_id != c.vec_id
+), res AS (
+  SELECT qid, nid, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+    FROM pairs
+  ) WHERE rn <= {_RANKMETRICS_K}
+), rel AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, 1.0 AS rel
+  FROM q JOIN e c ON q.label = c.label AND q.vec_id != c.vec_id
+), j AS (
+  SELECT r.qid, r.rn, coalesce(v.rel, 0.0) AS rel
+  FROM res r LEFT JOIN rel v USING (qid, nid)
+), got AS (
+  SELECT qid,
+         min(CASE WHEN rel > 0 THEN rn END) AS first_hit,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+         sum(rel / log2(rn + 1)) AS dcg
+  FROM j GROUP BY 1
+), ideal AS (
+  SELECT qid, count(*) AS n_rel,
+         sum(CASE WHEN ir <= {_RANKMETRICS_K} THEN rel / log2(ir + 1) ELSE 0 END) AS idcg
+  FROM (
+    SELECT qid, nid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS ir
+    FROM rel
+  ) GROUP BY 1
+)
+SELECT got.qid AS qid,
+       round(coalesce(1.0 / first_hit, 0.0), 6) AS rr,
+       round(hits / {_RANKMETRICS_K}.0, 6) AS precision_at_k,
+       round(hits * 1.0 / n_rel, 6) AS recall_at_k,
+       round(dcg / idcg, 6) AS ndcg_at_k
+FROM got LEFT JOIN ideal USING (qid)
+"""
+
+
+@register_extended(
+    "embeddings_ranking_metrics",
+    oracle=_RANKMETRICS_ORACLE,
+    tags=("pipeline", "similarity", "evaluation"),
+)
+def embeddings_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RR / precision@10 / recall@10 / NDCG@10 per query over the
+    exact cosine ranking, relevance = label agreement
+    (operators/ranking.py:ranking_metrics_report)."""
+    from iot_sensor_data_pipeline_spark.operators.ranking import (
+        ranking_metrics_report,
+    )
+    from iot_sensor_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    results = cosine_topk(queries, emb, k=_RANKMETRICS_K)
+    relevance = (
+        queries.select(F.col("vec_id").alias("qid"), "label")
+        .join(
+            emb.select(F.col("vec_id").alias("nid"), F.col("label").alias("__l")),
+            F.col("label") == F.col("__l"),
+        )
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.lit(1.0).alias("rel"))
+    )
+    return ranking_metrics_report(results, relevance, k=_RANKMETRICS_K)

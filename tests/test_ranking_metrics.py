@@ -1,0 +1,87 @@
+"""ranking_metrics_report (operators/ranking.py): hand-computed
+goldens, undefined-metric NULL semantics, guard; the full DuckDB
+differential runs via the extended registry (embeddings_ranking_metrics,
+tests/test_tpch_full.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.operators.ranking import ranking_metrics_report
+
+
+def _fixture(spark):
+    # q1: relevant items 10, 11, 12 (3 total); top-3 ranking hits 11
+    #     at rank 2 and 10 at rank 3 -> rr=1/2, p@3=2/3, recall=2/3
+    # q2: no relevant items at all -> rr=0, p=0, recall/ndcg NULL
+    # q3: graded relevance (2.0 beats 1.0) with the 1.0 ranked first
+    results = spark.createDataFrame(
+        [
+            (1, 99, 1), (1, 11, 2), (1, 10, 3),
+            (2, 50, 1), (2, 51, 2), (2, 52, 3),
+            (3, 30, 1), (3, 31, 2), (3, 98, 3),
+        ],
+        "qid long, nid long, rn int",
+    )
+    relevance = spark.createDataFrame(
+        [
+            (1, 10, 1.0), (1, 11, 1.0), (1, 12, 1.0),
+            (3, 30, 1.0), (3, 31, 2.0),
+        ],
+        "qid long, nid long, rel double",
+    )
+    return results, relevance
+
+
+def test_golden_metrics(spark):
+    results, relevance = _fixture(spark)
+    rep = {r.qid: r for r in ranking_metrics_report(results, relevance, k=3).collect()}
+
+    r1 = rep[1]
+    assert r1.rr == 0.5
+    assert r1.precision_at_k == round(2 / 3, 6)
+    assert r1.recall_at_k == round(2 / 3, 6)
+    # dcg = 1/log2(3) + 1/log2(4); idcg = 1/log2(2) + 1/log2(3) + 1/log2(4)
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1.0 + 1 / math.log2(3) + 1 / math.log2(4)
+    assert r1.ndcg_at_k == pytest.approx(dcg / idcg, abs=1e-6)
+
+    r2 = rep[2]
+    assert r2.rr == 0.0 and r2.precision_at_k == 0.0
+    assert r2.recall_at_k is None and r2.ndcg_at_k is None
+
+    r3 = rep[3]
+    assert r3.rr == 1.0 and r3.recall_at_k == 1.0
+    # got: 1.0@1 + 2.0@2; ideal: 2.0@1 + 1.0@2
+    dcg3 = 1.0 / math.log2(2) + 2.0 / math.log2(3)
+    idcg3 = 2.0 / math.log2(2) + 1.0 / math.log2(3)
+    assert r3.ndcg_at_k == pytest.approx(dcg3 / idcg3, abs=1e-6)
+
+
+def test_k_truncation_and_total_recall_denominator(spark):
+    results, relevance = _fixture(spark)
+    # k=2 drops q1's rank-3 hit: p@2=1/2, recall 1/3; ideal also
+    # truncates at 2 of 3 relevant
+    rep = {r.qid: r for r in ranking_metrics_report(results, relevance, k=2).collect()}
+    assert rep[1].precision_at_k == 0.5
+    assert rep[1].recall_at_k == round(1 / 3, 6)
+
+    with pytest.raises(ValueError, match="k must be"):
+        ranking_metrics_report(results, relevance, k=0)
+
+
+def test_every_result_query_reports_even_without_judgments(spark):
+    results, relevance = _fixture(spark)
+    rep = ranking_metrics_report(results, relevance, k=3)
+    assert sorted(r.qid for r in rep.collect()) == [1, 2, 3]
+    # nonpositive grades are ignored, not treated as relevant
+    rel2 = relevance.union(
+        relevance.sparkSession.createDataFrame(
+            [(2, 50, 0.0)], "qid long, nid long, rel double"
+        )
+    )
+    rep2 = {r.qid: r for r in ranking_metrics_report(results, rel2, k=3).collect()}
+    assert rep2[2].rr == 0.0 and rep2[2].recall_at_k is None
