@@ -51,6 +51,7 @@ __all__ = [
     "read_pruned",
     "plan_compaction",
     "compact_files",
+    "compact_clustered",
 ]
 
 MANIFEST_DIR = "_manifest"
@@ -426,5 +427,56 @@ def compact_files(
             .parquet(out_path)
         )
         df.unpersist()
+    plan.unpersist()
+    return plan, keep_files
+
+
+def compact_clustered(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int,
+    cluster_by: Sequence,
+    min_bin_files: int = 2,
+) -> tuple[DataFrame, list[str]]:
+    """Compact AND cluster in one rewrite — the ``OPTIMIZE ... ZORDER
+    BY`` pairing: since every small file is being rewritten anyway,
+    spend the same pass range-partitioning rows by ``cluster_by`` so
+    each output file holds a NARROW key range. Plain compaction
+    (:func:`compact_files`) preserves the accidental row placement the
+    streaming sinks produced — every output file still spans the full
+    key domain and the footer-stats manifest (:func:`write_manifest`,
+    :func:`read_pruned`) can prune nothing; after a clustered rewrite
+    the per-file min/max become selective, which is exactly what makes
+    file skipping work (pair multi-dimension keys via
+    ``operators.layout.zorder_key`` — pass the expression as a
+    ``cluster_by`` element).
+
+    Output file count = ceil(total small bytes / target_bytes); one
+    ``repartitionByRange`` (sampled boundaries, one shuffle of the
+    small files only) + ``sortWithinPartitions`` for row-group-level
+    locality inside each file. Keep-files (already >= target) are
+    untouched and returned for the caller's publish step, exactly as
+    in :func:`compact_files`.
+    """
+    cluster_by = list(cluster_by)
+    if not cluster_by:
+        raise ValueError("compact_clustered: cluster_by must name at least one column")
+    plan = plan_compaction(spark, path, target_bytes, min_bin_files).persist()
+    compact_rows = plan.where(F.col("action") == "compact").collect()
+    keep_files = [r.file for r in plan.where(F.col("action") == "keep").collect()]
+    if compact_rows:
+        total = sum(r.size for r in compact_rows)
+        n_bins = max(1, -(-total // int(target_bytes)))
+        full_schema = spark.read.parquet(path).schema
+        cols = [F.col(c) if isinstance(c, str) else c for c in cluster_by]
+        (
+            spark.read.schema(full_schema)
+            .parquet(*[r.file for r in compact_rows])
+            .repartitionByRange(n_bins, *cols)
+            .sortWithinPartitions(*cols)
+            .write.mode("append")
+            .parquet(out_path)
+        )
     plan.unpersist()
     return plan, keep_files

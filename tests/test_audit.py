@@ -118,8 +118,15 @@ def test_extended_registry_queries_have_no_blocking_findings(spark):
     block."""
     from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
 
+    # same documented exception as the gate's brute-force kNN: the
+    # ranking-metrics query scores the exact cosine_topk ranking, whose
+    # broadcast-queries x corpus-scan cross-score is a BNLJ by design
+    # (build side = the driver-small query set)
+    sanctioned_bnlj = {"embeddings_ranking_metrics"}
     for name, q in EXTENDED_REGISTRY.items():
         f = blocking(audit_plan(q.fn(spark, SF)))
+        if name in sanctioned_bnlj:
+            f = [x for x in f if x.rule != "broadcast-nested-loop"]
         assert not f, (name, f)
 
 

@@ -282,3 +282,47 @@ def test_compact_files_preserves_rows_and_reduces_files(spark, fragmented, tmp_p
 
     n_out_files = len(_sizes(spark, out))
     assert n_out_files < n_compacted_in  # strictly fewer files
+
+
+def test_compact_clustered_makes_file_stats_selective(spark, tmp_path):
+    """Worst-case placement: every small file spans the FULL key
+    domain, so plain compaction leaves file-level min/max useless;
+    the clustered rewrite makes per-file ranges narrow enough that a
+    range predicate prunes most output files."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        compact_clustered,
+        footer_stats,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(10):
+        # stride-10 residue classes: each file covers [i, 9990+i]
+        spark.range(1000).select(
+            (F.col("id") * 10 + i).alias("k"), F.col("id").alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "clustered")
+    sizes = _sizes(spark, src)
+    target = sum(s for _, s in sizes) // 5  # ~5 output bins
+    plan, keeps = compact_clustered(spark, src, out, target, cluster_by=["k"])
+    # uneven snappy sizes can leave a singleton tail bin as 'keep'
+    assert len(keeps) <= 1
+
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(out, *keeps) if keeps else spark.read.parquet(out)
+    assert after.count() == before.count()
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, before.collect()))
+
+    stats = footer_stats(spark, out, ["k"]).collect()
+    assert len(stats) >= 3
+    # disjoint-ish narrow ranges: each file's span far below the domain
+    domain = 10_000
+    for r in stats:
+        assert (r.max_num - r.min_num) < domain * 0.6
+    # a narrow predicate overlaps only a minority of files
+    lo, hi = 100.0, 900.0
+    overlapping = [r for r in stats if not (r.max_num < lo or r.min_num > hi)]
+    assert len(overlapping) <= max(1, len(stats) // 2)
+
+    with pytest.raises(ValueError, match="cluster_by"):
+        compact_clustered(spark, src, out, target, cluster_by=[])
