@@ -805,3 +805,39 @@ def filter_by_domain_stats(
         keep = keep.where(F.col("n_docs") >= int(min_docs))
     keep = F.broadcast(keep.select(F.col("domain").alias(domain_col)))
     return df.join(keep, domain_col, "left_semi")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    out_col: str = "shuffle_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training order for an epoch — the shuffle
+    a data LOADER needs: every worker must agree on position i's
+    example without coordination, re-runs must reproduce bit-for-bit,
+    and epoch e+1 must be a DIFFERENT permutation of the same corpus.
+    RNG-state shuffles give none of that; hashing gives all three:
+    order by ``md5(seed || ':' || id)`` (engine-portable, same trick
+    as the md5 split/mix buckets above), tie-broken by the id itself
+    so the sort key is unique even under hash collisions.
+
+    Output: the input plus ``out_col`` — the exact 1-based global
+    position, computed by ``ranking.global_row_number`` (range
+    partition + per-partition row_number + broadcast offsets), so no
+    single-partition sort appears at ANY scale. Loaders that only need
+    a shuffled ORDER (not positions) can stop at
+    ``repartitionByRange + sortWithinPartitions`` over the same key;
+    this materializes positions so downstream sharding (position %
+    n_shards) is pure arithmetic.
+    """
+    from iot_sensor_data_pipeline_spark.operators.ranking import global_row_number
+
+    key = F.md5(F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string")))
+    return global_row_number(
+        df.withColumn("__sk", key),
+        [F.col("__sk"), F.col(id_col)],
+        out_col=out_col,
+        num_partitions=num_partitions,
+    ).drop("__sk")

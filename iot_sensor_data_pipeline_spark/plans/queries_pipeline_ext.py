@@ -784,3 +784,48 @@ def embeddings_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", F.lit(1.0).alias("rel"))
     )
     return ranking_metrics_report(results, relevance, k=_RANKMETRICS_K)
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle (operators/curation.py epoch_shuffle): the exact global
+# training order for two epochs/seeds. Both engines order by
+# md5(seed || ':' || doc_id) with the id as the collision tie-break, so
+# positions are engine-identical; Spark computes them with the
+# range-partition + broadcast-offsets machinery (no single-partition
+# sort), the oracle with a plain window.
+# ---------------------------------------------------------------------------
+
+
+def _epoch_shuffle_oracle_branch(seed: int) -> str:
+    return f"""
+SELECT {seed} AS seed, doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('{seed}:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents"""
+
+
+_EPOCH_SHUFFLE_ORACLE = (
+    _epoch_shuffle_oracle_branch(1) + "\nUNION ALL" + _epoch_shuffle_oracle_branch(2)
+)
+
+
+@register_extended(
+    "documents_epoch_shuffle",
+    oracle=_EPOCH_SHUFFLE_ORACLE,
+    tags=("pipeline", "curation", "loader"),
+)
+def documents_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch-shuffle positions for seeds 1 and 2 — every
+    engine (and every loader worker) agrees on position i's document,
+    and the two seeds are different permutations of the same corpus."""
+    from iot_sensor_data_pipeline_spark.operators.curation import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def branch(seed):
+        return epoch_shuffle(docs, seed).select(
+            F.lit(seed).alias("seed"), "doc_id", "shuffle_pos"
+        )
+
+    return branch(1).unionByName(branch(2))

@@ -958,3 +958,42 @@ def test_filter_by_domain_stats_guard_and_broadcast_plan(spark):
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_exact_permutation_and_determinism(spark, sf_dir_mid):
+    from iot_sensor_data_pipeline_spark.operators.curation import epoch_shuffle
+
+    docs = load_table(spark, sf_dir_mid, "documents").select("doc_id")
+    n = docs.count()
+
+    def run(seed, nparts):
+        out = epoch_shuffle(docs.repartition(nparts), seed)
+        return {r.doc_id: r.shuffle_pos for r in out.collect()}
+
+    a = run(7, 3)
+    # exactly the positions 1..n, each once
+    assert sorted(a.values()) == list(range(1, n + 1))
+    # partitioning-invariant and rerun-stable
+    assert a == run(7, 11)
+    # a different seed is a DIFFERENT permutation of the same corpus
+    b = run(8, 3)
+    assert set(a) == set(b)
+    assert a != b
+
+
+def test_epoch_shuffle_no_single_partition_sort(spark, sf_dir_mid):
+    from iot_sensor_data_pipeline_spark.operators.curation import epoch_shuffle
+
+    docs = load_table(spark, sf_dir_mid, "documents").select("doc_id")
+    plan = (
+        epoch_shuffle(docs, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
