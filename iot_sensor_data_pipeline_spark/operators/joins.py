@@ -54,10 +54,24 @@ def asof_join(
     right_ts: str,
     right_vals: Sequence[str],
     how: str = "left",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` within the same ``on`` keys (inclusive,
-    matching DuckDB/kdb ASOF semantics).
+    matching DuckDB/kdb ASOF semantics). ``direction`` extends this to
+    the full pandas ``merge_asof`` surface:
+
+    - ``'backward'`` (default) — latest right with right_ts <= left_ts;
+    - ``'forward'``  — earliest right with right_ts >= left_ts;
+    - ``'nearest'``  — whichever of the two is closer in time, ties to
+      backward (pandas semantics).
+
+    ``tolerance`` drops matches farther than that from the left
+    timestamp (in the ts column's own numeric unit). ``nearest`` and
+    ``tolerance`` need a NUMERIC ts (distances must be computable) —
+    convert timestamps with a TZ-independent ``timestampdiff`` in a
+    prior select, as the engine's other time operators do.
 
     Spark has no native as-of join; this composes one from a union +
     ordered window with `last(..., ignorenulls)`:
@@ -79,13 +93,33 @@ def asof_join(
     which silently takes input order) — dedupe the right side first if
     that matters.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward', 'forward' or "
+            f"'nearest', got {direction!r}"
+        )
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"asof_join: tolerance must be >= 0, got {tolerance}")
+    needs_distance = direction == "nearest" or tolerance is not None
+    if needs_distance and not isinstance(
+        left.schema[left_ts].dataType, T.NumericType
+    ):
+        raise ValueError(
+            "asof_join: nearest/tolerance need a numeric ts column "
+            "(convert timestamps with timestampdiff in a prior select)"
+        )
     on = list(on)
     lcols = left.columns
     # right values travel as ONE struct: last(ignorenulls) then skips
     # whole unmatched (left) rows but keeps matched rows even when
     # individual value columns are NULL — per-column propagation would
-    # skip NULL VALUES and blend columns from different right rows
-    rstruct_type = T.StructType([right.schema[c] for c in right_vals])
+    # skip NULL VALUES and blend columns from different right rows.
+    # The matched right timestamp rides along as __mts for the
+    # distance-based modes.
+    rstruct_type = T.StructType(
+        [right.schema[c] for c in right_vals]
+        + [T.StructField("__mts", right.schema[right_ts].dataType)]
+    )
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
@@ -98,17 +132,53 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols if c not in on],
-        F.struct(*right_vals).alias("__rvals"),
+        F.struct(*right_vals, F.col(right_ts).alias("__mts")).alias("__rvals"),
     )
 
-    w = (
+    # backward: right rows sort BEFORE left at equal ts (side 0 < 1),
+    # so the unbounded-preceding frame makes <= inclusive. forward
+    # mirrors it: side DESC puts left first at equal ts, so the
+    # unbounded-following frame makes >= inclusive. Both windows share
+    # one partitioning — nearest pays one extra SORT, never an extra
+    # shuffle.
+    wb = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = tagged_left.unionByName(tagged_right).withColumn(
-        "__rvals", F.last("__rvals", ignorenulls=True).over(w)
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+    merged = tagged_left.unionByName(tagged_right)
+    if direction == "backward":
+        rv = F.last("__rvals", ignorenulls=True).over(wb)
+    elif direction == "forward":
+        rv = F.first("__rvals", ignorenulls=True).over(wf)
+    else:  # nearest
+        b = F.last("__rvals", ignorenulls=True).over(wb)
+        fw = F.first("__rvals", ignorenulls=True).over(wf)
+        dts = F.col("__ts").cast("double")
+        rv = (
+            F.when(b.isNull(), fw)
+            .when(fw.isNull(), b)
+            .when(
+                (dts - b["__mts"].cast("double"))
+                <= (fw["__mts"].cast("double") - dts),
+                b,
+            )
+            .otherwise(fw)
+        )
+    merged = merged.withColumn("__rvals", rv)
+    if tolerance is not None:
+        dist = F.abs(
+            F.col("__ts").cast("double") - F.col("__rvals.__mts").cast("double")
+        )
+        merged = merged.withColumn(
+            "__rvals",
+            F.when(dist <= float(tolerance), F.col("__rvals")),
+        )
 
     out = merged.where(F.col("__side") == 1)
     if how == "inner":

@@ -829,3 +829,91 @@ def documents_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return branch(1).unionByName(branch(2))
+
+
+# ---------------------------------------------------------------------------
+# As-of join direction variants (operators/joins.py asof_join): the
+# pandas merge_asof surface — forward, nearest (backward ties), and a
+# tolerance-bounded backward — over the same errors-vs-purchases
+# relations as the driver gate's events_asof_join. DuckDB expresses
+# forward as ASOF with the inequality flipped and nearest/tolerance by
+# composing the two ASOF passes; both engines run on numeric epoch
+# seconds so distances are plain arithmetic.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_S = 600
+
+_ASOF_DIRECTIONS_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) / 1000000.0 AS t
+  FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT user_id, epoch_us(ts) / 1000000.0 AS pt, value AS pv
+  FROM events WHERE event_type = 'purchase'
+), bwd AS (
+  SELECT e.event_id, e.user_id, e.t, p.pt AS b_ts, p.pv AS b_v
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t >= p.pt
+), fwd AS (
+  SELECT e.event_id, p.pt AS f_ts, p.pv AS f_v
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t <= p.pt
+)
+SELECT b.event_id, b.user_id, round(b.t, 6) AS t,
+       round(f.f_ts, 6) AS fwd_ts, f.f_v AS fwd_value,
+       round(CASE WHEN b.b_ts IS NULL THEN f.f_ts
+                  WHEN f.f_ts IS NULL THEN b.b_ts
+                  WHEN (b.t - b.b_ts) <= (f.f_ts - b.t) THEN b.b_ts
+                  ELSE f.f_ts END, 6) AS near_ts,
+       CASE WHEN b.b_ts IS NULL THEN f.f_v
+            WHEN f.f_ts IS NULL THEN b.b_v
+            WHEN (b.t - b.b_ts) <= (f.f_ts - b.t) THEN b.b_v
+            ELSE f.f_v END AS near_value,
+       round(CASE WHEN b.t - b.b_ts <= {_ASOF_TOL_S} THEN b.b_ts END, 6) AS tol_ts,
+       CASE WHEN b.t - b.b_ts <= {_ASOF_TOL_S} THEN b.b_v END AS tol_value
+FROM bwd b JOIN fwd f USING (event_id)
+"""
+
+
+@register_extended(
+    "events_asof_directions",
+    oracle=_ASOF_DIRECTIONS_ORACLE,
+    tags=("relational", "asof"),
+)
+def events_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward / nearest / tolerance-bounded as-of joins over the gate
+    query's errors-vs-purchases relations (operators/joins.py
+    asof_join direction + tolerance parameters)."""
+    from iot_sensor_data_pipeline_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    epoch = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(1000000.0)
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", epoch.alias("t")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", epoch.alias("pt"), F.col("value").alias("pv")
+    )
+
+    def run(**kw):
+        return asof_join(
+            errors, purchases, on=["user_id"], left_ts="t", right_ts="pt",
+            right_vals=["pt", "pv"], **kw
+        )
+
+    fwd = run(direction="forward").select(
+        "event_id", "user_id", F.round("t", 6).alias("t"),
+        F.round("pt", 6).alias("fwd_ts"), F.col("pv").alias("fwd_value"),
+    )
+    near = run(direction="nearest").select(
+        "event_id",
+        F.round("pt", 6).alias("near_ts"), F.col("pv").alias("near_value"),
+    )
+    tol = run(tolerance=float(_ASOF_TOL_S)).select(
+        "event_id",
+        F.round("pt", 6).alias("tol_ts"), F.col("pv").alias("tol_value"),
+    )
+    return fwd.join(near, "event_id").join(tol, "event_id")

@@ -397,3 +397,96 @@ def test_fuzzy_join_id_mode_gram_cap_counts_distinct_texts(spark):
         left_id="lid", right_id="rid",
     )
     assert got.count() == 30  # every id pairs with the variant
+
+
+def _asof_num_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 30.0, "b"), (1, 55.0, "c"), (2, 5.0, "d")],
+        "user int, t double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 0.0, 100.0), (1, 28.0, 200.0), (1, 31.0, 300.0), (2, 50.0, 900.0)],
+        "user int, rt double, rv double",
+    )
+    return left, right
+
+
+def _run_asof(left, right, **kw):
+    return {
+        r.tag: (r.rt, r.rv)
+        for r in asof_join(
+            left, right, on=["user"], left_ts="t", right_ts="rt",
+            right_vals=["rt", "rv"], **kw
+        ).collect()
+    }
+
+
+def test_asof_join_forward(spark):
+    left, right = _asof_num_fixture(spark)
+    out = _run_asof(left, right, direction="forward")
+    assert out["a"] == (28.0, 200.0)   # earliest right >= 10
+    assert out["b"] == (31.0, 300.0)   # earliest right >= 30
+    assert out["c"] == (None, None)    # nothing after 55 for user 1
+    assert out["d"] == (50.0, 900.0)   # user 2's later row now matches
+
+
+def test_asof_join_forward_inclusive_equal_ts(spark):
+    left = spark.createDataFrame([(1, 20.0, "x")], "user int, t double, tag string")
+    right = spark.createDataFrame([(1, 20.0, 7.0)], "user int, rt double, rv double")
+    assert _run_asof(left, right, direction="forward")["x"] == (20.0, 7.0)
+
+
+def test_asof_join_nearest_with_backward_tie(spark):
+    left, right = _asof_num_fixture(spark)
+    out = _run_asof(left, right, direction="nearest")
+    assert out["a"] == (0.0, 100.0)    # |10-0|=10 < |28-10|=18
+    # b: backward 28 (dist 2) vs forward 31 (dist 1) -> forward
+    assert out["b"] == (31.0, 300.0)
+    assert out["c"] == (31.0, 300.0)   # only backward exists
+    assert out["d"] == (50.0, 900.0)   # only forward exists
+
+    # exact tie -> backward (pandas semantics)
+    left2 = spark.createDataFrame([(1, 30.0, "t")], "user int, t double, tag string")
+    right2 = spark.createDataFrame(
+        [(1, 25.0, 1.0), (1, 35.0, 2.0)], "user int, rt double, rv double"
+    )
+    assert _run_asof(left2, right2, direction="nearest")["t"] == (25.0, 1.0)
+
+
+def test_asof_join_tolerance(spark):
+    left, right = _asof_num_fixture(spark)
+    out = _run_asof(left, right, tolerance=5.0)
+    assert out["a"] == (None, None)    # backward match at dist 10 > 5
+    assert out["b"] == (28.0, 200.0)   # dist 2 within tolerance
+    out_n = _run_asof(left, right, direction="nearest", tolerance=1.5)
+    assert out_n["b"] == (31.0, 300.0)  # nearest at dist 1
+    assert out_n["a"] == (None, None)
+
+    # inner mode composes: tolerance-nulled rows drop (c's backward
+    # match at 31 is 24 away -> gone too)
+    inner = asof_join(
+        left, right, on=["user"], left_ts="t", right_ts="rt",
+        right_vals=["rv"], how="inner", tolerance=5.0,
+    )
+    assert sorted(r.tag for r in inner.collect()) == ["b"]
+
+
+def test_asof_join_direction_guards(spark):
+    import pytest
+
+    left, right = _asof_num_fixture(spark)
+    with pytest.raises(ValueError, match="direction"):
+        _run_asof(left, right, direction="sideways")
+    with pytest.raises(ValueError, match="tolerance"):
+        _run_asof(left, right, tolerance=-1.0)
+    ts_left = spark.createDataFrame(
+        [(1, T0, "x")], "user int, t timestamp, tag string"
+    )
+    ts_right = spark.createDataFrame(
+        [(1, T0, 1.0)], "user int, rt timestamp, rv double"
+    )
+    with pytest.raises(ValueError, match="numeric ts"):
+        asof_join(
+            ts_left, ts_right, on=["user"], left_ts="t", right_ts="rt",
+            right_vals=["rv"], direction="nearest",
+        )
