@@ -156,3 +156,56 @@ def diff_summary(
         .groupBy("change")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    upsert_ops: Sequence[str] = ("insert", "update"),
+    delete_ops: Sequence[str] = ("delete",),
+) -> DataFrame:
+    """Apply a CDC change log to a snapshot — the Debezium/DMS-shaped
+    primitive Delta's ``APPLY CHANGES INTO`` provides: ``changes``
+    carries (keys..., payload..., ``op_col``, ``seq_col``); only each
+    key's LATEST op (max ``seq_col``, ties by op precedence: a delete
+    at the same sequence number wins, matching the convention that a
+    tombstone emitted in the same transaction supersedes the update)
+    takes effect. Upsert ops replace/insert the row; delete ops remove
+    the key; keys untouched by the log pass through.
+
+    Scale shape: one window over the CHANGE LOG (shuffled on its keys —
+    the log is the small side in steady state) + the same anti-join /
+    union as :func:`upsert_snapshot`; the base relation never sorts.
+    Unknown op values fail loudly rather than silently dropping
+    changes. The payload columns are ``base``'s non-key columns —
+    the change log must carry them all for upserts (deletes may carry
+    NULLs).
+    """
+    keys = list(keys)
+    known = set(upsert_ops) | set(delete_ops)
+    bad = changes.where(~F.col(op_col).isin(*known)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"apply_cdc: unknown op {bad[0][op_col]!r} in the change log "
+            f"(known: {sorted(known)})"
+        )
+    # delete-beats-upsert at equal seq: order by (seq desc, is_delete desc)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        F.col(op_col).isin(*delete_ops).cast("int").desc(),
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    payload_cols = [c for c in base.columns if c not in keys]
+    upserts = latest.where(F.col(op_col).isin(*upsert_ops)).select(
+        *keys, *payload_cols
+    )
+    touched = latest.select(*keys)  # deletes AND upserts both retire the old row
+    survivors = base.join(touched.distinct(), keys, "left_anti")
+    return survivors.unionByName(upserts)

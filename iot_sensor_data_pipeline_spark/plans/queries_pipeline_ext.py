@@ -917,3 +917,88 @@ def events_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pt", 6).alias("tol_ts"), F.col("pv").alias("tol_value"),
     )
     return fwd.join(near, "event_id").join(tol, "event_id")
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (operators/merge.py apply_cdc): a deterministic change log
+# derived from orders — seq-1 updates (%7), seq-2 updates (%11), seq-2
+# deletes (%13, beating same-seq updates on %143 keys), inserts of the
+# held-out %5 keys — applied to the %5-withheld base snapshot. Both
+# engines rank the log with the identical (seq DESC, is_delete DESC)
+# window; the (key, seq, is_delete) triple is unique by construction.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 5 != 0
+), log AS (
+  SELECT o_orderkey, o_totalprice + 100 AS o_totalprice, 'U' AS o_orderstatus,
+         'update' AS op, 1 AS seq
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 != 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 200, 'V', 'update', 2
+  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 5 != 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, 'delete', 2
+  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 5 != 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'I', 'insert', 1
+  FROM orders WHERE o_orderkey % 5 = 0
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY seq DESC, CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC
+    ) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM latest WHERE op != 'delete'
+"""
+
+
+@register_extended(
+    "orders_cdc_apply",
+    oracle=_CDC_ORACLE,
+    tags=("relational", "merge", "cdc"),
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-shaped change-log application: latest op per key wins,
+    same-seq deletes beat updates, inserts add held-out keys
+    (operators/merge.py:apply_cdc)."""
+    from iot_sensor_data_pipeline_spark.operators.merge import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = orders.where(F.col("o_orderkey") % 5 != 0)
+    in_base = F.col("o_orderkey") % 5 != 0
+
+    def log(cond, price, status, op, seq):
+        return orders.where(cond).select(
+            "o_orderkey",
+            price.alias("o_totalprice"),
+            status.alias("o_orderstatus"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    changes = (
+        log((F.col("o_orderkey") % 7 == 0) & in_base,
+            F.col("o_totalprice") + 100, F.lit("U"), "update", 1)
+        .unionByName(
+            log((F.col("o_orderkey") % 11 == 0) & in_base,
+                F.col("o_totalprice") + 200, F.lit("V"), "update", 2))
+        .unionByName(
+            log((F.col("o_orderkey") % 13 == 0) & in_base,
+                F.lit(None).cast("double"), F.lit(None).cast("string"),
+                "delete", 2))
+        .unionByName(
+            log(F.col("o_orderkey") % 5 == 0,
+                F.col("o_totalprice"), F.lit("I"), "insert", 1))
+    )
+    return apply_cdc(base, changes, ["o_orderkey"], "seq")

@@ -146,3 +146,63 @@ def test_snapshot_diff_compare_cols_subset(spark):
 
     with _pytest.raises(ValueError, match="keys"):
         snapshot_diff(old, new, [])
+
+
+# ---------------------------------------------------------------------------
+# apply_cdc
+# ---------------------------------------------------------------------------
+
+
+def test_apply_cdc_latest_wins_delete_beats_update(spark):
+    from iot_sensor_data_pipeline_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", "update", 1),
+            (1, "a2", "update", 2),      # latest seq wins
+            (2, None, "delete", 5),
+            (2, "zombie", "update", 4),  # older than the delete -> ignored
+            (3, None, "delete", 7),
+            (3, "tie", "update", 7),     # SAME seq: delete wins
+            (5, "new", "insert", 1),     # unseen key appends
+        ],
+        "k long, v string, op string, seq int",
+    )
+    out = {r.k: r.v for r in apply_cdc(base, changes, ["k"], "seq").collect()}
+    assert out == {1: "a2", 4: "d", 5: "new"}
+
+
+def test_apply_cdc_unknown_op_fails_loudly_and_partitioning_invariant(spark):
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    bad = spark.createDataFrame(
+        [(1, "x", "upsert??", 1)], "k long, v string, op string, seq int"
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_cdc(base, bad, ["k"], "seq")
+
+    big_base = spark.range(200).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    changes = spark.range(0, 200, 3).select(
+        F.col("id").alias("k"),
+        F.lit("upd").alias("v"),
+        F.lit("update").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    a = sorted(map(tuple, apply_cdc(big_base, changes, ["k"], "seq").collect()))
+    b = sorted(
+        map(
+            tuple,
+            apply_cdc(
+                big_base.repartition(7), changes.repartition(3), ["k"], "seq"
+            ).collect(),
+        )
+    )
+    assert a == b
