@@ -1002,3 +1002,68 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_totalprice"), F.lit("I"), "insert", 1))
     )
     return apply_cdc(base, changes, ["o_orderkey"], "seq")
+
+
+# ---------------------------------------------------------------------------
+# Curriculum quality deciles: EXACT global decile of the shared
+# quality heuristic per document — the ordering-tier assignment
+# curriculum schedules train from. Spark computes the rank with the
+# scale-safe machinery (range partition + broadcast offsets + ntile
+# arithmetic — no single-partition window anywhere); the oracle uses a
+# plain ntile. Both rank by (round(quality, 6), doc_id) so the order
+# is engine-identical by construction.
+# ---------------------------------------------------------------------------
+
+
+def _quality_sql() -> str:
+    return f"""
+  SELECT doc_id,
+    round(
+      (least(len(toks), 200) / 200.0)
+      * (1 - (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / nullif(n_chars, 0))
+      * (1 - (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / nullif(n_chars, 0))
+      * (0.5 + 0.5 * (least(len(list_filter(toks, t -> t IN ({_en_stopword_list_sql()}))), 10) / 10.0)),
+      6) AS q6
+  FROM (
+    SELECT doc_id, text,
+           list_filter(string_split(text, ' '), t -> t != '') AS toks,
+           length(text) AS n_chars
+    FROM documents
+  )"""
+
+
+def _deciles_oracle() -> str:
+    return f"""
+WITH scored AS ({_quality_sql()})
+SELECT doc_id, q6,
+       CAST(ntile(10) OVER (ORDER BY q6, doc_id) AS INT) AS decile
+FROM scored
+"""
+
+
+@register_extended(
+    "documents_quality_deciles",
+    oracle=_deciles_oracle(),
+    tags=("pipeline", "curation", "curriculum"),
+)
+def documents_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global quality decile per document (curriculum tiers) —
+    ranking.global_row_number + ntile arithmetic, no single-partition
+    sort at any scale."""
+    from iot_sensor_data_pipeline_spark.functions.text import quality_score
+    from iot_sensor_data_pipeline_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("q6")
+    )
+    ranked, n = global_row_number(
+        docs, [F.col("q6"), F.col("doc_id")], out_col="__rank", return_count=True
+    )
+    return ranked.select(
+        "doc_id",
+        "q6",
+        ntile_from_rank(F.col("__rank"), n, 10).alias("decile"),
+    )
