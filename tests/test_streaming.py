@@ -730,3 +730,56 @@ def test_compact_semdedup_index_folds_duplicates(spark, tmp_path):
     compacted = spark.read.parquet(f"{idx_dir}/postings")
     assert compacted.count() == 2
     assert compacted.select("nid").distinct().count() == 2
+
+def test_cdc_apply_stream_maintains_versioned_snapshot(spark, tmp_path):
+    """CDC change stream folds into an epoch-versioned snapshot:
+    updates/deletes/inserts apply across micro-batches AND across a
+    restart; readers always see a complete version; old versions are
+    pruned to keep_versions."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        _list_snapshot_versions,
+        read_cdc_snapshot,
+        start_cdc_apply,
+    )
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"k": k, "v": v, "op": op, "seq": seq})
+                for k, v, op, seq in rows
+            )
+        )
+
+    def drain():
+        ch = spark.readStream.schema("k long, v string, op string, seq long").json(
+            str(src)
+        )
+        q = start_cdc_apply(
+            ch, snap, ckpt, keys=["k"], seq_col="seq", available_now=True,
+            keep_versions=2,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: initial inserts, one same-batch update override
+    write_batch("c1.json", [
+        (1, "a", "insert", 1), (2, "b", "insert", 1), (1, "a2", "update", 2),
+    ])
+    drain()
+    s1 = {r.k: r.v for r in read_cdc_snapshot(spark, snap).collect()}
+    assert s1 == {1: "a2", 2: "b"}
+
+    # batch 2 after RESTART: delete k=2, insert k=3
+    write_batch("c2.json", [(2, None, "delete", 3), (3, "c", "insert", 3)])
+    drain()
+    s2 = {r.k: r.v for r in read_cdc_snapshot(spark, snap).collect()}
+    assert s2 == {1: "a2", 3: "c"}
+
+    # pruning: at most keep_versions version dirs remain
+    assert len(_list_snapshot_versions(spark, snap)) <= 2
