@@ -206,3 +206,50 @@ def test_apply_cdc_unknown_op_fails_loudly_and_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_apply_cdc_randomized_python_differential(spark):
+    """Random change logs vs a pure-python fold of the same ordering
+    rule (seq desc, delete beats upsert at equal seq) — catches
+    precedence/retirement drift the goldens might miss. The (key, seq,
+    is_delete) triple is kept unique per the operator's contract."""
+    import random
+
+    from iot_sensor_data_pipeline_spark.operators.merge import apply_cdc
+
+    rnd = random.Random(59)
+    base_rows = [(k, f"base{k}") for k in range(30)]
+    log_rows = []
+    used = set()
+    for _ in range(120):
+        k = rnd.randrange(45)  # keys beyond the base exercise inserts
+        seq = rnd.randrange(8)
+        is_del = rnd.random() < 0.3
+        if (k, seq, is_del) in used:
+            continue
+        used.add((k, seq, is_del))
+        if is_del:
+            log_rows.append((k, None, "delete", seq))
+        else:
+            op = "insert" if rnd.random() < 0.5 else "update"
+            log_rows.append((k, f"v{k}_{seq}", op, seq))
+
+    base = spark.createDataFrame(base_rows, "k long, v string")
+    changes = spark.createDataFrame(log_rows, "k long, v string, op string, seq int")
+
+    # python mirror: pick each key's winning log row, then fold
+    winners: dict = {}
+    for k, v, op, seq in log_rows:
+        cur = winners.get(k)
+        cand = (seq, 1 if op == "delete" else 0, v, op)
+        if cur is None or cand[:2] > cur[:2]:
+            winners[k] = cand
+    want = dict(base_rows)
+    for k, (seq, _d, v, op) in winners.items():
+        if op == "delete":
+            want.pop(k, None)
+        else:
+            want[k] = v
+
+    got = {r.k: r.v for r in apply_cdc(base, changes, ["k"], "seq").collect()}
+    assert got == want
