@@ -15,6 +15,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def distinct_sketches(
@@ -404,4 +405,89 @@ def merge_histogram_quantiles(
         *group_keys,
         F.col("__total").alias("n"),
         *[one_quantile(q).alias(f"q_{str(q).replace('.', '_')}") for q in qs],
+    )
+
+
+def grouped_quantiles_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    round_out: int = 6,
+) -> DataFrame:
+    """EXACT per-group percentile_cont (linear interpolation between
+    closest ranks — the ANSI/DuckDB ``quantile_cont`` definition)
+    computed rank-wise: Spark's exact ``percentile`` aggregate buffers
+    every group's values in one task's memory (OOM at 100 TB group
+    sizes), and ``approx_percentile`` trades the answer away; this
+    ranks within each group (partitioned window — parallel across
+    groups, a sort within), picks ONLY the two neighbor ranks each
+    requested quantile interpolates between, and reduces those — so
+    per-task state is the sort spill, never a group-sized array, and
+    the output is exactly ``percentile_cont``.
+
+    Tie handling is value-deterministic: equal values make rank order
+    among them ambiguous, but the VALUE at any rank — hence the
+    quantile — is unchanged. NULL values are excluded (ANSI). Groups
+    arrive from one shuffle; the quantile spec is a broadcast literal
+    relation. Output: group_cols, ``q``, ``value``.
+    """
+    if not qs:
+        raise ValueError("grouped_quantiles_exact: qs must be non-empty")
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"grouped_quantiles_exact: q must be in [0, 1], got {q}")
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(*group_cols, v.alias("__v"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__v"))
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    counts = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    # target position pos = 1 + q*(n-1); the quantile spec is a literal
+    # array exploded onto the group-grain counts — a projection, not a
+    # join, so no nested-loop shape exists anywhere in the plan
+    grid = counts.select(
+        *group_cols,
+        "__n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).select(
+        *group_cols,
+        "q",
+        (F.lit(1.0) + F.col("q") * (F.col("__n") - 1)).alias("__pos"),
+    )
+    grid = grid.select(
+        *group_cols,
+        "q",
+        F.floor("__pos").cast("int").alias("__lo"),
+        F.ceil("__pos").cast("int").alias("__hi"),
+        (F.col("__pos") - F.floor("__pos")).alias("__frac"),
+    )
+    # each (group, q) needs ranks lo and hi: explode to (group, rank,
+    # role) and equi-join the ranked relation ONCE
+    need = grid.select(
+        *group_cols,
+        "q",
+        "__frac",
+        F.explode(
+            F.array(
+                F.struct(F.col("__lo").alias("__rn"), F.lit("lo").alias("__role")),
+                F.struct(F.col("__hi").alias("__rn"), F.lit("hi").alias("__role")),
+            )
+        ).alias("__t"),
+    ).select(*group_cols, "q", "__frac", "__t.__rn", "__t.__role")
+    joined = need.join(ranked, [*group_cols, "__rn"])
+    return (
+        joined.groupBy(*group_cols, "q")
+        .agg(
+            F.first("__frac").alias("__frac"),
+            F.min(F.when(F.col("__role") == "lo", F.col("__v"))).alias("__vlo"),
+            F.min(F.when(F.col("__role") == "hi", F.col("__v"))).alias("__vhi"),
+        )
+        .select(
+            *group_cols,
+            "q",
+            F.round(
+                F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo")),
+                round_out,
+            ).alias("value"),
+        )
     )

@@ -1067,3 +1067,40 @@ def documents_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q6",
         ntile_from_rank(F.col("__rank"), n, 10).alias("decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped quantiles (operators/sketches.py grouped_quantiles_exact)
+# vs DuckDB's quantile_cont — same percentile_cont definition, computed
+# rank-wise so no task ever buffers a whole group.
+# ---------------------------------------------------------------------------
+
+_QUANTILE_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+_QUANTILES_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT l_returnflag, {q} AS q,
+       round(quantile_cont(l_extendedprice, {q}), 6) AS value
+FROM lineitem GROUP BY l_returnflag"""
+    for q in _QUANTILE_QS
+)
+
+
+@register_extended(
+    "lineitem_quantiles_exact",
+    oracle=_QUANTILES_ORACLE,
+    tags=("relational", "quantiles"),
+)
+def lineitem_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile_cont per return flag at six quantiles —
+    rank-wise (partitioned window + neighbor-rank join), never a
+    group-sized in-memory buffer."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        grouped_quantiles_exact,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return grouped_quantiles_exact(
+        li, ["l_returnflag"], "l_extendedprice", list(_QUANTILE_QS)
+    )

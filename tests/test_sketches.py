@@ -412,3 +412,50 @@ def test_histogram_quantiles_validates_qs(spark):
     df = spark.createDataFrame([(0, 1, 0.0, 1.0)], "bin int, n long, lo double, hi double")
     with _pytest.raises(ValueError, match="qs must be"):
         merge_histogram_quantiles(df, [1.5])
+
+
+def test_grouped_quantiles_exact_goldens_and_guards(spark):
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        grouped_quantiles_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 10.0),                       # singleton group
+         ("c", 5.0), ("c", None)],          # NULL excluded (ANSI)
+        "g string, v double",
+    )
+    out = {
+        (r.g, r.q): r.value
+        for r in grouped_quantiles_exact(df, ["g"], "v", [0.0, 0.5, 1.0]).collect()
+    }
+    # a: pos(0.5) = 1 + .5*3 = 2.5 -> 2 + .5*(3-2) = 2.5
+    assert out[("a", 0.0)] == 1.0 and out[("a", 1.0)] == 4.0
+    assert out[("a", 0.5)] == 2.5
+    assert out[("b", 0.0)] == out[("b", 0.5)] == out[("b", 1.0)] == 10.0
+    assert out[("c", 0.5)] == 5.0  # the NULL never participates
+
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_quantiles_exact(df, ["g"], "v", [])
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        grouped_quantiles_exact(df, ["g"], "v", [1.5])
+
+
+def test_grouped_quantiles_no_single_partition_window(spark, sf_dir_mid):
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        grouped_quantiles_exact,
+    )
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir_mid, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    plan = (
+        grouped_quantiles_exact(li, ["l_returnflag"], "l_extendedprice", [0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
