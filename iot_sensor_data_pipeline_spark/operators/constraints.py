@@ -125,11 +125,32 @@ def ref_integrity(
 
 
 def _lit(v) -> str:
+    """SQL literal for a supported bound/set value type; anything else
+    raises instead of interpolating repr() text into SQL."""
+    import datetime
+    import decimal
+    import math
+
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
-    if isinstance(v, bool):
+    if isinstance(v, bool):  # before int: bool is an int subclass
         return "true" if v else "false"
-    return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            raise ValueError(f"non-finite float bound not supported: {v!r}")
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return format(v, "f") + "BD"  # Spark decimal-literal suffix
+    if isinstance(v, datetime.datetime):  # before date: datetime subclasses it
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    raise ValueError(
+        f"in_range/in_set: unsupported literal type {type(v).__name__} "
+        "(supported: str, bool, int, float, Decimal, date, datetime)"
+    )
 
 
 _REPORT_COLS = ["check", "kind", "column", "n_rows", "n_violations", "passed"]

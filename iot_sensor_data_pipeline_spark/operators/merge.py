@@ -179,19 +179,30 @@ def apply_cdc(
     Scale shape: one window over the CHANGE LOG (shuffled on its keys —
     the log is the small side in steady state) + the same anti-join /
     union as :func:`upsert_snapshot`; the base relation never sorts.
-    Unknown op values fail loudly rather than silently dropping
-    changes. The payload columns are ``base``'s non-key columns —
-    the change log must carry them all for upserts (deletes may carry
-    NULLs).
+    Unknown (or NULL) op values fail loudly rather than silently
+    dropping changes — the check rides the main projection
+    (``raise_error`` under a ``when``), so a call is exactly one job
+    with no eager validation pass over the log. The payload columns are
+    ``base``'s non-key columns — the change log must carry them all for
+    upserts (deletes may carry NULLs).
     """
     keys = list(keys)
     known = set(upsert_ops) | set(delete_ops)
-    bad = changes.where(~F.col(op_col).isin(*known)).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"apply_cdc: unknown op {bad[0][op_col]!r} in the change log "
-            f"(known: {sorted(known)})"
-        )
+    # inline fail-loud: isin() is NULL for NULL ops, so the when()
+    # condition is not-true for both unknown strings AND NULLs — either
+    # way the otherwise branch raises with the offending value
+    changes = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin(*known), F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_cdc: unknown op '"),
+                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                    F.lit(f"' in the change log (known: {sorted(known)})"),
+                )
+            )
+        ),
+    )
     # delete-beats-upsert at equal seq: order by (seq desc, is_delete desc)
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(),

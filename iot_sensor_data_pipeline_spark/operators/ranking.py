@@ -160,6 +160,11 @@ def ranking_metrics_report(
         F.col(item_col).alias("__i"),
         F.col(rel_col).cast("double").alias("__rel"),
     ).where(F.col("__rel") > 0)
+    # judgment relations may carry duplicate (query, item) rows
+    # (multiple raters / merged sources); collapse to max grade so the
+    # left join stays 1:1 — duplicates would otherwise multiply hits,
+    # precision, DCG, and n_rel
+    rel = rel.groupBy("__q", "__i").agg(F.max("__rel").alias("__rel"))
 
     j = res.join(rel, ["__q", "__i"], "left").select(
         "__q", "__rn", F.coalesce("__rel", F.lit(0.0)).alias("__rel")

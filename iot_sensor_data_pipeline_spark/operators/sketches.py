@@ -474,7 +474,19 @@ def grouped_quantiles_exact(
             )
         ).alias("__t"),
     ).select(*group_cols, "q", "__frac", "__t.__rn", "__t.__role")
-    joined = need.join(ranked, [*group_cols, "__rn"])
+    # null-safe group-key equality (<=>): a NULL group key is a real
+    # group for GROUP BY / percentile_cont, and a plain equi-join would
+    # silently drop it (NULL != NULL); the ranked side is prefix-renamed
+    # so the same-lineage self-join stays unambiguous
+    r = ranked.select(
+        *[F.col(c).alias(f"__r_{c}") for c in group_cols],
+        F.col("__rn").alias("__r_rn"),
+        "__v",
+    )
+    cond = F.col("__rn") == F.col("__r_rn")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+    joined = need.join(r, cond)
     return (
         joined.groupBy(*group_cols, "q")
         .agg(

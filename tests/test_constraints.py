@@ -118,3 +118,40 @@ def test_validation(spark, dirty):
         from iot_sensor_data_pipeline_spark.operators.constraints import Check
 
         Check("x", "nope", "c")
+
+
+def test_lit_types_supported_and_rejected(spark):
+    import datetime
+    import decimal
+
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.operators.constraints import (
+        check_suite,
+        in_range,
+        in_set,
+    )
+
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), decimal.Decimal("10.50"))],
+        "d date, amt decimal(10,2)",
+    )
+    rep = {
+        r.check: r.passed
+        for r in check_suite(
+            df,
+            [
+                in_range("d", lo=datetime.date(2023, 1, 1), name="date_lo"),
+                in_range(
+                    "d", hi=datetime.datetime(2023, 1, 1, 12, 0), name="ts_hi"
+                ),
+                in_set("amt", [decimal.Decimal("10.50")], name="dec_set"),
+            ],
+        ).collect()
+    }
+    assert rep == {"date_lo": True, "ts_hi": False, "dec_set": True}
+
+    with pytest.raises(ValueError, match="unsupported literal type"):
+        in_range("d", lo=object())
+    with pytest.raises(ValueError, match="non-finite"):
+        in_range("amt", lo=float("nan"))

@@ -184,8 +184,17 @@ def test_apply_cdc_unknown_op_fails_loudly_and_partitioning_invariant(spark):
     bad = spark.createDataFrame(
         [(1, "x", "upsert??", 1)], "k long, v string, op string, seq int"
     )
-    with pytest.raises(ValueError, match="unknown op"):
-        apply_cdc(base, bad, ["k"], "seq")
+    # validation is inline (raise_error on the main path — exactly one
+    # job per call), so the failure surfaces at action time
+    with pytest.raises(Exception, match="unknown op 'upsert\\?\\?'"):
+        apply_cdc(base, bad, ["k"], "seq").collect()
+    # NULL ops must not slip through isin()'s three-valued logic and
+    # silently retire the base row
+    null_op = spark.createDataFrame(
+        [(1, "x", None, 1)], "k long, v string, op string, seq int"
+    )
+    with pytest.raises(Exception, match="unknown op 'NULL'"):
+        apply_cdc(base, null_op, ["k"], "seq").collect()
 
     big_base = spark.range(200).select(
         F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")

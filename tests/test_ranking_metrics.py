@@ -85,3 +85,18 @@ def test_every_result_query_reports_even_without_judgments(spark):
     )
     rep2 = {r.qid: r for r in ranking_metrics_report(results, rel2, k=3).collect()}
     assert rep2[2].rr == 0.0 and rep2[2].recall_at_k is None
+
+
+def test_duplicate_judgments_collapse_to_max_grade(spark):
+    """Duplicate (query, item) judgment rows (multiple raters) must not
+    multiply the join — hits/precision/DCG/n_rel count ITEMS."""
+    results, relevance = _fixture(spark)
+    dup = relevance.union(relevance).union(
+        spark.createDataFrame(
+            # a second, lower grade for an already-judged pair
+            [(1, 10, 1.0)], "qid long, nid long, rel double"
+        )
+    )
+    base = {r.qid: r.asDict() for r in ranking_metrics_report(results, relevance, k=3).collect()}
+    dedup = {r.qid: r.asDict() for r in ranking_metrics_report(results, dup, k=3).collect()}
+    assert base == dedup

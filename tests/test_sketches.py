@@ -459,3 +459,21 @@ def test_grouped_quantiles_no_single_partition_window(spark, sf_dir_mid):
         .toString()
     )
     assert "Exchange SinglePartition" not in plan
+
+
+def test_grouped_quantiles_exact_null_group_key(spark):
+    """A NULL group key is a real GROUP BY group; the rank join must be
+    null-safe or the group silently vanishes."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        grouped_quantiles_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 30.0)],
+        "g string, v double",
+    )
+    out = {
+        (r.g, r.q): r.value
+        for r in grouped_quantiles_exact(df, ["g"], "v", [0.5]).collect()
+    }
+    assert out == {("a", 0.5): 2.0, (None, 0.5): 20.0}
