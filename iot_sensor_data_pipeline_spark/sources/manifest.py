@@ -118,11 +118,26 @@ def _footer_stats_for(fdf: DataFrame, cols: Sequence[str], n_files: int) -> Data
         import pandas as pd
         import pyarrow.parquet as pq
 
+        def read_metadata(f: str):
+            # listStatus renders local files as 'file:/x' — strip the
+            # scheme for pyarrow; real remote schemes (hdfs://, s3a://)
+            # resolve through pyarrow.fs, since pq.ParquetFile does not
+            # interpret URI strings
+            if f.startswith("file:"):
+                return pq.ParquetFile(f[len("file:"):]).metadata
+            if "://" in f:
+                import pyarrow.fs as pafs
+
+                uri = f.replace("s3a://", "s3://", 1)  # hadoop alias
+                fs, p = pafs.FileSystem.from_uri(uri)
+                with fs.open_input_file(p) as fh:
+                    return pq.ParquetFile(fh).metadata
+            return pq.ParquetFile(f).metadata
+
         for pdf in batches:
             rows = []
             for f in pdf["file"]:
-                local = f[len("file:"):] if f.startswith("file:") else f
-                md = pq.ParquetFile(local).metadata
+                md = read_metadata(f)
                 names = {md.schema.column(i).name: i for i in range(md.num_columns)}
                 for c in want:
                     idx = names.get(c)
@@ -182,34 +197,44 @@ def update_manifest(
     for deleted files. At 100 TB an append-heavy table re-reads a few
     new footers per batch, never the historical million.
 
+    The merge is RELATIONAL end to end: kept rows are a semi-join of
+    the old manifest against the on-disk file list, new files are an
+    anti-join of that list against the manifest, and the merged result
+    is written distributively to ``_manifest.tmp`` then swapped in via
+    a filesystem rename — the driver holds only the directory listing
+    (which Spark's own planner holds anyway) and the distinct column
+    set, never O(files x cols) stat rows.
+
     Falls back to a full :func:`write_manifest` when no manifest
     exists yet or the column set changed."""
     cols = list(cols)
-    files = set(_list_parquet_files(spark, path))
+    files = _list_parquet_files(spark, path)
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
     try:
         existing = read_manifest(spark, path)
-        existing_rows = existing.collect()
+        have_cols = {r.col for r in existing.select("col").distinct().collect()}
     except Exception:
         return write_manifest(spark, path, cols)
-    have_cols = {r.col for r in existing_rows}
     if have_cols != set(cols):
         return write_manifest(spark, path, cols)
-    kept = [r for r in existing_rows if r.file in files]
-    known = {r.file for r in kept}
-    new_files = sorted(files - known)
-    merged = spark.createDataFrame(kept, _STATS_SCHEMA) if kept else None
-    if new_files:
-        fdf = spark.createDataFrame([(f,) for f in new_files], "file string")
-        fresh = _footer_stats_for(fdf, cols, len(new_files))
-        merged = fresh if merged is None else merged.unionByName(fresh)
-    if merged is None:
-        raise ValueError(f"no parquet files under {path}")
-    # materialize on the driver before overwriting: kept rows came FROM
-    # the manifest being replaced (tiny relation; one row per file-col)
-    rows = merged.collect()
-    final = spark.createDataFrame(rows, _STATS_SCHEMA)
-    final.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
-    return final
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+    kept = existing.join(F.broadcast(fdf), "file", "left_semi")
+    new_fdf = fdf.join(existing.select("file"), "file", "left_anti")
+    fresh = _footer_stats_for(new_fdf, cols, len(files))
+    merged = kept.unionByName(fresh)
+    # write-then-swap: the merged relation READS the manifest being
+    # replaced, so an in-place overwrite would corrupt its own input
+    tmp = f"{path}/{MANIFEST_DIR}.tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{MANIFEST_DIR}")
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise RuntimeError(f"update_manifest: rename {tmp} -> {dst} failed")
+    return read_manifest(spark, path)
 
 
 def _normalize_bound(v):
@@ -234,42 +259,49 @@ def prune_files(
     match NULL, so all-null columns only prune when stats exist and the
     file has no non-null values in range. Files missing from the
     manifest (stale manifest after new writes) are conservatively
-    kept."""
+    kept.
+
+    The keep/drop verdict is computed AS A RELATION — the predicate
+    bounds compile to column expressions over the manifest and a
+    per-file ``max(provably_empty)`` aggregate decides; the driver
+    collects only the DROPPED file names (a subset of the listing it
+    already holds), never O(files x cols) stat rows.
+    """
     if not predicates:
         raise ValueError("predicates must not be empty")
     all_files = _list_parquet_files(spark, path)
-    stats = read_manifest(spark, path).collect()
-    by_file: dict[str, dict[str, dict]] = {}
-    for r in stats:
-        by_file.setdefault(r.file, {})[r.col] = r.asDict()
-    kept = []
-    for f in all_files:
-        fstats = by_file.get(f)
-        if fstats is None:
-            kept.append(f)  # not in manifest: must assume matches
-            continue
-        alive = True
-        for c, bounds in predicates.items():
-            lo, hi = bounds
-            st = fstats.get(c)
-            if st is None or not st["has_stats"]:
-                continue  # unknown: cannot prune on this column
-            for bound, cmp_max in ((lo, True), (hi, False)):
-                if bound is None:
-                    continue
-                val, domain = _normalize_bound(bound)
-                smin = st["min_str"] if domain == "str" else st["min_num"]
-                smax = st["max_str"] if domain == "str" else st["max_num"]
-                if smin is None or smax is None:
-                    continue  # stats in the other domain: skip
-                if cmp_max and smax < val:
-                    alive = False
-                elif not cmp_max and smin > val:
-                    alive = False
-            if not alive:
-                break
-        if alive:
-            kept.append(f)
+    man = read_manifest(spark, path)
+    # per manifest row: TRUE when this column's stats PROVE the file
+    # holds no matching row; NULL stats / other-domain stats / columns
+    # without a predicate contribute FALSE (cannot prune)
+    empty_exprs = []
+    for c, (lo, hi) in predicates.items():
+        e = F.lit(False)
+        for bound, cmp_max in ((lo, True), (hi, False)):
+            if bound is None:
+                continue
+            val, domain = _normalize_bound(bound)
+            smin = F.col("min_str") if domain == "str" else F.col("min_num")
+            smax = F.col("max_str") if domain == "str" else F.col("max_num")
+            proof = (smax < F.lit(val)) if cmp_max else (smin > F.lit(val))
+            e = e | (smin.isNotNull() & smax.isNotNull() & proof)
+        empty_exprs.append(
+            (F.col("col") == F.lit(c)) & F.col("has_stats") & F.coalesce(e, F.lit(False))
+        )
+    any_empty = empty_exprs[0]
+    for e in empty_exprs[1:]:
+        any_empty = any_empty | e
+    dropped = (
+        man.groupBy("file")
+        .agg(F.max(any_empty.cast("int")).alias("__drop"))
+        .where(F.col("__drop") == 1)
+        .select("file")
+        .collect()
+    )
+    dropped_names = {r.file for r in dropped}
+    # files absent from a stale manifest never appear in `dropped`, so
+    # they are conservatively kept by construction
+    kept = [f for f in all_files if f not in dropped_names]
     return kept, len(all_files)
 
 

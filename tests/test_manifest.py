@@ -326,3 +326,39 @@ def test_compact_clustered_makes_file_stats_selective(spark, tmp_path):
 
     with pytest.raises(ValueError, match="cluster_by"):
         compact_clustered(spark, src, out, target, cluster_by=[])
+
+
+def test_prune_and_update_driver_materialization_is_sublinear(
+    spark, table, monkeypatch
+):
+    """Runtime pin (not a string match): prune_files collects only the
+    DROPPED file names and update_manifest only the distinct column
+    set — never O(files x cols) stat rows on the driver."""
+    try:  # Spark 4: concrete class overrides collect
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    from iot_sensor_data_pipeline_spark.sources.manifest import update_manifest
+
+    collected: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+
+    kept, total = prune_files(spark, table, {"k": (2500, 3200)})
+    n_dropped = total - len(kept)
+    assert n_dropped >= 6
+    # one collect, holding exactly the dropped names
+    assert collected == [n_dropped]
+
+    collected.clear()
+    update_manifest(spark, table, ["k", "cat", "ts"])
+    # only the distinct-column probe touches the driver (3 cols),
+    # nothing remotely near files x cols = 24 rows
+    assert collected == [3]
