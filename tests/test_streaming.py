@@ -783,3 +783,117 @@ def test_cdc_apply_stream_maintains_versioned_snapshot(spark, tmp_path):
 
     # pruning: at most keep_versions version dirs remain
     assert len(_list_snapshot_versions(spark, snap)) <= 2
+
+
+def test_cdc_apply_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
+    """Bucket-pruned CDC maintenance: a batch touching one bucket
+    rewrites ONLY that bucket (measured bytes, not a plan claim);
+    untouched buckets carry forward by manifest reference; deletes can
+    empty a bucket out of the manifest; a replayed epoch (commit record
+    removed -> at-least-once re-run) converges to the same snapshot."""
+    import json as _json
+    import os
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        CDC_BUCKET_COL,
+        _bucket_manifest_versions,
+        _read_bucket_manifest,
+        read_cdc_snapshot_bucketed,
+        start_cdc_apply_bucketed,
+    )
+
+    src = tmp_path / "cdcb_src"
+    src.mkdir()
+    snap = str(tmp_path / "snapshot_b")
+    ckpt = str(tmp_path / "cdcb_ckpt")
+    N_BUCKETS = 8
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"k": k, "v": v, "op": op, "seq": seq})
+                for k, v, op, seq in rows
+            )
+        )
+
+    def drain():
+        ch = spark.readStream.schema("k long, v string, op string, seq long").json(
+            str(src)
+        )
+        q = start_cdc_apply_bucketed(
+            ch, snap, ckpt, keys=["k"], seq_col="seq", n_buckets=N_BUCKETS,
+            available_now=True, keep_versions=2,
+        )
+        q.awaitTermination(120)
+
+    def dir_bytes(d):
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    # batch 1: 2000 keys -> every bucket populated
+    write_batch("c1.json", [(k, f"v{k}", "insert", 1) for k in range(2000)])
+    drain()
+    m1_ver = _bucket_manifest_versions(spark, snap)[-1]
+    m1 = _read_bucket_manifest(spark, snap, m1_ver)
+    assert len(m1["buckets"]) == N_BUCKETS
+    base_bytes = dir_bytes(f"{snap}/buckets")
+
+    # batch 2: update ONE key -> exactly one bucket rewritten
+    write_batch("c2.json", [(5, "v5_new", "update", 2)])
+    drain()
+    m2_ver = _bucket_manifest_versions(spark, snap)[-1]
+    assert m2_ver > m1_ver
+    m2 = _read_bucket_manifest(spark, snap, m2_ver)
+    epoch_rel = f"buckets/e{m2_ver}"
+    touched = [b for b, rel in m2["buckets"].items() if rel.startswith(epoch_rel)]
+    assert len(touched) == 1
+    # untouched buckets carry forward BY REFERENCE to batch-1 dirs
+    carried = [b for b, rel in m2["buckets"].items() if not rel.startswith(epoch_rel)]
+    assert len(carried) == N_BUCKETS - 1
+    assert all(m2["buckets"][b] == m1["buckets"][b] for b in carried)
+    # measured: the epoch wrote ~|base|/N bytes, far below the base size
+    written = dir_bytes(f"{snap}/{epoch_rel}")
+    assert written < base_bytes / 2, (written, base_bytes)
+    s = {r.k: r.v for r in read_cdc_snapshot_bucketed(spark, snap).collect()}
+    assert len(s) == 2000 and s[5] == "v5_new" and s[6] == "v6"
+
+    # batch 3: delete every key of bucket 0 -> bucket leaves the manifest
+    from pyspark.sql import functions as F
+
+    bucket0_keys = [
+        r.k
+        for r in read_cdc_snapshot_bucketed(spark, snap)
+        .select("k")
+        .where(F.pmod(F.xxhash64("k"), F.lit(N_BUCKETS)) == 0)
+        .collect()
+    ]
+    assert bucket0_keys
+    write_batch(
+        "c3.json", [(k, None, "delete", 3) for k in bucket0_keys]
+    )
+    drain()
+    m3_ver = _bucket_manifest_versions(spark, snap)[-1]
+    m3 = _read_bucket_manifest(spark, snap, m3_ver)
+    assert "0" not in m3["buckets"] and len(m3["buckets"]) == N_BUCKETS - 1
+    s3 = {r.k: r.v for r in read_cdc_snapshot_bucketed(spark, snap).collect()}
+    assert len(s3) == 2000 - len(bucket0_keys)
+    assert all(k not in s3 for k in bucket0_keys)
+
+    # replay: drop the newest commit record -> restart re-runs the last
+    # batch; the replayed epoch rebases on the strictly-older manifest
+    # and must converge to the identical snapshot
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    s3r = {r.k: r.v for r in read_cdc_snapshot_bucketed(spark, snap).collect()}
+    assert s3r == s3
+    # pruning keeps at most keep_versions manifests
+    assert len(_bucket_manifest_versions(spark, snap)) <= 2
