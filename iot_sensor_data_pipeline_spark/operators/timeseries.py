@@ -163,8 +163,10 @@ def time_weighted_avg(
     value_col: str,
     method: str = "locf",
     id_col: str | None = None,
-    max_carry: float | None = None,
+    max_carry: float | str | None = "auto",
     round_out: int = 6,
+    tuned: dict | None = None,
+    tune_sample_rows: int = 100_000,
 ) -> DataFrame:
     """Time-weighted average per (key, bucket) over IRREGULARLY sampled
     series (TimescaleDB's ``time_weight('LOCF'|'Linear')`` +
@@ -187,6 +189,19 @@ def time_weighted_avg(
     staleness bound (a sensor silent for a week should not project its
     last reading across the week) and the explosion bound: a segment
     covers span/width bucket rows, so carry is never unbounded.
+
+    ``max_carry`` DEFAULTS to ``"auto"``: the p99 inter-sample gap
+    from a hash-ordered capped sample of the segments (the
+    ``range_join`` auto-tune discipline — layout-independent,
+    TakeOrderedAndProject, never a full sort), floored at one
+    ``bucket_width`` so dense series are never clipped. SCALE.md
+    measured unbounded carry exploding 100k sparse events into 6.29M
+    bucket rows (9.6x the bounded form) — at 100 TB the unbounded form
+    is the dangerous configuration, so it is OPT-IN: pass
+    ``max_carry=None`` to integrate across arbitrary silences. Auto
+    costs one extra execution of the segment window (the tuning
+    action); perf-critical recurring jobs should measure once and pin
+    the value. Pass a dict as ``tuned`` to receive the chosen bound.
 
     Output: ``key_cols``, ``bucket`` (bucket start, long), ``twa``
     (integral / covered time, double), ``covered`` (observed seconds
@@ -215,7 +230,13 @@ def time_weighted_avg(
             "time_weighted_avg: key_cols must be non-empty (use a "
             "constant column for a single global series)"
         )
-    if max_carry is not None and max_carry <= 0:
+    if isinstance(max_carry, str):
+        if max_carry != "auto":
+            raise ValueError(
+                f"time_weighted_avg: max_carry must be a positive number, "
+                f"None (unbounded), or 'auto', got {max_carry!r}"
+            )
+    elif max_carry is not None and max_carry <= 0:
         raise ValueError(
             f"time_weighted_avg: max_carry must be positive, got {max_carry}"
         )
@@ -231,6 +252,30 @@ def time_weighted_avg(
         F.lead(t0).over(wk).alias("__t1"),
         F.lead(v0).over(wk).alias("__v1"),
     ).where(F.col("__t1") > F.col("__t0"))
+    if max_carry == "auto":
+        # p99 inter-sample gap from a hash-ordered capped sample —
+        # layout-independent (hash of data columns, not row position),
+        # floored at one bucket width so dense series are unaffected
+        spans = (
+            segs.select(
+                (F.col("__t1") - F.col("__t0")).alias("__gap"),
+                F.xxhash64(*[F.col(c) for c in key_cols], F.col("__t0")).alias(
+                    "__h"
+                ),
+            )
+            .orderBy("__h")
+            .limit(tune_sample_rows)
+            .drop("__h")
+        )
+        # exact percentile over the CAPPED sample (<= tune_sample_rows
+        # values in one task — bounded): approxQuantile's rank error
+        # can land on the very outlier gap the bound exists to clip
+        p99 = spans.agg(
+            F.expr("percentile(__gap, 0.99)").alias("__p")
+        ).collect()[0]["__p"]
+        max_carry = max(float(p99), float(w)) if p99 is not None else None
+        if tuned is not None:
+            tuned["max_carry"] = max_carry
     # truncate the WEIGHTED span, not the slope: linear interpolation
     # still runs along the original (t0,v0)->(t1,v1) chord
     t_end = (

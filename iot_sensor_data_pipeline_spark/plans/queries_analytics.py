@@ -498,6 +498,11 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = time_weighted_avg(
             events, "t", _TWA_W, ["event_type"], "value",
             method=method, id_col="event_id",
+            # unbounded carry OPT-IN (the DuckDB oracle integrates
+            # across all gaps); events is dense per type, so this is
+            # safe here — sparse 100 TB series should keep the "auto"
+            # default
+            max_carry=None,
         )
         return out.select(
             F.lit(method).alias("branch"), "event_type", "bucket", "twa", "covered"

@@ -701,3 +701,50 @@ def test_lttb_differential_vs_python_reference(spark):
         for k, pts in series.items():
             want = _lttb_python(pts, n)
             assert sorted(got[k]) == sorted(want), (k, n)
+
+
+def test_twa_auto_carry_bounds_sparse_explosion(spark):
+    """Default max_carry='auto' derives the bound from the p99
+    inter-sample gap (floored at one bucket width): a lone week-long
+    silence no longer projects across thousands of buckets, while the
+    dense majority of the series integrates exactly as unbounded."""
+    from iot_sensor_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    # 1000 dense samples (gap 1 s), then one 1e6 s silence, then one tail
+    rows = [("k", float(i), 1.0) for i in range(1000)]
+    rows += [("k", 999.0 + 1_000_000.0, 2.0)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+
+    tuned: dict = {}
+    out = time_weighted_avg(df, "t", 100, ["k"], "v", tuned=tuned)
+    n_auto = out.count()
+    # p99 gap ~ 1 s -> floored at bucket_width
+    assert tuned["max_carry"] == 100.0
+    # dense region: 10 buckets; the clipped silence adds at most 2 more
+    assert n_auto <= 12
+    n_unbounded = time_weighted_avg(
+        df, "t", 100, ["k"], "v", max_carry=None
+    ).count()
+    assert n_unbounded > 10_000  # the explosion the default now prevents
+
+    # dense buckets agree exactly with the unbounded form
+    dense = {
+        r.bucket: (r.twa, r.covered)
+        for r in time_weighted_avg(df, "t", 100, ["k"], "v").collect()
+        if r.bucket < 900
+    }
+    dense_un = {
+        r.bucket: (r.twa, r.covered)
+        for r in time_weighted_avg(
+            df, "t", 100, ["k"], "v", max_carry=None
+        ).collect()
+        if r.bucket < 900
+    }
+    assert dense == dense_un
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_carry"):
+        time_weighted_avg(df, "t", 100, ["k"], "v", max_carry="p99")
