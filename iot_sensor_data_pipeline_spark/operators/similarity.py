@@ -949,3 +949,69 @@ def ann_recall_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def choose_n_probe(
+    truth: DataFrame,
+    probe_fn,
+    candidate_probes,
+    recall_floor: float,
+    n_cells: int | None = None,
+    metric: str = "macro_recall",
+    query_col: str = "qid",
+    neighbor_col: str = "nid",
+) -> tuple[int | None, DataFrame]:
+    """Close the measure-don't-guess loop on IVF probe width: evaluate
+    ``probe_fn(n_probe)`` for each candidate against the exact
+    ``truth`` relation (a held-out query sample's :func:`cosine_topk`)
+    via :func:`ann_recall_report` and pick the SMALLEST ``n_probe``
+    whose measured ``metric`` meets ``recall_floor`` — n_probe is the
+    recall/cost dial of every IVF index (expected scan fraction ~
+    n_probe / n_cells), and guessing it is how ANN recall quietly
+    collapses in production.
+
+    Returns ``(chosen_n_probe, frontier)`` where ``frontier`` is one
+    row per candidate: ``n_probe``, the report's recall columns, and
+    ``scan_fraction`` (n_probe / n_cells when ``n_cells`` is given —
+    the measured-candidate-reduction companion, see SCALE.md's
+    ``ivfpq_topk_blocked`` row tracking it at 0.072 vs 0.062 expected).
+    ``chosen_n_probe`` is None when NO candidate meets the floor — the
+    caller's signal to fall back to exhaustive probing (which pins
+    recall 1.0 by construction: probing every cell IS brute force) or
+    re-cluster.
+
+    Evaluation cost: each candidate probes only the held-out sample
+    (report-grain joins, |Q| x k rows per variant), never the corpus at
+    production query volume. The frontier is computed in ONE
+    ann_recall_report pass over all candidates.
+    """
+    probes = sorted(set(int(p) for p in candidate_probes))
+    if not probes:
+        raise ValueError("choose_n_probe: candidate_probes must be non-empty")
+    if not (0.0 < recall_floor <= 1.0):
+        raise ValueError(
+            f"choose_n_probe: recall_floor must be in (0, 1], got {recall_floor}"
+        )
+    if metric not in ("macro_recall", "micro_recall"):
+        raise ValueError(
+            f"choose_n_probe: metric must be macro_recall or micro_recall, "
+            f"got {metric!r}"
+        )
+    variants = {f"n_probe={p}": probe_fn(p) for p in probes}
+    rep = ann_recall_report(
+        truth, variants, query_col=query_col, neighbor_col=neighbor_col
+    )
+    frontier = rep.withColumn(
+        "n_probe", F.split(F.col("variant"), "=").getItem(1).cast("int")
+    )
+    if n_cells is not None:
+        frontier = frontier.withColumn(
+            "scan_fraction",
+            F.round(F.col("n_probe") / F.lit(float(n_cells)), 6),
+        )
+    frontier = frontier.orderBy("n_probe")
+    rows = frontier.collect()  # one row per candidate: driver-trivial
+    chosen = next(
+        (r["n_probe"] for r in rows if r[metric] >= recall_floor), None
+    )
+    return chosen, frontier

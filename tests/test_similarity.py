@@ -571,3 +571,51 @@ def test_ann_recall_report_on_real_variants(spark, sf_dir_mid):
     assert 0.0 < rep["rp_lsh"].macro_recall <= 1.0
     # pruning can only lose neighbors, never gain
     assert rep["ivf_p2"].macro_recall <= rep["ivf_full_probe"].macro_recall
+
+
+def test_choose_n_probe_picks_smallest_compliant(spark, sf_dir_mid):
+    """Recall-targeted probe tuning on the scoreboard fixture: the
+    chosen n_probe is the smallest candidate whose MEASURED recall
+    meets the floor; exhaustive probe pins recall 1.0 (probing every
+    cell IS brute force), so a floor of 1.0 always resolves to it."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        choose_n_probe,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir_mid, "embeddings").where(F.col("vec_id") < 300)
+    queries = emb.where(F.col("vec_id") < 20)
+    truth = cosine_topk(queries, emb, k=10).persist()
+
+    def probe(p):
+        return ivf_topk(queries, emb, k=10, n_centroids=8, n_probe=p, seed=7)
+
+    chosen, frontier = choose_n_probe(
+        truth, probe, [2, 4, 8], recall_floor=1.0, n_cells=8
+    )
+    rows = {r.n_probe: r for r in frontier.collect()}
+    truth.unpersist()
+    # full probe = brute force = exactly 1.0
+    assert rows[8].macro_recall == 1.0
+    assert chosen == 8 or rows[chosen].macro_recall >= 1.0
+    # monotone frontier: more probes never lose recall
+    assert rows[2].macro_recall <= rows[4].macro_recall <= rows[8].macro_recall
+    assert rows[4].scan_fraction == 0.5
+
+    # a floor below the measured p2 recall picks p2 (smallest compliant)
+    floor = max(rows[2].macro_recall / 2, 0.01)
+    chosen_lo, _ = choose_n_probe(truth, probe, [2, 4, 8], recall_floor=floor)
+    assert chosen_lo == 2
+    # an unreachable floor returns None (fall back to exhaustive)
+    empty = spark.createDataFrame([], "qid long, nid long")
+    none_chosen, _ = choose_n_probe(
+        truth, lambda p: empty, [1, 2], recall_floor=0.5
+    )
+    assert none_chosen is None
+    import pytest
+
+    with pytest.raises(ValueError, match="recall_floor"):
+        choose_n_probe(truth, probe, [2], recall_floor=1.5)
+    with pytest.raises(ValueError, match="candidate_probes"):
+        choose_n_probe(truth, probe, [], recall_floor=0.5)
