@@ -73,11 +73,40 @@ def with_date_partitions(df: DataFrame, ts_col: str) -> DataFrame:
     return df.withColumn("dt", F.to_date(ts_col)).withColumn("hour", F.hour(ts_col))
 
 
-def parquet_batch_sink(path: str, partition_cols: Sequence[str] = ()):
+def parquet_batch_sink(
+    path: str,
+    partition_cols: Sequence[str] = (),
+    manifest_cols: Sequence[str] = (),
+):
     """foreachBatch-compatible sink: append each micro-batch to a
-    partitioned parquet table."""
+    partitioned parquet table.
+
+    ``manifest_cols`` keeps a footer-stats skipping manifest
+    (sources/manifest.py) FRESH as the stream writes: after each batch
+    commit, :func:`~.manifest.update_manifest` footer-reads ONLY the
+    batch's new files (the incremental path) so downstream
+    ``read_pruned`` queries never see a stale manifest and never pay a
+    full rebuild. This is exactly the small-file/stale-stats loop a
+    micro-batch sink creates — the matching compaction half surfaces
+    through ``streaming.orchestrator.Pipeline.plan_maintenance``.
+    Manifest scope is flat parquet directories, so it is mutually
+    exclusive with ``partition_cols`` (hive layouts get directory
+    pruning from Spark itself)."""
+    manifest_cols = list(manifest_cols)
+    if manifest_cols and partition_cols:
+        raise ValueError(
+            "parquet_batch_sink: manifest_cols requires a flat layout — "
+            "hive-partitioned tables (partition_cols) already get "
+            "directory-level pruning"
+        )
 
     def sink(batch_df: DataFrame) -> None:
         write_partitioned_parquet(batch_df, path, partition_cols)
+        if manifest_cols:
+            from iot_sensor_data_pipeline_spark.sources.manifest import (
+                update_manifest,
+            )
+
+            update_manifest(batch_df.sparkSession, path, manifest_cols)
 
     return sink

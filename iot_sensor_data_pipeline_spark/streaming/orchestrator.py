@@ -78,6 +78,38 @@ class Pipeline:
                 return
             time.sleep(poll_seconds)
 
+    def plan_maintenance(
+        self,
+        spark,
+        tables: dict[str, str],
+        target_bytes: int,
+        manifest_cols: dict[str, Sequence[str]] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Maintenance planning for the parquet tables the pipeline's
+        sinks feed — the OPTIMIZE loop a micro-batch writer needs:
+        every foreachBatch append is one file per partition per batch,
+        so file counts grow linearly with uptime and footer manifests
+        go stale. For each ``name -> path``: refresh the skipping
+        manifest incrementally (when ``manifest_cols[name]`` is given —
+        footer-reads only files added since the last refresh) and
+        return the table's :func:`~.manifest.plan_compaction` plan
+        (file-metadata grain — one listing, no data reads). The caller
+        executes chosen plans via ``compact_files`` /
+        ``compact_clustered`` during a low-traffic window; nothing is
+        rewritten here."""
+        from iot_sensor_data_pipeline_spark.sources.manifest import (
+            plan_compaction,
+            update_manifest,
+        )
+
+        plans: dict[str, DataFrame] = {}
+        for name, path in tables.items():
+            cols = (manifest_cols or {}).get(name)
+            if cols:
+                update_manifest(spark, path, cols)
+            plans[name] = plan_compaction(spark, path, target_bytes)
+        return plans
+
     def process_all_available(self) -> None:
         """Drain every query synchronously (test/batch-drive mode)."""
         for q in self.queries.values():

@@ -65,3 +65,67 @@ def test_parquet_batch_sink_appends(spark, tmp_path):
     sink(df)
     sink(df)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_streaming_sink_keeps_manifest_fresh_and_plans_compaction(
+    spark, tmp_path
+):
+    """The maintenance loop end-to-end: a manifest-keeping parquet sink
+    runs N micro-batches; after each commit the skipping manifest is
+    fresh WITHOUT a rebuild (read_pruned == full scan), and the
+    orchestrator's plan_maintenance shrinks the small-file count."""
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        compact_files,
+        read_manifest,
+        read_pruned,
+    )
+
+    out = str(tmp_path / "events_sink")
+    sink = parquet_batch_sink(out, manifest_cols=["k"])
+
+    # N micro-batches, disjoint key ranges -> prunable per-file stats
+    for b in range(4):
+        batch = spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+        sink(batch)
+
+    # manifest is fresh: every file listed, no rebuild ever ran
+    man = read_manifest(spark, out)
+    n_files = man.select("file").distinct().count()
+    assert n_files == 4
+    # pruned read == full scan (the manifest absorbed every append)
+    pred = {"k": (150, 250)}
+    got = sorted(r.k for r in read_pruned(spark, out, pred).collect())
+    want = sorted(
+        r.k
+        for r in spark.read.parquet(out).where(F.col("k").between(150, 250)).collect()
+    )
+    assert got == want and len(got) == 101
+
+    # compaction: 4 tiny files pack into one bin; executing the plan
+    # shrinks the physical file count
+    with Pipeline() as p:
+        plans = p.plan_maintenance(
+            spark, {"events": out}, target_bytes=1 << 30,
+            manifest_cols={"events": ["k"]},
+        )
+    plan = plans["events"]
+    acts = {r.action for r in plan.collect()}
+    assert acts == {"compact"}
+    compacted_dir = str(tmp_path / "events_compacted")
+    _plan, keeps = compact_files(spark, out, compacted_dir, 1 << 30)
+    assert keeps == []
+    files = [
+        f
+        for f in __import__("os").listdir(compacted_dir)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    assert spark.read.parquet(compacted_dir).count() == 400
+
+    # manifest + hive partitions are mutually exclusive, loudly
+    with pytest.raises(ValueError, match="flat layout"):
+        parquet_batch_sink(out, partition_cols=["dt"], manifest_cols=["k"])
