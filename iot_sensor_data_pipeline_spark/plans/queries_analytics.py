@@ -474,7 +474,7 @@ FROM ov GROUP BY 1, 2, 3
 """
 
 
-@register_extended(
+@register(
     "events_time_weighted_avg",
     oracle=_TWA_ORACLE,
     tags=("analytics", "timeseries", "twa"),

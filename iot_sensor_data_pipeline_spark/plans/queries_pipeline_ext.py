@@ -810,7 +810,7 @@ _EPOCH_SHUFFLE_ORACLE = (
 )
 
 
-@register_extended(
+@register(
     "documents_epoch_shuffle",
     oracle=_EPOCH_SHUFFLE_ORACLE,
     tags=("pipeline", "curation", "loader"),
@@ -961,7 +961,7 @@ FROM latest WHERE op != 'delete'
 """
 
 
-@register_extended(
+@register(
     "orders_cdc_apply",
     oracle=_CDC_ORACLE,
     tags=("relational", "merge", "cdc"),
@@ -1041,7 +1041,7 @@ FROM scored
 """
 
 
-@register_extended(
+@register(
     "documents_quality_deciles",
     oracle=_deciles_oracle(),
     tags=("pipeline", "curation", "curriculum"),
@@ -1085,7 +1085,7 @@ FROM lineitem GROUP BY l_returnflag"""
 )
 
 
-@register_extended(
+@register(
     "lineitem_quantiles_exact",
     oracle=_QUANTILES_ORACLE,
     tags=("relational", "quantiles"),

@@ -21,7 +21,7 @@ from iot_sensor_data_pipeline_spark.functions.rules import (
     classification_sql,
 )
 from iot_sensor_data_pipeline_spark.operators.window_agg import windowed_agg
-from iot_sensor_data_pipeline_spark.plans.registry import register
+from iot_sensor_data_pipeline_spark.plans.registry import register, register_extended
 from iot_sensor_data_pipeline_spark.schema import EVENT_PROPS_SCHEMA
 from iot_sensor_data_pipeline_spark.sources.tables import load_table
 
@@ -115,7 +115,7 @@ FROM events
 """
 
 
-@register("events_json_flatten", oracle=_JSON_FLATTEN_ORACLE, tags=("reference", "P1-P4"))
+@register_extended("events_json_flatten", oracle=_JSON_FLATTEN_ORACLE, tags=("reference", "P1-P4"))
 def events_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read: parse the props JSON string, flatten field k."""
     events = load_table(spark, sf_dir, "events")
@@ -242,7 +242,7 @@ WHERE event_type IN ('purchase', 'error')
 """
 
 
-@register("events_filter_predicates", oracle=_FILTER_ORACLE, tags=("reference", "F1-F5"))
+@register_extended("events_filter_predicates", oracle=_FILTER_ORACLE, tags=("reference", "F1-F5"))
 def events_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite predicate: isin + comparison + boolean algebra + LIKE."""
     events = load_table(spark, sf_dir, "events")

@@ -251,7 +251,7 @@ SELECT * FROM (
 """
 
 
-@register("orders_topk_per_customer", oracle=_TOPK_GROUP_ORACLE, tags=("relational", "topk"))
+@register_extended("orders_topk_per_customer", oracle=_TOPK_GROUP_ORACLE, tags=("relational", "topk"))
 def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     return top_k_per_group(

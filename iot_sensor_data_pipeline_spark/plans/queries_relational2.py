@@ -186,7 +186,7 @@ FROM ({_SUBQUERY_SQL})
 """
 
 
-@register("customers_null_subqueries", oracle=_NULLS_SUBQ_ORACLE, tags=("relational", "nulls", "subquery"))
+@register_extended("customers_null_subqueries", oracle=_NULLS_SUBQ_ORACLE, tags=("relational", "nulls", "subquery"))
 def customers_null_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Branch 'nulls': coalesce/nullif/ifnull over a deliberately
     NULL-producing left join. Branch 'subq': IN-subquery + correlated

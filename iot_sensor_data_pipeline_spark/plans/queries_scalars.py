@@ -95,7 +95,7 @@ FROM lineitem
 """
 
 
-@register("scalar_functions_union", oracle=_SCALARS_ORACLE, tags=("scalars", "P4", "datetime"))
+@register_extended("scalar_functions_union", oracle=_SCALARS_ORACLE, tags=("scalars", "P4", "datetime"))
 def scalar_functions_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datetime + math scalar surface as one tagged union (formerly
     the separate events_datetime_scalars and lineitem_math_scalars

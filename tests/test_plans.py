@@ -5,13 +5,14 @@ from __future__ import annotations
 
 import pytest
 
-from iot_sensor_data_pipeline_spark.plans import REGISTRY
+from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY, REGISTRY
 
 SF = "/root/testdata/sf0.01"
 
 
 def plan_of(spark, name: str) -> str:
-    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    q = REGISTRY.get(name) or EXTENDED_REGISTRY[name]
+    return q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
 def test_q6_filters_reach_the_scan(spark):
