@@ -23,8 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from iot_sensor_data_pipeline_spark.plans import REGISTRY
-from iot_sensor_data_pipeline_spark.plans.queries_pipeline import documents_minhash_dedup
+from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY, REGISTRY
+from iot_sensor_data_pipeline_spark.plans.queries_pipeline import (
+    documents_minhash_dedup,
+    embeddings_ivfpq_blocked_bench,
+)
 from iot_sensor_data_pipeline_spark.plans.queries_relational2 import (
     tpch_q6_forecast_revenue,
 )
@@ -35,10 +38,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: headline paths timed under their historical names even though the
 #: registry entry that exposed them was consolidated (the driver's
 #: correctness gate caps at 50 registered queries; the bench set is
-#: independent of that cap, so timings stay comparable across rounds)
+#: independent of that cap, so timings stay comparable across rounds).
+#: `embeddings_ivfpq_blocked` (r9 anchor) traces the heaviest ANN path
+#: round-over-round; `documents_span_dedup` / `documents_decontaminate`
+#: (r9 anchors) carry bench=True on their registrations.
 EXTRA_HEADLINES = {
     "documents_minhash_dedup": documents_minhash_dedup,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "embeddings_ivfpq_blocked": embeddings_ivfpq_blocked_bench,
 }
 
 
@@ -47,6 +54,7 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
     fns = {n: q.fn for n, q in REGISTRY.items() if q.bench}
+    fns.update({n: q.fn for n, q in EXTENDED_REGISTRY.items() if q.bench})
     fns.update(EXTRA_HEADLINES)
     timings: dict[str, float] = {}
 
@@ -64,6 +72,18 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # the r1-anchored 12-query subtotal, so the round-over-round ratio
+    # against the original anchor stays directly readable after the r9
+    # headline additions
+    r1_set = {
+        "documents_minhash_dedup", "documents_text_features",
+        "embeddings_knn_brute_force", "events_asof_join",
+        "events_sessionize", "events_window_agg", "orders_window_functions",
+        "sensor_wire_ingest_alerts", "tpch_q1_pricing_summary",
+        "tpch_q3_top_orders", "tpch_q5_regional_revenue",
+        "tpch_q6_forecast_revenue",
+    }
+    legacy_total = round(sum(v for n, v in timings.items() if n in r1_set), 3)
     print(
         json.dumps(
             {
@@ -72,6 +92,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "r1_anchored_subtotal": legacy_total,
             }
         )
     )

@@ -1044,3 +1044,46 @@ def documents_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return remove_boilerplate_lines(multi, min_dup_freq=10)
+
+
+def embeddings_ivfpq_blocked_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only headline (r9 anchor): the NO-COLLECT blocked IVFxPQ
+    ANN path in isolation — PQ train/encode + IVF coarse quantizer +
+    ``ivfpq_topk_blocked`` (cogroup (cell, q_block) LUT-ADC tiles with
+    exact refine) over the full embeddings table, every 20th vector as
+    the query set. Not in the driver gate (the hash-specific union
+    `embeddings_ann_variants` carries the correctness stamp); this
+    entry exists so the heaviest r8 ANN operator has a round-over-round
+    wall-time trace instead of SCALE.md spot rows."""
+    from iot_sensor_data_pipeline_spark.operators.quantization import (
+        ivfpq_topk_blocked,
+        pq_encode,
+        pq_train,
+    )
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        ivf_build,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / l2_norm(F.col("embedding")),
+        ).alias("embedding"),
+    )
+    books = pq_train(unit, m=4, k=64, sample_rows=5000, iters=4)
+    codes = pq_encode(unit, books)
+    assignments, centroids = ivf_build(unit, n_centroids=16)
+    return ivfpq_topk_blocked(
+        unit.where(F.col("vec_id") % 50 == 0),
+        codes.join(assignments.select("cid", "nid"), "nid"),
+        books,
+        centroids,
+        k=10,
+        n_probe=4,
+        refine=unit,
+        shortlist_factor=5,
+        q_blocks=8,
+    )

@@ -52,7 +52,8 @@ FROM docs d
 
 
 @register(
-    "documents_span_dedup", oracle=_SPAN_DEDUP_ORACLE, tags=("pipeline", "dedup")
+    "documents_span_dedup", oracle=_SPAN_DEDUP_ORACLE, tags=("pipeline", "dedup"),
+    bench=True,  # r9 anchor
 )
 def documents_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -389,7 +390,8 @@ FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM hits)
 
 # moved INTO the driver gate in r08 (VERDICT r7 item 3)
 @register(
-    "documents_decontaminate", oracle=_DECON_ORACLE, tags=("pipeline", "dedup")
+    "documents_decontaminate", oracle=_DECON_ORACLE, tags=("pipeline", "dedup"),
+    bench=True,  # r9 anchor
 )
 def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iot_sensor_data_pipeline_spark.operators.decontamination import (
