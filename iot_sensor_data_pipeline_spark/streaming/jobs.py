@@ -1341,6 +1341,7 @@ def start_cdc_apply_bucketed(
             epoch_id,
             {
                 "n_buckets": n_buckets,
+                "keys": keys,  # the hash layout — rebucket/fsck read it
                 "buckets": buckets,
                 "schema": json.dumps(schema.jsonValue()),
             },
@@ -1382,3 +1383,200 @@ def start_cdc_apply_bucketed(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()
+
+
+def read_cdc_snapshot_bucketed_for_keys(
+    spark, snapshot_dir: str, keys: Sequence[str], key_rows: DataFrame
+) -> DataFrame:
+    """Key-pruned snapshot read: open ONLY the bucket directories the
+    requested keys hash into — the point-lookup / small-range path a
+    100 TB snapshot needs (reading 3 keys must cost 3 buckets ~
+    |base| * 3/n_buckets, not a full scan). ``key_rows`` carries the
+    key columns; rows are filtered to exactly those keys (semi-join),
+    so the result equals ``read_cdc_snapshot_bucketed(...).join(keys,
+    semi)`` at a fraction of the I/O. The distinct-bucket collect is
+    <= n_buckets ints by construction."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    versions = _bucket_manifest_versions(spark, snapshot_dir)
+    if not versions:
+        raise ValueError(f"no snapshot manifests under {snapshot_dir}")
+    m = _read_bucket_manifest(spark, snapshot_dir, versions[-1])
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    n_buckets = int(m["n_buckets"])
+    keys = list(keys)
+    wanted = key_rows.select(*keys).distinct()
+    touched = sorted(
+        r[0]
+        for r in wanted.select(
+            _cdc_bucket_expr(keys, n_buckets).alias("__b")
+        )
+        .distinct()
+        .collect()
+    )
+    paths = [
+        f"{snapshot_dir}/{m['buckets'][str(b)]}"
+        for b in touched
+        if str(b) in m["buckets"]
+    ]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*paths)
+    return df.join(F.broadcast(wanted), keys, "left_semi")
+
+
+def rebucket_cdc_snapshot(
+    spark, snapshot_dir: str, new_n_buckets: int, keep_versions: int = 3
+) -> None:
+    """Evolve the bucket layout of a bucketed CDC snapshot — the
+    ``n_buckets`` chosen at creation stops fitting when the table
+    grows 100x (buckets become task-breaking) or shrinks (tiny-file
+    overhead). One distributed rewrite: read every live bucket, re-hash
+    into ``new_n_buckets``, write under a fresh epoch directory
+    (``buckets/e<v+1>``), and commit a new manifest — the same commit
+    discipline as the stream, so readers flip atomically and the
+    stream's next batch (epoch > v+1 by checkpoint monotonicity)
+    rebases on the new layout via its manifest's ``n_buckets``.
+
+    NOT safe to run concurrently with an active ``start_cdc_apply_
+    bucketed`` query on the same directory (two writers, no lock —
+    stop the stream, rebucket, restart); the epoch-id monotonicity
+    that makes stream replays safe does not extend to an out-of-band
+    writer."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    if new_n_buckets < 1:
+        raise ValueError(
+            f"rebucket_cdc_snapshot: new_n_buckets must be >= 1, got {new_n_buckets}"
+        )
+    versions = _bucket_manifest_versions(spark, snapshot_dir)
+    if not versions:
+        raise ValueError(f"no snapshot manifests under {snapshot_dir}")
+    m = _read_bucket_manifest(spark, snapshot_dir, versions[-1])
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    keys = m.get("keys")
+    if keys is None:
+        raise ValueError(
+            "rebucket_cdc_snapshot: manifest predates the 'keys' field — "
+            "rewrite it with start_cdc_apply_bucketed once before rebucketing"
+        )
+    new_version = versions[-1] + 1
+    epoch_rel = f"buckets/e{new_version}"
+    paths = [f"{snapshot_dir}/{rel}" for rel in m["buckets"].values()]
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    present: set[int] = set()
+    if paths:
+        df = spark.read.schema(schema).parquet(*paths)
+        (
+            df.withColumn(CDC_BUCKET_COL, _cdc_bucket_expr(keys, new_n_buckets))
+            .write.partitionBy(CDC_BUCKET_COL)
+            .mode("overwrite")
+            .parquet(f"{snapshot_dir}/{epoch_rel}")
+        )
+        epath = jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{epoch_rel}")
+        for st in fs.listStatus(epath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(f"{CDC_BUCKET_COL}="):
+                present.add(int(name.split("=", 1)[1]))
+    _write_bucket_manifest(
+        spark,
+        snapshot_dir,
+        new_version,
+        {
+            "n_buckets": new_n_buckets,
+            "keys": keys,
+            "buckets": {
+                str(b): f"{epoch_rel}/{CDC_BUCKET_COL}={b}" for b in sorted(present)
+            },
+            "schema": json.dumps(schema.jsonValue()),
+        },
+    )
+    # prune exactly as the stream does
+    versions = _bucket_manifest_versions(spark, snapshot_dir)
+    kept_versions = versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in kept_versions:
+        mm = _read_bucket_manifest(spark, snapshot_dir, v)
+        for rel in mm["buckets"].values():
+            referenced.add(rel.split("/", 2)[1])
+    for v in versions:
+        if v not in kept_versions:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/manifests/v{v}.json"),
+                False,
+            )
+    broot = jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/buckets")
+    if fs.exists(broot):
+        for st in fs.listStatus(broot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name not in referenced:
+                fs.delete(st.getPath(), True)
+
+
+def validate_cdc_snapshot(spark, snapshot_dir: str) -> dict:
+    """Consistency audit (fsck) of a bucketed CDC snapshot: verifies
+    the newest manifest's references all exist on disk, bucket ids are
+    in range, and every row in a bucket directory actually hashes to
+    that bucket under the manifest's layout (a corrupted manifest or a
+    hand-moved directory would otherwise serve WRONG point lookups
+    silently, since key pruning trusts the hash placement). Returns
+    ``{"ok": bool, "missing_paths": [...], "misplaced_rows": int,
+    "n_buckets": int, "n_live_buckets": int}``. Cost: one scan of the
+    snapshot (metadata-only checks are free; the placement check is a
+    conditional count, map-side only)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    versions = _bucket_manifest_versions(spark, snapshot_dir)
+    if not versions:
+        raise ValueError(f"no snapshot manifests under {snapshot_dir}")
+    m = _read_bucket_manifest(spark, snapshot_dir, versions[-1])
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    n_buckets = int(m["n_buckets"])
+    keys = m.get("keys") or []
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(snapshot_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    missing = []
+    for b, rel in m["buckets"].items():
+        if not (0 <= int(b) < n_buckets):
+            missing.append(f"bucket id {b} out of range [0, {n_buckets})")
+            continue
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{rel}")):
+            missing.append(rel)
+    misplaced = 0
+    live = {
+        b: rel
+        for b, rel in m["buckets"].items()
+        if rel not in missing
+        and fs.exists(jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{rel}"))
+    }
+    if keys and live:
+        # ONE scan, not a per-bucket job loop: the expected bucket id is
+        # parsed out of each row's file path and compared to the hash
+        df = spark.read.schema(schema).parquet(
+            *[f"{snapshot_dir}/{rel}" for rel in live.values()]
+        )
+        expected = F.regexp_extract(
+            F.input_file_name(), f"{CDC_BUCKET_COL}=(\\d+)", 1
+        ).cast("int")
+        misplaced = df.where(
+            _cdc_bucket_expr(keys, n_buckets) != expected
+        ).count()
+    return {
+        "ok": not missing and misplaced == 0,
+        "missing_paths": missing,
+        "misplaced_rows": misplaced,
+        "n_buckets": n_buckets,
+        "n_live_buckets": len(m["buckets"]),
+    }

@@ -897,3 +897,78 @@ def test_cdc_apply_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
     assert s3r == s3
     # pruning keeps at most keep_versions manifests
     assert len(_bucket_manifest_versions(spark, snap)) <= 2
+
+
+def test_cdc_bucketed_point_reads_rebucket_and_fsck(spark, tmp_path):
+    """Key-pruned reads open only the keys' buckets; rebucketing
+    rewrites the layout under the same commit discipline (readers flip
+    atomically, old epochs pruned); the fsck validates placement and
+    catches a hand-corrupted manifest."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        _bucket_manifest_versions,
+        _read_bucket_manifest,
+        _write_bucket_manifest,
+        read_cdc_snapshot_bucketed,
+        read_cdc_snapshot_bucketed_for_keys,
+        rebucket_cdc_snapshot,
+        start_cdc_apply_bucketed,
+        validate_cdc_snapshot,
+    )
+
+    src = tmp_path / "cdcp_src"
+    src.mkdir()
+    snap = str(tmp_path / "snapshot_p")
+    ckpt = str(tmp_path / "cdcp_ckpt")
+
+    (src / "c1.json").write_text(
+        "\n".join(
+            _json.dumps({"k": k, "v": f"v{k}", "op": "insert", "seq": 1})
+            for k in range(500)
+        )
+    )
+    ch = spark.readStream.schema("k long, v string, op string, seq long").json(
+        str(src)
+    )
+    q = start_cdc_apply_bucketed(
+        ch, snap, ckpt, keys=["k"], seq_col="seq", n_buckets=8,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # point lookup: reads only the buckets of the requested keys
+    wanted = spark.createDataFrame([(5,), (6,), (7,)], "k long")
+    got = read_cdc_snapshot_bucketed_for_keys(spark, snap, ["k"], wanted)
+    assert {r.k: r.v for r in got.collect()} == {5: "v5", 6: "v6", 7: "v7"}
+    n_opened = (
+        got.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    m = _read_bucket_manifest(spark, snap, _bucket_manifest_versions(spark, snap)[-1])
+    # 3 keys -> at most 3 of 8 buckets opened, never all
+    assert n_opened < len(m["buckets"])
+
+    # fsck: clean snapshot validates
+    rep = validate_cdc_snapshot(spark, snap)
+    assert rep["ok"] and rep["misplaced_rows"] == 0 and rep["n_buckets"] == 8
+
+    # rebucket 8 -> 3: identical rows, new layout, fsck still clean
+    rebucket_cdc_snapshot(spark, snap, new_n_buckets=3, keep_versions=2)
+    s = {r.k: r.v for r in read_cdc_snapshot_bucketed(spark, snap).collect()}
+    assert len(s) == 500 and s[123] == "v123"
+    rep2 = validate_cdc_snapshot(spark, snap)
+    assert rep2["ok"] and rep2["n_buckets"] == 3 and rep2["n_live_buckets"] == 3
+    # point reads work against the evolved layout
+    got2 = read_cdc_snapshot_bucketed_for_keys(spark, snap, ["k"], wanted)
+    assert {r.k for r in got2.collect()} == {5, 6, 7}
+
+    # corruption: claim n_buckets=5 without moving rows -> placement fails
+    vlast = _bucket_manifest_versions(spark, snap)[-1]
+    bad = dict(_read_bucket_manifest(spark, snap, vlast))
+    bad["n_buckets"] = 5
+    _write_bucket_manifest(spark, snap, vlast + 1, bad)
+    rep3 = validate_cdc_snapshot(spark, snap)
+    assert not rep3["ok"] and rep3["misplaced_rows"] > 0
