@@ -972,3 +972,65 @@ def test_cdc_bucketed_point_reads_rebucket_and_fsck(spark, tmp_path):
     _write_bucket_manifest(spark, snap, vlast + 1, bad)
     rep3 = validate_cdc_snapshot(spark, snap)
     assert not rep3["ok"] and rep3["misplaced_rows"] > 0
+
+
+def test_cdc_bucketed_equals_full_rewrite_differential(spark, tmp_path):
+    """The bucketed maintainer must be observably IDENTICAL to the
+    full-rewrite one: the same randomized multi-batch change stream
+    (inserts, update-over-update, deletes, tombstone ties) folded by
+    both paths converges to the same snapshot."""
+    import json as _json
+    import random
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        read_cdc_snapshot,
+        read_cdc_snapshot_bucketed,
+        start_cdc_apply,
+        start_cdc_apply_bucketed,
+    )
+
+    rng = random.Random(93)
+    batches = []
+    seq = 0
+    for _b in range(3):
+        rows = []
+        for _ in range(200):
+            k = rng.randrange(60)
+            op = rng.choice(["insert", "update", "update", "delete"])
+            seq += 1
+            rows.append(
+                (k, None if op == "delete" else f"v{seq}", op, seq)
+            )
+        # a tombstone tie: delete at the same seq as an update
+        k = rng.randrange(60)
+        rows.append((k, f"tie{seq}", "update", seq))
+        rows.append((k, None, "delete", seq))
+        batches.append(rows)
+
+    def run(variant_dir, starter, **kw):
+        src = tmp_path / f"{variant_dir}_src"
+        src.mkdir()
+        snap = str(tmp_path / f"{variant_dir}_snap")
+        ckpt = str(tmp_path / f"{variant_dir}_ckpt")
+        for i, rows in enumerate(batches):
+            (src / f"c{i}.json").write_text(
+                "\n".join(
+                    _json.dumps({"k": k, "v": v, "op": op, "seq": s})
+                    for k, v, op, s in rows
+                )
+            )
+            ch = spark.readStream.schema(
+                "k long, v string, op string, seq long"
+            ).json(str(src))
+            q = starter(
+                ch, snap, ckpt, keys=["k"], seq_col="seq",
+                available_now=True, **kw,
+            )
+            q.awaitTermination(120)
+        return snap
+
+    full = run("cdc_full", start_cdc_apply)
+    buck = run("cdc_buck", start_cdc_apply_bucketed, n_buckets=7)
+    a = {r.k: r.v for r in read_cdc_snapshot(spark, full).collect()}
+    b = {r.k: r.v for r in read_cdc_snapshot_bucketed(spark, buck).collect()}
+    assert a == b and len(a) > 0
