@@ -165,6 +165,13 @@ def ngram_jaccard_pairs(
                 F.collect_set("shingle").alias("sh"),
                 F.count(F.lit(1)).alias("n_sh"),
             )
+            # checkpointed: BOTH pair joins consume this relation, and
+            # alias-renamed subtrees defeat exchange reuse — without it
+            # the semi-join + collect_set aggregation plans (and runs)
+            # twice, i-side and j-side. Measured 2-3x on the verify
+            # stage at sf0.1. Lazy RDD-level storage, reclaimed by the
+            # ContextCleaner like the module's other checkpoints.
+            .localCheckpoint(eager=False)
         )
         return (
             cand.join(
