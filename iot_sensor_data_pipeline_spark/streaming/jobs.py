@@ -1268,15 +1268,23 @@ def start_cdc_apply_bucketed(
         spark = batch_df.sparkSession
         base_cols = [c for c in batch_df.columns if c not in (op_col, seq_col)]
 
-        older = [v for v in _bucket_manifest_versions(spark, snapshot_dir) if v < epoch_id]
-        if older:
-            manifest = _read_bucket_manifest(spark, snapshot_dir, older[-1])
-            if manifest["n_buckets"] != n_buckets:
+        all_versions = _bucket_manifest_versions(spark, snapshot_dir)
+        if all_versions:
+            # layout guard against the NEWEST manifest regardless of
+            # epoch: a fresh checkpoint restarts epoch ids at 0, so the
+            # strictly-older rebase set can be empty even though the
+            # table exists — a layout mismatch must still fail loudly
+            # (use rebucket_cdc_snapshot to evolve n_buckets)
+            newest = _read_bucket_manifest(spark, snapshot_dir, all_versions[-1])
+            if newest["n_buckets"] != n_buckets:
                 raise ValueError(
                     f"n_buckets={n_buckets} does not match the table's "
-                    f"layout ({manifest['n_buckets']}) — the bucket count "
-                    "is fixed at creation"
+                    f"layout ({newest['n_buckets']}) — the bucket count is "
+                    "fixed at creation; use rebucket_cdc_snapshot to evolve it"
                 )
+        older = [v for v in all_versions if v < epoch_id]
+        if older:
+            manifest = _read_bucket_manifest(spark, snapshot_dir, older[-1])
             schema = StructType.fromJson(json.loads(manifest["schema"]))
         else:  # first batch: empty base, schema from the batch
             manifest = {"n_buckets": n_buckets, "buckets": {}}

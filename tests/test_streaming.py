@@ -1034,3 +1034,41 @@ def test_cdc_bucketed_equals_full_rewrite_differential(spark, tmp_path):
     a = {r.k: r.v for r in read_cdc_snapshot(spark, full).collect()}
     b = {r.k: r.v for r in read_cdc_snapshot_bucketed(spark, buck).collect()}
     assert a == b and len(a) > 0
+
+
+def test_cdc_bucketed_rejects_layout_mismatch_on_restart(spark, tmp_path):
+    """n_buckets is the physical key layout, fixed at creation: a
+    restart with a different count must fail loudly (silently mixing
+    layouts would corrupt key pruning), pointing at rebucket_cdc_snapshot."""
+    import json as _json
+
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        start_cdc_apply_bucketed,
+    )
+
+    src = tmp_path / "cdml_src"
+    src.mkdir()
+    snap = str(tmp_path / "cdml_snap")
+
+    (src / "c1.json").write_text(
+        _json.dumps({"k": 1, "v": "a", "op": "insert", "seq": 1})
+    )
+
+    def drain(ckpt, n_buckets):
+        ch = spark.readStream.schema(
+            "k long, v string, op string, seq long"
+        ).json(str(src))
+        q = start_cdc_apply_bucketed(
+            ch, snap, str(tmp_path / ckpt), keys=["k"], seq_col="seq",
+            n_buckets=n_buckets, available_now=True,
+        )
+        q.awaitTermination(120)
+
+    drain("ck1", 8)
+    (src / "c2.json").write_text(
+        _json.dumps({"k": 2, "v": "b", "op": "insert", "seq": 2})
+    )
+    with pytest.raises(Exception, match="n_buckets"):
+        drain("ck2", 16)  # fresh checkpoint, same snapshot dir, new layout
