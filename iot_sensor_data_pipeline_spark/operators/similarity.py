@@ -1014,4 +1014,7 @@ def choose_n_probe(
     chosen = next(
         (r["n_probe"] for r in rows if r[metric] >= recall_floor), None
     )
-    return chosen, frontier
+    # return the MATERIALIZED frontier: handing back the lazy plan
+    # would re-run every candidate probe each time the caller looks at it
+    spark = truth.sparkSession
+    return chosen, spark.createDataFrame(rows, frontier.schema)

@@ -224,7 +224,11 @@ def update_manifest(
     fresh = _footer_stats_for(new_fdf, cols, len(files))
     merged = kept.unionByName(fresh)
     # write-then-swap: the merged relation READS the manifest being
-    # replaced, so an in-place overwrite would corrupt its own input
+    # replaced, so an in-place overwrite would corrupt its own input.
+    # The delete+rename pair leaves a sub-second no-manifest window for
+    # concurrent readers (acceptable: read_pruned fails loudly, retry
+    # succeeds; a versioned-manifest scheme like the bucketed CDC's
+    # would close it at the cost of a commit protocol)
     tmp = f"{path}/{MANIFEST_DIR}.tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     jvm = spark._jvm
