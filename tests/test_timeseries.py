@@ -562,7 +562,7 @@ def test_twa_randomized_python_differential(spark):
             i += 1
     df = spark.createDataFrame(rows, "k string, t double, v double, i int")
 
-    def mirror(method):
+    def mirror(method, carry=None):
         by_key: dict = {}
         for k, t, v, _ in rows:
             by_key.setdefault(k, []).append((t, v))
@@ -573,9 +573,10 @@ def test_twa_randomized_python_differential(spark):
             for (t0, v0), (t1, v1) in zip(pts, pts[1:]):
                 if t1 <= t0:
                     continue
+                te = t1 if carry is None else min(t1, t0 + carry)
                 b = int(math.floor(t0 / W))
-                while b * W < t1:
-                    lo, hi = max(t0, b * W), min(t1, (b + 1) * W)
+                while b * W < te:
+                    lo, hi = max(t0, b * W), min(te, (b + 1) * W)
                     if hi > lo:
                         if method == "locf":
                             c = v0 * (hi - lo)
@@ -587,19 +588,24 @@ def test_twa_randomized_python_differential(spark):
                     b += 1
         return {key: (num[key] / den[key], den[key]) for key in num}
 
+    # unbounded (explicit opt-in since the r9 'auto' default) AND a
+    # fixed carry that clips a real fraction of the random gaps — the
+    # python mirror integrates both
     for method in ("locf", "linear"):
-        got = {
-            (r.k, r.bucket): (r.twa, r.covered)
-            for r in time_weighted_avg(
-                df, "t", W, ["k"], "v", method=method, id_col="i"
-            ).collect()
-        }
-        want = mirror(method)
-        assert set(got) == set(want), method
-        for key, (wv, wc) in want.items():
-            gv, gc = got[key]
-            assert gv == pytest.approx(wv, rel=1e-6, abs=1e-6), (method, key)
-            assert gc == pytest.approx(wc, rel=1e-6, abs=1e-6), (method, key)
+        for carry in (None, 40.0):
+            got = {
+                (r.k, r.bucket): (r.twa, r.covered)
+                for r in time_weighted_avg(
+                    df, "t", W, ["k"], "v", method=method, id_col="i",
+                    max_carry=carry,
+                ).collect()
+            }
+            want = mirror(method, carry)
+            assert set(got) == set(want), (method, carry)
+            for key, (wv, wc) in want.items():
+                gv, gc = got[key]
+                assert gv == pytest.approx(wv, rel=1e-6, abs=1e-6), (method, carry, key)
+                assert gc == pytest.approx(wc, rel=1e-6, abs=1e-6), (method, carry, key)
 
 
 # ---------------------------------------------------------------------------
