@@ -111,6 +111,7 @@ def decontaminate(
     k: int = 13,
     mode: str = "drop",
     broadcast_eval: bool = True,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Remove eval-set contamination from a training corpus.
 
@@ -125,12 +126,18 @@ def decontaminate(
     Drop is the benchmark-reporting default (a contaminated doc's
     remaining text still correlates with the eval target); scrub keeps
     more data when the corpus is precious.
+
+    ``hits`` optionally passes a precomputed :func:`contaminated_spans`
+    relation (the ``candidates`` pattern from ngram_jaccard_pairs) — a
+    caller that also audits the hit positions computes the span scan
+    ONCE (checkpoint it) instead of twice.
     """
     if mode not in ("drop", "scrub"):
         raise ValueError(f"decontaminate: mode must be 'drop' or 'scrub', got {mode!r}")
-    hits = contaminated_spans(
-        train, eval_docs, id_col, text_col, k, broadcast_eval
-    )
+    if hits is None:
+        hits = contaminated_spans(
+            train, eval_docs, id_col, text_col, k, broadcast_eval
+        )
     if mode == "drop":
         return train.join(
             hits.select(id_col).distinct(), id_col, "left_anti"

@@ -402,14 +402,20 @@ def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 7 != 0)
     eval_docs = docs.where(F.col("doc_id") % 7 == 0)
-    kept = decontaminate(train, eval_docs, k=_K_DECON, mode="drop").select(
+    # ONE span scan feeds both branches (checkpointed — the kept branch
+    # and the hit audit would otherwise each replay the k-gram explode)
+    hits_rel = contaminated_spans(train, eval_docs, k=_K_DECON).localCheckpoint(
+        eager=False
+    )
+    kept = decontaminate(
+        train, eval_docs, k=_K_DECON, mode="drop", hits=hits_rel
+    ).select(
         F.lit("kept").alias("branch"),
         "doc_id",
         F.lit(0).cast("long").alias("n"),
     )
     hits = (
-        contaminated_spans(train, eval_docs, k=_K_DECON)
-        .groupBy("doc_id")
+        hits_rel.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("hits").alias("branch"), "doc_id", F.col("n"))
     )
