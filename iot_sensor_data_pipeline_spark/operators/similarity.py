@@ -268,6 +268,8 @@ def ivf_build(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_sample_rows: int = 200_000,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Build the IVF index ONCE: train the k-means coarse quantizer
     (Spark ML, on a capped sample so fitting cost stays constant as
@@ -302,10 +304,12 @@ def ivf_build(
     train = (
         c.select("cv")
         .orderBy(F.xxhash64(F.col("cv")))
-        .limit(200_000)
+        .limit(train_sample_rows)
         .select(array_to_vector("cv").alias("features"))
     )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(train)
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
     assign_one, _ = _centroid_assigners(centroids, 1)
     assignments = c.select(

@@ -1073,9 +1073,14 @@ def embeddings_ivfpq_blocked_bench(spark: SparkSession, sf_dir: str) -> DataFram
             lambda x: x.cast("double") / l2_norm(F.col("embedding")),
         ).alias("embedding"),
     )
+    unit = unit.localCheckpoint(eager=False)  # 4 consumers below
     books = pq_train(unit, m=4, k=64, sample_rows=5000, iters=4)
     codes = pq_encode(unit, books)
-    assignments, centroids = ivf_build(unit, n_centroids=16)
+    # capped quantizer-training cost: the headline measures the blocked
+    # probe's scaling, not Spark ML KMeans' fixed fitting constant
+    assignments, centroids = ivf_build(
+        unit, n_centroids=16, train_sample_rows=20_000, max_iter=8
+    )
     return ivfpq_topk_blocked(
         unit.where(F.col("vec_id") % 50 == 0),
         codes.join(assignments.select("cid", "nid"), "nid"),
