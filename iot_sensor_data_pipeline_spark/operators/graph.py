@@ -28,7 +28,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     max_iterations: int = 30,
-    tol: float = 1e-6,
+    tol: float | None = 1e-6,
     src_col: str = "src",
     dst_col: str = "dst",
     check_interval: int = 3,
@@ -62,6 +62,14 @@ def pagerank(
     RuntimeError at ``max_iterations`` (returning a half-converged
     ranking would silently misorder close nodes — same fail-loud
     contract as ``duplicate_clusters``).
+
+    ``tol=None`` switches to FIXED-ITERATION mode: run exactly
+    ``max_iterations`` power rounds with no convergence action and
+    return — the deterministic form a cross-engine differential
+    needs (an early exit keyed on a float delta could fire on a
+    different round per engine), and the cheaper form when the
+    caller has already sized the round count (lineage is still
+    checkpoint-truncated every ``check_interval`` rounds).
     """
     if check_interval < 1:
         raise ValueError("pagerank: check_interval must be >= 1")
@@ -125,6 +133,8 @@ def pagerank(
         last_round = it == max_iterations - 1
         if (it + 1) % check_interval == 0 or last_round:
             ranks = ranks.localCheckpoint(eager=True)
+            if tol is None:
+                continue  # fixed-iteration mode: no convergence action
             delta = (
                 ranks.alias("n")
                 .join(checkpointed.alias("o"), "id")
@@ -134,6 +144,8 @@ def pagerank(
             checkpointed = ranks
             if delta < tol:
                 return ranks
+    if tol is None:
+        return ranks
     raise RuntimeError(
         f"pagerank did not converge within {max_iterations} iterations "
         f"(last L1 delta {delta:.2e} >= tol {tol:.0e}); raise max_iterations"

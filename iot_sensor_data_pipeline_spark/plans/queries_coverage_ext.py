@@ -1,0 +1,361 @@
+"""Round-9 coverage batch: operators that were pytest-covered but had
+no registered query — context-window chunking, PII audit, SCD2
+dimension maintenance, fixed-iteration PageRank, and single-scan data
+profiling — each promoted to a DuckDB-oracled entry in the extended
+registry (swept hash-for-hash at two scale points by
+tests/test_tpch_full.py, same compare contract as the driver gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.plans.registry import register_extended
+from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# documents_chunk_pack — chunk_documents (operators/curation.py): the
+# context-window preparation step of a training/retrieval pipeline.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64
+_OVERLAP = 16
+_STRIDE = _CHUNK - _OVERLAP
+
+# DuckDB mirrors the operator's exact arithmetic: whitespace tokens,
+# n_chunks = max(ceil((n - overlap) / stride), 1), chunk i = 1-based
+# token slice [i*stride+1, i*stride+chunk] (end-inclusive in DuckDB,
+# start+length in Spark — same window), short final chunk kept.
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), spec AS (
+  SELECT doc_id, tk,
+         greatest(CAST(ceil((len(tk) - {_OVERLAP}) / {_STRIDE}.0) AS BIGINT),
+                  1) AS n_chunks
+  FROM toks
+)
+SELECT s.doc_id,
+       u.i AS chunk_idx,
+       array_to_string(s.tk[(u.i * {_STRIDE} + 1):(u.i * {_STRIDE} + {_CHUNK})],
+                       ' ') AS chunk_text,
+       len(s.tk[(u.i * {_STRIDE} + 1):(u.i * {_STRIDE} + {_CHUNK})]) AS n_tokens
+FROM spec s, LATERAL unnest(range(0, s.n_chunks)) AS u(i)
+"""
+
+
+@register_extended(
+    "documents_chunk_pack", oracle=_CHUNK_ORACLE, tags=("pipeline", "curation")
+)
+def documents_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks over the corpus — one
+    shuffle-free codegen scan (split -> sequence -> slice ->
+    posexplode), no UDF; see chunk_documents for the scale notes."""
+    from iot_sensor_data_pipeline_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    out = chunk_documents(docs, chunk_tokens=_CHUNK, overlap_tokens=_OVERLAP)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents_pii_stats — pii_hit_counts / pii_redact audit, per source.
+# The corpus text is salted with deterministic synthetic PII (derived
+# from doc_id on BOTH engines) so the regex machinery is exercised on
+# real hits, not an all-zeros report.
+# ---------------------------------------------------------------------------
+
+# keep in sync with operators/curation.py PII_PATTERNS (RE2-compatible
+# by design so the identical pattern strings run on DuckDB)
+_PII_SQL_SALT = """
+  SELECT source,
+         concat_ws(' ', text,
+           'user' || CAST(doc_id AS VARCHAR) || '@example.org',
+           CASE WHEN doc_id % 3 = 0 THEN 'call 415-555-0173' ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN 'host 10.20.30.40' ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN 'ssn 123-45-6789' ELSE '' END,
+           CASE WHEN doc_id % 11 = 0 THEN 'card 4111 1111 1111 1111' ELSE '' END
+         ) AS t
+  FROM documents
+"""
+
+
+def _pii_oracle() -> str:
+    from iot_sensor_data_pipeline_spark.operators.curation import PII_PATTERNS
+
+    counts = ",\n         ".join(
+        f"CAST(sum(len(regexp_extract_all(t, '{pat}'))) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    redacted = "t"
+    for _, pat, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH salted AS ({_PII_SQL_SALT})
+SELECT source,
+       count(*) AS n_docs,
+       {counts},
+       CAST(sum(length(t) - length({redacted})) AS BIGINT) AS redacted_chars
+FROM salted
+GROUP BY source
+"""
+
+
+@register_extended(
+    "documents_pii_stats", oracle=_pii_oracle(), tags=("pipeline", "curation", "pii")
+)
+def documents_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII audit: hit counts per class plus the total
+    character shrinkage the redaction chain would apply — the
+    trust-score input for source-level curation. Scan-side regex
+    projections and ONE aggregation; zero joins, zero UDFs."""
+    from iot_sensor_data_pipeline_spark.operators.curation import (
+        pii_hit_counts,
+        pii_redact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "source",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(
+                F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.org")
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("call 415-555-0173")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("host 10.20.30.40")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("card 4111 1111 1111 1111")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    per_doc = salted.select(
+        "source",
+        *pii_hit_counts(F.col("t")),
+        (F.length("t") - F.length(pii_redact(F.col("t")))).alias("__shrink"),
+    )
+    hit_cols = [c for c in per_doc.columns if c.startswith("n_")]
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(c).cast("long").alias(c) for c in hit_cols],
+        F.sum("__shrink").cast("long").alias("redacted_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_scd2_history — scd2_apply (operators/merge.py): type-2 slowly
+# changing dimension over a per-customer status-change stream derived
+# from orders (latest order per (customer, day) is the day's update).
+# ---------------------------------------------------------------------------
+
+_SCD2_EPOCH = "1990-01-01 00:00:00"
+
+_SCD2_ORACLE = f"""
+WITH hist AS (
+  SELECT c_custkey, 'NEW' AS status,
+         TIMESTAMP '{_SCD2_EPOCH}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         true AS is_current
+  FROM customer
+), upd AS (
+  SELECT o_custkey AS c_custkey,
+         arg_max(o_orderstatus, o_orderkey) AS status,
+         o_orderdate AS ts
+  FROM orders GROUP BY o_custkey, o_orderdate
+), seq AS (
+  SELECT c_custkey, status, ts AS valid_from,
+         lead(ts) OVER w AS valid_to,
+         lead(ts) OVER w IS NULL AS is_current
+  FROM upd
+  WINDOW w AS (PARTITION BY c_custkey ORDER BY ts)
+), first_upd AS (
+  SELECT c_custkey, min(ts) AS first_ts FROM upd GROUP BY c_custkey
+), closed AS (
+  SELECT h.c_custkey, h.status, h.valid_from, f.first_ts AS valid_to,
+         false AS is_current
+  FROM hist h JOIN first_upd f USING (c_custkey)
+), untouched AS (
+  SELECT h.* FROM hist h ANTI JOIN first_upd f USING (c_custkey)
+)
+SELECT * FROM untouched
+UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM seq
+"""
+
+
+@register_extended(
+    "orders_scd2_history", oracle=_SCD2_ORACLE, tags=("maintenance", "scd2")
+)
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 apply: the seed dimension (every customer 'NEW' since the
+    epoch) plus the sequenced status-change stream — closed-out rows
+    keep their span, the last version per key is current. One window
+    over the (small) update stream; the dimension never sorts."""
+    from iot_sensor_data_pipeline_spark.operators.merge import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    hist = customer.select(
+        "c_custkey",
+        F.lit("NEW").alias("status"),
+        F.lit(_SCD2_EPOCH).cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    # latest order per (customer, day) = that day's update; orderkey
+    # breaks same-day ties deterministically (mirrors arg_max)
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    upd = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    return scd2_apply(hist, upd, keys=["c_custkey"], ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_bipartite — pagerank (operators/graph.py) in its
+# fixed-iteration mode over the customer -> supplier purchase graph.
+# Suppliers have no out-edges, so every round exercises the dangling-
+# mass correction. The oracle unrolls the same 8 power rounds as a CTE
+# chain — deterministic on both engines (no float-keyed early exit).
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 8
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle(iters: int, d: float) -> str:
+    parts = [
+        """
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (
+  SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""",
+dang{k} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS m
+  FROM r{p} r LEFT JOIN outdeg od ON r.id = od.id WHERE od.id IS NULL
+),
+inf{k} AS (
+  SELECT e.dst AS id, sum(r.rank / od.deg) AS inflow
+  FROM r{p} r JOIN outdeg od ON r.id = od.id JOIN edges e ON e.src = r.id
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nd.id,
+         (1.0 - {d}) / nn.n
+         + {d} * (coalesce(i.inflow, 0.0) + dang{k}.m / nn.n) AS rank
+  FROM nodes nd CROSS JOIN nn CROSS JOIN dang{k}
+  LEFT JOIN inf{k} i ON nd.id = i.id
+)"""
+        )
+    parts.append(f"\nSELECT id, round(rank, 7) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+@register_extended(
+    "graph_pagerank_bipartite",
+    oracle=_pagerank_oracle(_PR_ITERS, _PR_DAMP),
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority ranking over who-buys-from-whom. Ranks rounded to 7dp
+    on both engines: the underlying doubles agree to ~1e-15 (same IEEE
+    ops, different summation order), far inside the rounding grid."""
+    from iot_sensor_data_pipeline_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(
+        edges, damping=_PR_DAMP, max_iterations=_PR_ITERS, tol=None, check_interval=4
+    )
+    return ranks.select("id", F.round("rank", 7).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# documents_profile — profile_columns (operators/sketches.py): the
+# single-scan data profiler. approx_distinct (HLL) is engine-specific
+# and stays under the rows-only lineitem_approx_distinct gate entry;
+# the exact columns are compared hash-for-hash here.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_oracle() -> str:
+    aggs = ["count(*) AS n"]
+    for c in _PROFILE_COLS:
+        aggs.append(f"count({c}) AS nn_{c}")
+        aggs.append(f"CAST(min({c}) AS VARCHAR) AS min_{c}")
+        aggs.append(f"CAST(max({c}) AS VARCHAR) AS max_{c}")
+    rows = []
+    for c in _PROFILE_COLS:
+        rows.append(
+            f"""SELECT '{c}' AS "column", n AS n_rows, n - nn_{c} AS n_null,
+       round((n - nn_{c}) / CAST(n AS DOUBLE), 6) AS null_frac,
+       min_{c} AS min_str, max_{c} AS max_str FROM base"""
+        )
+    return (
+        "WITH base AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM documents)\n"
+        + "\nUNION ALL ".join(rows)
+    )
+
+
+@register_extended(
+    "documents_profile", oracle=_profile_oracle(), tags=("profiling", "sketches")
+)
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan profile of the documents table (all 5 columns' stats
+    computed inside a single aggregation, then unpivoted)."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, cols=list(_PROFILE_COLS)).drop("approx_distinct")

@@ -57,3 +57,19 @@ def test_pagerank_raises_instead_of_half_converged(spark):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df).count() == 0
+
+
+def test_pagerank_fixed_iterations_mode(spark):
+    """tol=None runs exactly max_iterations and returns (never raises)
+    — the deterministic form the cross-engine oracle needs — and a
+    generous round count lands on the same fixpoint as converged mode."""
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fixed = {r.id: r.rank for r in pagerank(df, tol=None, max_iterations=60).collect()}
+    want = _numpy_pagerank(edges, 4)
+    for i in range(4):
+        assert abs(fixed[i] - want[i]) < 1e-9, (i, fixed[i], want[i])
+    # even 1 round with tol=None must return, not raise
+    one = pagerank(df, tol=None, max_iterations=1).collect()
+    assert len(one) == 4
+    assert abs(sum(r.rank for r in one) - 1.0) < 1e-9
