@@ -14,6 +14,9 @@ aggregation whose hot key overwhelms a single reducer.
   splits across n partial groups; phase 2 re-aggregates on keys.
   Works for any algebraic aggregate (sum/count/min/max); avg is
   composed as sum/count.
+- ``skew_report``: the measure-don't-guess front door to both — rank
+  the heaviest keys and derive the salt factor that would level them,
+  BEFORE burning a cluster-day discovering the hot key from a straggler.
 """
 
 from __future__ import annotations
@@ -78,3 +81,56 @@ def salted_agg(
     if count:
         final_aggs.append(F.sum("__p_n").alias("n"))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Rank the heaviest join/aggregation keys and size the fix: one
+    row per top-k key — ``(key, n_rows, row_share, skew_factor,
+    suggested_salts)`` — where skew_factor is the key's row count over
+    the mean key's, and suggested_salts = ceil(skew_factor) is the salt
+    fan-out that levels that key back to mean-sized shuffle buckets
+    (feed it to :func:`salted_join` / :func:`salted_agg`).
+
+    Run this against the 100 TB fact table's join keys BEFORE the job:
+    the report costs one map-side-combined groupBy on the key plus a
+    driver-free 1-row totals broadcast, and the top-k is
+    TakeOrderedAndProject (per-partition heaps, never a global sort).
+    Ties rank deterministically (count desc, then key asc) so the
+    report is stable across partitionings and engines.
+
+    Composite keys render as a ``'|'``-joined string — a REPORT grain
+    (the output is top_k rows for humans/planners), not a join key, so
+    the cast-to-string cost is nil and heterogeneous key types fit one
+    schema.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("skew_report: keys must be non-empty")
+    key = F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("key")
+    per_key = df.select(key).groupBy("key").agg(F.count(F.lit(1)).alias("n_rows"))
+    # two consumers (totals + the report) — checkpoint so the fact
+    # table is scanned ONCE, not once per subtree
+    per_key = per_key.localCheckpoint(eager=False)
+    totals = per_key.agg(
+        F.sum("n_rows").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__n_keys"),
+    )
+    mean = F.col("__total") / F.col("__n_keys")
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 9).alias("row_share"),
+            F.round(F.col("n_rows") / mean, 6).alias("skew_factor"),
+            F.greatest(
+                F.ceil(F.col("n_rows") / mean).cast("long"), F.lit(1).cast("long")
+            ).alias("suggested_salts"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top_k)
+    )

@@ -36,7 +36,9 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_WITHIN = 600.0  # 10 minutes between steps
 _COHORT_PERIOD = 86400.0  # daily cohorts
 
-_BEHAVIORAL_ORACLE = f"""
+# shared CTE prefix: the latest-anchor funnel per user — reused by the
+# gate's behavioral union AND the extended funnel-chart query
+_FUNNEL_CTES = f"""
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) / 1000000.0 AS t FROM events
   WHERE event_type IN ('view', 'click', 'purchase')
@@ -68,7 +70,9 @@ WITH e AS (
     t3 IS NOT NULL AS completed
   FROM (SELECT DISTINCT user_id FROM e) u
   LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-), ce AS (
+)"""
+
+_BEHAVIORAL_ORACLE = _FUNNEL_CTES + f""", ce AS (
   SELECT user_id AS u,
          CAST(floor(epoch_us(ts) / 1000000.0 / {_COHORT_PERIOD}) AS BIGINT) AS p
   FROM events
@@ -146,6 +150,39 @@ def events_behavioral_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     return funnel.unionByName(retention).unionByName(transitions)
+
+
+_FUNNEL_COUNTS_ORACLE = (
+    _FUNNEL_CTES
+    + """
+SELECT s.stage, CAST(count(f.user_id) AS BIGINT) AS n_users
+FROM (SELECT unnest([1, 2, 3]) AS stage) s
+LEFT JOIN funnel f ON f.stage_reached >= s.stage
+GROUP BY s.stage
+"""
+)
+
+
+@register_extended(
+    "events_funnel_counts",
+    oracle=_FUNNEL_COUNTS_ORACLE,
+    tags=("analytics", "funnel"),
+)
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel CHART on top of funnel_stages: one row per step with
+    the users who reached at least that stage — monotone by
+    construction, zero-stage rows included (operators/funnel.py
+    funnel_counts; the per-user stages are the gate-stamped
+    events_behavioral_analytics relation)."""
+    from iot_sensor_data_pipeline_spark.operators.funnel import (
+        funnel_counts,
+        funnel_stages,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", _epoch_s().alias("ts"))
+    stages = funnel_stages(ev, list(_FUNNEL_STEPS), within_seconds=_FUNNEL_WITHIN)
+    return funnel_counts(stages, n_steps=len(_FUNNEL_STEPS))
 
 
 _PATTERN = [1.0, 3.0, 2.0]

@@ -1,8 +1,8 @@
 """Round-9 coverage batch: operators that were pytest-covered but had
 no registered query — context-window chunking, PII audit, SCD2
-dimension maintenance, fixed-iteration PageRank, and single-scan data
-profiling — each promoted to a DuckDB-oracled entry in the extended
-registry (swept hash-for-hash at two scale points by
+dimension maintenance, fixed-iteration PageRank, skew diagnostics, and
+single-scan data profiling — each promoted to a DuckDB-oracled entry
+in the extended registry (swept hash-for-hash at two scale points by
 tests/test_tpch_full.py, same compare contract as the driver gate).
 """
 
@@ -316,6 +316,52 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, damping=_PR_DAMP, max_iterations=_PR_ITERS, tol=None, check_interval=4
     )
     return ranks.select("id", F.round("rank", 7).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# lineitem_skew_report — skew_report (operators/skew.py): heaviest-key
+# diagnosis with the salt fan-out that would level each hot key. The
+# composite (returnflag, linestatus) key gives a genuinely skewed
+# distribution (four live combinations of very different sizes).
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPK = 10
+
+_SKEW_ORACLE = f"""
+WITH pk AS (
+  SELECT concat_ws('|', CAST(l_returnflag AS VARCHAR),
+                        CAST(l_linestatus AS VARCHAR)) AS key,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS n_keys
+  FROM pk
+)
+SELECT key, n_rows,
+       round(n_rows / total, 9) AS row_share,
+       round(n_rows / (total / n_keys), 6) AS skew_factor,
+       greatest(CAST(ceil(n_rows / (total / n_keys)) AS BIGINT), 1)
+         AS suggested_salts
+FROM pk, tot
+ORDER BY n_rows DESC, key
+LIMIT {_SKEW_TOPK}
+"""
+
+
+@register_extended(
+    "lineitem_skew_report", oracle=_SKEW_ORACLE, tags=("skew", "diagnostics")
+)
+def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest (returnflag, linestatus) keys with the salted_join /
+    salted_agg fan-out that would level them. One map-side-combined
+    groupBy + a 1-row totals broadcast + TakeOrderedAndProject."""
+    from iot_sensor_data_pipeline_spark.operators.skew import skew_report
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return skew_report(
+        lineitem, keys=["l_returnflag", "l_linestatus"], top_k=_SKEW_TOPK
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1050,7 +1050,7 @@ def embeddings_ivfpq_blocked_bench(spark: SparkSession, sf_dir: str) -> DataFram
     """Bench-only headline (r9 anchor): the NO-COLLECT blocked IVFxPQ
     ANN path in isolation — PQ train/encode + IVF coarse quantizer +
     ``ivfpq_topk_blocked`` (cogroup (cell, q_block) LUT-ADC tiles with
-    exact refine) over the full embeddings table, every 20th vector as
+    exact refine) over the full embeddings table, every 50th vector as
     the query set. Not in the driver gate (the hash-specific union
     `embeddings_ann_variants` carries the correctness stamp); this
     entry exists so the heaviest r8 ANN operator has a round-over-round

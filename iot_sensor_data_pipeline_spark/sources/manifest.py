@@ -201,9 +201,15 @@ def update_manifest(
     the old manifest against the on-disk file list, new files are an
     anti-join of that list against the manifest, and the merged result
     is written distributively to ``_manifest.tmp`` then swapped in via
-    a filesystem rename — the driver holds only the directory listing
-    (which Spark's own planner holds anyway) and the distinct column
-    set, never O(files x cols) stat rows.
+    a filesystem rename — the driver holds only file-NAME lists (the
+    directory listing, which Spark's own planner holds anyway, and the
+    manifest's file column) plus the distinct column set, never
+    O(files x cols) stat rows.
+
+    A refresh that finds zero new and zero deleted files returns the
+    existing manifest untouched — no Spark job, no swap window — so
+    calling this on every maintenance cycle is free in the steady
+    state.
 
     Falls back to a full :func:`write_manifest` when no manifest
     exists yet or the column set changed."""
@@ -218,10 +224,23 @@ def update_manifest(
         return write_manifest(spark, path, cols)
     if have_cols != set(cols):
         return write_manifest(spark, path, cols)
+    # O(files) file NAMES on the driver — the same order as the
+    # directory listing itself, never the O(files x cols) stat rows
+    manifest_files = {r.file for r in existing.select("file").distinct().collect()}
+    new_files = [f for f in files if f not in manifest_files]
+    dropped_files = manifest_files - set(files)
+    if not new_files and not dropped_files:
+        # no-op refresh: skip the rewrite entirely — the hot per-batch
+        # path must not pay a Spark job (or expose the delete+rename
+        # no-manifest window) when nothing changed
+        return existing
     fdf = spark.createDataFrame([(f,) for f in files], "file string")
     kept = existing.join(F.broadcast(fdf), "file", "left_semi")
-    new_fdf = fdf.join(existing.select("file"), "file", "left_anti")
-    fresh = _footer_stats_for(new_fdf, cols, len(files))
+    new_fdf = spark.createDataFrame([(f,) for f in new_files] or [], "file string")
+    # partition the footer pass by the NEW file count: a streaming
+    # table gaining one file per batch reads one footer in one task,
+    # not len(files)-capped empties
+    fresh = _footer_stats_for(new_fdf, cols, max(len(new_files), 1))
     merged = kept.unionByName(fresh)
     # write-then-swap: the merged relation READS the manifest being
     # replaced, so an in-place overwrite would corrupt its own input.

@@ -107,6 +107,24 @@ def parquet_batch_sink(
                 update_manifest,
             )
 
-            update_manifest(batch_df.sparkSession, path, manifest_cols)
+            try:
+                update_manifest(batch_df.sparkSession, path, manifest_cols)
+            except Exception:  # noqa: BLE001 — maintenance must not poison data
+                # The parquet append above is NOT idempotent: letting a
+                # manifest failure (rename race, transient remote-FS
+                # error) escape foreachBatch makes Spark replay the
+                # batch and append the same rows AGAIN. A stale manifest
+                # is safe by design (files it does not list are
+                # conservatively kept by read_pruned, and the next
+                # successful refresh self-heals), so log and move on.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "parquet_batch_sink: manifest refresh for %s failed; "
+                    "continuing with a stale manifest (self-heals on the "
+                    "next refresh)",
+                    path,
+                    exc_info=True,
+                )
 
     return sink

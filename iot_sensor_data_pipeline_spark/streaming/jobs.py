@@ -1174,10 +1174,20 @@ def _write_bucket_manifest(spark, snapshot_dir: str, version: int, payload: dict
         out.close()
 
 
-def read_cdc_snapshot_bucketed(spark, snapshot_dir: str) -> DataFrame:
-    """Latest bucketed CDC snapshot: union-read every bucket directory
-    the newest manifest references. An empty snapshot (every key
-    deleted) still reads correctly — the manifest carries the schema."""
+def read_cdc_snapshot_bucketed(
+    spark, snapshot_dir: str, version: int | None = None
+) -> DataFrame:
+    """Bucketed CDC snapshot read: union-read every bucket directory
+    the manifest references. An empty snapshot (every key deleted)
+    still reads correctly — the manifest carries the schema.
+
+    ``version`` time-travels to an older manifest (kept versions only
+    — ``keep_versions`` bounds the history; a pruned version raises).
+    The kept-manifest invariant guarantees every referenced bucket dir
+    survives pruning, so any kept version reads consistently —
+    EXCEPT across a ``reset_epochs`` adoption, where the new lineage's
+    epoch dirs may reuse old names (documented in
+    :func:`rebucket_cdc_snapshot`)."""
     import json
 
     from pyspark.sql.types import StructType
@@ -1185,7 +1195,15 @@ def read_cdc_snapshot_bucketed(spark, snapshot_dir: str) -> DataFrame:
     versions = _bucket_manifest_versions(spark, snapshot_dir)
     if not versions:
         raise ValueError(f"no snapshot manifests under {snapshot_dir}")
-    m = _read_bucket_manifest(spark, snapshot_dir, versions[-1])
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(
+            f"manifest v{version} not found under {snapshot_dir} "
+            f"(kept versions: {versions}) — older versions are pruned "
+            "by keep_versions"
+        )
+    m = _read_bucket_manifest(spark, snapshot_dir, version)
     schema = StructType.fromJson(json.loads(m["schema"]))
     paths = [f"{snapshot_dir}/{rel}" for rel in m["buckets"].values()]
     if not paths:
@@ -1222,13 +1240,31 @@ def start_cdc_apply_bucketed(
     carry forward BY REFERENCE, zero I/O. A batch touching 1 of N
     buckets reads and rewrites ~|base|/N bytes.
 
-    Replay safety is the same epoch-versioned discipline per bucket: a
-    batch rebases on the newest manifest STRICTLY OLDER than its epoch
-    id, so a replayed epoch (foreachBatch is at-least-once) recomputes
-    from the same inputs and overwrites its own bucket dirs and
-    manifest with identical content. The manifest write is the commit
-    point; readers (:func:`read_cdc_snapshot_bucketed`) resolve the
-    newest manifest and always see a complete, consistent version.
+    Commit discipline: manifest versions are a pure commit counter
+    (``versions[-1] + 1``), DECOUPLED from stream epoch ids — each
+    manifest records its lineage (``kind`` stream/maintenance, the
+    ``stream_epoch`` it reflects, and the binding ``checkpoint`` path)
+    and a batch routes on the NEWEST manifest's lineage:
+
+    - ``epoch > newest.stream_epoch`` — the normal next batch (epoch
+      gaps from empty batches are fine): rebase on the newest manifest
+      (which may be a maintenance commit such as a rebucket), commit a
+      new version.
+    - ``epoch == newest.stream_epoch`` with a matching checkpoint — a
+      replay (foreachBatch is at-least-once): rebase on the newest
+      manifest's PREDECESSOR (``keep_versions >= 2`` guarantees it
+      survives pruning), overwrite the epoch's own bucket dirs and its
+      own manifest version with identical content.
+    - ``epoch < newest.stream_epoch``, a checkpoint-path mismatch on a
+      stream-bound table, or a replay into a maintenance commit that
+      already absorbed this epoch — FAIL LOUDLY: these are the
+      foreign-checkpoint / stale-checkpoint states that would silently
+      rebase on the wrong base (fresh-checkpoint adoption is explicit:
+      ``rebucket_cdc_snapshot(..., reset_epochs=True)``).
+
+    The manifest write is the commit point; readers
+    (:func:`read_cdc_snapshot_bucketed`) resolve the newest manifest
+    and always see a complete, consistent version.
 
     ``keep_versions`` (>= 2) bounds manifest history; epoch bucket
     directories no kept manifest references are deleted after each
@@ -1270,11 +1306,6 @@ def start_cdc_apply_bucketed(
 
         all_versions = _bucket_manifest_versions(spark, snapshot_dir)
         if all_versions:
-            # layout guard against the NEWEST manifest regardless of
-            # epoch: a fresh checkpoint restarts epoch ids at 0, so the
-            # strictly-older rebase set can be empty even though the
-            # table exists — a layout mismatch must still fail loudly
-            # (use rebucket_cdc_snapshot to evolve n_buckets)
             newest = _read_bucket_manifest(spark, snapshot_dir, all_versions[-1])
             if newest["n_buckets"] != n_buckets:
                 raise ValueError(
@@ -1282,11 +1313,63 @@ def start_cdc_apply_bucketed(
                     f"layout ({newest['n_buckets']}) — the bucket count is "
                     "fixed at creation; use rebucket_cdc_snapshot to evolve it"
                 )
-        older = [v for v in all_versions if v < epoch_id]
-        if older:
-            manifest = _read_bucket_manifest(spark, snapshot_dir, older[-1])
-            schema = StructType.fromJson(json.loads(manifest["schema"]))
+            # lineage routing (legacy manifests predate the fields:
+            # they were stream commits whose version == epoch id)
+            kind = newest.get("kind", "stream")
+            last_epoch = newest.get("stream_epoch", all_versions[-1])
+            bound_ckpt = newest.get("checkpoint")
+            foreign = bound_ckpt is not None and bound_ckpt != checkpoint
+            if epoch_id < last_epoch:
+                raise ValueError(
+                    f"epoch {epoch_id} is older than the table's last "
+                    f"applied stream epoch {last_epoch} — this checkpoint "
+                    "is stale or foreign to the table; adopt the table "
+                    "explicitly with rebucket_cdc_snapshot(..., "
+                    "reset_epochs=True) before streaming into it"
+                )
+            if epoch_id == last_epoch:
+                if kind != "stream":
+                    raise ValueError(
+                        f"epoch {epoch_id} is already absorbed by a "
+                        "maintenance commit (rebucket/reseal ran on a base "
+                        "that included it) — replaying it would double-"
+                        "apply; restart from a checkpoint whose next epoch "
+                        f"is > {last_epoch}, or re-adopt with "
+                        "rebucket_cdc_snapshot(..., reset_epochs=True)"
+                    )
+                if foreign:
+                    raise ValueError(
+                        f"table is bound to checkpoint {bound_ckpt!r} but "
+                        f"this query runs from {checkpoint!r} — a same-id "
+                        "epoch from a different checkpoint is NOT a replay; "
+                        "adopt the table explicitly with "
+                        "rebucket_cdc_snapshot(..., reset_epochs=True)"
+                    )
+                # replay of the newest commit: rebase on its predecessor
+                # (keep_versions >= 2 keeps it alive) and rewrite the
+                # epoch's own manifest version with identical content
+                version_to_write = all_versions[-1]
+                if len(all_versions) >= 2:
+                    manifest = _read_bucket_manifest(
+                        spark, snapshot_dir, all_versions[-2]
+                    )
+                    schema = StructType.fromJson(json.loads(manifest["schema"]))
+                else:  # replay of the very first batch
+                    manifest = {"n_buckets": n_buckets, "buckets": {}}
+                    schema = batch_df.select(*base_cols).schema
+            else:
+                if kind == "stream" and foreign:
+                    raise ValueError(
+                        f"table is bound to checkpoint {bound_ckpt!r} but "
+                        f"this query runs from {checkpoint!r} — adopt the "
+                        "table explicitly with rebucket_cdc_snapshot(..., "
+                        "reset_epochs=True) before streaming into it"
+                    )
+                version_to_write = all_versions[-1] + 1
+                manifest = newest
+                schema = StructType.fromJson(json.loads(manifest["schema"]))
         else:  # first batch: empty base, schema from the batch
+            version_to_write = 0
             manifest = {"n_buckets": n_buckets, "buckets": {}}
             schema = batch_df.select(*base_cols).schema
 
@@ -1346,12 +1429,15 @@ def start_cdc_apply_bucketed(
         _write_bucket_manifest(
             spark,
             snapshot_dir,
-            epoch_id,
+            version_to_write,
             {
                 "n_buckets": n_buckets,
                 "keys": keys,  # the hash layout — rebucket/fsck read it
                 "buckets": buckets,
                 "schema": json.dumps(schema.jsonValue()),
+                "kind": "stream",
+                "stream_epoch": epoch_id,
+                "checkpoint": checkpoint,
             },
         )
 
@@ -1416,6 +1502,16 @@ def read_cdc_snapshot_bucketed_for_keys(
     schema = StructType.fromJson(json.loads(m["schema"]))
     n_buckets = int(m["n_buckets"])
     keys = list(keys)
+    layout_keys = m.get("keys")
+    if layout_keys is not None and list(layout_keys) != keys:
+        # xxhash64 is ORDER-sensitive: hashing ('site','device') against
+        # a ('device','site') layout opens the wrong buckets and the
+        # semi-join silently returns nothing — fail loudly instead
+        raise ValueError(
+            f"requested keys {keys} do not match the table's bucket "
+            f"layout {list(layout_keys)} (order matters — the bucket "
+            "hash is computed over the layout's key order)"
+        )
     wanted = key_rows.select(*keys).distinct()
     touched = sorted(
         r[0]
@@ -1437,23 +1533,38 @@ def read_cdc_snapshot_bucketed_for_keys(
 
 
 def rebucket_cdc_snapshot(
-    spark, snapshot_dir: str, new_n_buckets: int, keep_versions: int = 3
+    spark,
+    snapshot_dir: str,
+    new_n_buckets: int,
+    keep_versions: int = 3,
+    reset_epochs: bool = False,
 ) -> None:
     """Evolve the bucket layout of a bucketed CDC snapshot — the
     ``n_buckets`` chosen at creation stops fitting when the table
     grows 100x (buckets become task-breaking) or shrinks (tiny-file
     overhead). One distributed rewrite: read every live bucket, re-hash
-    into ``new_n_buckets``, write under a fresh epoch directory
-    (``buckets/e<v+1>``), and commit a new manifest — the same commit
-    discipline as the stream, so readers flip atomically and the
-    stream's next batch (epoch > v+1 by checkpoint monotonicity)
-    rebases on the new layout via its manifest's ``n_buckets``.
+    into ``new_n_buckets``, write under a MAINTENANCE directory
+    (``buckets/m<version>`` — a namespace stream epochs can never
+    collide with), and commit a new manifest version carrying
+    ``kind="maintenance"`` and the base's ``stream_epoch``, so the
+    restarted stream's next batch (epoch == stream_epoch + 1) rebases
+    on the new layout while a replay of an already-absorbed epoch
+    fails loudly instead of double-applying.
+
+    ``reset_epochs=True`` additionally clears the lineage
+    (``stream_epoch = -1``, no checkpoint binding): the explicit
+    adoption step when pointing a FRESH checkpoint (epoch ids restart
+    at 0) at an existing table. Without it,
+    :func:`start_cdc_apply_bucketed` rejects foreign/stale
+    checkpoints. Note time travel to pre-reseal manifest versions is
+    not meaningful after adoption (the new stream's epoch dirs may
+    reuse names the old lineage used).
 
     NOT safe to run concurrently with an active ``start_cdc_apply_
     bucketed`` query on the same directory (two writers, no lock —
-    stop the stream, rebucket, restart); the epoch-id monotonicity
-    that makes stream replays safe does not extend to an out-of-band
-    writer."""
+    stop the stream, rebucket, restart); the lineage routing that
+    makes stream replays safe does not extend to an out-of-band
+    writer racing the stream."""
     import json
 
     from pyspark.sql.types import StructType
@@ -1473,8 +1584,9 @@ def rebucket_cdc_snapshot(
             "rebucket_cdc_snapshot: manifest predates the 'keys' field — "
             "rewrite it with start_cdc_apply_bucketed once before rebucketing"
         )
+    base_stream_epoch = m.get("stream_epoch", versions[-1])
     new_version = versions[-1] + 1
-    epoch_rel = f"buckets/e{new_version}"
+    epoch_rel = f"buckets/m{new_version}"
     paths = [f"{snapshot_dir}/{rel}" for rel in m["buckets"].values()]
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
@@ -1504,6 +1616,9 @@ def rebucket_cdc_snapshot(
                 str(b): f"{epoch_rel}/{CDC_BUCKET_COL}={b}" for b in sorted(present)
             },
             "schema": json.dumps(schema.jsonValue()),
+            "kind": "maintenance",
+            "stream_epoch": -1 if reset_epochs else base_stream_epoch,
+            "checkpoint": None,
         },
     )
     # prune exactly as the stream does

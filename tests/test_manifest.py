@@ -359,6 +359,19 @@ def test_prune_and_update_driver_materialization_is_sublinear(
 
     collected.clear()
     update_manifest(spark, table, ["k", "cat", "ts"])
-    # only the distinct-column probe touches the driver (3 cols),
-    # nothing remotely near files x cols = 24 rows
-    assert collected == [3]
+    # the distinct-column probe (3 cols) plus the manifest's file-NAME
+    # list (O(files) names — the same order as the directory listing
+    # the driver holds anyway; it funds the no-op fast path), never
+    # the O(files x cols) stat rows
+    assert collected[0] == 3 and len(collected) == 2
+    assert collected[1] <= total  # file names, never files x cols rows
+
+    # steady state: a refresh with zero new and zero deleted files
+    # must NOT rewrite the manifest (no swap window on the hot path)
+    import os
+
+    mdir = os.path.join(table, "_manifest")
+    before = {f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)}
+    update_manifest(spark, table, ["k", "cat", "ts"])
+    after = {f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)}
+    assert after == before

@@ -83,6 +83,46 @@ def test_salted_agg_matches_plain_agg(spark, sf_dir):
     assert salted == plain
 
 
+def test_skew_report_sizes_the_hot_key(spark):
+    """A planted 10x hot key must rank first with suggested_salts that
+    levels it back to mean-sized buckets; uniform keys suggest 1."""
+    from iot_sensor_data_pipeline_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 1000 + [(f"k{i}",) for i in range(9) for _ in range(100)]
+    df = spark.createDataFrame(rows, "key_col string")
+    rep = skew_report(df, ["key_col"], top_k=3).collect()
+    assert [r.key for r in rep] == ["hot", "k0", "k1"]  # count desc, key asc ties
+    # mean key size = 1900/10 = 190; hot = 1000 -> ceil(1000/190) = 6
+    assert rep[0].suggested_salts == 6
+    assert rep[0].n_rows == 1000
+    assert abs(rep[0].row_share - 1000 / 1900) < 1e-9
+    assert rep[1].suggested_salts == 1  # uniform keys need no salting
+
+
+def test_skew_report_topk_is_take_ordered_not_global_sort(spark):
+    """The report must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort (rangepartitioning) — a diagnostic
+    that globally sorts the key histogram is itself a scale hazard.
+    The fact table must be scanned ONCE (the totals and the report
+    both consume the checkpointed per-key aggregation)."""
+    from iot_sensor_data_pipeline_spark.operators.skew import skew_report
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    plan = (
+        skew_report(li, ["l_returnflag", "l_linestatus"], top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # no global sort anywhere in the tree (the only sanctioned
+    # SinglePartition exchange is the 1-row totals two-phase agg,
+    # which carries no Sort)
+    assert "Sort " not in plan and "rangepartitioning" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
 # ---------------------------------------------------------------------------
 # snapshot_diff / diff_summary
 # ---------------------------------------------------------------------------

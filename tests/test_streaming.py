@@ -964,6 +964,42 @@ def test_cdc_bucketed_point_reads_rebucket_and_fsck(spark, tmp_path):
     # point reads work against the evolved layout
     got2 = read_cdc_snapshot_bucketed_for_keys(spark, snap, ["k"], wanted)
     assert {r.k for r in got2.collect()} == {5, 6, 7}
+    # a key-order mismatch against the layout fails loudly, never a
+    # silent empty point read (xxhash64 is order-sensitive)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket\\s+layout"):
+        read_cdc_snapshot_bucketed_for_keys(spark, snap, ["k", "v"], wanted)
+
+    # the SAME checkpoint keeps streaming after the rebucket: the next
+    # batch must rebase on the maintenance commit (new layout), not on
+    # the pre-rebucket manifest — the r9 review's clobber scenario
+    (src / "c2.json").write_text(
+        _json.dumps({"k": 123, "v": "v123_new", "op": "update", "seq": 2})
+    )
+    ch2 = spark.readStream.schema("k long, v string, op string, seq long").json(
+        str(src)
+    )
+    q2 = start_cdc_apply_bucketed(
+        ch2, snap, ckpt, keys=["k"], seq_col="seq", n_buckets=3,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    s2 = {r.k: r.v for r in read_cdc_snapshot_bucketed(spark, snap).collect()}
+    assert len(s2) == 500 and s2[123] == "v123_new" and s2[7] == "v7"
+    rep2b = validate_cdc_snapshot(spark, snap)
+    assert rep2b["ok"] and rep2b["n_buckets"] == 3
+
+    # time travel: the kept pre-update version still reads the old
+    # value; a pruned version fails loudly
+    kept = _bucket_manifest_versions(spark, snap)
+    old = {
+        r.k: r.v
+        for r in read_cdc_snapshot_bucketed(spark, snap, version=kept[-2]).collect()
+    }
+    assert old[123] == "v123" and len(old) == 500
+    with _pytest.raises(ValueError, match="pruned|not found"):
+        read_cdc_snapshot_bucketed(spark, snap, version=kept[0] - 1)
 
     # corruption: claim n_buckets=5 without moving rows -> placement fails
     vlast = _bucket_manifest_versions(spark, snap)[-1]
@@ -972,6 +1008,62 @@ def test_cdc_bucketed_point_reads_rebucket_and_fsck(spark, tmp_path):
     _write_bucket_manifest(spark, snap, vlast + 1, bad)
     rep3 = validate_cdc_snapshot(spark, snap)
     assert not rep3["ok"] and rep3["misplaced_rows"] > 0
+
+
+def test_cdc_bucketed_foreign_checkpoint_fails_loudly(spark, tmp_path):
+    """A FRESH checkpoint pointed at an existing table must raise, not
+    silently rebase epoch 0 on an empty base and fork the lineage (r9
+    review finding); explicit adoption via rebucket_cdc_snapshot(...,
+    reset_epochs=True) then accepts the new checkpoint."""
+    import json as _json
+
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        read_cdc_snapshot_bucketed,
+        rebucket_cdc_snapshot,
+        start_cdc_apply_bucketed,
+    )
+
+    src = tmp_path / "cdcf_src"
+    src.mkdir()
+    snap = str(tmp_path / "snapshot_f")
+
+    def drain(ckpt_name):
+        ch = spark.readStream.schema("k long, v string, op string, seq long").json(
+            str(src)
+        )
+        q = start_cdc_apply_bucketed(
+            ch, snap, str(tmp_path / ckpt_name), keys=["k"], seq_col="seq",
+            n_buckets=4, available_now=True,
+        )
+        q.awaitTermination(120)
+
+    (src / "c1.json").write_text(
+        "\n".join(
+            _json.dumps({"k": k, "v": f"v{k}", "op": "insert", "seq": 1})
+            for k in range(50)
+        )
+    )
+    drain("ckpt_a")
+    assert read_cdc_snapshot_bucketed(spark, snap).count() == 50
+
+    # same table, same n_buckets, DIFFERENT checkpoint: epoch 0 again
+    (src / "c2.json").write_text(
+        _json.dumps({"k": 1, "v": "clobber", "op": "update", "seq": 2})
+    )
+    with pytest.raises(Exception, match="checkpoint"):
+        drain("ckpt_b")
+    # table unharmed
+    s = {r.k: r.v for r in read_cdc_snapshot_bucketed(spark, snap).collect()}
+    assert len(s) == 50 and s[1] == "v1"
+
+    # explicit adoption: reseal the lineage, then the fresh checkpoint
+    # applies cleanly on top of the existing 50 rows
+    rebucket_cdc_snapshot(spark, snap, new_n_buckets=4, reset_epochs=True)
+    drain("ckpt_c")
+    s2 = {r.k: r.v for r in read_cdc_snapshot_bucketed(spark, snap).collect()}
+    assert len(s2) == 50 and s2[1] == "clobber" and s2[2] == "v2"
 
 
 def test_cdc_bucketed_equals_full_rewrite_differential(spark, tmp_path):
