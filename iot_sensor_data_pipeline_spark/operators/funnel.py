@@ -100,13 +100,25 @@ def funnel_counts(stages: DataFrame, n_steps: int) -> DataFrame:
     """Aggregate :func:`funnel_stages` output into the funnel chart:
     one row per step — including n_users = 0 for stages nobody
     reached — with the number of users who reached AT LEAST that
-    stage (monotone non-increasing by construction)."""
+    stage (monotone non-increasing by construction).
+
+    "Reached at least stage s" unrolls as ``explode(sequence(1,
+    stage_reached))`` — each user emits one row per stage they passed
+    (bounded by n_steps, tiny) — so the whole chart is one narrow
+    explode + one low-cardinality aggregation + an equi-join against
+    the stage grid for the zero rows. No theta join: the naive
+    ``cross join grid WHERE stage_reached >= stage`` plans as a
+    broadcast nested loop, which the plan auditor rightly blocks."""
     grid = stages.sparkSession.range(1, n_steps + 1).select(
         F.col("id").cast("int").alias("stage")
     )
     counts = (
-        stages.crossJoin(F.broadcast(grid))
-        .where(F.col("stage_reached") >= F.col("stage"))
+        stages.where(F.col("stage_reached") >= 1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.col("stage_reached").cast("int"))
+            ).alias("stage")
+        )
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

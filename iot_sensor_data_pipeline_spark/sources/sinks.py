@@ -77,6 +77,7 @@ def parquet_batch_sink(
     path: str,
     partition_cols: Sequence[str] = (),
     manifest_cols: Sequence[str] = (),
+    bloom_cols: Sequence[str] = (),
 ):
     """foreachBatch-compatible sink: append each micro-batch to a
     partitioned parquet table.
@@ -86,19 +87,47 @@ def parquet_batch_sink(
     commit, :func:`~.manifest.update_manifest` footer-reads ONLY the
     batch's new files (the incremental path) so downstream
     ``read_pruned`` queries never see a stale manifest and never pay a
-    full rebuild. This is exactly the small-file/stale-stats loop a
-    micro-batch sink creates — the matching compaction half surfaces
-    through ``streaming.orchestrator.Pipeline.plan_maintenance``.
-    Manifest scope is flat parquet directories, so it is mutually
-    exclusive with ``partition_cols`` (hive layouts get directory
-    pruning from Spark itself)."""
+    full rebuild. ``bloom_cols`` does the same for the per-file Bloom
+    point-lookup index (sources/bloom_index.py) — the index must exist
+    (``write_bloom_index`` once at table creation fixes its sizing);
+    the refresh bloom-reads only the batch's new files. This is
+    exactly the small-file/stale-stats loop a micro-batch sink creates
+    — the matching compaction half surfaces through
+    ``streaming.orchestrator.Pipeline.plan_maintenance``. Index scope
+    is flat parquet directories, so both are mutually exclusive with
+    ``partition_cols`` (hive layouts get directory pruning from Spark
+    itself). Maintenance failures never poison data: a stale
+    manifest/index is conservative by design, so refresh errors are
+    logged and skipped (the parquet append is not idempotent — an
+    escaping exception would replay the batch into duplicates)."""
     manifest_cols = list(manifest_cols)
-    if manifest_cols and partition_cols:
+    bloom_cols = list(bloom_cols)
+    if (manifest_cols or bloom_cols) and partition_cols:
         raise ValueError(
-            "parquet_batch_sink: manifest_cols requires a flat layout — "
-            "hive-partitioned tables (partition_cols) already get "
-            "directory-level pruning"
+            "parquet_batch_sink: manifest_cols/bloom_cols require a flat "
+            "layout — hive-partitioned tables (partition_cols) already "
+            "get directory-level pruning"
         )
+
+    def _refresh(fn, what: str, spark) -> None:
+        # The parquet append is NOT idempotent: letting a maintenance
+        # failure (rename race, transient remote-FS error) escape
+        # foreachBatch makes Spark replay the batch and append the same
+        # rows AGAIN. A stale manifest/index is safe by design (files
+        # it does not cover are conservatively kept, the next
+        # successful refresh self-heals), so log and move on.
+        import logging
+
+        try:
+            fn(spark)
+        except Exception:  # noqa: BLE001 — maintenance must not poison data
+            logging.getLogger(__name__).warning(
+                "parquet_batch_sink: %s refresh for %s failed; continuing "
+                "stale (self-heals on the next refresh)",
+                what,
+                path,
+                exc_info=True,
+            )
 
     def sink(batch_df: DataFrame) -> None:
         write_partitioned_parquet(batch_df, path, partition_cols)
@@ -107,24 +136,20 @@ def parquet_batch_sink(
                 update_manifest,
             )
 
-            try:
-                update_manifest(batch_df.sparkSession, path, manifest_cols)
-            except Exception:  # noqa: BLE001 — maintenance must not poison data
-                # The parquet append above is NOT idempotent: letting a
-                # manifest failure (rename race, transient remote-FS
-                # error) escape foreachBatch makes Spark replay the
-                # batch and append the same rows AGAIN. A stale manifest
-                # is safe by design (files it does not list are
-                # conservatively kept by read_pruned, and the next
-                # successful refresh self-heals), so log and move on.
-                import logging
+            _refresh(
+                lambda s: update_manifest(s, path, manifest_cols),
+                "manifest",
+                batch_df.sparkSession,
+            )
+        if bloom_cols:
+            from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+                update_bloom_index,
+            )
 
-                logging.getLogger(__name__).warning(
-                    "parquet_batch_sink: manifest refresh for %s failed; "
-                    "continuing with a stale manifest (self-heals on the "
-                    "next refresh)",
-                    path,
-                    exc_info=True,
-                )
+            _refresh(
+                lambda s: update_bloom_index(s, path, bloom_cols),
+                "bloom index",
+                batch_df.sparkSession,
+            )
 
     return sink

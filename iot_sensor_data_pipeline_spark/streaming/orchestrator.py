@@ -84,6 +84,7 @@ class Pipeline:
         tables: dict[str, str],
         target_bytes: int,
         manifest_cols: dict[str, Sequence[str]] | None = None,
+        bloom_cols: dict[str, Sequence[str]] | None = None,
     ) -> dict[str, DataFrame]:
         """Maintenance planning for the parquet tables the pipeline's
         sinks feed — the OPTIMIZE loop a micro-batch writer needs:
@@ -91,12 +92,21 @@ class Pipeline:
         so file counts grow linearly with uptime and footer manifests
         go stale. For each ``name -> path``: refresh the skipping
         manifest incrementally (when ``manifest_cols[name]`` is given —
-        footer-reads only files added since the last refresh) and
-        return the table's :func:`~.manifest.plan_compaction` plan
-        (file-metadata grain — one listing, no data reads). The caller
-        executes chosen plans via ``compact_files`` /
-        ``compact_clustered`` during a low-traffic window; nothing is
-        rewritten here."""
+        footer-reads only files added since the last refresh), refresh
+        the per-file Bloom point-lookup index the same way (when
+        ``bloom_cols[name]`` is given — bloom-reads only new files;
+        both refreshes are zero-job no-ops when the file set is
+        unchanged), and return the table's
+        :func:`~.manifest.plan_compaction` plan (file-metadata grain —
+        one listing, no data reads). The caller executes chosen plans
+        via ``compact_files`` / ``compact_clustered`` during a
+        low-traffic window; nothing is rewritten here. NOTE: compaction
+        rewrites files, so rebuild indexes (write_bloom_index /
+        write_manifest) after executing a compaction plan — the
+        incremental refresh would re-read the compacted files anyway."""
+        from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+            update_bloom_index,
+        )
         from iot_sensor_data_pipeline_spark.sources.manifest import (
             plan_compaction,
             update_manifest,
@@ -107,6 +117,9 @@ class Pipeline:
             cols = (manifest_cols or {}).get(name)
             if cols:
                 update_manifest(spark, path, cols)
+            bcols = (bloom_cols or {}).get(name)
+            if bcols:
+                update_bloom_index(spark, path, bcols)
             plans[name] = plan_compaction(spark, path, target_bytes)
         return plans
 

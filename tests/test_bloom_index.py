@@ -1,0 +1,137 @@
+"""Per-file Bloom index (sources/bloom_index.py): file skipping for
+point lookups on high-cardinality unsorted columns, where footer
+min/max stats cannot prune. Correctness contract: NO false negatives
+ever (a stale or lossy index may cost I/O, never rows)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+    bloom_index_dir,
+    prune_files_bloom,
+    read_pruned_bloom,
+    update_bloom_index,
+    write_bloom_index,
+)
+
+N_FILES = 10
+ROWS_PER_FILE = 400
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    """10 files of RANDOMLY INTERLEAVED ids — every file's [min, max]
+    spans ~the whole domain, so min/max pruning would keep all files;
+    only the bloom can skip."""
+    path = str(tmp_path_factory.mktemp("bloomidx") / "tbl")
+    n = N_FILES * ROWS_PER_FILE
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        )
+        # hash-partition on k: every file gets ids scattered across the
+        # whole domain, so min/max pruning is useless by construction
+        .repartition(N_FILES, "k")
+    )
+    df.write.mode("overwrite").parquet(path)
+    write_bloom_index(
+        spark, path, ["k"], expected_keys_per_file=ROWS_PER_FILE, fpp=0.01
+    )
+    return path
+
+
+def test_point_lookup_skips_most_files_and_loses_nothing(spark, table):
+    keys = spark.createDataFrame([(7,), (1234,), (3999,)], "k long")
+    kept, total = prune_files_bloom(spark, table, ["k"], keys)
+    assert total == N_FILES
+    # 3 keys live in <= 3 files; fpp adds at most a couple of stragglers
+    assert 1 <= len(kept) <= 6
+
+    got = read_pruned_bloom(spark, table, ["k"], keys)
+    want = (
+        spark.read.parquet(table)
+        .join(F.broadcast(keys), "k", "left_semi")
+    )
+    assert sorted(r.payload for r in got.collect()) == sorted(
+        r.payload for r in want.collect()
+    )
+
+
+def test_absent_keys_prune_to_nearly_nothing(spark, table):
+    keys = spark.createDataFrame([(10**9 + i,) for i in range(5)], "k long")
+    kept, total = prune_files_bloom(spark, table, ["k"], keys)
+    # 5 absent keys x 10 files x fpp 1% -> expected ~0.5 false-positive
+    # files; allow generous slack, but a no-op prune means a broken index
+    assert len(kept) <= 4
+    assert read_pruned_bloom(spark, table, ["k"], keys).count() == 0
+
+
+def test_no_false_negatives_exhaustive(spark, table):
+    """Every 37th key of the whole domain: pruned scan == full scan."""
+    keys = spark.range(0, N_FILES * ROWS_PER_FILE, 37).select(
+        F.col("id").alias("k")
+    )
+    got = read_pruned_bloom(spark, table, ["k"], keys).count()
+    want = (
+        spark.read.parquet(table).join(F.broadcast(keys), "k", "left_semi").count()
+    )
+    assert got == want == len(range(0, N_FILES * ROWS_PER_FILE, 37))
+
+
+def test_stale_index_is_conservative_then_update_heals(spark, table):
+    """A file added AFTER the index build must always be kept (no
+    false negatives from staleness); update_bloom_index covers it
+    incrementally and a second refresh is a no-op (no swap window)."""
+    new_key = 777_777
+    spark.createDataFrame([(new_key, "late")], "k long, payload string").coalesce(
+        1
+    ).write.mode("append").parquet(table)
+
+    keys = spark.createDataFrame([(new_key,)], "k long")
+    got = {r.payload for r in read_pruned_bloom(spark, table, ["k"], keys).collect()}
+    assert got == {"late"}  # stale index, row still found
+
+    idx = update_bloom_index(spark, table, ["k"])
+    n_indexed = idx.select("file").distinct().count()
+    assert n_indexed == N_FILES + 1
+    kept, total = prune_files_bloom(spark, table, ["k"], keys)
+    assert total == N_FILES + 1
+    assert len(kept) <= 2  # the late file + at most one fp straggler
+    got2 = {r.payload for r in read_pruned_bloom(spark, table, ["k"], keys).collect()}
+    assert got2 == {"late"}
+
+    # steady state: no new/deleted files -> untouched index dir
+    idir = bloom_index_dir(table, ["k"])
+    before = {f: os.path.getmtime(os.path.join(idir, f)) for f in os.listdir(idir)}
+    update_bloom_index(spark, table, ["k"])
+    after = {f: os.path.getmtime(os.path.join(idir, f)) for f in os.listdir(idir)}
+    assert after == before
+
+
+def test_null_probe_keys_match_nothing(spark, table):
+    keys = spark.createDataFrame([(None,), (5,)], "k long")
+    got = read_pruned_bloom(spark, table, ["k"], keys)
+    assert [r.k for r in got.collect()] == [5]
+
+
+def test_composite_key_index(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("a"),
+        (F.col("id") % 7).alias("b"),
+        F.col("id").alias("v"),
+    )
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    write_bloom_index(spark, path, ["a", "b"], expected_keys_per_file=200)
+    keys = spark.createDataFrame([(3, 3), (10, 4)], "a long, b long")
+    got = read_pruned_bloom(spark, path, ["a", "b"], keys)
+    want = spark.read.parquet(path).join(F.broadcast(keys), ["a", "b"], "left_semi")
+    assert sorted(r.v for r in got.collect()) == sorted(
+        r.v for r in want.collect()
+    )

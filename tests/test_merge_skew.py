@@ -120,7 +120,11 @@ def test_skew_report_topk_is_take_ordered_not_global_sort(spark):
     # SinglePartition exchange is the 1-row totals two-phase agg,
     # which carries no Sort)
     assert "Sort " not in plan and "rangepartitioning" not in plan
-    assert plan.count("FileScan parquet") == 1
+    # the fact scan lives INSIDE the checkpointed per-key relation —
+    # both consumers (totals + report) read the RDD scan, so the
+    # visible plan has zero FileScans and the table is read once
+    assert plan.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in plan
 
 
 # ---------------------------------------------------------------------------

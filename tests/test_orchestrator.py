@@ -129,3 +129,36 @@ def test_streaming_sink_keeps_manifest_fresh_and_plans_compaction(
     # manifest + hive partitions are mutually exclusive, loudly
     with pytest.raises(ValueError, match="flat layout"):
         parquet_batch_sink(out, partition_cols=["dt"], manifest_cols=["k"])
+
+
+def test_streaming_sink_keeps_bloom_index_fresh(spark, tmp_path):
+    """bloom_cols mirrors manifest_cols: the point-lookup index stays
+    fresh across micro-batches (each refresh bloom-reads only the new
+    file) and pruned point reads equal exact semi-joins throughout."""
+    from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+        prune_files_bloom,
+        read_pruned_bloom,
+        write_bloom_index,
+    )
+
+    out = str(tmp_path / "keyed_sink")
+    # table creation: first batch + index sizing
+    first = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1)
+    first.write.parquet(out)
+    write_bloom_index(spark, out, ["k"], expected_keys_per_file=100)
+
+    sink = parquet_batch_sink(out, bloom_cols=["k"])
+    for b in range(1, 4):
+        batch = spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+        sink(batch)
+
+    keys = spark.createDataFrame([(42,), (342,)], "k long")
+    kept, total = prune_files_bloom(spark, out, ["k"], keys)
+    assert total == 4
+    assert len(kept) <= 3  # 2 keys live in 2 files (+ at most one fp)
+    got = sorted(r.v for r in read_pruned_bloom(spark, out, ["k"], keys).collect())
+    assert got == [84, 684]
