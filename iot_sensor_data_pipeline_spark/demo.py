@@ -46,15 +46,29 @@ def main() -> None:
     # -- 2. the three standard jobs, one source read each, parquet sinks
     notifications: list = []
     with Pipeline() as p:
+        chk = str(tmp / "chk")
         p.start_standard_jobs(
             raw_factory=lambda: spark.readStream.text(str(src)),
-            checkpoint_root=str(tmp / "chk"),
-            readings_sinks=[parquet_batch_sink(str(tmp / "lake" / "readings"))],
+            checkpoint_root=chk,
+            # checkpoint-bound sinks: parquet appends are replay-
+            # idempotent (epoch+lineage-scoped file names)
+            readings_sinks=[
+                parquet_batch_sink(
+                    str(tmp / "lake" / "readings"),
+                    checkpoint=f"{chk}/persistence",
+                )
+            ],
             alerts_sinks=[
-                parquet_batch_sink(str(tmp / "lake" / "alerts")),
+                parquet_batch_sink(
+                    str(tmp / "lake" / "alerts"), checkpoint=f"{chk}/alerts"
+                ),
                 notification_sink(lambda subj, body: notifications.append(subj)),
             ],
-            agg_sinks=[parquet_batch_sink(str(tmp / "lake" / "agg"))],
+            agg_sinks=[
+                parquet_batch_sink(
+                    str(tmp / "lake" / "agg"), checkpoint=f"{chk}/aggregator"
+                )
+            ],
             window_duration="4 minutes",
             watermark="1 minute",
         )

@@ -105,12 +105,20 @@ def skew_report(
     Composite keys render as a ``'|'``-joined string — a REPORT grain
     (the output is top_k rows for humans/planners), not a join key, so
     the cast-to-string cost is nil and heterogeneous key types fit one
-    schema.
+    schema. NULL components render as the ``<NULL>`` sentinel BEFORE
+    joining (``concat_ws`` skips NULL args, which would merge
+    ``('a', NULL)``, ``(NULL, 'a')`` and ``('a',)``-shaped keys into
+    one phantom row — and NULL is a real, often heavily-skewed join
+    key). A literal '<NULL>' string key aliases with it; acceptable at
+    report grain, rename the sentinel if your domain contains it.
     """
     keys = list(keys)
     if not keys:
         raise ValueError("skew_report: keys must be non-empty")
-    key = F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("key")
+    key = F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(k).cast("string"), F.lit("<NULL>")) for k in keys],
+    ).alias("key")
     per_key = df.select(key).groupBy("key").agg(F.count(F.lit(1)).alias("n_rows"))
     # two consumers (totals + the report) — checkpoint so the fact
     # table is scanned ONCE, not once per subtree

@@ -329,8 +329,8 @@ _SKEW_TOPK = 10
 
 _SKEW_ORACLE = f"""
 WITH pk AS (
-  SELECT concat_ws('|', CAST(l_returnflag AS VARCHAR),
-                        CAST(l_linestatus AS VARCHAR)) AS key,
+  SELECT concat_ws('|', coalesce(CAST(l_returnflag AS VARCHAR), '<NULL>'),
+                        coalesce(CAST(l_linestatus AS VARCHAR), '<NULL>')) AS key,
          count(*) AS n_rows
   FROM lineitem GROUP BY 1
 ), tot AS (

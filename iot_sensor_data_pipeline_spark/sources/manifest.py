@@ -63,6 +63,15 @@ _STATS_SCHEMA = (
 )
 
 
+def is_data_file(name: str) -> bool:
+    """The table's data-file convention, defined ONCE: non-hidden
+    ``*.parquet``. Every component that names, lists, deletes, or
+    stats files (manifest, bloom index, compaction planner, the
+    epoch-idempotent sink) must share this predicate — two drifting
+    copies would silently break the manifest==disk invariant."""
+    return name.endswith(".parquet") and not name.startswith(("_", "."))
+
+
 def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     """Non-hidden *.parquet files directly under ``path`` (Hadoop FS,
     so any supported filesystem scheme works)."""
@@ -74,7 +83,7 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     out = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if st.isFile() and name.endswith(".parquet") and not name.startswith(("_", ".")):
+        if st.isFile() and is_data_file(name):
             out.append(st.getPath().toString())
     return sorted(out)
 
@@ -360,7 +369,7 @@ def _list_parquet_files_with_size(
     out = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if st.isFile() and name.endswith(".parquet") and not name.startswith(("_", ".")):
+        if st.isFile() and is_data_file(name):
             out.append((st.getPath().toString(), int(st.getLen())))
     return sorted(out)
 

@@ -78,9 +78,38 @@ def parquet_batch_sink(
     partition_cols: Sequence[str] = (),
     manifest_cols: Sequence[str] = (),
     bloom_cols: Sequence[str] = (),
+    checkpoint: str | None = None,
 ):
     """foreachBatch-compatible sink: append each micro-batch to a
     partitioned parquet table.
+
+    REPLAY IDEMPOTENCE (opt in by passing the query's ``checkpoint``
+    path): the sink declares the (batch, epoch) signature, so the
+    streaming fan-out passes the epoch id, and flat-layout writes
+    become replay-safe. The batch lands in a hidden staging dir, the
+    staged files move in under lineage-scoped names
+    (``e<epoch>-<lineage>-<token>-<i>.parquet``), and THEN any files of
+    the same (epoch, lineage) from a previous attempt are deleted — a
+    replayed epoch (foreachBatch is at-least-once) converges to exactly
+    one copy instead of appending duplicates, and the
+    rename-before-delete order means a crash can leave duplicates
+    (healed by the guaranteed replay) but never a window where
+    committed rows are missing.
+
+    The ``lineage`` tag is a hash of the checkpoint path: epoch ids are
+    only unique WITHIN a checkpoint, so cleanup keyed on the bare epoch
+    would let a fresh/foreign checkpoint's epoch 0 silently delete
+    another lineage's committed files — scoping both the names and the
+    delete to (epoch, lineage) makes a foreign writer merely additive
+    (the pre-existing at-least-once behavior), never destructive.
+    Without ``checkpoint`` (or when called directly with one argument),
+    the sink is a plain at-least-once append. Fresh names per attempt
+    keep the skipping manifest honest: a replay's files enter as new
+    files (footer-read) while the dead attempt's rows drop as deleted
+    files — same-name rewrites would leave stale min/max stats behind.
+    Hive-partitioned layouts (``partition_cols``) keep the plain append
+    (cross-partition epoch cleanup is the table format's job — use a
+    transactional format there).
 
     ``manifest_cols`` keeps a footer-stats skipping manifest
     (sources/manifest.py) FRESH as the stream writes: after each batch
@@ -129,8 +158,62 @@ def parquet_batch_sink(
                 exc_info=True,
             )
 
-    def sink(batch_df: DataFrame) -> None:
-        write_partitioned_parquet(batch_df, path, partition_cols)
+    import hashlib
+
+    lineage = (
+        hashlib.sha256(checkpoint.encode("utf-8")).hexdigest()[:8]
+        if checkpoint
+        else None
+    )
+
+    def _write_epoch_idempotent(batch_df: DataFrame, epoch_id: int) -> None:
+        import uuid
+
+        from iot_sensor_data_pipeline_spark.sources.manifest import is_data_file
+
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        staging = f"{path}/_staging_e{epoch_id}"
+        # routed through write_partitioned_parquet so flat epoch writes
+        # keep the maxRecordsPerFile bound (one skewed batch must not
+        # produce a 100 GB file)
+        write_partitioned_parquet(batch_df, staging, (), mode="overwrite")
+        # (epoch, lineage) scope; trailing '-' makes prefixes exact
+        # ('e1-' never matches 'e10-...')
+        prefix = f"e{epoch_id}-{lineage}-"
+        token = uuid.uuid4().hex[:8]
+        # rename the new attempt IN first...
+        i = 0
+        spath = jvm.org.apache.hadoop.fs.Path(staging)
+        for st in fs.listStatus(spath):
+            name = st.getPath().getName()
+            if st.isFile() and is_data_file(name):
+                dst = jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{prefix}{token}-{i}.parquet"
+                )
+                if not fs.rename(st.getPath(), dst):
+                    raise RuntimeError(
+                        f"parquet_batch_sink: rename {name} -> {dst} failed"
+                    )
+                i += 1
+        fs.delete(spath, True)
+        # ...THEN drop dead attempts of this (epoch, lineage): a crash
+        # between the two phases leaves duplicates, which the
+        # guaranteed replay (the batch's offsets were not committed)
+        # converges — never a window with committed rows missing
+        marker = f"-{token}-"
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isFile() and name.startswith(prefix) and marker not in name:
+                fs.delete(st.getPath(), False)
+
+    def sink(batch_df: DataFrame, epoch_id: int | None = None) -> None:
+        if epoch_id is not None and lineage is not None and not partition_cols:
+            _write_epoch_idempotent(batch_df, epoch_id)
+        else:
+            write_partitioned_parquet(batch_df, path, partition_cols)
         if manifest_cols:
             from iot_sensor_data_pipeline_spark.sources.manifest import (
                 update_manifest,

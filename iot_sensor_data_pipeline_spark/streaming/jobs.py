@@ -1162,16 +1162,27 @@ def _read_bucket_manifest(spark, snapshot_dir: str, version: int) -> dict:
 
 
 def _write_bucket_manifest(spark, snapshot_dir: str, version: int, payload: dict):
+    """Write-then-swap so a crash mid-write never leaves a PARTIAL
+    newest manifest: the momentary no-v{N} window makes readers resolve
+    v{N-1} (complete, consistent); a torn in-place write would make
+    them parse garbage. The .tmp suffix keeps the listing blind to the
+    staging file (_bucket_manifest_versions requires the .json suffix)."""
     import json
 
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/manifests/v{version}.json")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{snapshot_dir}/manifests/v{version}.json.tmp"
+    )
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)  # overwrite: a replayed epoch rewrites itself
+    out = fs.create(tmp, True)
     try:
         out.write(json.dumps(payload, sort_keys=True).encode("utf-8"))
     finally:
         out.close()
+    fs.delete(p, False)  # a replayed epoch swaps over its own version
+    if not fs.rename(tmp, p):
+        raise RuntimeError(f"manifest swap failed: {tmp} -> {p}")
 
 
 def read_cdc_snapshot_bucketed(
@@ -1253,8 +1264,10 @@ def start_cdc_apply_bucketed(
     - ``epoch == newest.stream_epoch`` with a matching checkpoint — a
       replay (foreachBatch is at-least-once): rebase on the newest
       manifest's PREDECESSOR (``keep_versions >= 2`` guarantees it
-      survives pruning), overwrite the epoch's own bucket dirs and its
-      own manifest version with identical content.
+      survives pruning), write a FRESH attempt-token bucket dir beside
+      the dead attempt's (never overwrite a dir the committed manifest
+      still references), swap its own manifest version, and let prune
+      collect the dead attempt.
     - ``epoch < newest.stream_epoch``, a checkpoint-path mismatch on a
       stream-bound table, or a replay into a maintenance commit that
       already absorbed this epoch — FAIL LOUDLY: these are the
@@ -1358,7 +1371,9 @@ def start_cdc_apply_bucketed(
                     manifest = {"n_buckets": n_buckets, "buckets": {}}
                     schema = batch_df.select(*base_cols).schema
             else:
-                if kind == "stream" and foreign:
+                # maintenance commits carry the binding forward, so the
+                # guard applies regardless of the newest commit's kind
+                if foreign:
                     raise ValueError(
                         f"table is bound to checkpoint {bound_ckpt!r} but "
                         f"this query runs from {checkpoint!r} — adopt the "
@@ -1400,7 +1415,14 @@ def start_cdc_apply_bucketed(
                 upsert_ops,
                 delete_ops,
             )
-            epoch_rel = f"buckets/e{epoch_id}"
+            # fresh attempt-token dir: a replay must NEVER overwrite a
+            # directory the committed newest manifest still references
+            # (crash mid-rewrite would break every reader until the
+            # replay succeeds) — it writes beside it, the manifest swap
+            # flips readers, and prune collects the dead attempt
+            import uuid as _uuid
+
+            epoch_rel = f"buckets/e{epoch_id}-{_uuid.uuid4().hex[:8]}"
             (
                 new.withColumn(CDC_BUCKET_COL, _cdc_bucket_expr(keys, n_buckets))
                 .write.partitionBy(CDC_BUCKET_COL)
@@ -1618,7 +1640,10 @@ def rebucket_cdc_snapshot(
             "schema": json.dumps(schema.jsonValue()),
             "kind": "maintenance",
             "stream_epoch": -1 if reset_epochs else base_stream_epoch,
-            "checkpoint": None,
+            # carry the binding forward on a routine rebucket — dropping
+            # it would disarm the foreign-checkpoint guard for the next
+            # batch; reset_epochs is the explicit re-binding step
+            "checkpoint": None if reset_epochs else m.get("checkpoint"),
         },
     )
     # prune exactly as the stream does

@@ -112,14 +112,34 @@ class Pipeline:
             update_manifest,
         )
 
+        import logging
+
+        log = logging.getLogger(__name__)
         plans: dict[str, DataFrame] = {}
         for name, path in tables.items():
+            # per-table isolation: one table's broken/missing index must
+            # not abort maintenance planning for every healthy table —
+            # stale skipping state is conservative by design
             cols = (manifest_cols or {}).get(name)
             if cols:
-                update_manifest(spark, path, cols)
+                try:
+                    update_manifest(spark, path, cols)
+                except Exception:  # noqa: BLE001
+                    log.warning(
+                        "plan_maintenance: manifest refresh failed for %s "
+                        "(%s); continuing stale", name, path, exc_info=True,
+                    )
             bcols = (bloom_cols or {}).get(name)
             if bcols:
-                update_bloom_index(spark, path, bcols)
+                try:
+                    update_bloom_index(spark, path, bcols)
+                except Exception:  # noqa: BLE001
+                    log.warning(
+                        "plan_maintenance: bloom refresh failed for %s (%s) "
+                        "— rebuild with write_bloom_index if the index dir "
+                        "is missing (e.g. after compaction); continuing "
+                        "stale", name, path, exc_info=True,
+                    )
             plans[name] = plan_compaction(spark, path, target_bytes)
         return plans
 

@@ -99,6 +99,22 @@ def test_skew_report_sizes_the_hot_key(spark):
     assert rep[1].suggested_salts == 1  # uniform keys need no salting
 
 
+def test_skew_report_null_keys_stay_distinct(spark):
+    """NULL components must not merge distinct composite keys: NULL is
+    itself a classic hot join key, and ('a', NULL) != (NULL, 'a')."""
+    from iot_sensor_data_pipeline_spark.operators.skew import skew_report
+
+    rows = [("a", None)] * 5 + [(None, "a")] * 3 + [("a", "a")] * 2 + [(None, None)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    rep = {r.key: r.n_rows for r in skew_report(df, ["x", "y"], top_k=10).collect()}
+    assert rep == {
+        "a|<NULL>": 5,
+        "<NULL>|a": 3,
+        "a|a": 2,
+        "<NULL>|<NULL>": 1,
+    }
+
+
 def test_skew_report_topk_is_take_ordered_not_global_sort(spark):
     """The report must plan as TakeOrderedAndProject (per-partition
     heaps), never a global Sort (rangepartitioning) — a diagnostic

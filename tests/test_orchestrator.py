@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from iot_sensor_data_pipeline_spark.sources.sinks import (
@@ -129,6 +131,59 @@ def test_streaming_sink_keeps_manifest_fresh_and_plans_compaction(
     # manifest + hive partitions are mutually exclusive, loudly
     with pytest.raises(ValueError, match="flat layout"):
         parquet_batch_sink(out, partition_cols=["dt"], manifest_cols=["k"])
+
+
+def test_parquet_sink_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch must converge
+    to ONE copy of its rows (the pre-fix behavior appended duplicates),
+    and the skipping manifest must stay truthful across the replay
+    (the dead attempt's files drop out, the new attempt's enter)."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        read_manifest,
+        read_pruned,
+        write_manifest,
+    )
+
+    out = str(tmp_path / "epoch_sink")
+    sink = parquet_batch_sink(out, checkpoint="/ckpt/A")
+
+    def batch(lo, hi, parts=2):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).repartition(parts)
+
+    sink(batch(0, 100), 0)
+    sink(batch(100, 200), 1)
+    assert spark.read.parquet(out).count() == 200
+    # replay epoch 1 (same rows, DIFFERENT partitioning — as a restarted
+    # job may produce): still 200 rows, not 300
+    sink(batch(100, 200, parts=5), 1)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.agg(F.sum("k")).first()[0] == sum(range(200))
+
+    # a FOREIGN checkpoint reusing epoch ids must never delete another
+    # lineage's committed files: epoch 1 from lineage B is additive
+    foreign = parquet_batch_sink(out, checkpoint="/ckpt/B")
+    foreign(batch(1000, 1010), 1)
+    assert spark.read.parquet(out).count() == 210
+
+    # manifest stays truthful across the replay
+    mans = parquet_batch_sink(out, manifest_cols=["k"], checkpoint="/ckpt/A")
+    write_manifest(spark, out, ["k"])
+    mans(batch(200, 300), 2)
+    mans(batch(200, 300, parts=7), 2)  # replay with different layout
+    man = read_manifest(spark, out)
+    files_on_disk = {
+        f
+        for f in os.listdir(out)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    }
+    man_files = {os.path.basename(r.file) for r in man.select("file").collect()}
+    assert man_files == files_on_disk  # no stale rows, no missing files
+    got2 = sorted(r.k for r in read_pruned(spark, out, {"k": (250, 260)}).collect())
+    assert got2 == list(range(250, 261))
+    assert spark.read.parquet(out).count() == 310
 
 
 def test_streaming_sink_keeps_bloom_index_fresh(spark, tmp_path):

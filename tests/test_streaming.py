@@ -847,16 +847,21 @@ def test_cdc_apply_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
     m2_ver = _bucket_manifest_versions(spark, snap)[-1]
     assert m2_ver > m1_ver
     m2 = _read_bucket_manifest(spark, snap, m2_ver)
-    epoch_rel = f"buckets/e{m2_ver}"
-    touched = [b for b, rel in m2["buckets"].items() if rel.startswith(epoch_rel)]
+    # the epoch's data dir carries a per-attempt token: buckets/e1-<tok>
+    assert m2["stream_epoch"] == 1 and m2["kind"] == "stream"
+    epoch_prefix = f"buckets/e{m2['stream_epoch']}-"
+    touched = [b for b, rel in m2["buckets"].items() if rel.startswith(epoch_prefix)]
     assert len(touched) == 1
     # untouched buckets carry forward BY REFERENCE to batch-1 dirs
-    carried = [b for b, rel in m2["buckets"].items() if not rel.startswith(epoch_rel)]
+    carried = [
+        b for b, rel in m2["buckets"].items() if not rel.startswith(epoch_prefix)
+    ]
     assert len(carried) == N_BUCKETS - 1
     assert all(m2["buckets"][b] == m1["buckets"][b] for b in carried)
     # measured: the epoch wrote ~|base|/N bytes, far below the base size
-    written = dir_bytes(f"{snap}/{epoch_rel}")
-    assert written < base_bytes / 2, (written, base_bytes)
+    epoch_dir = m2["buckets"][touched[0]].split("/")[1]
+    written = dir_bytes(f"{snap}/buckets/{epoch_dir}")
+    assert 0 < written < base_bytes / 2, (written, base_bytes)
     s = {r.k: r.v for r in read_cdc_snapshot_bucketed(spark, snap).collect()}
     assert len(s) == 2000 and s[5] == "v5_new" and s[6] == "v6"
 
