@@ -1671,14 +1671,19 @@ def rebucket_cdc_snapshot(
 def validate_cdc_snapshot(spark, snapshot_dir: str) -> dict:
     """Consistency audit (fsck) of a bucketed CDC snapshot: verifies
     the newest manifest's references all exist on disk, bucket ids are
-    in range, and every row in a bucket directory actually hashes to
+    in range, every row in a bucket directory actually hashes to
     that bucket under the manifest's layout (a corrupted manifest or a
     hand-moved directory would otherwise serve WRONG point lookups
-    silently, since key pruning trusts the hash placement). Returns
-    ``{"ok": bool, "missing_paths": [...], "misplaced_rows": int,
-    "n_buckets": int, "n_live_buckets": int}``. Cost: one scan of the
-    snapshot (metadata-only checks are free; the placement check is a
-    conditional count, map-side only)."""
+    silently, since key pruning trusts the hash placement), and the
+    kept manifest CHAIN's lineage is sane — ``stream_epoch`` must be
+    monotone non-decreasing in commit-version order (an out-of-order
+    chain means two writers interleaved or a clock-free replay landed
+    wrong, exactly the states the commit routing is built to prevent).
+    Lineage violations are reported in ``missing_paths`` with a
+    ``lineage:`` prefix. Returns ``{"ok": bool, "missing_paths":
+    [...], "misplaced_rows": int, "n_buckets": int, "n_live_buckets":
+    int}``. Cost: one scan of the snapshot (metadata-only checks are
+    free; the placement check is a conditional count, map-side only)."""
     import json
 
     from pyspark.sql import functions as F
@@ -1696,6 +1701,17 @@ def validate_cdc_snapshot(spark, snapshot_dir: str) -> dict:
         spark._jsc.hadoopConfiguration()
     )
     missing = []
+    # lineage-chain sanity over the KEPT manifests: stream_epoch must be
+    # monotone non-decreasing in commit-version order
+    prev_epoch = None
+    for v in versions:
+        mv = _read_bucket_manifest(spark, snapshot_dir, v)
+        se = mv.get("stream_epoch", v)
+        if prev_epoch is not None and se < prev_epoch and se != -1:
+            missing.append(
+                f"lineage: v{v} stream_epoch {se} < predecessor's {prev_epoch}"
+            )
+        prev_epoch = se
     for b, rel in m["buckets"].items():
         if not (0 <= int(b) < n_buckets):
             missing.append(f"bucket id {b} out of range [0, {n_buckets})")

@@ -1014,6 +1014,15 @@ def test_cdc_bucketed_point_reads_rebucket_and_fsck(spark, tmp_path):
     rep3 = validate_cdc_snapshot(spark, snap)
     assert not rep3["ok"] and rep3["misplaced_rows"] > 0
 
+    # lineage corruption: a commit whose stream_epoch goes BACKWARD
+    # (two interleaved writers) is flagged by the chain check
+    worse = dict(bad)
+    worse["n_buckets"] = _read_bucket_manifest(spark, snap, vlast)["n_buckets"]
+    worse["stream_epoch"] = -5
+    _write_bucket_manifest(spark, snap, vlast + 2, worse)
+    rep4 = validate_cdc_snapshot(spark, snap)
+    assert any(str(p).startswith("lineage:") for p in rep4["missing_paths"]), rep4
+
 
 def test_cdc_bucketed_foreign_checkpoint_fails_loudly(spark, tmp_path):
     """A FRESH checkpoint pointed at an existing table must raise, not
