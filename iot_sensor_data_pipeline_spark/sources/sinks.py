@@ -137,6 +137,15 @@ def parquet_batch_sink(
             "layout — hive-partitioned tables (partition_cols) already "
             "get directory-level pruning"
         )
+    if checkpoint and partition_cols:
+        # same construction-time loudness as manifest_cols: silently
+        # downgrading an explicitly requested idempotence to
+        # at-least-once would surface as duplicate rows much later
+        raise ValueError(
+            "parquet_batch_sink: replay idempotence (checkpoint=...) "
+            "requires a flat layout — cross-partition epoch cleanup is a "
+            "transactional table format's job"
+        )
 
     def _refresh(fn, what: str, spark) -> None:
         # The parquet append is NOT idempotent: letting a maintenance
@@ -166,6 +175,50 @@ def parquet_batch_sink(
         else None
     )
 
+    def _guard_epoch_regression(fs, jvm, epoch_id: int) -> None:
+        """Fail loudly when this lineage's epochs go BACKWARD: epoch
+        ids restart at 0 when a checkpoint is wiped and recreated at
+        the SAME path (same lineage hash), and letting the new run's
+        epoch k delete the old run's e<k>- files would destroy
+        committed rows covering different offsets. Same discipline as
+        the bucketed CDC's stale-checkpoint guard; adopt the table
+        explicitly by removing the lineage state file."""
+        import json
+
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/_sink_lineage_{lineage}.json")
+        if fs.exists(p):
+            stream = fs.open(p)
+            try:
+                state = json.loads(
+                    jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+                    )
+                )
+            finally:
+                stream.close()
+            if epoch_id < state["max_epoch"]:
+                raise ValueError(
+                    f"epoch {epoch_id} is older than this lineage's last "
+                    f"written epoch {state['max_epoch']} — the checkpoint "
+                    f"at {checkpoint!r} was wiped/recreated; replaying "
+                    "restarted epoch ids would DELETE committed rows. "
+                    f"Adopt the table explicitly by removing {p}"
+                )
+
+    def _commit_epoch_state(fs, jvm, epoch_id: int) -> None:
+        import json
+
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/_sink_lineage_{lineage}.json")
+        tmp = jvm.org.apache.hadoop.fs.Path(str(p) + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(json.dumps({"max_epoch": epoch_id}).encode("utf-8"))
+        finally:
+            out.close()
+        fs.delete(p, False)
+        if not fs.rename(tmp, p):
+            raise RuntimeError(f"parquet_batch_sink: lineage-state swap failed: {p}")
+
     def _write_epoch_idempotent(batch_df: DataFrame, epoch_id: int) -> None:
         import uuid
 
@@ -175,7 +228,14 @@ def parquet_batch_sink(
         jvm = spark._jvm
         root = jvm.org.apache.hadoop.fs.Path(path)
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        staging = f"{path}/_staging_e{epoch_id}"
+        token = uuid.uuid4().hex[:8]
+        # lineage+token-scoped staging: a concurrent writer at the same
+        # epoch id (foreign lineage, or a zombie attempt of this one)
+        # must never share a staging dir — a shared dir would let one
+        # attempt's overwrite/rename claim the other's staged files
+        staging = f"{path}/_staging_e{epoch_id}_{lineage}_{token}"
+        if fs.exists(root):
+            _guard_epoch_regression(fs, jvm, epoch_id)
         # routed through write_partitioned_parquet so flat epoch writes
         # keep the maxRecordsPerFile bound (one skewed batch must not
         # produce a 100 GB file)
@@ -183,7 +243,6 @@ def parquet_batch_sink(
         # (epoch, lineage) scope; trailing '-' makes prefixes exact
         # ('e1-' never matches 'e10-...')
         prefix = f"e{epoch_id}-{lineage}-"
-        token = uuid.uuid4().hex[:8]
         # rename the new attempt IN first...
         i = 0
         spath = jvm.org.apache.hadoop.fs.Path(staging)
@@ -208,6 +267,7 @@ def parquet_batch_sink(
             name = st.getPath().getName()
             if st.isFile() and name.startswith(prefix) and marker not in name:
                 fs.delete(st.getPath(), False)
+        _commit_epoch_state(fs, jvm, epoch_id)
 
     def sink(batch_df: DataFrame, epoch_id: int | None = None) -> None:
         if epoch_id is not None and lineage is not None and not partition_cols:

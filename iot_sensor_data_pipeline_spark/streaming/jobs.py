@@ -1244,10 +1244,12 @@ def start_cdc_apply_bucketed(
 
     Layout: rows hash into ``n_buckets`` key buckets
     (``pmod(xxhash64(keys), n)`` — deterministic, layout-independent);
-    each epoch writes ONLY the buckets containing its batch's keys
-    under ``buckets/e<epoch>/`` (partitioned by bucket), then commits a
-    tiny JSON manifest ``manifests/v<epoch>.json`` mapping every bucket
-    to the epoch directory currently holding it — untouched buckets
+    each epoch ATTEMPT writes ONLY the buckets containing its batch's
+    keys under a fresh ``buckets/e<epoch>-<token>/`` dir (partitioned
+    by bucket; the per-attempt token means no attempt ever overwrites
+    a directory a committed manifest references), then commits a tiny
+    JSON manifest ``manifests/v<version>.json`` mapping every bucket to
+    the attempt directory currently holding it — untouched buckets
     carry forward BY REFERENCE, zero I/O. A batch touching 1 of N
     buckets reads and rewrites ~|base|/N bytes.
 
@@ -1359,8 +1361,9 @@ def start_cdc_apply_bucketed(
                         "rebucket_cdc_snapshot(..., reset_epochs=True)"
                     )
                 # replay of the newest commit: rebase on its predecessor
-                # (keep_versions >= 2 keeps it alive) and rewrite the
-                # epoch's own manifest version with identical content
+                # (keep_versions >= 2 keeps it alive), write a fresh
+                # attempt-token bucket dir, and swap the epoch's own
+                # manifest version over to it
                 version_to_write = all_versions[-1]
                 if len(all_versions) >= 2:
                     manifest = _read_bucket_manifest(
@@ -1702,10 +1705,11 @@ def validate_cdc_snapshot(spark, snapshot_dir: str) -> dict:
     )
     missing = []
     # lineage-chain sanity over the KEPT manifests: stream_epoch must be
-    # monotone non-decreasing in commit-version order
+    # monotone non-decreasing in commit-version order (the newest is
+    # already in hand — no second read)
     prev_epoch = None
     for v in versions:
-        mv = _read_bucket_manifest(spark, snapshot_dir, v)
+        mv = m if v == versions[-1] else _read_bucket_manifest(spark, snapshot_dir, v)
         se = mv.get("stream_epoch", v)
         if prev_epoch is not None and se < prev_epoch and se != -1:
             missing.append(

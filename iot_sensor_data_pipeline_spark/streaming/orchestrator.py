@@ -140,7 +140,15 @@ class Pipeline:
                         "is missing (e.g. after compaction); continuing "
                         "stale", name, path, exc_info=True,
                     )
-            plans[name] = plan_compaction(spark, path, target_bytes)
+            try:
+                plans[name] = plan_compaction(spark, path, target_bytes)
+            except Exception:  # noqa: BLE001
+                # e.g. a table whose stream has not committed its first
+                # batch yet (directory missing) — skip it, plan the rest
+                log.warning(
+                    "plan_maintenance: compaction planning failed for %s "
+                    "(%s); skipping this table", name, path, exc_info=True,
+                )
         return plans
 
     def process_all_available(self) -> None:

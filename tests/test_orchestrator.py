@@ -168,6 +168,20 @@ def test_parquet_sink_epoch_replay_is_idempotent(spark, tmp_path):
     foreign(batch(1000, 1010), 1)
     assert spark.read.parquet(out).count() == 210
 
+    # a wiped-and-recreated checkpoint at the SAME path restarts epoch
+    # ids — same lineage hash, so its epoch 0 would delete committed
+    # rows; the regression guard fails loudly, and removing the lineage
+    # state file is the explicit adoption step
+    import pytest
+
+    with pytest.raises(ValueError, match="older than this lineage"):
+        sink(batch(5000, 5010), 0)
+    assert spark.read.parquet(out).count() == 210  # table unharmed
+    os.remove(os.path.join(out, "_sink_lineage_" + __import__("hashlib")
+                            .sha256(b"/ckpt/A").hexdigest()[:8] + ".json"))
+    sink(batch(5000, 5010), 0)  # adopted: epoch 0 replaces lineage A's e0
+    assert spark.read.parquet(out).count() == 120  # 100-row e0 swapped for 10
+
     # manifest stays truthful across the replay
     mans = parquet_batch_sink(out, manifest_cols=["k"], checkpoint="/ckpt/A")
     write_manifest(spark, out, ["k"])
@@ -183,7 +197,7 @@ def test_parquet_sink_epoch_replay_is_idempotent(spark, tmp_path):
     assert man_files == files_on_disk  # no stale rows, no missing files
     got2 = sorted(r.k for r in read_pruned(spark, out, {"k": (250, 260)}).collect())
     assert got2 == list(range(250, 261))
-    assert spark.read.parquet(out).count() == 310
+    assert spark.read.parquet(out).count() == 220
 
 
 def test_streaming_sink_keeps_bloom_index_fresh(spark, tmp_path):
