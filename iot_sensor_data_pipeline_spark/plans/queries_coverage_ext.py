@@ -365,6 +365,80 @@ def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# events_seasonal_baseline — operator COMPOSITION showcase: exact
+# grouped quantiles (operators/sketches.py, the rank-wise
+# percentile_cont that never buffers a group) build a per-(user,
+# hour-of-day) seasonal profile, and a Tukey-fence pass counts each
+# cell's anomalies. The shape behind "is this sensor reading odd FOR
+# 3 AM" dashboards.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(hour(ts) AS INT) AS hod, value
+  FROM events WHERE value IS NOT NULL
+), base AS (
+  SELECT user_id, hod,
+         round(quantile_cont(value, 0.25), 6) AS p25,
+         round(quantile_cont(value, 0.50), 6) AS p50,
+         round(quantile_cont(value, 0.75), 6) AS p75
+  FROM ev GROUP BY user_id, hod
+)
+SELECT e.user_id, e.hod,
+       CAST(count(*) AS BIGINT) AS n,
+       min(b.p50) AS p50,
+       round(min(b.p75) - min(b.p25), 6) AS iqr,
+       CAST(sum(CASE WHEN e.value > b.p75 + 1.5 * (b.p75 - b.p25)
+                       OR e.value < b.p25 - 1.5 * (b.p75 - b.p25)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM ev e JOIN base b USING (user_id, hod)
+GROUP BY e.user_id, e.hod
+"""
+
+
+@register_extended(
+    "events_seasonal_baseline",
+    oracle=_SEASONAL_ORACLE,
+    tags=("timeseries", "quantiles", "anomaly"),
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, hour-of-day) seasonal profile with Tukey-fence
+    anomaly counts. Exact quantiles come from the rank-wise
+    percentile_cont (no group-sized buffer at any scale); the profile
+    joins back on the same (user, hod) key the quantile pass shuffled
+    on, so the whole query is two key-shuffles and a broadcast-free
+    equi-join."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        grouped_quantiles_exact,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.where(F.col("value").isNotNull()).select(
+        "user_id", F.hour("ts").alias("hod"), "value"
+    )
+    qs = grouped_quantiles_exact(ev, ["user_id", "hod"], "value", [0.25, 0.5, 0.75])
+    base = qs.groupBy("user_id", "hod").agg(
+        F.min(F.when(F.col("q") == 0.25, F.col("value"))).alias("p25"),
+        F.min(F.when(F.col("q") == 0.50, F.col("value"))).alias("p50"),
+        F.min(F.when(F.col("q") == 0.75, F.col("value"))).alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    anomalous = (F.col("value") > F.col("p75") + 1.5 * iqr) | (
+        F.col("value") < F.col("p25") - 1.5 * iqr
+    )
+    return (
+        ev.join(base, ["user_id", "hod"])
+        .groupBy("user_id", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p50").alias("p50"),
+            F.round(F.min("p75") - F.min("p25"), 6).alias("iqr"),
+            F.sum(anomalous.cast("long")).alias("n_anomalies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # documents_profile — profile_columns (operators/sketches.py): the
 # single-scan data profiler. approx_distinct (HLL) is engine-specific
 # and stays under the rows-only lineitem_approx_distinct gate entry;
