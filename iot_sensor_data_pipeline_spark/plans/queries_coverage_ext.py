@@ -439,6 +439,57 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lineitem_partial_rollup — the mergeable-rollup family
+# (operators/sketches.py partial_aggregates / merge_aggregates): fine-
+# grain partial moments persist once, every coarser question folds the
+# partial ROWS, never the raw history. The oracle is the DIRECT
+# aggregate at the coarse grain, so a hash match proves
+# merge(partials) == direct cross-engine — the correctness statement a
+# continuous-aggregate / materialized-rollup pipeline rests on.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag,
+       round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+       CAST(count(l_quantity) AS BIGINT) AS n_qty,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(stddev_pop(l_quantity), 6) AS std_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register_extended(
+    "lineitem_partial_rollup",
+    oracle=_ROLLUP_ORACLE,
+    tags=("sketches", "rollup", "maintenance"),
+)
+def lineitem_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build per-(returnflag, linestatus) partial moments, then merge
+    to the returnflag grain — cost of the merge is #partial rows,
+    independent of raw history size. avg/stddev derive from the merged
+    moments (means of means would weight groups, not rows)."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        merge_aggregates,
+        partial_aggregates,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = partial_aggregates(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+    merged = merge_aggregates(partials, ["l_returnflag"])
+    return merged.select(
+        "l_returnflag",
+        F.round("sum_v", 4).alias("sum_qty"),
+        F.col("n_v").alias("n_qty"),
+        F.col("min_v").alias("min_qty"),
+        F.col("max_v").alias("max_qty"),
+        F.round("avg_v", 6).alias("avg_qty"),
+        F.round("stddev_pop_v", 6).alias("std_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # documents_profile — profile_columns (operators/sketches.py): the
 # single-scan data profiler. approx_distinct (HLL) is engine-specific
 # and stays under the rows-only lineitem_approx_distinct gate entry;
