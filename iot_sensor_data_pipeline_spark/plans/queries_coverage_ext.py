@@ -490,6 +490,51 @@ def lineitem_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lineitem_histogram_partials — the mergeable-HISTOGRAM build side
+# (operators/sketches.py histogram_partials): per-group per-bin
+# (count, exact lo, exact hi) rows over FIXED edges. Edges are literal
+# here (histogram_bins' approxQuantile edges are engine-specific; the
+# bin-fold mechanics are what this differential pins — searchsorted
+# over shared edges, exact per-bin min/max).
+# ---------------------------------------------------------------------------
+
+_HIST_EDGES = (10.0, 20.0, 30.0, 40.0)
+
+_HIST_ORACLE = f"""
+WITH binned AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DOUBLE) AS v,
+         CAST(len(list_filter([{', '.join(str(e) for e in _HIST_EDGES)}],
+                              e -> e <= CAST(l_quantity AS DOUBLE))) AS INT)
+           AS bin
+  FROM lineitem WHERE l_quantity IS NOT NULL
+)
+SELECT l_returnflag, bin,
+       CAST(count(*) AS BIGINT) AS n,
+       min(v) AS lo,
+       max(v) AS hi
+FROM binned GROUP BY l_returnflag, bin
+"""
+
+
+@register_extended(
+    "lineitem_histogram_partials",
+    oracle=_HIST_ORACLE,
+    tags=("sketches", "histogram", "rollup"),
+)
+def lineitem_histogram_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, bin) mergeable histogram rows over fixed
+    edges — one map-side-combined aggregation; (keys, bin) pairs
+    shuffle, values never do."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import histogram_partials
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_partials(
+        li, ["l_returnflag"], "l_quantity", list(_HIST_EDGES)
+    )
+
+
+# ---------------------------------------------------------------------------
 # documents_profile — profile_columns (operators/sketches.py): the
 # single-scan data profiler. approx_distinct (HLL) is engine-specific
 # and stays under the rows-only lineitem_approx_distinct gate entry;
