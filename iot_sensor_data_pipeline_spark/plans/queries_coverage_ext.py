@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iot_sensor_data_pipeline_spark.plans.registry import register_extended
+from iot_sensor_data_pipeline_spark.plans.registry import register, register_extended
 from iot_sensor_data_pipeline_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -112,7 +112,7 @@ GROUP BY source
 """
 
 
-@register_extended(
+@register(
     "documents_pii_stats", oracle=_pii_oracle(), tags=("pipeline", "curation", "pii")
 )
 def documents_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +202,7 @@ UNION ALL SELECT * FROM seq
 """
 
 
-@register_extended(
+@register(
     "orders_scd2_history", oracle=_SCD2_ORACLE, tags=("maintenance", "scd2")
 )
 def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,7 +349,7 @@ LIMIT {_SKEW_TOPK}
 """
 
 
-@register_extended(
+@register(
     "lineitem_skew_report", oracle=_SKEW_ORACLE, tags=("skew", "diagnostics")
 )
 def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,7 +396,7 @@ GROUP BY e.user_id, e.hod
 """
 
 
-@register_extended(
+@register(
     "events_seasonal_baseline",
     oracle=_SEASONAL_ORACLE,
     tags=("timeseries", "quantiles", "anomaly"),
@@ -460,7 +460,7 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-@register_extended(
+@register(
     "lineitem_partial_rollup",
     oracle=_ROLLUP_ORACLE,
     tags=("sketches", "rollup", "maintenance"),
@@ -517,7 +517,7 @@ FROM binned GROUP BY l_returnflag, bin
 """
 
 
-@register_extended(
+@register(
     "lineitem_histogram_partials",
     oracle=_HIST_ORACLE,
     tags=("sketches", "histogram", "rollup"),

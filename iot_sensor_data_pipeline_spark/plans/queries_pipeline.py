@@ -24,7 +24,7 @@ from iot_sensor_data_pipeline_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from iot_sensor_data_pipeline_spark.operators.similarity import cosine_topk, rp_lsh_topk
-from iot_sensor_data_pipeline_spark.plans.registry import register
+from iot_sensor_data_pipeline_spark.plans.registry import register, register_extended
 from iot_sensor_data_pipeline_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -104,7 +104,7 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.2
 """
 
 
-@register("documents_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("pipeline", "dedup"))
+@register_extended("documents_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("pipeline", "dedup"))
 def documents_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(shingles(docs, "doc_id", "text", n=3), threshold=0.2)
@@ -367,7 +367,7 @@ SELECT doc_id, token, tfidf, rn FROM ranked WHERE rn <= 5
 """
 
 
-@register("documents_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("pipeline", "text"))
+@register_extended("documents_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("pipeline", "text"))
 def documents_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (smoothed idf, ln((N+1)/(df+1))+1).
     Three aggs + one broadcastable join — no ML pipeline object, no UDF."""
@@ -893,7 +893,7 @@ FROM rep r LEFT JOIN contam USING (doc_id)
 """
 
 
-@register(
+@register_extended(
     "documents_repetition_contamination",
     oracle=_REP_CONTAM_ORACLE,
     tags=("pipeline", "curation"),

@@ -385,7 +385,7 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """
 
 
-@register("orders_grouping_analytics", oracle=_GROUPING_ANALYTICS_ORACLE, tags=("relational", "grouping"))
+@register_extended("orders_grouping_analytics", oracle=_GROUPING_ANALYTICS_ORACLE, tags=("relational", "grouping"))
 def orders_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (DataFrame .rollup API) + GROUPING SETS (SQL surface) +
     CUBE (DataFrame .cube API, over lineitem — formerly the standalone

@@ -322,7 +322,7 @@ GROUP BY user_id
 """
 
 
-@register("events_user_gap_stats", oracle=_GAP_STATS_ORACLE, tags=("relational", "udf"))
+@register_extended("events_user_gap_stats", oracle=_GAP_STATS_ORACLE, tags=("relational", "udf"))
 def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped map: one pandas DataFrame per user computes
     inter-event gap stats — the UDAF-via-grouped-map pattern. One
@@ -624,7 +624,7 @@ LIMIT 20
 """
 
 
-@register("tpch_q10_returned_items", oracle=_Q10_ORACLE, tags=("relational", "join", "topk"))
+@register_extended("tpch_q10_returned_items", oracle=_Q10_ORACLE, tags=("relational", "join", "topk"))
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
