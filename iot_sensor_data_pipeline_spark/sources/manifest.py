@@ -182,20 +182,109 @@ def _footer_stats_for(fdf: DataFrame, cols: Sequence[str], n_files: int) -> Data
     return fdf.mapInPandas(read_footers, _STATS_SCHEMA)
 
 
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _versions_in(spark: SparkSession, root_dir: str) -> list[int]:
+    """Committed versions: directories ``<root_dir>/v<N>``. A version
+    EXISTS iff its directory does — commits rename a hidden staging dir
+    into place, so a crash mid-write never surfaces a half-written
+    version (the .staging name is both listing-hidden here and
+    parquet-hidden to any legacy flat reader)."""
+    fs, root, _ = _fs_for(spark, root_dir)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _commit_version_in(
+    spark: SparkSession, root_dir: str, rel: DataFrame, keep_versions: int = 2
+) -> None:
+    """Versioned metadata commit (VERDICT r9 task 2 — the bucketed-CDC
+    discipline applied to the skipping manifest and the bloom index):
+    write the new relation to a hidden staging dir, rename it to
+    ``v<N+1>``, then prune versions older than the newest
+    ``keep_versions``. Readers resolve the newest version that exists,
+    so there is NO no-metadata window: a reader that resolved ``v<N>``
+    just before ``v<N+1>`` committed still reads ``v<N>`` (kept —
+    ``keep_versions >= 2``), and a crash mid-write leaves only an
+    invisible staging dir for the next commit to garbage-collect.
+    Single maintenance writer assumed, as everywhere in this layer."""
+    if keep_versions < 2:
+        raise ValueError("keep_versions must be >= 2 (concurrent readers "
+                         "may hold the previous version)")
+    versions = _versions_in(spark, root_dir)
+    new_v = (versions[-1] + 1) if versions else 1
+    staging = f"{root_dir}/.v{new_v}.staging"
+    rel.coalesce(1).write.mode("overwrite").parquet(staging)
+    fs, dst, jvm = _fs_for(spark, f"{root_dir}/v{new_v}")
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(dst, True)  # only a crashed same-N commit can leave one
+    if not fs.rename(src, dst):
+        raise RuntimeError(f"metadata commit failed: {staging} -> {dst}")
+    # prune: old versions beyond keep_versions, orphaned staging dirs,
+    # and (one-time migration) legacy flat part-files directly under
+    # the root from the pre-versioned layout
+    root = jvm.org.apache.hadoop.fs.Path(root_dir)
+    keep = set(versions[-(keep_versions - 1):] if versions else []) | {new_v}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            if int(name[1:]) not in keep:
+                fs.delete(st.getPath(), True)
+        elif st.isDirectory() and name.endswith(".staging"):
+            if name != f".v{new_v}.staging":
+                fs.delete(st.getPath(), True)
+        elif st.isFile():
+            fs.delete(st.getPath(), False)
+
+
+def _read_versioned_in(spark: SparkSession, root_dir: str) -> DataFrame:
+    """Newest committed version under ``root_dir``; falls back to the
+    legacy flat parquet layout (pre-versioned tables — their next
+    update migrates them)."""
+    versions = _versions_in(spark, root_dir)
+    if versions:
+        return spark.read.parquet(f"{root_dir}/v{versions[-1]}")
+    return spark.read.parquet(root_dir)
+
+
+def _manifest_versions(spark: SparkSession, path: str) -> list[int]:
+    return _versions_in(spark, f"{path}/{MANIFEST_DIR}")
+
+
+def _commit_manifest_version(
+    spark: SparkSession, path: str, stats: DataFrame, keep_versions: int = 2
+) -> None:
+    _commit_version_in(spark, f"{path}/{MANIFEST_DIR}", stats, keep_versions)
+
+
 def write_manifest(
     spark: SparkSession, path: str, cols: Sequence[str]
 ) -> DataFrame:
-    """Materialize ``footer_stats`` at ``<path>/_manifest`` (overwrite).
+    """Materialize ``footer_stats`` as a new committed manifest version
+    under ``<path>/_manifest/v<N>``.
 
     The manifest is tiny (one row per file per column); a single output
     file keeps the later driver-side read cheap."""
     stats = footer_stats(spark, path, cols)
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
-    return stats
+    _commit_manifest_version(spark, path, stats)
+    return read_manifest(spark, path)
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+    """Newest committed manifest version; falls back to the legacy flat
+    ``<path>/_manifest`` parquet layout for tables written before the
+    versioned scheme (their next update migrates them)."""
+    return _read_versioned_in(spark, f"{path}/{MANIFEST_DIR}")
 
 
 def update_manifest(
@@ -209,14 +298,15 @@ def update_manifest(
     The merge is RELATIONAL end to end: kept rows are a semi-join of
     the old manifest against the on-disk file list, new files are an
     anti-join of that list against the manifest, and the merged result
-    is written distributively to ``_manifest.tmp`` then swapped in via
-    a filesystem rename — the driver holds only file-NAME lists (the
-    directory listing, which Spark's own planner holds anyway, and the
-    manifest's file column) plus the distinct column set, never
-    O(files x cols) stat rows.
+    commits as a NEW manifest version (``_manifest/v<N+1>``) while the
+    version it read stays on disk — concurrent readers always resolve a
+    complete committed version; there is no no-manifest window. The
+    driver holds only file-NAME lists (the directory listing, which
+    Spark's own planner holds anyway, and the manifest's file column)
+    plus the distinct column set, never O(files x cols) stat rows.
 
     A refresh that finds zero new and zero deleted files returns the
-    existing manifest untouched — no Spark job, no swap window — so
+    existing manifest untouched — no Spark job, no new version — so
     calling this on every maintenance cycle is free in the steady
     state.
 
@@ -240,8 +330,8 @@ def update_manifest(
     dropped_files = manifest_files - set(files)
     if not new_files and not dropped_files:
         # no-op refresh: skip the rewrite entirely — the hot per-batch
-        # path must not pay a Spark job (or expose the delete+rename
-        # no-manifest window) when nothing changed
+        # path must not pay a Spark job (or mint a manifest version)
+        # when nothing changed
         return existing
     fdf = spark.createDataFrame([(f,) for f in files], "file string")
     kept = existing.join(F.broadcast(fdf), "file", "left_semi")
@@ -251,21 +341,11 @@ def update_manifest(
     # not len(files)-capped empties
     fresh = _footer_stats_for(new_fdf, cols, max(len(new_files), 1))
     merged = kept.unionByName(fresh)
-    # write-then-swap: the merged relation READS the manifest being
-    # replaced, so an in-place overwrite would corrupt its own input.
-    # The delete+rename pair leaves a sub-second no-manifest window for
-    # concurrent readers (acceptable: read_pruned fails loudly, retry
-    # succeeds; a versioned-manifest scheme like the bucketed CDC's
-    # would close it at the cost of a commit protocol)
-    tmp = f"{path}/{MANIFEST_DIR}.tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{MANIFEST_DIR}")
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(dst, True)
-    if not fs.rename(src, dst):
-        raise RuntimeError(f"update_manifest: rename {tmp} -> {dst} failed")
+    # the merged relation READS the version being superseded; committing
+    # to v<N+1> leaves that input (and any concurrent reader's resolved
+    # version) intact — the r9 delete+rename swap and its sub-second
+    # no-manifest window are gone (VERDICT r9 task 2)
+    _commit_manifest_version(spark, path, merged)
     return read_manifest(spark, path)
 
 

@@ -73,6 +73,77 @@ def with_date_partitions(df: DataFrame, ts_col: str) -> DataFrame:
     return df.withColumn("dt", F.to_date(ts_col)).withColumn("hour", F.hour(ts_col))
 
 
+def _lineage_of(checkpoint: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(checkpoint.encode("utf-8")).hexdigest()[:8]
+
+
+def _iter_lineage_files(spark, path: str, lineage: str):
+    """(hadoop Path, epoch) for every committed e<N>-<lineage>- data
+    file under the table, RECURSIVE (partition subdirs included)."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import is_data_file
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = f"-{lineage}-"
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not is_data_file(name) or not name.startswith("e") or marker not in name:
+            continue
+        head = name[1:name.index(marker)]
+        if head.isdigit():
+            yield st.getPath(), int(head)
+
+
+def list_sink_epochs(spark, path: str, checkpoint: str) -> list[int]:
+    """Sorted distinct epoch ids committed by ``checkpoint``'s lineage."""
+    return sorted({e for _, e in _iter_lineage_files(spark, path, _lineage_of(checkpoint))})
+
+
+def read_sink_as_of(
+    spark, path: str, checkpoint: str, as_of_epoch: int | None = None
+):
+    """Time-travel read of an epoch-idempotent sink table: the rows ONE
+    lineage (identified by its ``checkpoint`` path, exactly as the sink
+    was configured) had committed as of ``as_of_epoch`` (inclusive;
+    None = every committed epoch). The epoch-scoped file names ARE the
+    version metadata — no extra bookkeeping to maintain — so this reads
+    files ``e<N>-<lineage>-*`` with N <= as_of_epoch and nothing else.
+
+    Foreign lineages' files and non-epoch appends are EXCLUDED by
+    design: epoch ids are only meaningful within one checkpoint, so
+    cross-lineage "as of" has no consistent definition (read the plain
+    table for the merged current state). Hive-partitioned layouts keep
+    their inferred partition columns (``basePath``). Raises when the
+    lineage has no committed files at all — an empty answer to "as of"
+    on a lineage that never wrote is a caller bug, not an empty table.
+    Cost: one recursive listing (metadata-grain) + a scan of the
+    selected files only."""
+    lineage = _lineage_of(checkpoint)
+    files = [
+        p.toString()
+        for p, e in _iter_lineage_files(spark, path, lineage)
+        if as_of_epoch is None or e <= as_of_epoch
+    ]
+    if not files:
+        all_epochs = list_sink_epochs(spark, path, checkpoint)
+        if not all_epochs:
+            raise ValueError(
+                f"no committed files for lineage of {checkpoint!r} under {path}"
+            )
+        # the lineage exists but nothing at/before as_of_epoch: an
+        # empty-but-typed frame (schema from the lineage's own files)
+        first = next(iter(_iter_lineage_files(spark, path, lineage)))[0].toString()
+        return (
+            spark.read.option("basePath", path).parquet(first).limit(0)
+        )
+    return spark.read.option("basePath", path).parquet(*files)
+
+
 def parquet_batch_sink(
     path: str,
     partition_cols: Sequence[str] = (),
@@ -107,9 +178,15 @@ def parquet_batch_sink(
     keep the skipping manifest honest: a replay's files enter as new
     files (footer-read) while the dead attempt's rows drop as deleted
     files — same-name rewrites would leave stale min/max stats behind.
-    Hive-partitioned layouts (``partition_cols``) keep the plain append
-    (cross-partition epoch cleanup is the table format's job — use a
-    transactional format there).
+    Hive-partitioned layouts (``partition_cols``) get the same
+    idempotence (VERDICT r9 task 3): the batch stages partitionBy'd,
+    each partition subdirectory's files move in under the same
+    lineage-scoped names, and the dead-attempt sweep walks the table
+    RECURSIVELY — so a replay whose rows land in DIFFERENT partitions
+    (repartitioned batch, changed partition expression) still retires
+    every file of the dead attempt wherever it lives. The sweep cost is
+    one recursive listing per batch — metadata-grain, same order as the
+    listing any reader pays.
 
     ``manifest_cols`` keeps a footer-stats skipping manifest
     (sources/manifest.py) FRESH as the stream writes: after each batch
@@ -137,16 +214,6 @@ def parquet_batch_sink(
             "layout — hive-partitioned tables (partition_cols) already "
             "get directory-level pruning"
         )
-    if checkpoint and partition_cols:
-        # same construction-time loudness as manifest_cols: silently
-        # downgrading an explicitly requested idempotence to
-        # at-least-once would surface as duplicate rows much later
-        raise ValueError(
-            "parquet_batch_sink: replay idempotence (checkpoint=...) "
-            "requires a flat layout — cross-partition epoch cleanup is a "
-            "transactional table format's job"
-        )
-
     def _refresh(fn, what: str, spark) -> None:
         # The parquet append is NOT idempotent: letting a maintenance
         # failure (rename race, transient remote-FS error) escape
@@ -175,14 +242,43 @@ def parquet_batch_sink(
         else None
     )
 
+    def _iter_table_files(fs, jvm):
+        """All files under the table, RECURSIVE (partition subdirs
+        included), as (hadoop Path, name) pairs. Staging dirs are
+        skipped by name — their contents are part-* files that never
+        match an e<N>-<lineage>- prefix anyway."""
+        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            yield p, p.getName()
+
+    def _infer_max_epoch(fs, jvm) -> int:
+        """Largest epoch id among this lineage's committed file names.
+        The fallback authority when the lineage state file is missing
+        (crash between its delete and rename, manual cleanup): the
+        epoch-regression guard must stay armed on what is actually on
+        disk, not silently pass (ADVICE r9 item 1)."""
+        marker = f"-{lineage}-"
+        best = -1
+        for p, name in _iter_table_files(fs, jvm):
+            if name.startswith("e") and marker in name:
+                head = name[1:name.index(marker)]
+                if head.isdigit():
+                    best = max(best, int(head))
+        return best
+
     def _guard_epoch_regression(fs, jvm, epoch_id: int) -> None:
         """Fail loudly when this lineage's epochs go BACKWARD: epoch
         ids restart at 0 when a checkpoint is wiped and recreated at
         the SAME path (same lineage hash), and letting the new run's
         epoch k delete the old run's e<k>- files would destroy
         committed rows covering different offsets. Same discipline as
-        the bucketed CDC's stale-checkpoint guard; adopt the table
-        explicitly by removing the lineage state file."""
+        the bucketed CDC's stale-checkpoint guard. A MISSING state file
+        does not disarm the guard — max_epoch is re-inferred from the
+        e<N>-<lineage>- file names on disk; adopt a wiped-checkpoint
+        table explicitly by writing ``{"max_epoch": -1}`` into the
+        lineage state file."""
         import json
 
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/_sink_lineage_{lineage}.json")
@@ -196,14 +292,20 @@ def parquet_batch_sink(
                 )
             finally:
                 stream.close()
-            if epoch_id < state["max_epoch"]:
-                raise ValueError(
-                    f"epoch {epoch_id} is older than this lineage's last "
-                    f"written epoch {state['max_epoch']} — the checkpoint "
-                    f"at {checkpoint!r} was wiped/recreated; replaying "
-                    "restarted epoch ids would DELETE committed rows. "
-                    f"Adopt the table explicitly by removing {p}"
-                )
+            max_epoch = state["max_epoch"]
+            source = f"lineage state {p}"
+        else:
+            max_epoch = _infer_max_epoch(fs, jvm)
+            source = "file names on disk (lineage state file missing)"
+        if epoch_id < max_epoch:
+            raise ValueError(
+                f"epoch {epoch_id} is older than this lineage's last "
+                f"written epoch {max_epoch} (from {source}) — the "
+                f"checkpoint at {checkpoint!r} was wiped/recreated; "
+                "replaying restarted epoch ids would DELETE committed "
+                "rows. Adopt the table explicitly by writing "
+                f'{{"max_epoch": -1}} to {p}'
+            )
 
     def _commit_epoch_state(fs, jvm, epoch_id: int) -> None:
         import json
@@ -236,41 +338,66 @@ def parquet_batch_sink(
         staging = f"{path}/_staging_e{epoch_id}_{lineage}_{token}"
         if fs.exists(root):
             _guard_epoch_regression(fs, jvm, epoch_id)
-        # routed through write_partitioned_parquet so flat epoch writes
-        # keep the maxRecordsPerFile bound (one skewed batch must not
-        # produce a 100 GB file)
-        write_partitioned_parquet(batch_df, staging, (), mode="overwrite")
+        # routed through write_partitioned_parquet so epoch writes keep
+        # the maxRecordsPerFile bound (one skewed batch must not
+        # produce a 100 GB file); hive layouts stage partitionBy'd so
+        # the relative partition subpaths move in verbatim
+        write_partitioned_parquet(
+            batch_df, staging, partition_cols, mode="overwrite"
+        )
         # (epoch, lineage) scope; trailing '-' makes prefixes exact
         # ('e1-' never matches 'e10-...')
         prefix = f"e{epoch_id}-{lineage}-"
-        # rename the new attempt IN first...
+        # rename the new attempt IN first — preserving each staged
+        # file's partition subpath (dt=.../hour=...) so hive partition
+        # inference sees the same layout a plain append would produce
         i = 0
         spath = jvm.org.apache.hadoop.fs.Path(staging)
-        for st in fs.listStatus(spath):
+        # listFiles yields scheme-qualified paths (file:/x); qualify the
+        # staging root the same way or the relative-subpath slice is
+        # computed at the wrong offset
+        staging_uri = fs.makeQualified(spath).toString().rstrip("/")
+        it = fs.listFiles(spath, True)
+        made_dirs: set[str] = set()
+        while it.hasNext():
+            st = it.next()
             name = st.getPath().getName()
-            if st.isFile() and is_data_file(name):
-                dst = jvm.org.apache.hadoop.fs.Path(
-                    f"{path}/{prefix}{token}-{i}.parquet"
+            if not is_data_file(name):
+                continue
+            parent = st.getPath().getParent().toString().rstrip("/")
+            rel = parent[len(staging_uri):].strip("/")  # '' for flat
+            dst_dir = f"{path}/{rel}".rstrip("/")
+            if rel and dst_dir not in made_dirs:
+                fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dst_dir))
+                made_dirs.add(dst_dir)
+            dst = jvm.org.apache.hadoop.fs.Path(
+                f"{dst_dir}/{prefix}{token}-{i}.parquet"
+            )
+            if not fs.rename(st.getPath(), dst):
+                raise RuntimeError(
+                    f"parquet_batch_sink: rename {name} -> {dst} failed"
                 )
-                if not fs.rename(st.getPath(), dst):
-                    raise RuntimeError(
-                        f"parquet_batch_sink: rename {name} -> {dst} failed"
-                    )
-                i += 1
+            i += 1
         fs.delete(spath, True)
-        # ...THEN drop dead attempts of this (epoch, lineage): a crash
-        # between the two phases leaves duplicates, which the
-        # guaranteed replay (the batch's offsets were not committed)
-        # converges — never a window with committed rows missing
+        # ...THEN drop dead attempts of this (epoch, lineage),
+        # RECURSIVELY: a replay may land rows in different partition
+        # dirs than the dead attempt did, so the sweep must cover the
+        # whole table, not the root listing. A crash between the two
+        # phases leaves duplicates, which the guaranteed replay (the
+        # batch's offsets were not committed) converges — never a
+        # window with committed rows missing
         marker = f"-{token}-"
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if st.isFile() and name.startswith(prefix) and marker not in name:
-                fs.delete(st.getPath(), False)
+        dead = [
+            fpath
+            for fpath, name in _iter_table_files(fs, jvm)
+            if name.startswith(prefix) and marker not in name
+        ]  # materialize before deleting: never mutate under the iterator
+        for fpath in dead:
+            fs.delete(fpath, False)
         _commit_epoch_state(fs, jvm, epoch_id)
 
     def sink(batch_df: DataFrame, epoch_id: int | None = None) -> None:
-        if epoch_id is not None and lineage is not None and not partition_cols:
+        if epoch_id is not None and lineage is not None:
             _write_epoch_idempotent(batch_df, epoch_id)
         else:
             write_partitioned_parquet(batch_df, path, partition_cols)

@@ -103,7 +103,20 @@ class Pipeline:
         low-traffic window; nothing is rewritten here. NOTE: compaction
         rewrites files, so rebuild indexes (write_bloom_index /
         write_manifest) after executing a compaction plan — the
-        incremental refresh would re-read the compacted files anyway."""
+        incremental refresh would re-read the compacted files anyway.
+
+        EPOCH-IDEMPOTENT SINK TABLES (``parquet_batch_sink`` with
+        ``checkpoint=``): STOP the stream before executing a compaction
+        plan against the table, or exclude the newest epoch's
+        ``e<N>-<lineage>-`` files from retirement. Retiring originals
+        must not race a live stream: if the newest epoch's files are
+        compacted+retired and that epoch is then REPLAYED (its offsets
+        were uncommitted at a crash), the replay re-adds rows already
+        absorbed into the compacted file — duplicates that never
+        converge, because the replay's dead-attempt sweep only matches
+        epoch-named files, not the compacted one. Same discipline as
+        :func:`~.jobs.rebucket_cdc_snapshot` documents for the bucketed
+        CDC layout."""
         from iot_sensor_data_pipeline_spark.sources.bloom_index import (
             update_bloom_index,
         )

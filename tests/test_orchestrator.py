@@ -170,15 +170,26 @@ def test_parquet_sink_epoch_replay_is_idempotent(spark, tmp_path):
 
     # a wiped-and-recreated checkpoint at the SAME path restarts epoch
     # ids — same lineage hash, so its epoch 0 would delete committed
-    # rows; the regression guard fails loudly, and removing the lineage
-    # state file is the explicit adoption step
+    # rows; the regression guard fails loudly
     import pytest
 
     with pytest.raises(ValueError, match="older than this lineage"):
         sink(batch(5000, 5010), 0)
     assert spark.read.parquet(out).count() == 210  # table unharmed
-    os.remove(os.path.join(out, "_sink_lineage_" + __import__("hashlib")
-                            .sha256(b"/ckpt/A").hexdigest()[:8] + ".json"))
+    # a MISSING state file (crash between its delete and rename, manual
+    # cleanup) must NOT disarm the guard: max_epoch re-inferred from the
+    # e<N>-<lineage>- file names on disk (ADVICE r9 item 1)
+    state_file = os.path.join(out, "_sink_lineage_" + __import__("hashlib")
+                              .sha256(b"/ckpt/A").hexdigest()[:8] + ".json")
+    os.remove(state_file)
+    crc = os.path.join(out, "." + os.path.basename(state_file) + ".crc")
+    if os.path.exists(crc):  # hadoop local-FS checksum sidecar
+        os.remove(crc)
+    with pytest.raises(ValueError, match="lineage state file missing"):
+        sink(batch(5000, 5010), 0)
+    # explicit adoption: write max_epoch -1 into the lineage state file
+    with open(state_file, "w") as fh:
+        __import__("json").dump({"max_epoch": -1}, fh)
     sink(batch(5000, 5010), 0)  # adopted: epoch 0 replaces lineage A's e0
     assert spark.read.parquet(out).count() == 120  # 100-row e0 swapped for 10
 
@@ -198,6 +209,69 @@ def test_parquet_sink_epoch_replay_is_idempotent(spark, tmp_path):
     got2 = sorted(r.k for r in read_pruned(spark, out, {"k": (250, 260)}).collect())
     assert got2 == list(range(250, 261))
     assert spark.read.parquet(out).count() == 220
+
+
+def test_parquet_sink_epoch_replay_partitioned(spark, tmp_path):
+    """The r9 replay-idempotence contract on a HIVE-PARTITIONED sink
+    (VERDICT r9 task 3): a replayed epoch converges to one copy — even
+    when the replay's rows land in DIFFERENT partition directories than
+    the dead attempt's (the retirement sweep is recursive) — foreign
+    lineages stay additive, and the regression guard stays armed."""
+    import pytest
+
+    out = str(tmp_path / "part_epoch_sink")
+    sink = parquet_batch_sink(out, partition_cols=["dt"], checkpoint="/ckpt/P")
+
+    def batch(lo, hi, dt_mod=2, parts=2):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.concat(F.lit("d"), (F.col("id") % dt_mod).cast("string")).alias("dt"),
+        ).repartition(parts)
+
+    sink(batch(0, 100), 0)
+    sink(batch(100, 200), 1)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert sorted(r.dt for r in got.select("dt").distinct().collect()) == ["d0", "d1"]
+    # partition pruning still works on the epoch-named layout
+    assert got.where(F.col("dt") == "d0").count() == 100
+
+    # replay epoch 1: same rows, different task partitioning
+    sink(batch(100, 200, parts=7), 1)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.agg(F.sum("k")).first()[0] == sum(range(200))
+    assert got.agg(F.sum("v")).first()[0] == 2 * sum(range(200))
+
+    # replay epoch 1 again, rows now landing in DIFFERENT partitions
+    # (dt derived differently — the processing-time-partition case):
+    # the d0/d1 epoch-1 files must retire even though the new attempt
+    # only writes d0/d1/d2 — exact rows, no orphans in any directory
+    sink(batch(100, 200, dt_mod=3), 1)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.where(F.col("k") >= 100).select("dt").distinct().count() == 3
+    assert got.agg(F.sum("k")).first()[0] == sum(range(200))
+
+    # foreign lineage at the same epoch id: additive, never destructive
+    foreign = parquet_batch_sink(out, partition_cols=["dt"], checkpoint="/ckpt/Q")
+    foreign(batch(1000, 1010), 1)
+    assert spark.read.parquet(out).count() == 210
+
+    # wiped-checkpoint epoch regression fails loudly — including via
+    # the recursive file-name inference when the state file is gone
+    with pytest.raises(ValueError, match="older than this lineage"):
+        sink(batch(5000, 5010), 0)
+    pstate = os.path.join(out, "_sink_lineage_" + __import__("hashlib")
+                          .sha256(b"/ckpt/P").hexdigest()[:8] + ".json")
+    os.remove(pstate)
+    pcrc = os.path.join(out, "." + os.path.basename(pstate) + ".crc")
+    if os.path.exists(pcrc):
+        os.remove(pcrc)
+    with pytest.raises(ValueError, match="lineage state file missing"):
+        sink(batch(5000, 5010), 0)
+    assert spark.read.parquet(out).count() == 210  # table unharmed
 
 
 def test_streaming_sink_keeps_bloom_index_fresh(spark, tmp_path):
@@ -231,3 +305,47 @@ def test_streaming_sink_keeps_bloom_index_fresh(spark, tmp_path):
     assert len(kept) <= 3  # 2 keys live in 2 files (+ at most one fp)
     got = sorted(r.v for r in read_pruned_bloom(spark, out, ["k"], keys).collect())
     assert got == [84, 684]
+
+
+def test_read_sink_as_of_time_travel(spark, tmp_path):
+    """Epoch-scoped file names double as version metadata: as-of reads
+    reconstruct a lineage's state at any committed epoch, flat or
+    hive-partitioned, without extra bookkeeping; foreign lineages are
+    excluded by design."""
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        list_sink_epochs,
+        read_sink_as_of,
+    )
+
+    out = str(tmp_path / "asof_sink")
+    sink = parquet_batch_sink(out, partition_cols=["dt"], checkpoint="/ckpt/T")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("d"), (F.col("id") % 2).cast("string")).alias("dt"),
+        )
+
+    for e, (lo, hi) in enumerate([(0, 10), (10, 30), (30, 60)]):
+        sink(batch(lo, hi), e)
+    # a foreign lineage's rows must never appear in this lineage's as-of
+    parquet_batch_sink(out, partition_cols=["dt"], checkpoint="/ckpt/U")(
+        batch(1000, 1010), 0
+    )
+
+    assert list_sink_epochs(spark, out, "/ckpt/T") == [0, 1, 2]
+    assert read_sink_as_of(spark, out, "/ckpt/T", 0).count() == 10
+    as_of_1 = read_sink_as_of(spark, out, "/ckpt/T", 1)
+    assert as_of_1.count() == 30
+    assert "dt" in as_of_1.columns  # partition col survives (basePath)
+    assert as_of_1.where(F.col("dt") == "d1").count() == 15
+    assert read_sink_as_of(spark, out, "/ckpt/T").count() == 60
+    assert read_sink_as_of(spark, out, "/ckpt/T", 99).count() == 60
+    # epoch before the first commit: empty but typed
+    empty = read_sink_as_of(spark, out, "/ckpt/T", -1)
+    assert empty.count() == 0 and "k" in empty.columns
+    # a lineage that never wrote fails loudly
+    with pytest.raises(ValueError, match="no committed files"):
+        read_sink_as_of(spark, out, "/ckpt/NEVER")

@@ -209,6 +209,10 @@ def test_no_query_has_single_partition_window_or_cartesian(spark):
         # 1-row broadcast crossJoin (operators/itemsets.py) — the
         # sanctioned scalar pattern audit_plan downgrades to warn
         "parts_association_rules",
+        # rotated into the gate in r10: the (total, n_keys) scalar rides
+        # as a 1-row broadcast crossJoin (operators/skew.py skew_report)
+        # — the same sanctioned pattern
+        "lineitem_skew_report",
     }
 
     sf = "/root/testdata/sf0.001"

@@ -1178,3 +1178,145 @@ def test_cdc_bucketed_rejects_layout_mismatch_on_restart(spark, tmp_path):
     )
     with pytest.raises(Exception, match="n_buckets"):
         drain("ck2", 16)  # fresh checkpoint, same snapshot dir, new layout
+
+
+def test_cdc_point_read_large_probe_falls_back_to_shuffle(spark, tmp_path):
+    """VERDICT r9 minor 1: a probe relation above max_broadcast_keys
+    must NOT broadcast (driver/executor OOM at scale) — the read falls
+    back to a shuffle semi-join over the same bucket-pruned scan and
+    returns identical rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        read_cdc_snapshot_bucketed_for_keys,
+        start_cdc_apply_bucketed,
+    )
+
+    src = tmp_path / "cdcg_src"
+    src.mkdir()
+    snap = str(tmp_path / "snapshot_g")
+    ckpt = str(tmp_path / "cdcg_ckpt")
+    (src / "c1.json").write_text(
+        "\n".join(
+            _json.dumps({"k": k, "v": f"v{k}", "op": "insert", "seq": 1})
+            for k in range(300)
+        )
+    )
+    ch = spark.readStream.schema("k long, v string, op string, seq long").json(
+        str(src)
+    )
+    q = start_cdc_apply_bucketed(
+        ch, snap, ckpt, keys=["k"], seq_col="seq", n_buckets=8,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    wanted = spark.createDataFrame([(k,) for k in (5, 6, 7, 250)], "k long")
+    small = read_cdc_snapshot_bucketed_for_keys(spark, snap, ["k"], wanted)
+    big = read_cdc_snapshot_bucketed_for_keys(
+        spark, snap, ["k"], wanted, max_broadcast_keys=2
+    )
+    expect = {5: "v5", 6: "v6", 7: "v7", 250: "v250"}
+    assert {r.k: r.v for r in small.collect()} == expect
+    assert {r.k: r.v for r in big.collect()} == expect  # identical rows
+    # plan pins: the guarded path has no broadcast; the default path
+    # (probe under the threshold) still broadcasts
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in big_plan
+    assert "ShuffledHashJoin" in big_plan
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in small_plan
+    # both stay bucket-pruned: at most 4 of 8 bucket dirs opened
+    n_opened = big.select(F.input_file_name().alias("f")).distinct().count()
+    assert n_opened <= 4
+
+
+def test_cdc_fsck_lineage_after_reset_adoption(spark, tmp_path):
+    """ADVICE r9 item 4: a reset_epochs commit (stream_epoch = -1) lets
+    exactly ONE subsequent commit restart the numbering; the chain
+    check must flag a regression AFTER that adoption point instead of
+    treating -1 as the new comparison floor."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        _write_bucket_manifest,
+        validate_cdc_snapshot,
+    )
+
+    snap = str(tmp_path / "snapshot_l")
+    schema_json = spark.range(1).select(F.col("id").alias("k")).schema.json()
+    base = {"schema": schema_json, "n_buckets": 4, "buckets": {}, "keys": []}
+
+    # chain 7, -1, 3: a legitimate adoption — the 3 is the adopted
+    # checkpoint's own numbering, not a regression
+    for v, se in enumerate([7, -1, 3], start=1):
+        _write_bucket_manifest(spark, snap, v, {**base, "stream_epoch": se})
+    rep = validate_cdc_snapshot(spark, snap)
+    assert not any(str(p).startswith("lineage:") for p in rep["missing_paths"]), rep
+
+    # chain 7, -1, 3, 2: the 3 consumed the adoption, the 2 is a
+    # genuine regression (interleaved stale writer) — must be flagged
+    _write_bucket_manifest(spark, snap, 4, {**base, "stream_epoch": 2})
+    rep2 = validate_cdc_snapshot(spark, snap)
+    assert any(str(p).startswith("lineage:") for p in rep2["missing_paths"]), rep2
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """start_drift_monitor scores every micro-batch against the
+    persisted reference: a same-distribution batch scores ~0, a shifted
+    batch scores high PSI and fires the alert callback exactly once —
+    cross-restart safe via the checkpoint (a re-run scores no batch
+    twice)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.drift import (
+        build_drift_reference,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.jobs import start_drift_monitor
+
+    ref = spark.range(2000).select(
+        ((F.col("id") * 7) % 100).cast("double").alias("x")
+    )
+    ref_dir = str(tmp_path / "ref")
+    build_drift_reference(ref, ["x"], ref_dir, n_bins=16)
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    scores = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "drift_ckpt")
+    alerts: list[tuple[int, list]] = []
+
+    def run():
+        stream = spark.readStream.schema("x double").json(str(src))
+        q = start_drift_monitor(
+            stream, ref_dir, scores, ckpt,
+            psi_threshold=0.2, on_drift=lambda e, rows: alerts.append((e, rows)),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    # batch 0: same distribution -> low PSI, no alert
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps({"x": float((i * 7) % 100)}) for i in range(1000))
+    )
+    run()
+    # batch 1: shifted +60 -> high PSI + range escape, alert fires
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps({"x": float((i * 7) % 100 + 60)}) for i in range(1000))
+    )
+    run()
+
+    got = {r.epoch: r for r in spark.read.parquet(scores).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].psi < 0.05 and got[0].escaped_share == 0.0
+    assert got[1].psi > 0.2 and got[1].escaped_share > 0.0
+    assert len(alerts) == 1 and alerts[0][0] == 1
+    assert alerts[0][1][0].col == "x"
+
+    # restart with no new data: checkpoint replays nothing, no new rows
+    run()
+    assert spark.read.parquet(scores).count() == 2
