@@ -6,18 +6,28 @@ action, which executes the complete physical plan (scan, shuffle, agg)
 and materializes every output row without driver-side collection
 overhead — the fairest proxy for sink throughput.
 
-Each query is timed over TWO back-to-back runs and the MINIMUM is
-reported. Round-over-round comparison showed uniform 1.2-1.6x drift on
-queries whose code (and plans) had not changed — host-level noise, not
-plan regressions. The min of two runs measures the plan; a single
-sample measures the neighborhood. (Set BENCH_REPEATS=1 to reproduce
-the old single-shot methodology.)
+Each query is timed over THREE back-to-back runs and the MEDIAN is
+reported (VERDICT r9 task 6). Round-over-round comparison showed
+sub-second queries swinging +/-50% purely from session ordering when a
+single (or min-of-two) sample was taken — host-level noise, not plan
+regressions; the median of three is robust to one outlier in either
+direction. (Set BENCH_REPEATS=1 to reproduce the old single-shot
+methodology.)
+
+The payload also carries a ``maintenance`` section (VERDICT r9 task
+5): a measured micro-benchmark of the bucketed-CDC apply (N
+single-key batches into a B-bucket table — write amplification per
+batch must track touched/B, not 1.0) and the skipping-manifest
+refresh (incremental + steady-state no-op seconds), so a regression
+in the O(touched-buckets) maintenance claims shows up round-over-round
+instead of waiting for a hand re-measure of SCALE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,6 +59,117 @@ EXTRA_HEADLINES = {
 }
 
 
+def _du(root: str) -> dict[str, int]:
+    """{file path: bytes} for every file under root (recursive)."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            try:
+                out[p] = os.path.getsize(p)
+            except OSError:
+                pass
+    return out
+
+
+def bench_maintenance(spark) -> dict[str, float]:
+    """Measured maintenance trace (VERDICT r9 task 5).
+
+    Bucketed CDC: a 50k-key base into 32 buckets, then 4 single-key
+    update batches — ``cdc_write_amp_per_batch`` is mean(bytes written
+    by a batch) / base bytes and must track ~1/32 (one touched bucket),
+    not ~1.0 (a full rewrite would mean the O(touched-buckets) claim
+    regressed). Skipping manifest: build over 24 files, an incremental
+    one-new-file refresh, and the steady-state no-op (which must stay
+    in milliseconds — it guards the hot per-batch path)."""
+    import shutil
+    import tempfile
+
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        update_manifest,
+        write_manifest,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        start_cdc_apply_bucketed,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_maint_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        snap = os.path.join(tmp, "snap")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        def run_batch(fname: str, lines: list[str]) -> float:
+            with open(os.path.join(src, fname), "w") as fh:
+                fh.write("\n".join(lines))
+            ch = spark.readStream.schema(
+                "k long, v string, op string, seq long"
+            ).json(src)
+            t0 = time.perf_counter()
+            q = start_cdc_apply_bucketed(
+                ch, snap, ckpt, keys=["k"], seq_col="seq", n_buckets=32,
+                available_now=True,
+            )
+            q.awaitTermination(300)
+            return time.perf_counter() - t0
+
+        base_sec = run_batch(
+            "c0.json",
+            [json.dumps({"k": k, "v": f"v{k}", "op": "insert", "seq": 1})
+             for k in range(50_000)],
+        )
+        buckets_dir = os.path.join(snap, "buckets")
+        base_files = _du(buckets_dir)
+        base_bytes = sum(base_files.values())
+
+        batch_secs, batch_bytes = [], []
+        seen = dict(base_files)
+        for i in range(1, 5):
+            sec = run_batch(
+                f"c{i}.json",
+                [json.dumps({"k": i, "v": f"u{i}", "op": "update",
+                             "seq": i + 1})],
+            )
+            now = _du(buckets_dir)
+            written = sum(sz for p, sz in now.items() if p not in seen)
+            seen = now
+            batch_secs.append(sec)
+            batch_bytes.append(written)
+
+        man_tbl = os.path.join(tmp, "man_tbl")
+        for i in range(24):
+            spark.range(i * 1000, (i + 1) * 1000).selectExpr(
+                "id AS k", "id * 2 AS v"
+            ).coalesce(1).write.mode("append").parquet(man_tbl)
+        t0 = time.perf_counter()
+        write_manifest(spark, man_tbl, ["k"])
+        manifest_build_sec = time.perf_counter() - t0
+        spark.range(24_000, 25_000).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).coalesce(1).write.mode("append").parquet(man_tbl)
+        t0 = time.perf_counter()
+        update_manifest(spark, man_tbl, ["k"])
+        manifest_update_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        update_manifest(spark, man_tbl, ["k"])
+        manifest_noop_sec = time.perf_counter() - t0
+
+        return {
+            "cdc_base_sec": round(base_sec, 3),
+            "cdc_batch_sec_mean": round(sum(batch_secs) / len(batch_secs), 3),
+            "cdc_write_amp_per_batch": round(
+                (sum(batch_bytes) / len(batch_bytes)) / base_bytes, 4
+            ),
+            "cdc_n_buckets": 32,
+            "manifest_build_sec": round(manifest_build_sec, 3),
+            "manifest_update_sec": round(manifest_update_sec, 3),
+            "manifest_noop_sec": round(manifest_noop_sec, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -62,14 +183,14 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     fns[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     for name in names:
-        best = float("inf")
+        samples = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             fns[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     # the r1-anchored 12-query subtotal, so the round-over-round ratio
@@ -84,6 +205,7 @@ def main() -> None:
         "tpch_q6_forecast_revenue",
     }
     legacy_total = round(sum(v for n, v in timings.items() if n in r1_set), 3)
+    maintenance = bench_maintenance(spark)
     print(
         json.dumps(
             {
@@ -93,6 +215,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "r1_anchored_subtotal": legacy_total,
+                "maintenance": maintenance,
             }
         )
     )
