@@ -1,0 +1,286 @@
+"""Distribution-drift report between two snapshots of a table — the
+statistical complement to row-level ``operators/merge.snapshot_diff``
+(which tells you WHICH rows changed; this tells you whether the
+DISTRIBUTION moved). The standard gate in a training-data pipeline:
+before a new crawl/refresh replaces the reference corpus, score each
+feature column's Population Stability Index and total-variation
+distance against the reference; a quality score whose PSI jumps past
+~0.2 means the upstream changed and the mixing weights/filters need
+re-tuning (PSI thresholds are the published credit-scoring convention:
+<0.1 stable, 0.1-0.2 moderate, >0.2 action).
+
+Design (engine-exact on purpose, so the DuckDB oracle hash-matches):
+
+- **Fixed-width bins over the REFERENCE's [min, max]**, not quantile
+  edges — quantile edges are engine-specific (interpolation, sampling)
+  while ``(v - min) / width`` is pure arithmetic that any engine
+  reproduces bit-for-bit. Two OVERFLOW bins (-1 and n_bins) catch
+  current values outside the reference range — range escape IS drift
+  and must not silently clamp into the edge bins.
+- **One scan per side for every column**: the wide table unpivots to
+  (col, value) long form (``stack``), so adding columns adds zero
+  scans. The reference min/max per column is ONE aggregated row
+  collected to the driver (2 x n_cols scalars — metadata grain) and
+  re-enters the plan as literals.
+- **PSI with explicit epsilon flooring** (``max(share, 1e-6)``): the
+  conventional guard against empty-bin log blowups, chosen as a pure
+  expression both engines evaluate identically (Laplace smoothing
+  would couple the result to bin counts). TVD needs no smoothing and
+  is reported alongside: ``0.5 * sum(|p - q|)``.
+
+Shuffle inventory: two scans (ref, cur), each feeding ONE map-side
+combined groupBy on (col, bin) — at most ``n_cols * (n_bins + 2)``
+grouped rows — then a tiny full-outer join and a per-col re-agg. No
+windows, no driver loops over data, no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "drift_report",
+    "build_drift_reference",
+    "drift_against_reference",
+]
+
+#: empty-bin share floor for the PSI log ratio (engine-portable pure
+#: expression; the conventional epsilon guard)
+PSI_EPS = 1e-6
+
+
+def _long_form(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(col, value) long form: one output row per non-null cell."""
+    pairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+    return df.selectExpr(
+        f"stack({len(cols)}, {pairs}) AS (col, value)"
+    ).where(F.col("value").isNotNull())
+
+
+def _binned_counts(
+    long: DataFrame, stats: dict[str, tuple[float, float]], n_bins: int
+) -> DataFrame:
+    """(col, bin, n) with bin in [-1, n_bins]: fixed-width bins over
+    the reference [min, max]; -1 / n_bins are the overflow bins; a
+    zero-width (constant) reference column maps in-range values to bin
+    0. The bin rule is plain arithmetic so DuckDB reproduces it."""
+    bin_expr = F.lit(None).cast("long")
+    for c, (lo, hi) in stats.items():
+        width = (hi - lo) / n_bins
+        if width > 0:
+            e = F.least(
+                F.greatest(
+                    F.floor((F.col("value") - F.lit(lo)) / F.lit(width)),
+                    F.lit(-1).cast("long"),
+                ),
+                F.lit(n_bins).cast("long"),
+            )
+            # v == hi lands on floor == n_bins: in-range by definition,
+            # fold into the last real bin (overflow is STRICTLY > hi)
+            e = F.when(F.col("value") == F.lit(hi), F.lit(n_bins - 1)).otherwise(e)
+        else:
+            e = (
+                F.when(F.col("value") < F.lit(lo), F.lit(-1))
+                .when(F.col("value") > F.lit(hi), F.lit(n_bins))
+                .otherwise(F.lit(0))
+            ).cast("long")
+        bin_expr = F.when(F.col("col") == c, e).otherwise(bin_expr)
+    return long.select("col", bin_expr.alias("bin")).groupBy("col", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def drift_report(
+    reference: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    n_bins: int = 16,
+) -> DataFrame:
+    """Per-column drift of ``current`` against ``reference``.
+
+    Returns one row per column: ``(col, n_ref, n_cur, psi, tvd,
+    escaped_share)`` where ``psi`` is the Population Stability Index
+    over ``n_bins`` fixed-width reference bins plus two overflow bins,
+    ``tvd`` the total-variation distance (0.5 * L1) over the same
+    bins, and ``escaped_share`` the fraction of current rows outside
+    the reference [min, max] (range escape reported explicitly, not
+    hidden inside edge bins). NULLs are excluded on both sides
+    (``n_ref``/``n_cur`` count non-null cells); a column with no
+    non-null reference rows is omitted — there is no distribution to
+    drift from. Floats are rounded to 6dp so cross-engine summation
+    order cannot flip the hash."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("drift_report: cols must be non-empty")
+    if n_bins < 2:
+        raise ValueError("drift_report: n_bins must be >= 2")
+    ref_long = _long_form(reference, cols)
+    cur_long = _long_form(current, cols)
+    # ONE aggregated row: per-column reference min/max (metadata-grain
+    # driver collect, 2 x n_cols scalars)
+    row = reference.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).first()
+    stats = {
+        c: (row[f"lo_{c}"], row[f"hi_{c}"])
+        for c in cols
+        if row[f"lo_{c}"] is not None
+    }
+    if not stats:
+        raise ValueError("drift_report: no reference column has non-null rows")
+    ref_counts = _binned_counts(ref_long, stats, n_bins).withColumnRenamed(
+        "n", "n_ref_bin"
+    )
+    cur_counts = _binned_counts(cur_long, stats, n_bins).withColumnRenamed(
+        "n", "n_cur_bin"
+    )
+    return _report_from_counts(ref_counts, cur_counts, n_bins)
+
+
+def _report_from_counts(
+    ref_counts: DataFrame, cur_counts: DataFrame, n_bins: int
+) -> DataFrame:
+    """(col, n_ref, n_cur, psi, tvd, escaped_share) from the two
+    (col, bin)-grain count relations."""
+    merged = ref_counts.join(cur_counts, ["col", "bin"], "full_outer").select(
+        "col",
+        "bin",
+        F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
+        F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
+    )
+    totals = merged.groupBy("col").agg(
+        F.sum("n_ref_bin").alias("n_ref"), F.sum("n_cur_bin").alias("n_cur")
+    )
+    # try_divide: n_cur may be 0 (no non-null current rows) and ANSI
+    # mode rejects /0; the guard below turns the metrics NULL anyway
+    p = F.greatest(F.col("n_ref_bin") / F.col("n_ref"), F.lit(PSI_EPS))
+    q = F.greatest(
+        F.try_divide(F.col("n_cur_bin"), F.col("n_cur")), F.lit(PSI_EPS)
+    )
+    escaped = F.when(
+        (F.col("bin") == -1) | (F.col("bin") == n_bins), F.col("n_cur_bin")
+    ).otherwise(F.lit(0))
+    out = (
+        merged.join(totals, "col")
+        .groupBy("col")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.round(
+                F.lit(0.5)
+                * F.sum(
+                    F.abs(
+                        F.col("n_ref_bin") / F.col("n_ref")
+                        - F.try_divide(F.col("n_cur_bin"), F.col("n_cur"))
+                    )
+                ),
+                6,
+            ).alias("tvd"),
+            F.round(
+                F.try_divide(F.sum(escaped), F.first("n_cur")), 6
+            ).alias("escaped_share"),
+        )
+    )
+    # a column with zero non-null CURRENT rows has no current
+    # distribution: metrics are NULL (undefined), never 0 (stable) —
+    # the ranking_metrics NULL-semantics discipline
+    guard = F.col("n_cur") > 0
+    return out.select(
+        "col",
+        "n_ref",
+        "n_cur",
+        *[F.when(guard, F.col(m)).alias(m) for m in ("psi", "tvd", "escaped_share")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted drift reference: build the reference histogram ONCE, score
+# any number of later batches against it without rescanning the
+# reference — the streaming-monitor form of drift_report
+# ---------------------------------------------------------------------------
+
+
+def build_drift_reference(
+    reference: DataFrame, cols: Sequence[str], ref_dir: str, n_bins: int = 16
+) -> None:
+    """Persist the reference side of :func:`drift_report` at
+    ``ref_dir``: one denormalized parquet relation ``(col, bin, n,
+    lo, hi, n_bins)`` — counts plus the bin geometry in one place, so a
+    scorer needs no side-channel metadata. Build cost is one scan of
+    the reference; every later :func:`drift_against_reference` call
+    pays only the CURRENT side's scan (the reference never rescans),
+    which is what a per-micro-batch monitor needs. Committed via the
+    versioned-metadata discipline (``v<N>`` dirs) so re-building a
+    reference never races a concurrent scorer."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        _commit_version_in,
+    )
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("build_drift_reference: cols must be non-empty")
+    if n_bins < 2:
+        raise ValueError("build_drift_reference: n_bins must be >= 2")
+    row = reference.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).first()
+    stats = {
+        c: (row[f"lo_{c}"], row[f"hi_{c}"])
+        for c in cols
+        if row[f"lo_{c}"] is not None
+    }
+    if not stats:
+        raise ValueError("build_drift_reference: no column has non-null rows")
+    counts = _binned_counts(_long_form(reference, cols), stats, n_bins)
+    geom = F.lit(None).cast("double")
+    lo_expr, hi_expr = geom, geom
+    for c, (lo, hi) in stats.items():
+        lo_expr = F.when(F.col("col") == c, F.lit(lo)).otherwise(lo_expr)
+        hi_expr = F.when(F.col("col") == c, F.lit(hi)).otherwise(hi_expr)
+    rel = counts.select(
+        "col", "bin", "n",
+        lo_expr.alias("lo"), hi_expr.alias("hi"),
+        F.lit(n_bins).cast("int").alias("n_bins"),
+    )
+    _commit_version_in(reference.sparkSession, ref_dir, rel)
+
+
+def drift_against_reference(current: DataFrame, ref_dir: str) -> DataFrame:
+    """Score ``current`` against a persisted reference
+    (:func:`build_drift_reference`): same output contract as
+    :func:`drift_report`, but the reference side is the stored
+    histogram — cost is one scan of ``current`` plus the tiny count
+    relation. Columns absent from ``current`` are omitted (a SCHEMA
+    drift — detect it by diffing ``df.columns``, not distributions)."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        _read_versioned_in,
+    )
+
+    spark = current.sparkSession
+    ref = _read_versioned_in(spark, ref_dir)
+    meta = ref.select("col", "lo", "hi", "n_bins").distinct().collect()
+    if not meta:
+        raise ValueError(f"empty drift reference at {ref_dir}")
+    n_bins = int(meta[0]["n_bins"])
+    stats = {
+        r["col"]: (r["lo"], r["hi"]) for r in meta if r["col"] in current.columns
+    }
+    if not stats:
+        raise ValueError(
+            "drift_against_reference: no reference column present in the "
+            f"current DataFrame (reference has {sorted(r['col'] for r in meta)})"
+        )
+    ref_counts = (
+        ref.where(F.col("col").isin(list(stats)))
+        .select("col", "bin", F.col("n").alias("n_ref_bin"))
+    )
+    cur_counts = _binned_counts(
+        _long_form(current, list(stats)), stats, n_bins
+    ).withColumnRenamed("n", "n_cur_bin")
+    return _report_from_counts(ref_counts, cur_counts, n_bins)

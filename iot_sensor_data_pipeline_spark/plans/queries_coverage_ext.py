@@ -575,3 +575,99 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return profile_columns(docs, cols=list(_PROFILE_COLS)).drop("approx_distinct")
+
+
+# ---------------------------------------------------------------------------
+# lineitem_drift_report — distribution drift between two temporal
+# snapshots (operators/drift.py): PSI + total-variation over
+# fixed-width reference bins with explicit overflow bins. The binning
+# rule is pure arithmetic by design, so the full metric pipeline
+# (unpivot -> bin -> full-outer merge -> epsilon-floored PSI)
+# hash-matches DuckDB cross-engine.
+# ---------------------------------------------------------------------------
+
+_DRIFT_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_DRIFT_SPLIT = "1995-06-01"
+_DRIFT_BINS = 16
+
+
+def _drift_oracle() -> str:
+    def long_form(pred: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT '{c}' AS col, CAST({c} AS DOUBLE) AS value\n"
+            f"  FROM lineitem WHERE {pred} AND {c} IS NOT NULL"
+            for c in _DRIFT_COLS
+        )
+
+    b = _DRIFT_BINS
+    eps = "0.000001"
+    bin_case = f"""CASE WHEN s.hi > s.lo THEN
+        CASE WHEN l.value = s.hi THEN {b - 1}
+             ELSE least(greatest(CAST(floor((l.value - s.lo)
+                                            / ((s.hi - s.lo) / {b})) AS BIGINT),
+                                 CAST(-1 AS BIGINT)), CAST({b} AS BIGINT)) END
+      ELSE CASE WHEN l.value < s.lo THEN -1
+                WHEN l.value > s.hi THEN {b}
+                ELSE 0 END END"""
+    return f"""
+WITH ref_long AS (
+{long_form(f"l_shipdate < TIMESTAMP '{_DRIFT_SPLIT}'")}
+),
+cur_long AS (
+{long_form(f"l_shipdate >= TIMESTAMP '{_DRIFT_SPLIT}'")}
+),
+stats AS (SELECT col, min(value) AS lo, max(value) AS hi
+          FROM ref_long GROUP BY col),
+rb AS (SELECT l.col, {bin_case} AS bin
+       FROM ref_long l JOIN stats s ON l.col = s.col),
+cb AS (SELECT l.col, {bin_case} AS bin
+       FROM cur_long l JOIN stats s ON l.col = s.col),
+rc AS (SELECT col, bin, count(*) AS n_ref_bin FROM rb GROUP BY col, bin),
+cc AS (SELECT col, bin, count(*) AS n_cur_bin FROM cb GROUP BY col, bin),
+m AS (
+  SELECT coalesce(rc.col, cc.col) AS col,
+         coalesce(rc.bin, cc.bin) AS bin,
+         coalesce(rc.n_ref_bin, 0) AS n_ref_bin,
+         coalesce(cc.n_cur_bin, 0) AS n_cur_bin
+  FROM rc FULL OUTER JOIN cc ON rc.col = cc.col AND rc.bin = cc.bin
+),
+t AS (SELECT col, sum(n_ref_bin) AS n_ref, sum(n_cur_bin) AS n_cur
+      FROM m GROUP BY col)
+SELECT m.col,
+       CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       round(sum((greatest(m.n_ref_bin / t.n_ref, {eps})
+                  - greatest(m.n_cur_bin / t.n_cur, {eps}))
+                 * ln(greatest(m.n_ref_bin / t.n_ref, {eps})
+                      / greatest(m.n_cur_bin / t.n_cur, {eps}))), 6) AS psi,
+       round(0.5 * sum(abs(m.n_ref_bin / t.n_ref
+                           - m.n_cur_bin / t.n_cur)), 6) AS tvd,
+       round(sum(CASE WHEN m.bin = -1 OR m.bin = {b}
+                      THEN m.n_cur_bin ELSE 0 END) / t.n_cur, 6)
+         AS escaped_share
+FROM m JOIN t ON m.col = t.col
+GROUP BY m.col, t.n_ref, t.n_cur
+"""
+
+
+@register_extended(
+    "lineitem_drift_report",
+    oracle=_drift_oracle(),
+    tags=("drift", "maintenance", "pipeline"),
+)
+def lineitem_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift of post-1995-06 shipments against the
+    earlier history (operators/drift.py drift_report): one scan per
+    side for all three measure columns, PSI + TVD + range-escape per
+    column. The corpus-refresh gate a training-data pipeline runs
+    before swapping its reference snapshot."""
+    from iot_sensor_data_pipeline_spark.operators.drift import drift_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp_ntz")
+    return drift_report(
+        li.where(F.col("l_shipdate") < split),
+        li.where(F.col("l_shipdate") >= split),
+        list(_DRIFT_COLS),
+        n_bins=_DRIFT_BINS,
+    )

@@ -1,0 +1,156 @@
+"""Distribution-drift report (operators/drift.py): identical
+distributions score ~0, a known shift matches an independent python
+mirror, range escape surfaces in the overflow bins, and NULL/degenerate
+inputs follow the undefined-is-NULL discipline."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.operators.drift import PSI_EPS, drift_report
+
+
+def _mirror(ref: list[float], cur: list[float], n_bins: int):
+    """Independent python PSI/TVD over the same binning rule."""
+    lo, hi = min(ref), max(ref)
+    width = (hi - lo) / n_bins
+
+    def bin_of(v):
+        if width > 0:
+            if v == hi:
+                return n_bins - 1
+            return min(max(math.floor((v - lo) / width), -1), n_bins)
+        return -1 if v < lo else (n_bins if v > hi else 0)
+
+    bins = list(range(-1, n_bins + 1))
+    rc = {b: 0 for b in bins}
+    cc = {b: 0 for b in bins}
+    for v in ref:
+        rc[bin_of(v)] += 1
+    for v in cur:
+        cc[bin_of(v)] += 1
+    psi = tvd = 0.0
+    for b in bins:
+        p = max(rc[b] / len(ref), PSI_EPS)
+        q = max(cc[b] / len(cur), PSI_EPS)
+        psi += (p - q) * math.log(p / q)
+        tvd += abs(rc[b] / len(ref) - cc[b] / len(cur))
+    esc = (cc[-1] + cc[n_bins]) / len(cur)
+    return round(psi, 6), round(0.5 * tvd, 6), round(esc, 6)
+
+
+def test_identical_distributions_score_zero(spark):
+    df = spark.range(1000).select((F.col("id") % 37).cast("double").alias("x"))
+    got = {r.col: r for r in drift_report(df, df, ["x"]).collect()}
+    assert got["x"].psi == pytest.approx(0.0, abs=1e-9)
+    assert got["x"].tvd == 0.0
+    assert got["x"].escaped_share == 0.0
+    assert got["x"].n_ref == got["x"].n_cur == 1000
+
+
+def test_shifted_distribution_matches_python_mirror(spark):
+    ref_vals = [float((i * 7) % 100) for i in range(2000)]
+    cur_vals = [float(((i * 7) % 100) + 30) for i in range(1500)]  # shift +30
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "x double")
+    got = drift_report(ref, cur, ["x"], n_bins=16).collect()[0]
+    psi, tvd, esc = _mirror(ref_vals, cur_vals, 16)
+    assert got.psi == pytest.approx(psi, abs=1e-6)
+    assert got.tvd == pytest.approx(tvd, abs=1e-6)
+    assert got.escaped_share == pytest.approx(esc, abs=1e-6)
+    assert got.psi > 0.2  # a +30% range shift is actionable drift
+    assert got.escaped_share > 0  # part of cur escapes the ref range
+
+
+def test_multi_column_one_report(spark):
+    ref = spark.range(500).select(
+        (F.col("id") % 10).cast("double").alias("a"),
+        (F.col("id") % 3).cast("double").alias("b"),
+    )
+    cur = spark.range(500).select(
+        (F.col("id") % 10).cast("double").alias("a"),  # unchanged
+        ((F.col("id") % 3) + 100).cast("double").alias("b"),  # escaped
+    )
+    got = {r.col: r for r in drift_report(ref, cur, ["a", "b"]).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"].psi == pytest.approx(0.0, abs=1e-9)
+    assert got["b"].escaped_share == 1.0
+    assert got["b"].psi > 1.0  # total separation
+
+
+def test_constant_reference_column(spark):
+    ref = spark.createDataFrame([(5.0,)] * 100, "x double")
+    cur_same = spark.createDataFrame([(5.0,)] * 50, "x double")
+    cur_off = spark.createDataFrame([(6.0,)] * 50, "x double")
+    same = drift_report(ref, cur_same, ["x"]).collect()[0]
+    assert same.psi == pytest.approx(0.0, abs=1e-9) and same.escaped_share == 0.0
+    off = drift_report(ref, cur_off, ["x"]).collect()[0]
+    assert off.escaped_share == 1.0 and off.psi > 1.0
+
+
+def test_null_semantics(spark):
+    ref = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+    cur_null = spark.createDataFrame([(None,)], "x double")
+    row = drift_report(ref, cur_null, ["x"]).collect()[0]
+    # no current distribution -> NULL metrics, never "0 = stable"
+    assert row.n_cur == 0
+    assert row.psi is None and row.tvd is None and row.escaped_share is None
+    # NULLs excluded from counts on both sides
+    assert row.n_ref == 2
+
+
+def test_guards(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="cols"):
+        drift_report(df, df, [])
+    with pytest.raises(ValueError, match="n_bins"):
+        drift_report(df, df, ["x"], n_bins=1)
+    allnull = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError, match="non-null"):
+        drift_report(allnull, df, ["x"])
+
+
+def test_persisted_reference_matches_direct_report(spark, tmp_path):
+    """build_drift_reference + drift_against_reference == drift_report:
+    the persisted-histogram path (the per-micro-batch monitor form)
+    must score identically to the two-scan form, and re-building the
+    reference commits a new version without breaking a reader."""
+    from iot_sensor_data_pipeline_spark.operators.drift import (
+        build_drift_reference,
+        drift_against_reference,
+    )
+
+    ref = spark.range(2000).select(
+        ((F.col("id") * 7) % 100).cast("double").alias("x"),
+        ((F.col("id") * 3) % 50).cast("double").alias("y"),
+    )
+    cur = spark.range(1500).select(
+        (((F.col("id") * 7) % 100) + 30).cast("double").alias("x"),
+        ((F.col("id") * 3) % 50).cast("double").alias("y"),
+    )
+    ref_dir = str(tmp_path / "drift_ref")
+    build_drift_reference(ref, ["x", "y"], ref_dir, n_bins=16)
+
+    direct = {r.col: r for r in drift_report(ref, cur, ["x", "y"], 16).collect()}
+    stored = {r.col: r for r in drift_against_reference(cur, ref_dir).collect()}
+    assert set(direct) == set(stored) == {"x", "y"}
+    for c in ("x", "y"):
+        assert stored[c].psi == direct[c].psi
+        assert stored[c].tvd == direct[c].tvd
+        assert stored[c].escaped_share == direct[c].escaped_share
+        assert stored[c].n_ref == direct[c].n_ref
+
+    # columns missing from current are omitted, not zero-scored
+    only_x = drift_against_reference(cur.select("x"), ref_dir).collect()
+    assert [r.col for r in only_x] == ["x"]
+
+    # rebuilding commits a new version; scoring still works
+    build_drift_reference(ref, ["x"], ref_dir, n_bins=8)
+    again = drift_against_reference(cur, ref_dir).collect()
+    assert [r.col for r in again] == ["x"]
+
+    with pytest.raises(ValueError, match="no reference column"):
+        drift_against_reference(cur.selectExpr("x AS zzz"), ref_dir)
