@@ -93,6 +93,28 @@ def _binned_counts(
     )
 
 
+def _reference_stats(
+    reference: DataFrame, cols: Sequence[str]
+) -> dict[str, tuple[float, float]]:
+    """Per-column reference (min, max) from ONE aggregated row
+    (metadata-grain driver collect, 2 x n_cols scalars); columns with
+    no non-null reference rows are dropped — there is no distribution
+    to drift from. Shared by the direct and persisted-reference paths
+    so the two can never disagree on stats semantics."""
+    row = reference.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).first()
+    stats = {
+        c: (row[f"lo_{c}"], row[f"hi_{c}"])
+        for c in cols
+        if row[f"lo_{c}"] is not None
+    }
+    if not stats:
+        raise ValueError("no reference column has non-null rows")
+    return stats
+
+
 def drift_report(
     reference: DataFrame,
     current: DataFrame,
@@ -117,21 +139,12 @@ def drift_report(
         raise ValueError("drift_report: cols must be non-empty")
     if n_bins < 2:
         raise ValueError("drift_report: n_bins must be >= 2")
-    ref_long = _long_form(reference, cols)
-    cur_long = _long_form(current, cols)
-    # ONE aggregated row: per-column reference min/max (metadata-grain
-    # driver collect, 2 x n_cols scalars)
-    row = reference.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
-    ).first()
-    stats = {
-        c: (row[f"lo_{c}"], row[f"hi_{c}"])
-        for c in cols
-        if row[f"lo_{c}"] is not None
-    }
-    if not stats:
-        raise ValueError("drift_report: no reference column has non-null rows")
+    stats = _reference_stats(reference, cols)
+    # both long forms cover only the stats-bearing columns: a column
+    # that is all-NULL in the reference is OMITTED (documented) — the
+    # current side must not smuggle it back in as an n_ref=0 row
+    ref_long = _long_form(reference, list(stats))
+    cur_long = _long_form(current, list(stats))
     ref_counts = _binned_counts(ref_long, stats, n_bins).withColumnRenamed(
         "n", "n_ref_bin"
     )
@@ -226,18 +239,8 @@ def build_drift_reference(
         raise ValueError("build_drift_reference: cols must be non-empty")
     if n_bins < 2:
         raise ValueError("build_drift_reference: n_bins must be >= 2")
-    row = reference.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
-    ).first()
-    stats = {
-        c: (row[f"lo_{c}"], row[f"hi_{c}"])
-        for c in cols
-        if row[f"lo_{c}"] is not None
-    }
-    if not stats:
-        raise ValueError("build_drift_reference: no column has non-null rows")
-    counts = _binned_counts(_long_form(reference, cols), stats, n_bins)
+    stats = _reference_stats(reference, cols)
+    counts = _binned_counts(_long_form(reference, list(stats)), stats, n_bins)
     geom = F.lit(None).cast("double")
     lo_expr, hi_expr = geom, geom
     for c, (lo, hi) in stats.items():

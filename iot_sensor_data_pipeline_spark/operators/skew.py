@@ -37,7 +37,10 @@ def _salt_expr(df: DataFrame, salt_cols: Sequence[str] | None, n_salts: int):
     compact discriminator set instead of paying full-payload hashing
     per row — and MapType payloads, which Spark cannot hash, stay out
     of the hash input (VERDICT r9 minor 2)."""
-    cols = list(salt_cols) if salt_cols else list(df.columns)
+    # `is None`, not falsy: an explicitly-passed empty list must hit
+    # the guard below, not silently fall back to full-row hashing (the
+    # exact cost/MapType hazard the parameter exists to avoid)
+    cols = list(df.columns) if salt_cols is None else list(salt_cols)
     if not cols:
         raise ValueError("salt_cols must name at least one column")
     missing = [c for c in cols if c not in df.columns]

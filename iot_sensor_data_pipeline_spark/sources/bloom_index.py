@@ -168,7 +168,7 @@ def write_bloom_index(
         _coverage_rows(spark, files, m_bits, n_hashes)
     )
     idx_dir = bloom_index_dir(path, on)
-    _commit_version_in(spark, idx_dir, blooms)
+    _commit_version_in(spark, idx_dir, blooms, single_file=False)
     return _read_versioned_in(spark, idx_dir)
 
 
@@ -223,7 +223,7 @@ def update_bloom_index(
     else:
         fresh = kept.limit(0)
     merged = kept.unionByName(fresh)
-    _commit_version_in(spark, idx_dir, merged)
+    _commit_version_in(spark, idx_dir, merged, single_file=False)
     return _read_bloom_index(spark, idx_dir)
 
 

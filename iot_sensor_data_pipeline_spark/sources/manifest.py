@@ -206,7 +206,11 @@ def _versions_in(spark: SparkSession, root_dir: str) -> list[int]:
 
 
 def _commit_version_in(
-    spark: SparkSession, root_dir: str, rel: DataFrame, keep_versions: int = 2
+    spark: SparkSession,
+    root_dir: str,
+    rel: DataFrame,
+    keep_versions: int = 2,
+    single_file: bool = True,
 ) -> None:
     """Versioned metadata commit (VERDICT r9 task 2 — the bucketed-CDC
     discipline applied to the skipping manifest and the bloom index):
@@ -224,7 +228,13 @@ def _commit_version_in(
     versions = _versions_in(spark, root_dir)
     new_v = (versions[-1] + 1) if versions else 1
     staging = f"{root_dir}/.v{new_v}.staging"
-    rel.coalesce(1).write.mode("overwrite").parquet(staging)
+    # single_file fits the tiny manifest (one cheap driver-side read
+    # later); a LARGE metadata relation (the bloom index's per-(file,
+    # word) rows) must keep its distributed write — coalesce(1) would
+    # collapse the upstream aggregation into one task
+    (rel.coalesce(1) if single_file else rel).write.mode("overwrite").parquet(
+        staging
+    )
     fs, dst, jvm = _fs_for(spark, f"{root_dir}/v{new_v}")
     src = jvm.org.apache.hadoop.fs.Path(staging)
     fs.delete(dst, True)  # only a crashed same-N commit can leave one

@@ -124,22 +124,24 @@ def read_sink_as_of(
     Cost: one recursive listing (metadata-grain) + a scan of the
     selected files only."""
     lineage = _lineage_of(checkpoint)
+    # ONE recursive listing, reused for the selection, the existence
+    # check, and the schema probe — on an object store the listing is
+    # the dominant metadata cost and must not triple
+    all_files = [
+        (p.toString(), e) for p, e in _iter_lineage_files(spark, path, lineage)
+    ]
+    if not all_files:
+        raise ValueError(
+            f"no committed files for lineage of {checkpoint!r} under {path}"
+        )
     files = [
-        p.toString()
-        for p, e in _iter_lineage_files(spark, path, lineage)
-        if as_of_epoch is None or e <= as_of_epoch
+        f for f, e in all_files if as_of_epoch is None or e <= as_of_epoch
     ]
     if not files:
-        all_epochs = list_sink_epochs(spark, path, checkpoint)
-        if not all_epochs:
-            raise ValueError(
-                f"no committed files for lineage of {checkpoint!r} under {path}"
-            )
         # the lineage exists but nothing at/before as_of_epoch: an
         # empty-but-typed frame (schema from the lineage's own files)
-        first = next(iter(_iter_lineage_files(spark, path, lineage)))[0].toString()
         return (
-            spark.read.option("basePath", path).parquet(first).limit(0)
+            spark.read.option("basePath", path).parquet(all_files[0][0]).limit(0)
         )
     return spark.read.option("basePath", path).parquet(*files)
 

@@ -1814,11 +1814,15 @@ def start_drift_monitor(
     driver-small, <= n_cols). The callback must not raise to "stop" the
     stream: a monitor that kills ingest on drift turns a data-quality
     signal into an outage; raise from your callback only if that trade
-    is explicit. Empty batches score nothing (no zero-count noise in
-    the monitoring table)."""
+    is explicit — and alerts are AT-LEAST-once (a crash between the
+    score write and the checkpoint commit replays the batch, re-firing
+    the alert; the score ROWS themselves converge to one copy). Empty
+    batches score nothing (no zero-count noise in the monitoring
+    table)."""
     from iot_sensor_data_pipeline_spark.operators.drift import (
         drift_against_reference,
     )
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
 
     if (psi_threshold is None) != (on_drift is None):
         raise ValueError(
@@ -1826,6 +1830,11 @@ def start_drift_monitor(
             "without a callback alerts nobody; a callback without a "
             "threshold never fires"
         )
+    # the scores table is itself a foreachBatch parquet append — route
+    # it through the epoch-idempotent sink (scoped to THIS checkpoint's
+    # lineage) or a replayed micro-batch would duplicate its report
+    # rows forever
+    scores_sink = parquet_batch_sink(scores_dir, checkpoint=checkpoint)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -1838,7 +1847,7 @@ def start_drift_monitor(
         if on_drift is not None:
             rep = rep.persist()  # scored once: the write + the alert probe
         try:
-            rep.coalesce(1).write.mode("append").parquet(scores_dir)
+            scores_sink(rep.coalesce(1), epoch_id)
             if on_drift is not None:
                 flagged = rep.where(
                     F.col("psi").isNotNull() & (F.col("psi") >= psi_threshold)

@@ -154,3 +154,17 @@ def test_persisted_reference_matches_direct_report(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no reference column"):
         drift_against_reference(cur.selectExpr("x AS zzz"), ref_dir)
+
+
+def test_column_all_null_in_reference_is_omitted(spark):
+    """Review regression: a column that is all-NULL in the reference
+    but populated in the current snapshot must be OMITTED (documented —
+    no distribution to drift from), not crash with DIVIDE_BY_ZERO under
+    ANSI mode or emit a spurious n_ref=0 row."""
+    ref = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None)], "x double, y double"
+    )
+    cur = spark.createDataFrame([(1.5, 9.0), (2.5, 10.0)], "x double, y double")
+    got = drift_report(ref, cur, ["x", "y"]).collect()
+    assert [r.col for r in got] == ["x"]
+    assert got[0].n_ref == 3 and got[0].n_cur == 2

@@ -1320,3 +1320,13 @@ def test_streaming_drift_monitor(spark, tmp_path):
     # restart with no new data: checkpoint replays nothing, no new rows
     run()
     assert spark.read.parquet(scores).count() == 2
+
+    # the scores table rides the epoch-idempotent sink: a replayed
+    # epoch (foreachBatch is at-least-once) converges to ONE copy of
+    # its report rows instead of appending duplicates forever
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+
+    replay_sink = parquet_batch_sink(scores, checkpoint=ckpt)
+    epoch1_rows = spark.read.parquet(scores).where(F.col("epoch") == 1)
+    replay_sink(epoch1_rows.coalesce(1), 1)
+    assert spark.read.parquet(scores).count() == 2
