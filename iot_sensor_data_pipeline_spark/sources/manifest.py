@@ -52,6 +52,8 @@ __all__ = [
     "plan_compaction",
     "compact_files",
     "compact_clustered",
+    "optimize_table",
+    "recover_optimize",
 ]
 
 MANIFEST_DIR = "_manifest"
@@ -634,3 +636,169 @@ def compact_clustered(
         )
     plan.unpersist()
     return plan, keep_files
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE in place: plan -> rewrite -> journaled publish-then-retire
+# swap -> index refresh. Completes the loop compact_files leaves to the
+# caller ("the caller swaps the directory once the write commits").
+# ---------------------------------------------------------------------------
+
+
+def _journal_path(path: str, jvm):
+    return jvm.org.apache.hadoop.fs.Path(f"{path}/_optimize_journal.json")
+
+
+def _read_json_file(fs, jvm, p) -> dict:
+    import json
+
+    stream = fs.open(p)
+    try:
+        return json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(
+                stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+            )
+        )
+    finally:
+        stream.close()
+
+
+def recover_optimize(spark: SparkSession, path: str) -> str:
+    """Complete or undo an interrupted :func:`optimize_table` swap.
+
+    The journal (written BEFORE any table mutation) lists the
+    compacted files to ADD (token-named, so their presence is
+    checkable) and the originals to RETIRE. Recovery is deterministic:
+
+    - every add present  -> roll FORWARD (delete any retires still on
+      disk, then the journal) — the optimize effectively committed;
+    - any add missing    -> roll BACK (delete the adds that did land,
+      then the journal) — the originals are all still present because
+      retires only start after every add is in place.
+
+    Returns 'forward', 'back', or 'clean' (no journal). Called
+    automatically at the start of every :func:`optimize_table`; call it
+    directly after a crash before trusting row counts."""
+    jvm = spark._jvm
+    fs, root, _ = _fs_for(spark, path)
+    jp = _journal_path(path, jvm)
+    if not fs.exists(jp):
+        return "clean"
+    j = _read_json_file(fs, jvm, jp)
+    adds = [jvm.org.apache.hadoop.fs.Path(f"{path}/{n}") for n in j["add"]]
+    retires = [jvm.org.apache.hadoop.fs.Path(f"{path}/{n}") for n in j["retire"]]
+    if all(fs.exists(p) for p in adds):
+        for p in retires:
+            if fs.exists(p):
+                fs.delete(p, False)
+        fs.delete(jp, False)
+        return "forward"
+    for p in adds:
+        if fs.exists(p):
+            fs.delete(p, False)
+    fs.delete(jp, False)
+    return "back"
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int,
+    cluster_by: Sequence | None = None,
+    manifest_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    min_bin_files: int = 2,
+) -> dict:
+    """The full OPTIMIZE loop, IN PLACE: plan small-file bins, rewrite
+    them (optionally range-clustered — the ``OPTIMIZE ZORDER BY``
+    pairing), swap the compacted files into the table under a crash
+    journal, and refresh the skipping manifest / bloom index so file
+    skipping works on the new layout immediately.
+
+    Swap discipline (no transactional format, so the order carries the
+    guarantees): (1) the journal — the complete (add, retire) name
+    lists — commits to ``_optimize_journal.json`` via write-then-rename
+    BEFORE any table mutation; (2) compacted files rename IN under
+    ``c<token>-<i>.parquet`` names; (3) originals delete; (4) journal
+    deletes; (5) indexes refresh incrementally (the new files
+    footer/bloom-read, the retired files drop out — never a rebuild).
+    A crash at any point is healed by :func:`recover_optimize` (run
+    automatically on the next optimize): all-adds-present rolls
+    forward, otherwise rolls back — duplicates are possible only
+    INSIDE the window and never survive recovery; committed rows are
+    never lost because retires start only after every add is in place.
+
+    MUST run in a maintenance window for epoch-idempotent sink tables:
+    retiring a replayable newest epoch's files races the stream
+    (``streaming.orchestrator.plan_maintenance`` documents the rule).
+    Readers during the swap may see duplicate rows (add+retire window)
+    — the same brief-inconsistency contract every logless OPTIMIZE has.
+
+    Returns ``{"status", "n_compacted", "n_bins", "recovered"}``;
+    status 'noop' when no bin met ``min_bin_files``."""
+    import json
+    import uuid
+
+    recovered = recover_optimize(spark, path)
+    jvm = spark._jvm
+    fs, root, _ = _fs_for(spark, path)
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}/.compact_{token}"
+    if cluster_by:
+        plan, _keeps = compact_clustered(
+            spark, path, staging, target_bytes, cluster_by, min_bin_files
+        )
+    else:
+        plan, _keeps = compact_files(
+            spark, path, staging, target_bytes, min_bin_files
+        )
+    retire = [r.file for r in plan.where(F.col("action") == "compact").collect()]
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    if not retire or not fs.exists(spath):
+        return {"status": "noop", "n_compacted": 0, "n_bins": 0,
+                "recovered": recovered}
+    staged = [
+        st.getPath()
+        for st in fs.listStatus(spath)
+        if st.isFile() and is_data_file(st.getPath().getName())
+    ]
+    add_names = [f"c{token}-{i}.parquet" for i in range(len(staged))]
+    retire_names = [n.rsplit("/", 1)[-1] for n in retire]
+    # (1) journal first: the swap is re-derivable from names alone
+    jp = _journal_path(path, jvm)
+    tmp = jvm.org.apache.hadoop.fs.Path(str(jp) + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(
+            {"add": add_names, "retire": retire_names}, sort_keys=True
+        ).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(jp, False)
+    if not fs.rename(tmp, jp):
+        raise RuntimeError(f"optimize_table: journal commit failed: {jp}")
+    # (2) publish: adds in
+    for src, name in zip(staged, add_names):
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+        if not fs.rename(src, dst):
+            raise RuntimeError(f"optimize_table: rename {src} -> {dst} failed")
+    fs.delete(spath, True)
+    # (3) retire originals, (4) drop the journal
+    for name in retire_names:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"), False)
+    fs.delete(jp, False)
+    # (5) indexes: incremental refresh absorbs adds + retires
+    if manifest_cols:
+        update_manifest(spark, path, list(manifest_cols))
+    if bloom_cols:
+        from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+            update_bloom_index,
+        )
+
+        update_bloom_index(spark, path, list(bloom_cols))
+    return {
+        "status": "optimized",
+        "n_compacted": len(retire_names),
+        "n_bins": len(add_names),
+        "recovered": recovered,
+    }

@@ -99,11 +99,12 @@ class Pipeline:
         unchanged), and return the table's
         :func:`~.manifest.plan_compaction` plan (file-metadata grain —
         one listing, no data reads). The caller executes chosen plans
-        via ``compact_files`` / ``compact_clustered`` during a
-        low-traffic window; nothing is rewritten here. NOTE: compaction
-        rewrites files, so rebuild indexes (write_bloom_index /
-        write_manifest) after executing a compaction plan — the
-        incremental refresh would re-read the compacted files anyway.
+        via ``sources.manifest.optimize_table`` (the in-place journaled
+        swap, which also refreshes the manifest/bloom index
+        INCREMENTALLY — the swap is just new files + dropped files to
+        them) or the lower-level ``compact_files`` /
+        ``compact_clustered`` during a low-traffic window; nothing is
+        rewritten here.
 
         EPOCH-IDEMPOTENT SINK TABLES (``parquet_batch_sink`` with
         ``checkpoint=``): STOP the stream before executing a compaction

@@ -489,3 +489,153 @@ def test_legacy_flat_manifest_migrates(spark, tmp_path):
         if not f.startswith("v")
     ]
     assert leftover == []
+
+
+# ---------------------------------------------------------------------------
+# optimize_table: the in-place OPTIMIZE loop with journaled swap
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_table_in_place(spark, tmp_path):
+    """plan -> rewrite -> journaled swap -> incremental index refresh:
+    rows survive exactly, the file count collapses to the planned bins,
+    the manifest matches disk afterward (no rebuild ran), and pruned
+    reads stay exact on the new layout."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import optimize_table
+
+    path = str(tmp_path / "opt_tbl")
+    for i in range(8):
+        spark.range(i * 1000, (i + 1) * 1000).select(
+            F.col("id").alias("k")
+        ).coalesce(1).write.mode("append").parquet(path)
+    write_manifest(spark, path, ["k"])
+    before = sorted(r.k for r in spark.read.parquet(path).collect())
+
+    res = optimize_table(spark, path, target_bytes=1 << 30, manifest_cols=["k"])
+    assert res["status"] == "optimized"
+    assert res["n_compacted"] == 8 and res["n_bins"] == 1
+
+    after = sorted(r.k for r in spark.read.parquet(path).collect())
+    assert after == before
+    data_files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    assert len(data_files) == 1 and data_files[0].startswith("c")
+    assert not os.path.exists(os.path.join(path, "_optimize_journal.json"))
+    # manifest absorbed the swap incrementally: manifest == disk
+    man_files = {
+        os.path.basename(r.file)
+        for r in read_manifest(spark, path).select("file").distinct().collect()
+    }
+    assert man_files == set(data_files)
+    got = sorted(r.k for r in read_pruned(spark, path, {"k": (100, 200)}).collect())
+    assert got == list(range(100, 201))
+
+    # steady state: nothing left to compact
+    assert optimize_table(spark, path, 1 << 30, manifest_cols=["k"])["status"] == "noop"
+
+
+def test_optimize_table_clustered_variant(spark, tmp_path):
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        footer_stats,
+        optimize_table,
+    )
+
+    path = str(tmp_path / "opt_clu")
+    for i in range(10):  # stride classes: every file spans the domain
+        spark.range(1000).select(
+            (F.col("id") * 10 + i).alias("k")
+        ).coalesce(1).write.mode("append").parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    res = optimize_table(spark, path, target_bytes=total // 5, cluster_by=["k"])
+    assert res["status"] == "optimized"
+    assert spark.read.parquet(path).count() == 10_000
+    stats = footer_stats(spark, path, ["k"]).collect()
+    # clustered rewrite -> narrow per-file ranges for the REWRITTEN
+    # files (size jitter can leave a singleton bin as an untouched
+    # full-domain original — same tolerance as the compact_clustered
+    # test)
+    rewritten = [r for r in stats if r.file.rsplit("/", 1)[-1].startswith("c")]
+    assert len(rewritten) >= 3
+    for r in rewritten:
+        assert (r.max_num - r.min_num) < 10_000 * 0.6
+
+
+def test_optimize_recovery_forward_and_back(spark, tmp_path):
+    """Crash-window healing: all adds present -> roll forward (retires
+    deleted); any add missing -> roll back (adds deleted, originals
+    untouched). Committed rows are never lost in either direction."""
+    import json
+    import shutil
+
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        optimize_table,
+        recover_optimize,
+    )
+
+    def mk(path):
+        for i in range(2):
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").alias("k")
+            ).coalesce(1).write.mode("append").parquet(path)
+        return sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    # FORWARD: crash after the adds landed, before the retires deleted
+    p1 = str(tmp_path / "fw")
+    originals = mk(p1)
+    # the "compacted" add: the union of both originals, token-named
+    spark.read.parquet(p1).coalesce(1).write.parquet(str(tmp_path / "fw_side"))
+    side = next(
+        f for f in os.listdir(str(tmp_path / "fw_side")) if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(str(tmp_path / "fw_side"), side),
+        os.path.join(p1, "cdeadbeef-0.parquet"),
+    )
+    with open(os.path.join(p1, "_optimize_journal.json"), "w") as fh:
+        json.dump({"add": ["cdeadbeef-0.parquet"], "retire": originals}, fh)
+    assert recover_optimize(spark, p1) == "forward"
+    left = [f for f in os.listdir(p1) if f.endswith(".parquet")
+            and not f.startswith(("_", "."))]
+    assert left == ["cdeadbeef-0.parquet"]
+    assert spark.read.parquet(p1).count() == 200  # nothing lost
+
+    # BACK: crash before every add landed (one journal add missing)
+    p2 = str(tmp_path / "bk")
+    originals2 = mk(p2)
+    shutil.copy(
+        os.path.join(str(tmp_path / "fw_side"), side),
+        os.path.join(p2, "cfeedf00d-0.parquet"),
+    )
+    with open(os.path.join(p2, "_optimize_journal.json"), "w") as fh:
+        json.dump(
+            {"add": ["cfeedf00d-0.parquet", "cfeedf00d-1.parquet"],
+             "retire": originals2},
+            fh,
+        )
+    assert recover_optimize(spark, p2) == "back"
+    left2 = sorted(f for f in os.listdir(p2) if f.endswith(".parquet")
+                   and not f.startswith(("_", ".")))
+    assert left2 == originals2  # originals untouched, partial adds gone
+    assert spark.read.parquet(p2).count() == 200
+
+    # and the next optimize_table call reports + heals automatically
+    shutil.copy(
+        os.path.join(str(tmp_path / "fw_side"), side),
+        os.path.join(p2, "cfeedf00d-0.parquet"),
+    )
+    with open(os.path.join(p2, "_optimize_journal.json"), "w") as fh:
+        json.dump(
+            {"add": ["cfeedf00d-0.parquet", "cfeedf00d-1.parquet"],
+             "retire": originals2},
+            fh,
+        )
+    res = optimize_table(spark, p2, target_bytes=1 << 30)
+    assert res["recovered"] == "back"
