@@ -53,6 +53,7 @@ __all__ = [
     "compact_files",
     "compact_clustered",
     "optimize_table",
+    "optimize_table_partitioned",
     "recover_optimize",
 ]
 
@@ -800,5 +801,189 @@ def optimize_table(
         "status": "optimized",
         "n_compacted": len(retire_names),
         "n_bins": len(add_names),
+        "recovered": recovered,
+    }
+
+
+def _list_partition_files_with_size(
+    spark: SparkSession, path: str
+) -> list[tuple[str, str, int]]:
+    """(relative subpath, partition dir rel path, bytes) for every data
+    file under a hive-partitioned table — one recursive listing."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        raise ValueError(f"no parquet files under {path}")
+    base = fs.makeQualified(root).toString().rstrip("/")
+    out = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if not is_data_file(name):
+            continue
+        rel = p.toString()[len(base):].strip("/")
+        if "/" not in rel:
+            continue  # root-level files are the flat layout's business
+        # every ancestor dir must be a k=v partition segment; skip
+        # staging or foreign subtrees
+        segs = rel.split("/")[:-1]
+        if not all("=" in s and not s.startswith((".", "_")) for s in segs):
+            continue
+        out.append((rel, "/".join(segs), int(st.getLen())))
+    return sorted(out)
+
+
+def optimize_table_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int,
+    min_bin_files: int = 2,
+) -> dict:
+    """:func:`optimize_table` for HIVE-PARTITIONED layouts — the common
+    100 TB case: a date-partitioned streaming sink accumulates one
+    small file per micro-batch PER PARTITION, and the flat planner
+    cannot see them. Bins are packed WITHIN each partition directory
+    (rows never migrate across partitions, so partition pruning is
+    untouched), the rewrite is ONE distributed job for every bin in
+    every partition (read with basePath so partition values ride along,
+    repartition by bin key, write partitionBy back), and the swap runs
+    under the same journal + :func:`recover_optimize` crash discipline
+    as the flat path — journal first, token-named adds in, originals
+    retired, all names PARTITION-RELATIVE so recovery needs nothing but
+    the journal. Two bins of one directory hashing into one task merge
+    into a single larger file — a size wobble, never a correctness or
+    placement issue.
+
+    The skipping manifest / bloom index are flat-layout tools (Spark
+    itself prunes partition dirs), so there is nothing to refresh here.
+    The epoch-idempotent-sink maintenance-window rule applies unchanged
+    (``streaming.orchestrator.plan_maintenance``).
+
+    Returns ``{"status", "n_compacted", "n_bins", "n_partitions",
+    "recovered"}``."""
+    import json
+    import uuid
+
+    from pyspark.sql import Window
+
+    recovered = recover_optimize(spark, path)
+    jvm = spark._jvm
+    fs, root, _ = _fs_for(spark, path)
+    files = _list_partition_files_with_size(spark, path)
+    if not files:
+        return {"status": "noop", "n_compacted": 0, "n_bins": 0,
+                "n_partitions": 0, "recovered": recovered}
+    part_cols = [s.split("=")[0] for s in files[0][1].split("/")]
+    fdf = spark.createDataFrame(files, "rel string, dir string, size long")
+    small = fdf.where(F.col("size") < target_bytes)
+    # cumsum bin WITHIN each partition dir — the same greedy split as
+    # plan_compaction, partitioned by dir (metadata relation: windows
+    # here are fine, they never touch data)
+    w = Window.partitionBy("dir").orderBy("rel").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    binned = small.select(
+        "rel", "dir", "size",
+        F.floor(
+            F.coalesce(F.sum("size").over(w), F.lit(0)) / target_bytes
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("dir", "bin").agg(F.count(F.lit(1)).alias("__n"))
+    todo = (
+        binned.join(counts, ["dir", "bin"])
+        .where(F.col("__n") >= min_bin_files)
+        .select("rel", "dir", F.concat_ws("#", "dir", "bin").alias("binkey"))
+        .collect()
+    )  # file-metadata grain: one row per small file
+    if not todo:
+        return {"status": "noop", "n_compacted": 0, "n_bins": 0,
+                "n_partitions": 0, "recovered": recovered}
+    retire_rels = [r.rel for r in todo]
+    bin_of = {r.rel: r.binkey for r in todo}
+    n_bins = len(set(bin_of.values()))
+    n_parts = len({r.dir for r in todo})
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}/.compact_{token}"
+    base = fs.makeQualified(root).toString().rstrip("/")
+    # ONE distributed rewrite job for every bin in every partition:
+    # basePath keeps the partition values as columns, the broadcast
+    # bin map routes rows, partitionBy puts them back
+    canon = lambda c: F.regexp_replace(c, r"^file:/+", "file:///")  # noqa: E731
+    bin_map = spark.createDataFrame(
+        [(f"{base}/{rel}", bk) for rel, bk in bin_of.items()],
+        "file string, __binkey string",
+    )
+    df = (
+        spark.read.option("basePath", path)
+        .parquet(*[f"{path}/{rel}" for rel in retire_rels])
+        .withColumn("file", canon(F.input_file_name()))
+        .join(
+            F.broadcast(bin_map.select(canon(F.col("file")).alias("file"),
+                                       "__binkey")),
+            "file",
+            "left",
+        )
+        .drop("file")
+    )
+    df = df.persist()
+    n_unmatched = df.where(F.col("__binkey").isNull()).count()
+    if n_unmatched:
+        df.unpersist()
+        raise RuntimeError(
+            f"optimize_table_partitioned: {n_unmatched} rows' "
+            "input_file_name did not match the plan (URI scheme "
+            "mismatch?) — refusing a partial compaction"
+        )
+    (
+        df.repartition(n_bins, "__binkey")
+        .drop("__binkey")
+        .write.mode("append")
+        .partitionBy(*part_cols)
+        .parquet(staging)
+    )
+    df.unpersist()
+    # journal-first swap, names partition-relative
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    staging_base = fs.makeQualified(spath).toString().rstrip("/")
+    staged = []
+    it = fs.listFiles(spath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.isFile() and is_data_file(st.getPath().getName()):
+            staged.append(st.getPath())
+    add_rels = []
+    for i, p in enumerate(staged):
+        rel_dir = p.getParent().toString()[len(staging_base):].strip("/")
+        add_rels.append(f"{rel_dir}/c{token}-{i}.parquet")
+    jp = _journal_path(path, jvm)
+    tmp = jvm.org.apache.hadoop.fs.Path(str(jp) + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(
+            {"add": add_rels, "retire": retire_rels}, sort_keys=True
+        ).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(jp, False)
+    if not fs.rename(tmp, jp):
+        raise RuntimeError(f"optimize_table_partitioned: journal commit failed: {jp}")
+    for src, rel in zip(staged, add_rels):
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        if not fs.rename(src, dst):
+            raise RuntimeError(
+                f"optimize_table_partitioned: rename {src} -> {dst} failed"
+            )
+    fs.delete(spath, True)
+    for rel in retire_rels:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}"), False)
+    fs.delete(jp, False)
+    return {
+        "status": "optimized",
+        "n_compacted": len(retire_rels),
+        "n_bins": len(add_rels),
+        "n_partitions": n_parts,
         "recovered": recovered,
     }

@@ -639,3 +639,57 @@ def test_optimize_recovery_forward_and_back(spark, tmp_path):
         )
     res = optimize_table(spark, p2, target_bytes=1 << 30)
     assert res["recovered"] == "back"
+
+
+def test_optimize_table_partitioned(spark, tmp_path):
+    """Per-partition bin packing: rows never migrate across partition
+    dirs, the compacted files land INSIDE their partitions, partition
+    pruning still works, and the journaled swap heals crashes with the
+    same recover_optimize as the flat path."""
+    import json
+
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        optimize_table_partitioned,
+        recover_optimize,
+    )
+
+    path = str(tmp_path / "popt")
+    # 3 partitions x 5 micro-batch files each
+    for b in range(5):
+        spark.range(b * 300, (b + 1) * 300).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("d"), (F.col("id") % 3).cast("string")).alias("dt"),
+        ).repartition(1).write.mode("append").partitionBy("dt").parquet(path)
+    before = sorted(r.k for r in spark.read.parquet(path).collect())
+    files_per_dir_before = {
+        d: len([f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")])
+        for d in os.listdir(path) if d.startswith("dt=")
+    }
+    assert all(n == 5 for n in files_per_dir_before.values())
+
+    res = optimize_table_partitioned(spark, path, target_bytes=1 << 30)
+    assert res["status"] == "optimized"
+    assert res["n_compacted"] == 15 and res["n_partitions"] == 3
+    after = sorted(r.k for r in spark.read.parquet(path).collect())
+    assert after == before
+    for d in ("dt=d0", "dt=d1", "dt=d2"):
+        fs = [f for f in os.listdir(os.path.join(path, d))
+              if f.endswith(".parquet")]
+        assert len(fs) == 1 and fs[0].startswith("c")
+    # partition pruning intact on the compacted layout
+    pruned = spark.read.parquet(path).where(F.col("dt") == "d1")
+    assert pruned.count() == 500
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # steady state
+    assert optimize_table_partitioned(spark, path, 1 << 30)["status"] == "noop"
+
+    # crash recovery with partition-relative names: forge a journal
+    # whose add is missing -> rollback leaves the committed layout
+    with open(os.path.join(path, "_optimize_journal.json"), "w") as fh:
+        json.dump({"add": ["dt=d0/cffffffff-0.parquet"],
+                   "retire": ["dt=d0/should_not_be_deleted.parquet"]}, fh)
+    assert recover_optimize(spark, path) == "back"
+    assert spark.read.parquet(path).count() == 1500
