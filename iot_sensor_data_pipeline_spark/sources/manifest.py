@@ -472,6 +472,7 @@ def plan_compaction(
     path: str,
     target_bytes: int,
     min_bin_files: int = 2,
+    exclude: Sequence[str] = (),
 ) -> DataFrame:
     """Small-file compaction plan — the maintenance half of the
     lakehouse OPTIMIZE loop. Streaming/incremental writers (every
@@ -499,6 +500,13 @@ def plan_compaction(
     if target_bytes < 1:
         raise ValueError(f"plan_compaction: target_bytes must be positive, got {target_bytes}")
     files = _list_parquet_files_with_size(spark, path)
+    # `exclude` (base names) removes files from candidacy entirely —
+    # neither compacted nor 'keep' rows. The epoch-sink use: a LIVE
+    # stream's newest epoch files (sinks.newest_epoch_files) must not
+    # be retired while their offsets may be uncommitted
+    if exclude:
+        skip = set(exclude)
+        files = [(f, s) for f, s in files if f.rsplit("/", 1)[-1] not in skip]
     fdf = spark.createDataFrame(files, "file string, size long")
     from pyspark.sql import Window
 
@@ -532,6 +540,7 @@ def compact_files(
     out_path: str,
     target_bytes: int,
     min_bin_files: int = 2,
+    exclude: Sequence[str] = (),
 ) -> tuple[DataFrame, list[str]]:
     """Execute a :func:`plan_compaction` plan: rewrite every 'compact'
     bin into ONE file under ``out_path`` in a single distributed job,
@@ -546,7 +555,9 @@ def compact_files(
     receives whole bins), and written append-mode. Task count equals
     bin count; each task writes ~``target_bytes``.
     """
-    plan = plan_compaction(spark, path, target_bytes, min_bin_files).persist()
+    plan = plan_compaction(
+        spark, path, target_bytes, min_bin_files, exclude
+    ).persist()
     compact_rows = plan.where(F.col("action") == "compact")
     pairs = [(r.file, r.bin) for r in compact_rows.select("file", "bin").collect()]
     keep_files = [r.file for r in plan.where(F.col("action") == "keep").collect()]
@@ -595,6 +606,7 @@ def compact_clustered(
     target_bytes: int,
     cluster_by: Sequence,
     min_bin_files: int = 2,
+    exclude: Sequence[str] = (),
 ) -> tuple[DataFrame, list[str]]:
     """Compact AND cluster in one rewrite — the ``OPTIMIZE ... ZORDER
     BY`` pairing: since every small file is being rewritten anyway,
@@ -619,7 +631,9 @@ def compact_clustered(
     cluster_by = list(cluster_by)
     if not cluster_by:
         raise ValueError("compact_clustered: cluster_by must name at least one column")
-    plan = plan_compaction(spark, path, target_bytes, min_bin_files).persist()
+    plan = plan_compaction(
+        spark, path, target_bytes, min_bin_files, exclude
+    ).persist()
     compact_rows = plan.where(F.col("action") == "compact").collect()
     keep_files = [r.file for r in plan.where(F.col("action") == "keep").collect()]
     if compact_rows:
@@ -709,6 +723,7 @@ def optimize_table(
     manifest_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
     min_bin_files: int = 2,
+    exclude: Sequence[str] = (),
 ) -> dict:
     """The full OPTIMIZE loop, IN PLACE: plan small-file bins, rewrite
     them (optionally range-clustered — the ``OPTIMIZE ZORDER BY``
@@ -729,9 +744,12 @@ def optimize_table(
     INSIDE the window and never survive recovery; committed rows are
     never lost because retires start only after every add is in place.
 
-    MUST run in a maintenance window for epoch-idempotent sink tables:
-    retiring a replayable newest epoch's files races the stream
-    (``streaming.orchestrator.plan_maintenance`` documents the rule).
+    MUST run in a maintenance window for epoch-idempotent sink tables —
+    OR pass ``exclude=sinks.newest_epoch_files(spark, path, checkpoint)``
+    to leave the replayable newest epoch's files out of candidacy and
+    compact everything else with the stream live (retiring a replayable
+    epoch races the stream; ``streaming.orchestrator.plan_maintenance``
+    documents the hazard).
     Readers during the swap may see duplicate rows (add+retire window)
     — the same brief-inconsistency contract every logless OPTIMIZE has.
 
@@ -747,11 +765,12 @@ def optimize_table(
     staging = f"{path}/.compact_{token}"
     if cluster_by:
         plan, _keeps = compact_clustered(
-            spark, path, staging, target_bytes, cluster_by, min_bin_files
+            spark, path, staging, target_bytes, cluster_by, min_bin_files,
+            exclude,
         )
     else:
         plan, _keeps = compact_files(
-            spark, path, staging, target_bytes, min_bin_files
+            spark, path, staging, target_bytes, min_bin_files, exclude
         )
     retire = [r.file for r in plan.where(F.col("action") == "compact").collect()]
     spath = jvm.org.apache.hadoop.fs.Path(staging)

@@ -104,6 +104,22 @@ def list_sink_epochs(spark, path: str, checkpoint: str) -> list[int]:
     return sorted({e for _, e in _iter_lineage_files(spark, path, _lineage_of(checkpoint))})
 
 
+def newest_epoch_files(spark, path: str, checkpoint: str) -> list[str]:
+    """Base names of the NEWEST epoch's files for ``checkpoint``'s
+    lineage — the files a compaction must NOT retire while the stream
+    is live (that epoch's offsets may be uncommitted; a replay would
+    re-add rows already absorbed into the compacted file — see
+    ``streaming.orchestrator.plan_maintenance``). Pass the result as
+    ``optimize_table(..., exclude=...)`` to compact everything else
+    safely. Empty when the lineage never wrote."""
+    lineage = _lineage_of(checkpoint)
+    pairs = [(p.getName(), e) for p, e in _iter_lineage_files(spark, path, lineage)]
+    if not pairs:
+        return []
+    newest = max(e for _, e in pairs)
+    return sorted(n for n, e in pairs if e == newest)
+
+
 def read_sink_as_of(
     spark, path: str, checkpoint: str, as_of_epoch: int | None = None
 ):

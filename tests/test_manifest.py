@@ -693,3 +693,42 @@ def test_optimize_table_partitioned(spark, tmp_path):
                    "retire": ["dt=d0/should_not_be_deleted.parquet"]}, fh)
     assert recover_optimize(spark, path) == "back"
     assert spark.read.parquet(path).count() == 1500
+
+
+def test_optimize_excludes_live_epoch_files(spark, tmp_path):
+    """The live-stream-safe OPTIMIZE: excluding the newest epoch's
+    files (sinks.newest_epoch_files) compacts the settled history while
+    the replayable epoch's files survive untouched — a subsequent
+    replay of that epoch still converges on the compacted table."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import optimize_table
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        newest_epoch_files,
+        parquet_batch_sink,
+    )
+
+    path = str(tmp_path / "live_opt")
+    sink = parquet_batch_sink(path, checkpoint="/ckpt/L")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k")).coalesce(1)
+
+    for e, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 260)]):
+        sink(batch(lo, hi), e)
+    live = newest_epoch_files(spark, path, "/ckpt/L")
+    assert len(live) == 1 and live[0].startswith("e2-")
+
+    res = optimize_table(spark, path, target_bytes=1 << 30, exclude=live)
+    assert res["status"] == "optimized"
+    assert res["n_compacted"] == 2  # e0 + e1 packed; e2 untouched
+    names = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    assert live[0] in names and len(names) == 2
+    assert spark.read.parquet(path).count() == 260
+
+    # the excluded epoch is still replayable: convergence intact
+    sink(batch(200, 260).repartition(3), 2)
+    got = spark.read.parquet(path)
+    assert got.count() == 260
+    assert got.agg(F.sum("k")).first()[0] == sum(range(260))
