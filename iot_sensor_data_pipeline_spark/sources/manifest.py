@@ -473,6 +473,7 @@ def plan_compaction(
     target_bytes: int,
     min_bin_files: int = 2,
     exclude: Sequence[str] = (),
+    exclude_fn=None,
 ) -> DataFrame:
     """Small-file compaction plan — the maintenance half of the
     lakehouse OPTIMIZE loop. Streaming/incremental writers (every
@@ -507,6 +508,14 @@ def plan_compaction(
     if exclude:
         skip = set(exclude)
         files = [(f, s) for f, s in files if f.rsplit("/", 1)[-1] not in skip]
+    if exclude_fn is not None:
+        # predicate form: evaluated against THIS listing's names, so
+        # exclusion rules like "the newest live epoch" are race-free
+        # (a precomputed name list could miss an epoch committed after
+        # the caller's own listing — see _live_epoch_exclude_fn)
+        names = [f.rsplit("/", 1)[-1] for f, _ in files]
+        skip2 = set(exclude_fn(names))
+        files = [(f, s) for f, s in files if f.rsplit("/", 1)[-1] not in skip2]
     fdf = spark.createDataFrame(files, "file string, size long")
     from pyspark.sql import Window
 
@@ -541,6 +550,7 @@ def compact_files(
     target_bytes: int,
     min_bin_files: int = 2,
     exclude: Sequence[str] = (),
+    exclude_fn=None,
 ) -> tuple[DataFrame, list[str]]:
     """Execute a :func:`plan_compaction` plan: rewrite every 'compact'
     bin into ONE file under ``out_path`` in a single distributed job,
@@ -556,7 +566,7 @@ def compact_files(
     bin count; each task writes ~``target_bytes``.
     """
     plan = plan_compaction(
-        spark, path, target_bytes, min_bin_files, exclude
+        spark, path, target_bytes, min_bin_files, exclude, exclude_fn
     ).persist()
     compact_rows = plan.where(F.col("action") == "compact")
     pairs = [(r.file, r.bin) for r in compact_rows.select("file", "bin").collect()]
@@ -565,19 +575,30 @@ def compact_files(
         n_bins = len({b for _, b in pairs})
         bin_map = spark.createDataFrame(pairs, "file string, __bin long")
         full_schema = spark.read.parquet(path).schema
+        if "__src_file" in full_schema.fieldNames():
+            raise ValueError(
+                "compact_files: the table has a column named '__src_file' "
+                "(the rewrite's routing column) — rename it first"
+            )
         # canonicalize the local-FS scheme: listStatus renders
-        # 'file:/x', input_file_name() 'file:///x' — same file
+        # 'file:/x', input_file_name() 'file:///x' — same file.
+        # The routing column is reserved-named, NOT 'file': a user
+        # column called 'file' must survive the rewrite untouched
         canon = lambda c: F.regexp_replace(c, r"^file:/+", "file:///")  # noqa: E731
         df = (
             spark.read.schema(full_schema)
             .parquet(*[f for f, _ in pairs])
-            .withColumn("file", canon(F.input_file_name()))
+            .withColumn("__src_file", canon(F.input_file_name()))
             .join(
-                F.broadcast(bin_map.select(canon(F.col("file")).alias("file"), "__bin")),
-                "file",
+                F.broadcast(
+                    bin_map.select(
+                        canon(F.col("file")).alias("__src_file"), "__bin"
+                    )
+                ),
+                "__src_file",
                 "left",
             )
-            .drop("file")
+            .drop("__src_file")
         )
         df = df.persist()
         n_unmatched = df.where(F.col("__bin").isNull()).count()
@@ -607,6 +628,7 @@ def compact_clustered(
     cluster_by: Sequence,
     min_bin_files: int = 2,
     exclude: Sequence[str] = (),
+    exclude_fn=None,
 ) -> tuple[DataFrame, list[str]]:
     """Compact AND cluster in one rewrite — the ``OPTIMIZE ... ZORDER
     BY`` pairing: since every small file is being rewritten anyway,
@@ -632,7 +654,7 @@ def compact_clustered(
     if not cluster_by:
         raise ValueError("compact_clustered: cluster_by must name at least one column")
     plan = plan_compaction(
-        spark, path, target_bytes, min_bin_files, exclude
+        spark, path, target_bytes, min_bin_files, exclude, exclude_fn
     ).persist()
     compact_rows = plan.where(F.col("action") == "compact").collect()
     keep_files = [r.file for r in plan.where(F.col("action") == "keep").collect()]
@@ -691,11 +713,22 @@ def recover_optimize(spark: SparkSession, path: str) -> str:
       then the journal) — the originals are all still present because
       retires only start after every add is in place.
 
+    Orphaned ``.compact_<token>`` staging dirs from the crashed run (a
+    full copy of the compacted bytes, invisible to readers — nothing
+    else would ever reclaim them) are garbage-collected in every case,
+    including 'clean'. Safe because recovery runs under the layer's
+    single-maintenance-writer assumption, before the next optimize
+    creates its own staging dir.
+
     Returns 'forward', 'back', or 'clean' (no journal). Called
     automatically at the start of every :func:`optimize_table`; call it
     directly after a crash before trusting row counts."""
     jvm = spark._jvm
     fs, root, _ = _fs_for(spark, path)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(".compact_"):
+            fs.delete(st.getPath(), True)
     jp = _journal_path(path, jvm)
     if not fs.exists(jp):
         return "clean"
@@ -715,6 +748,59 @@ def recover_optimize(spark: SparkSession, path: str) -> str:
     return "back"
 
 
+def _commit_journal(fs, jvm, path: str, add: Sequence[str], retire: Sequence[str]):
+    """Write-then-rename the (add, retire) journal — shared by the flat
+    and partitioned OPTIMIZE so the swap discipline recover_optimize
+    depends on cannot drift between them. Returns the journal Path."""
+    import json
+
+    jp = _journal_path(path, jvm)
+    tmp = jvm.org.apache.hadoop.fs.Path(str(jp) + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(
+            {"add": list(add), "retire": list(retire)}, sort_keys=True
+        ).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(jp, False)
+    if not fs.rename(tmp, jp):
+        raise RuntimeError(f"optimize journal commit failed: {jp}")
+    return jp
+
+
+def _live_epoch_exclude_fn(spark, path: str, live_checkpoints: Sequence[str]):
+    """Exclusion derived from the SAME listing the planner uses — the
+    race-free form of ``exclude=sinks.newest_epoch_files(...)``: an
+    epoch committed between a caller-side listing and the plan's
+    listing would not be in a precomputed exclude list, get compacted
+    and retired while its offsets were uncommitted, and a replay would
+    re-add its rows as permanent duplicates. Evaluating the max epoch
+    per lineage against the planner's own candidate names closes that
+    window (files committed after the plan's listing are not
+    candidates at all)."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import _lineage_of
+
+    lineages = [_lineage_of(c) for c in live_checkpoints]
+
+    def exclude_fn(base_names: Sequence[str]) -> set[str]:
+        drop: set[str] = set()
+        for lin in lineages:
+            marker = f"-{lin}-"
+            epochs: dict[str, int] = {}
+            for n in base_names:
+                if n.startswith("e") and marker in n:
+                    head = n[1:n.index(marker)]
+                    if head.isdigit():
+                        epochs[n] = int(head)
+            if epochs:
+                newest = max(epochs.values())
+                drop.update(n for n, e in epochs.items() if e == newest)
+        return drop
+
+    return exclude_fn
+
+
 def optimize_table(
     spark: SparkSession,
     path: str,
@@ -724,6 +810,7 @@ def optimize_table(
     bloom_cols: Sequence[str] | None = None,
     min_bin_files: int = 2,
     exclude: Sequence[str] = (),
+    live_checkpoints: Sequence[str] = (),
 ) -> dict:
     """The full OPTIMIZE loop, IN PLACE: plan small-file bins, rewrite
     them (optionally range-clustered — the ``OPTIMIZE ZORDER BY``
@@ -745,17 +832,28 @@ def optimize_table(
     never lost because retires start only after every add is in place.
 
     MUST run in a maintenance window for epoch-idempotent sink tables —
-    OR pass ``exclude=sinks.newest_epoch_files(spark, path, checkpoint)``
-    to leave the replayable newest epoch's files out of candidacy and
-    compact everything else with the stream live (retiring a replayable
-    epoch races the stream; ``streaming.orchestrator.plan_maintenance``
-    documents the hazard).
+    OR pass ``live_checkpoints=[<the sink's checkpoint path>]`` to
+    exclude each live lineage's NEWEST epoch from candidacy and compact
+    everything else with the stream running. The exclusion is evaluated
+    against the planner's OWN listing (``_live_epoch_exclude_fn``), not
+    a precomputed name list — a caller-side ``newest_epoch_files``
+    snapshot would race an epoch committed between the two listings,
+    whose retirement + replay would duplicate rows permanently.
+    CAVEAT: when the live sink also keeps the manifest/bloom index
+    fresh (``manifest_cols``/``bloom_cols`` on the SINK), do NOT pass
+    the index columns here too — the metadata commit protocol assumes
+    one maintenance writer, and the sink's next per-batch refresh
+    absorbs the swap by itself (retired files drop, c-files enter; a
+    stale index in between is conservative, never wrong).
     Readers during the swap may see duplicate rows (add+retire window)
     — the same brief-inconsistency contract every logless OPTIMIZE has.
 
     Returns ``{"status", "n_compacted", "n_bins", "recovered"}``;
-    status 'noop' when no bin met ``min_bin_files``."""
-    import json
+    status 'noop' when no bin met ``min_bin_files``. Index refresh runs
+    on the noop path too: a crash AFTER a previous run's retire but
+    BEFORE its refresh must not leave the indexes permanently ignorant
+    of the c-files the forward-recovery just confirmed (the refresh is
+    itself a no-op when nothing changed)."""
     import uuid
 
     recovered = recover_optimize(spark, path)
@@ -763,18 +861,36 @@ def optimize_table(
     fs, root, _ = _fs_for(spark, path)
     token = uuid.uuid4().hex[:8]
     staging = f"{path}/.compact_{token}"
+    exclude_fn = (
+        _live_epoch_exclude_fn(spark, path, live_checkpoints)
+        if live_checkpoints
+        else None
+    )
+
+    def _refresh_indexes() -> None:
+        if manifest_cols:
+            update_manifest(spark, path, list(manifest_cols))
+        if bloom_cols:
+            from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+                update_bloom_index,
+            )
+
+            update_bloom_index(spark, path, list(bloom_cols))
+
     if cluster_by:
         plan, _keeps = compact_clustered(
             spark, path, staging, target_bytes, cluster_by, min_bin_files,
-            exclude,
+            exclude, exclude_fn,
         )
     else:
         plan, _keeps = compact_files(
-            spark, path, staging, target_bytes, min_bin_files, exclude
+            spark, path, staging, target_bytes, min_bin_files, exclude,
+            exclude_fn,
         )
     retire = [r.file for r in plan.where(F.col("action") == "compact").collect()]
     spath = jvm.org.apache.hadoop.fs.Path(staging)
     if not retire or not fs.exists(spath):
+        _refresh_indexes()  # heals the crash-after-retire gap (above)
         return {"status": "noop", "n_compacted": 0, "n_bins": 0,
                 "recovered": recovered}
     staged = [
@@ -785,18 +901,7 @@ def optimize_table(
     add_names = [f"c{token}-{i}.parquet" for i in range(len(staged))]
     retire_names = [n.rsplit("/", 1)[-1] for n in retire]
     # (1) journal first: the swap is re-derivable from names alone
-    jp = _journal_path(path, jvm)
-    tmp = jvm.org.apache.hadoop.fs.Path(str(jp) + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(json.dumps(
-            {"add": add_names, "retire": retire_names}, sort_keys=True
-        ).encode("utf-8"))
-    finally:
-        out.close()
-    fs.delete(jp, False)
-    if not fs.rename(tmp, jp):
-        raise RuntimeError(f"optimize_table: journal commit failed: {jp}")
+    jp = _commit_journal(fs, jvm, path, add_names, retire_names)
     # (2) publish: adds in
     for src, name in zip(staged, add_names):
         dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
@@ -808,14 +913,7 @@ def optimize_table(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"), False)
     fs.delete(jp, False)
     # (5) indexes: incremental refresh absorbs adds + retires
-    if manifest_cols:
-        update_manifest(spark, path, list(manifest_cols))
-    if bloom_cols:
-        from iot_sensor_data_pipeline_spark.sources.bloom_index import (
-            update_bloom_index,
-        )
-
-        update_bloom_index(spark, path, list(bloom_cols))
+    _refresh_indexes()
     return {
         "status": "optimized",
         "n_compacted": len(retire_names),
@@ -883,7 +981,6 @@ def optimize_table_partitioned(
 
     Returns ``{"status", "n_compacted", "n_bins", "n_partitions",
     "recovered"}``."""
-    import json
     import uuid
 
     from pyspark.sql import Window
@@ -935,35 +1032,61 @@ def optimize_table_partitioned(
         [(f"{base}/{rel}", bk) for rel, bk in bin_of.items()],
         "file string, __binkey string",
     )
-    df = (
-        spark.read.option("basePath", path)
-        .parquet(*[f"{path}/{rel}" for rel in retire_rels])
-        .withColumn("file", canon(F.input_file_name()))
-        .join(
-            F.broadcast(bin_map.select(canon(F.col("file")).alias("file"),
-                                       "__binkey")),
-            "file",
-            "left",
+    # partition values must round-trip VERBATIM: with type inference
+    # on, a zero-padded dir like hour=00 reads back as long 0 and the
+    # write-back targets hour=0 — a partition the journal's rename
+    # destinations don't contain (and external readers keyed on the
+    # literal dir would lose the rows). Inference off keeps the
+    # partition columns as the literal strings the dirs spell.
+    inference_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_inference = spark.conf.get(inference_key, "true")
+    spark.conf.set(inference_key, "false")
+    try:
+        src_schema = (
+            spark.read.option("basePath", path)
+            .parquet(f"{path}/{files[0][0]}")
+            .schema
         )
-        .drop("file")
-    )
-    df = df.persist()
-    n_unmatched = df.where(F.col("__binkey").isNull()).count()
-    if n_unmatched:
+        if "__src_file" in src_schema.fieldNames():
+            raise ValueError(
+                "optimize_table_partitioned: the table has a column named "
+                "'__src_file' (the rewrite's routing column) — rename it "
+                "first"
+            )
+        df = (
+            spark.read.option("basePath", path)
+            .parquet(*[f"{path}/{rel}" for rel in retire_rels])
+            .withColumn("__src_file", canon(F.input_file_name()))
+            .join(
+                F.broadcast(
+                    bin_map.select(
+                        canon(F.col("file")).alias("__src_file"), "__binkey"
+                    )
+                ),
+                "__src_file",
+                "left",
+            )
+            .drop("__src_file")
+        )
+        df = df.persist()
+        n_unmatched = df.where(F.col("__binkey").isNull()).count()
+        if n_unmatched:
+            df.unpersist()
+            raise RuntimeError(
+                f"optimize_table_partitioned: {n_unmatched} rows' "
+                "input_file_name did not match the plan (URI scheme "
+                "mismatch?) — refusing a partial compaction"
+            )
+        (
+            df.repartition(n_bins, "__binkey")
+            .drop("__binkey")
+            .write.mode("append")
+            .partitionBy(*part_cols)
+            .parquet(staging)
+        )
         df.unpersist()
-        raise RuntimeError(
-            f"optimize_table_partitioned: {n_unmatched} rows' "
-            "input_file_name did not match the plan (URI scheme "
-            "mismatch?) — refusing a partial compaction"
-        )
-    (
-        df.repartition(n_bins, "__binkey")
-        .drop("__binkey")
-        .write.mode("append")
-        .partitionBy(*part_cols)
-        .parquet(staging)
-    )
-    df.unpersist()
+    finally:
+        spark.conf.set(inference_key, prev_inference)
     # journal-first swap, names partition-relative
     spath = jvm.org.apache.hadoop.fs.Path(staging)
     staging_base = fs.makeQualified(spath).toString().rstrip("/")
@@ -977,18 +1100,7 @@ def optimize_table_partitioned(
     for i, p in enumerate(staged):
         rel_dir = p.getParent().toString()[len(staging_base):].strip("/")
         add_rels.append(f"{rel_dir}/c{token}-{i}.parquet")
-    jp = _journal_path(path, jvm)
-    tmp = jvm.org.apache.hadoop.fs.Path(str(jp) + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(json.dumps(
-            {"add": add_rels, "retire": retire_rels}, sort_keys=True
-        ).encode("utf-8"))
-    finally:
-        out.close()
-    fs.delete(jp, False)
-    if not fs.rename(tmp, jp):
-        raise RuntimeError(f"optimize_table_partitioned: journal commit failed: {jp}")
+    jp = _commit_journal(fs, jvm, path, add_rels, retire_rels)
     for src, rel in zip(staged, add_rels):
         dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
         if not fs.rename(src, dst):

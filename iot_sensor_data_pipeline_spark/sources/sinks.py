@@ -109,9 +109,12 @@ def newest_epoch_files(spark, path: str, checkpoint: str) -> list[str]:
     lineage — the files a compaction must NOT retire while the stream
     is live (that epoch's offsets may be uncommitted; a replay would
     re-add rows already absorbed into the compacted file — see
-    ``streaming.orchestrator.plan_maintenance``). Pass the result as
-    ``optimize_table(..., exclude=...)`` to compact everything else
-    safely. Empty when the lineage never wrote."""
+    ``streaming.orchestrator.plan_maintenance``). Diagnostic/manual
+    use; for a LIVE stream prefer ``optimize_table(...,
+    live_checkpoints=[checkpoint])``, which derives the same exclusion
+    from the planner's own listing — a precomputed list from here races
+    an epoch committed between the two listings. Empty when the lineage
+    never wrote."""
     lineage = _lineage_of(checkpoint)
     pairs = [(p.getName(), e) for p, e in _iter_lineage_files(spark, path, lineage)]
     if not pairs:

@@ -732,3 +732,100 @@ def test_optimize_excludes_live_epoch_files(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 260
     assert got.agg(F.sum("k")).first()[0] == sum(range(260))
+
+
+def test_optimize_live_checkpoints_and_review_fixes(spark, tmp_path):
+    """Second review pass pins: (a) live_checkpoints excludes the
+    newest epoch from the PLANNER'S OWN listing (race-free form of the
+    exclude list); (b) a user column literally named 'file' survives
+    the rewrite; (c) orphaned .compact_* staging dirs are GC'd by
+    recovery; (d) the index refresh also runs on the noop path, healing
+    a crash that landed between retire and refresh."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        optimize_table,
+        recover_optimize,
+    )
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+
+    path = str(tmp_path / "live2")
+    sink = parquet_batch_sink(path, checkpoint="/ckpt/M")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("src_"), F.col("id").cast("string")).alias("file"),
+        ).coalesce(1)
+
+    for e, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 260)]):
+        sink(batch(lo, hi), e)
+
+    res = optimize_table(
+        spark, path, target_bytes=1 << 30, live_checkpoints=["/ckpt/M"]
+    )
+    assert res["status"] == "optimized" and res["n_compacted"] == 2
+    got = spark.read.parquet(path)
+    assert got.count() == 260
+    # (b) the user 'file' column is intact for every compacted row
+    assert got.where(F.col("file") == "src_42").count() == 1
+    assert got.where(F.col("file").isNull()).count() == 0
+    names = [f for f in os.listdir(path)
+             if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    assert any(n.startswith("e2-") for n in names)  # newest epoch live
+
+    # (c) an orphaned staging dir from a "crashed" run is reclaimed
+    orphan = os.path.join(path, ".compact_deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "leftover.parquet"), "wb") as fh:
+        fh.write(b"x")
+    assert recover_optimize(spark, path) == "clean"
+    assert not os.path.exists(orphan)
+
+    # (d) crash-between-retire-and-refresh healing: make the manifest
+    # stale BY HAND (build it, then optimize without manifest_cols so
+    # the swap is invisible to it), then a noop optimize WITH
+    # manifest_cols must absorb the c-files + drop the retired ones
+    write_manifest(spark, path, ["k"])
+    sink(batch(260, 300), 3)  # new epoch -> e2 becomes compactable
+    res2 = optimize_table(
+        spark, path, target_bytes=1 << 30, live_checkpoints=["/ckpt/M"]
+    )
+    assert res2["status"] == "optimized"  # manifest NOT refreshed here
+    res3 = optimize_table(
+        spark, path, target_bytes=1 << 30, live_checkpoints=["/ckpt/M"],
+        manifest_cols=["k"],
+    )
+    assert res3["status"] == "noop"
+    man_files = {
+        os.path.basename(r.file)
+        for r in read_manifest(spark, path).select("file").distinct().collect()
+    }
+    disk = {f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))}
+    assert man_files == disk
+
+
+def test_optimize_partitioned_preserves_literal_partition_values(spark, tmp_path):
+    """Zero-padded partition dir values (hour=00) must round-trip
+    VERBATIM through the rewrite — type inference would rewrite them to
+    hour=0 and the journaled renames would target a partition that
+    does not exist."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        optimize_table_partitioned,
+    )
+
+    path = str(tmp_path / "zp")
+    for b in range(3):
+        spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k"),
+            F.lpad((F.col("id") % 2).cast("string"), 2, "0").alias("hour"),
+        ).repartition(1).write.mode("append").partitionBy("hour").parquet(path)
+    dirs_before = sorted(d for d in os.listdir(path) if d.startswith("hour="))
+    assert dirs_before == ["hour=00", "hour=01"]
+
+    res = optimize_table_partitioned(spark, path, target_bytes=1 << 30)
+    assert res["status"] == "optimized" and res["n_partitions"] == 2
+    dirs_after = sorted(d for d in os.listdir(path) if d.startswith("hour="))
+    assert dirs_after == ["hour=00", "hour=01"]  # literal dirs intact
+    got = spark.read.parquet(path)
+    assert got.count() == 300
+    assert got.where(F.col("hour") == "00").count() == 150
