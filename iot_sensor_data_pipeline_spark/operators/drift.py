@@ -46,6 +46,7 @@ __all__ = [
     "build_drift_reference",
     "drift_against_reference",
     "schema_drift",
+    "drift_report_categorical",
 ]
 
 #: empty-bin share floor for the PSI log ratio (engine-portable pure
@@ -314,4 +315,134 @@ def schema_drift(reference: DataFrame, current: DataFrame) -> DataFrame:
             rows.append((c, "retyped", ref_t[c], cur_t[c]))
     return reference.sparkSession.createDataFrame(
         rows, "col string, change string, ref_type string, cur_type string"
+    )
+
+
+def drift_report_categorical(
+    reference: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    top_k: int = 100,
+) -> DataFrame:
+    """Categorical drift — the share-shift counterpart of
+    :func:`drift_report` for label-like columns (language, source
+    domain, event type): the distributions a curation pipeline actually
+    tracks between corpus refreshes. Per column: the reference's top-K
+    categories (deterministic rank: count desc, then value asc) each
+    form a bucket, everything else folds into ``<OTHER>``, NULL is its
+    own ``<NULL>`` bucket (a NULL-share jump is real drift — the
+    numeric report's exclude-NULLs rule does not fit labels), and the
+    same epsilon-floored PSI / TVD formulas apply over the bucket
+    shares. ``unseen_share`` additionally reports the fraction of
+    current rows whose exact value never occurs in the reference — a
+    stronger upstream-change signal than OTHER growth (OTHER also
+    absorbs known-but-rare categories).
+
+    Intended for LOW-cardinality categorical columns: the per-(col,
+    value) count relations are vocabulary-sized (a groupBy, map-side
+    combined — never a value collapse), and top_k bounds the compared
+    bucket set. Deterministic end to end, so the whole pipeline
+    hash-matches a SQL oracle cross-engine. Floats round to 6dp."""
+    from pyspark.sql import Window
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("drift_report_categorical: cols must be non-empty")
+    if top_k < 1:
+        raise ValueError("drift_report_categorical: top_k must be >= 1")
+
+    def long_counts(df: DataFrame) -> DataFrame:
+        pairs = ", ".join(
+            f"'{c}', coalesce(CAST({c} AS STRING), '<NULL>')" for c in cols
+        )
+        return (
+            df.selectExpr(f"stack({len(cols)}, {pairs}) AS (col, val)")
+            .groupBy("col", "val")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    ref_counts = long_counts(reference)
+    cur_counts = long_counts(current)
+    w = Window.partitionBy("col").orderBy(F.col("n").desc(), F.col("val").asc())
+    top = (
+        ref_counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= top_k)
+        .select("col", "val")
+    )
+
+    def bucketed(counts: DataFrame, n_col: str) -> DataFrame:
+        return (
+            counts.join(
+                top.withColumn("__is_top", F.lit(True)), ["col", "val"], "left"
+            )
+            .select(
+                "col",
+                F.when(F.col("__is_top"), F.col("val"))
+                .otherwise(F.lit("<OTHER>"))
+                .alias("bucket"),
+                "n",
+            )
+            .groupBy("col", "bucket")
+            .agg(F.sum("n").alias(n_col))
+        )
+
+    merged = bucketed(ref_counts, "n_ref_bin").join(
+        bucketed(cur_counts, "n_cur_bin"), ["col", "bucket"], "full_outer"
+    ).select(
+        "col",
+        "bucket",
+        F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
+        F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
+    )
+    totals = merged.groupBy("col").agg(
+        F.sum("n_ref_bin").alias("n_ref"), F.sum("n_cur_bin").alias("n_cur")
+    )
+    # current values with NO reference occurrence at all (exact value,
+    # not bucket): the unseen mass
+    unseen = (
+        cur_counts.join(ref_counts.select("col", "val"), ["col", "val"],
+                        "left_anti")
+        .groupBy("col")
+        .agg(F.sum("n").alias("__unseen"))
+    )
+    p = F.greatest(
+        F.try_divide(F.col("n_ref_bin"), F.col("n_ref")), F.lit(PSI_EPS)
+    )
+    q = F.greatest(
+        F.try_divide(F.col("n_cur_bin"), F.col("n_cur")), F.lit(PSI_EPS)
+    )
+    out = (
+        merged.join(totals, "col")
+        .groupBy("col")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.round(
+                F.lit(0.5)
+                * F.sum(
+                    F.abs(
+                        F.try_divide(F.col("n_ref_bin"), F.col("n_ref"))
+                        - F.try_divide(F.col("n_cur_bin"), F.col("n_cur"))
+                    )
+                ),
+                6,
+            ).alias("tvd"),
+        )
+        .join(unseen, "col", "left")
+    )
+    # either side empty -> no comparable distributions: NULL, never 0
+    guard = (F.col("n_cur") > 0) & (F.col("n_ref") > 0)
+    return out.select(
+        "col",
+        "n_ref",
+        "n_cur",
+        F.when(guard, F.col("psi")).alias("psi"),
+        F.when(guard, F.col("tvd")).alias("tvd"),
+        F.when(
+            guard,
+            F.round(
+                F.coalesce(F.col("__unseen"), F.lit(0)) / F.col("n_cur"), 6
+            ),
+        ).alias("unseen_share"),
     )

@@ -671,3 +671,102 @@ def lineitem_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_DRIFT_COLS),
         n_bins=_DRIFT_BINS,
     )
+
+
+# ---------------------------------------------------------------------------
+# documents_categorical_drift — label-share drift between two document
+# snapshots (operators/drift.py drift_report_categorical): top-K
+# reference buckets + <OTHER>/<NULL>, epsilon-floored PSI/TVD, exact
+# unseen-value share. Deterministic bucketing (count desc, value asc)
+# makes the whole pipeline hash-match DuckDB.
+# ---------------------------------------------------------------------------
+
+_CAT_COLS = ("lang", "source")
+_CAT_TOPK = 5
+_CAT_SPLIT = 300  # n_chars threshold dividing ref/cur snapshots
+
+
+def _cat_drift_oracle() -> str:
+    def long_counts(pred: str) -> str:
+        sel = "\n  UNION ALL\n".join(
+            f"  SELECT '{c}' AS col, coalesce(CAST({c} AS VARCHAR), '<NULL>') AS val\n"
+            f"  FROM documents WHERE {pred}"
+            for c in _CAT_COLS
+        )
+        return f"SELECT col, val, count(*) AS n FROM (\n{sel}\n) GROUP BY col, val"
+
+    eps = "0.000001"
+    return f"""
+WITH rc AS ({long_counts(f"n_chars < {_CAT_SPLIT}")}),
+cc AS ({long_counts(f"n_chars >= {_CAT_SPLIT}")}),
+top AS (
+  SELECT col, val FROM (
+    SELECT col, val,
+           row_number() OVER (PARTITION BY col ORDER BY n DESC, val ASC) AS rk
+    FROM rc
+  ) WHERE rk <= {_CAT_TOPK}
+),
+rb AS (
+  SELECT rc.col,
+         CASE WHEN top.val IS NOT NULL THEN rc.val ELSE '<OTHER>' END AS bucket,
+         sum(rc.n) AS n_ref_bin
+  FROM rc LEFT JOIN top ON rc.col = top.col AND rc.val = top.val
+  GROUP BY 1, 2
+),
+cb AS (
+  SELECT cc.col,
+         CASE WHEN top.val IS NOT NULL THEN cc.val ELSE '<OTHER>' END AS bucket,
+         sum(cc.n) AS n_cur_bin
+  FROM cc LEFT JOIN top ON cc.col = top.col AND cc.val = top.val
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT coalesce(rb.col, cb.col) AS col,
+         coalesce(rb.bucket, cb.bucket) AS bucket,
+         coalesce(rb.n_ref_bin, 0) AS n_ref_bin,
+         coalesce(cb.n_cur_bin, 0) AS n_cur_bin
+  FROM rb FULL OUTER JOIN cb ON rb.col = cb.col AND rb.bucket = cb.bucket
+),
+t AS (SELECT col, sum(n_ref_bin) AS n_ref, sum(n_cur_bin) AS n_cur
+      FROM m GROUP BY col),
+u AS (
+  SELECT cc.col, sum(cc.n) AS unseen
+  FROM cc LEFT JOIN rc ON cc.col = rc.col AND cc.val = rc.val
+  WHERE rc.val IS NULL
+  GROUP BY cc.col
+)
+SELECT m.col,
+       CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       round(sum((greatest(m.n_ref_bin / t.n_ref, {eps})
+                  - greatest(m.n_cur_bin / t.n_cur, {eps}))
+                 * ln(greatest(m.n_ref_bin / t.n_ref, {eps})
+                      / greatest(m.n_cur_bin / t.n_cur, {eps}))), 6) AS psi,
+       round(0.5 * sum(abs(m.n_ref_bin / t.n_ref
+                           - m.n_cur_bin / t.n_cur)), 6) AS tvd,
+       round(coalesce(any_value(u.unseen), 0) / t.n_cur, 6) AS unseen_share
+FROM m JOIN t ON m.col = t.col LEFT JOIN u ON m.col = u.col
+GROUP BY m.col, t.n_ref, t.n_cur
+"""
+
+
+@register_extended(
+    "documents_categorical_drift",
+    oracle=_cat_drift_oracle(),
+    tags=("drift", "pipeline"),
+)
+def documents_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/source share drift between the short-document and
+    long-document halves of the corpus — the label-distribution gate a
+    curation pipeline runs per refresh."""
+    from iot_sensor_data_pipeline_spark.operators.drift import (
+        drift_report_categorical,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drift_report_categorical(
+        docs.where(F.col("n_chars") < _CAT_SPLIT),
+        docs.where(F.col("n_chars") >= _CAT_SPLIT),
+        list(_CAT_COLS),
+        top_k=_CAT_TOPK,
+    )

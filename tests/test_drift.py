@@ -184,3 +184,53 @@ def test_schema_drift(spark):
     same = schema_drift(ref, ref)
     assert same.count() == 0
     assert same.columns == ["col", "change", "ref_type", "cur_type"]
+
+
+def test_categorical_drift(spark):
+    """Python-mirror differential plus the bucket semantics: top-K
+    reference categories, <OTHER> fold, <NULL> as a real bucket, and
+    unseen_share counting exact-value novelty."""
+    from iot_sensor_data_pipeline_spark.operators.drift import (
+        drift_report_categorical,
+    )
+
+    ref_vals = ["en"] * 60 + ["fr"] * 30 + ["de"] * 8 + ["it", "pt"] + [None] * 5
+    cur_vals = ["en"] * 30 + ["fr"] * 50 + ["zz"] * 15 + [None] * 10
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "lang string")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "lang string")
+    got = drift_report_categorical(ref, cur, ["lang"], top_k=3).collect()[0]
+
+    # python mirror over the same bucketing rule
+    import math
+    from collections import Counter
+
+    rc = Counter("<NULL>" if v is None else v for v in ref_vals)
+    cc = Counter("<NULL>" if v is None else v for v in cur_vals)
+    top = [v for v, _ in sorted(rc.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    buckets = set(top) | {"<OTHER>"}
+    rb = Counter({b: 0 for b in buckets})
+    cb = Counter({b: 0 for b in buckets})
+    for v, n in rc.items():
+        rb[v if v in top else "<OTHER>"] += n
+    for v, n in cc.items():
+        cb[v if v in top else "<OTHER>"] += n
+    n_ref, n_cur = sum(rc.values()), sum(cc.values())
+    psi = tvd = 0.0
+    for b in sorted(set(rb) | set(cb)):
+        p = max(rb[b] / n_ref, PSI_EPS)
+        q = max(cb[b] / n_cur, PSI_EPS)
+        psi += (p - q) * math.log(p / q)
+        tvd += abs(rb[b] / n_ref - cb[b] / n_cur)
+    unseen = sum(n for v, n in cc.items() if v not in rc) / n_cur
+
+    assert got.n_ref == n_ref and got.n_cur == n_cur
+    assert got.psi == pytest.approx(round(psi, 6), abs=1e-6)
+    assert got.tvd == pytest.approx(round(0.5 * tvd, 6), abs=1e-6)
+    assert got.unseen_share == pytest.approx(round(unseen, 6), abs=1e-6)
+    assert got.unseen_share == pytest.approx(15 / 105, abs=1e-6)  # 'zz' only
+    assert got.psi > 0.2  # the en->fr share flip is actionable
+
+    # identical snapshots score zero across the board
+    same = drift_report_categorical(ref, ref, ["lang"], top_k=3).collect()[0]
+    assert same.psi == pytest.approx(0.0, abs=1e-9)
+    assert same.tvd == 0.0 and same.unseen_share == 0.0
