@@ -157,59 +157,71 @@ def drift_report(
 
 
 def _report_from_counts(
-    ref_counts: DataFrame, cur_counts: DataFrame, n_bins: int
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    n_bins: int | None = None,
+    key_col: str = "bin",
 ) -> DataFrame:
-    """(col, n_ref, n_cur, psi, tvd, escaped_share) from the two
-    (col, bin)-grain count relations."""
-    merged = ref_counts.join(cur_counts, ["col", "bin"], "full_outer").select(
+    """(col, n_ref, n_cur, psi, tvd[, escaped_share]) from the two
+    (col, key)-grain count relations. ONE implementation for the
+    numeric (key='bin', escaped = overflow-bin mass when ``n_bins`` is
+    given) and categorical (key='bucket', no escaped column) reports —
+    the PSI/TVD formulas, the coalesce-to-0 merge, and the
+    undefined-is-NULL guard must never drift between the two."""
+    merged = ref_counts.join(cur_counts, ["col", key_col], "full_outer").select(
         "col",
-        "bin",
+        key_col,
         F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
         F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
     )
     totals = merged.groupBy("col").agg(
         F.sum("n_ref_bin").alias("n_ref"), F.sum("n_cur_bin").alias("n_cur")
     )
-    # try_divide: n_cur may be 0 (no non-null current rows) and ANSI
-    # mode rejects /0; the guard below turns the metrics NULL anyway
-    p = F.greatest(F.col("n_ref_bin") / F.col("n_ref"), F.lit(PSI_EPS))
+    # try_divide: either side may be empty and ANSI mode rejects /0;
+    # the guard below turns the metrics NULL anyway
+    p = F.greatest(
+        F.try_divide(F.col("n_ref_bin"), F.col("n_ref")), F.lit(PSI_EPS)
+    )
     q = F.greatest(
         F.try_divide(F.col("n_cur_bin"), F.col("n_cur")), F.lit(PSI_EPS)
     )
-    escaped = F.when(
-        (F.col("bin") == -1) | (F.col("bin") == n_bins), F.col("n_cur_bin")
-    ).otherwise(F.lit(0))
-    out = (
-        merged.join(totals, "col")
-        .groupBy("col")
-        .agg(
-            F.first("n_ref").alias("n_ref"),
-            F.first("n_cur").alias("n_cur"),
-            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
-            F.round(
-                F.lit(0.5)
-                * F.sum(
-                    F.abs(
-                        F.col("n_ref_bin") / F.col("n_ref")
-                        - F.try_divide(F.col("n_cur_bin"), F.col("n_cur"))
-                    )
-                ),
-                6,
-            ).alias("tvd"),
+    aggs = [
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        F.round(
+            F.lit(0.5)
+            * F.sum(
+                F.abs(
+                    F.try_divide(F.col("n_ref_bin"), F.col("n_ref"))
+                    - F.try_divide(F.col("n_cur_bin"), F.col("n_cur"))
+                )
+            ),
+            6,
+        ).alias("tvd"),
+    ]
+    metrics = ["psi", "tvd"]
+    if n_bins is not None:
+        escaped = F.when(
+            (F.col(key_col) == -1) | (F.col(key_col) == n_bins),
+            F.col("n_cur_bin"),
+        ).otherwise(F.lit(0))
+        aggs.append(
             F.round(
                 F.try_divide(F.sum(escaped), F.first("n_cur")), 6
-            ).alias("escaped_share"),
+            ).alias("escaped_share")
         )
-    )
-    # a column with zero non-null CURRENT rows has no current
-    # distribution: metrics are NULL (undefined), never 0 (stable) —
-    # the ranking_metrics NULL-semantics discipline
-    guard = F.col("n_cur") > 0
+        metrics.append("escaped_share")
+    out = merged.join(totals, "col").groupBy("col").agg(*aggs)
+    # an empty side has no distribution to compare: metrics are NULL
+    # (undefined), never 0 (stable) — the ranking_metrics
+    # NULL-semantics discipline
+    guard = (F.col("n_cur") > 0) & (F.col("n_ref") > 0)
     return out.select(
         "col",
         "n_ref",
         "n_cur",
-        *[F.when(guard, F.col(m)).alias(m) for m in ("psi", "tvd", "escaped_share")],
+        *[F.when(guard, F.col(m)).alias(m) for m in metrics],
     )
 
 
@@ -329,9 +341,12 @@ def drift_report_categorical(
     domain, event type): the distributions a curation pipeline actually
     tracks between corpus refreshes. Per column: the reference's top-K
     categories (deterministic rank: count desc, then value asc) each
-    form a bucket, everything else folds into ``<OTHER>``, NULL is its
-    own ``<NULL>`` bucket (a NULL-share jump is real drift — the
-    numeric report's exclude-NULLs rule does not fit labels), and the
+    form a bucket, everything else folds into ``<OTHER>``, NULL is
+    ALWAYS its own ``<NULL>`` bucket — rank-independent (a NULL-share
+    jump is real drift — the numeric report's exclude-NULLs rule does
+    not fit labels; a genuine label string equal to '<NULL>'/'<OTHER>'
+    aliases with the sentinels, acceptable at report grain exactly as
+    skew_report documents), and the
     same epsilon-floored PSI / TVD formulas apply over the bucket
     shares. ``unseen_share`` additionally reports the fraction of
     current rows whose exact value never occurs in the reference — a
@@ -364,10 +379,20 @@ def drift_report_categorical(
     ref_counts = long_counts(reference)
     cur_counts = long_counts(current)
     w = Window.partitionBy("col").orderBy(F.col("n").desc(), F.col("val").asc())
+    # '<NULL>' is ALWAYS its own bucket regardless of rank — the
+    # docstring's promise; a NULL-share jump diluted inside <OTHER>
+    # would hide exactly the drift this bucket exists to surface
+    nulls = (
+        ref_counts.select("col").unionByName(cur_counts.select("col"))
+        .distinct()
+        .select("col", F.lit("<NULL>").alias("val"))
+    )
     top = (
         ref_counts.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= top_k)
         .select("col", "val")
+        .unionByName(nulls)
+        .distinct()
     )
 
     def bucketed(counts: DataFrame, n_col: str) -> DataFrame:
@@ -386,59 +411,27 @@ def drift_report_categorical(
             .agg(F.sum("n").alias(n_col))
         )
 
-    merged = bucketed(ref_counts, "n_ref_bin").join(
-        bucketed(cur_counts, "n_cur_bin"), ["col", "bucket"], "full_outer"
-    ).select(
-        "col",
-        "bucket",
-        F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
-        F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
+    report = _report_from_counts(
+        bucketed(ref_counts, "n_ref_bin"),
+        bucketed(cur_counts, "n_cur_bin"),
+        key_col="bucket",
     )
-    totals = merged.groupBy("col").agg(
-        F.sum("n_ref_bin").alias("n_ref"), F.sum("n_cur_bin").alias("n_cur")
-    )
-    # current values with NO reference occurrence at all (exact value,
-    # not bucket): the unseen mass
+    # current VALUES with no reference occurrence at all (exact value,
+    # not bucket): the unseen mass. '<NULL>' is excluded — NULL is not
+    # a novel label; its movement is the <NULL> bucket's job
     unseen = (
-        cur_counts.join(ref_counts.select("col", "val"), ["col", "val"],
-                        "left_anti")
+        cur_counts.where(F.col("val") != "<NULL>")
+        .join(ref_counts.select("col", "val"), ["col", "val"], "left_anti")
         .groupBy("col")
         .agg(F.sum("n").alias("__unseen"))
     )
-    p = F.greatest(
-        F.try_divide(F.col("n_ref_bin"), F.col("n_ref")), F.lit(PSI_EPS)
-    )
-    q = F.greatest(
-        F.try_divide(F.col("n_cur_bin"), F.col("n_cur")), F.lit(PSI_EPS)
-    )
-    out = (
-        merged.join(totals, "col")
-        .groupBy("col")
-        .agg(
-            F.first("n_ref").alias("n_ref"),
-            F.first("n_cur").alias("n_cur"),
-            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
-            F.round(
-                F.lit(0.5)
-                * F.sum(
-                    F.abs(
-                        F.try_divide(F.col("n_ref_bin"), F.col("n_ref"))
-                        - F.try_divide(F.col("n_cur_bin"), F.col("n_cur"))
-                    )
-                ),
-                6,
-            ).alias("tvd"),
-        )
-        .join(unseen, "col", "left")
-    )
-    # either side empty -> no comparable distributions: NULL, never 0
     guard = (F.col("n_cur") > 0) & (F.col("n_ref") > 0)
-    return out.select(
+    return report.join(unseen, "col", "left").select(
         "col",
         "n_ref",
         "n_cur",
-        F.when(guard, F.col("psi")).alias("psi"),
-        F.when(guard, F.col("tvd")).alias("tvd"),
+        "psi",
+        "tvd",
         F.when(
             guard,
             F.round(

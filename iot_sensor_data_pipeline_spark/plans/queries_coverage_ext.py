@@ -705,6 +705,10 @@ top AS (
            row_number() OVER (PARTITION BY col ORDER BY n DESC, val ASC) AS rk
     FROM rc
   ) WHERE rk <= {_CAT_TOPK}
+  UNION
+  SELECT col, '<NULL>' AS val FROM rc
+  UNION
+  SELECT col, '<NULL>' AS val FROM cc
 ),
 rb AS (
   SELECT rc.col,
@@ -732,7 +736,7 @@ t AS (SELECT col, sum(n_ref_bin) AS n_ref, sum(n_cur_bin) AS n_cur
 u AS (
   SELECT cc.col, sum(cc.n) AS unseen
   FROM cc LEFT JOIN rc ON cc.col = rc.col AND cc.val = rc.val
-  WHERE rc.val IS NULL
+  WHERE rc.val IS NULL AND cc.val <> '<NULL>'
   GROUP BY cc.col
 )
 SELECT m.col,

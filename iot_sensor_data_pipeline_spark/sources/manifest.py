@@ -568,55 +568,57 @@ def compact_files(
     plan = plan_compaction(
         spark, path, target_bytes, min_bin_files, exclude, exclude_fn
     ).persist()
-    compact_rows = plan.where(F.col("action") == "compact")
-    pairs = [(r.file, r.bin) for r in compact_rows.select("file", "bin").collect()]
-    keep_files = [r.file for r in plan.where(F.col("action") == "keep").collect()]
-    if pairs:
-        n_bins = len({b for _, b in pairs})
-        bin_map = spark.createDataFrame(pairs, "file string, __bin long")
-        full_schema = spark.read.parquet(path).schema
-        if "__src_file" in full_schema.fieldNames():
-            raise ValueError(
-                "compact_files: the table has a column named '__src_file' "
-                "(the rewrite's routing column) — rename it first"
+    df = None
+    try:  # unpersist on EVERY exit — a raised guard must not leak caches
+        compact_rows = plan.where(F.col("action") == "compact")
+        pairs = [(r.file, r.bin) for r in compact_rows.select("file", "bin").collect()]
+        keep_files = [r.file for r in plan.where(F.col("action") == "keep").collect()]
+        if pairs:
+            n_bins = len({b for _, b in pairs})
+            bin_map = spark.createDataFrame(pairs, "file string, __bin long")
+            full_schema = spark.read.parquet(path).schema
+            if "__src_file" in full_schema.fieldNames():
+                raise ValueError(
+                    "compact_files: the table has a column named '__src_file' "
+                    "(the rewrite's routing column) — rename it first"
+                )
+            # canonicalize the local-FS scheme: listStatus renders
+            # 'file:/x', input_file_name() 'file:///x' — same file.
+            # The routing column is reserved-named, NOT 'file': a user
+            # column called 'file' must survive the rewrite untouched
+            canon = lambda c: F.regexp_replace(c, r"^file:/+", "file:///")  # noqa: E731
+            df = (
+                spark.read.schema(full_schema)
+                .parquet(*[f for f, _ in pairs])
+                .withColumn("__src_file", canon(F.input_file_name()))
+                .join(
+                    F.broadcast(
+                        bin_map.select(
+                            canon(F.col("file")).alias("__src_file"), "__bin"
+                        )
+                    ),
+                    "__src_file",
+                    "left",
+                )
+                .drop("__src_file")
+            ).persist()
+            n_unmatched = df.where(F.col("__bin").isNull()).count()
+            if n_unmatched:
+                raise RuntimeError(
+                    f"compact_files: {n_unmatched} rows' input_file_name did "
+                    "not match the plan's file list (URI scheme mismatch?) — "
+                    "refusing to write a partial compaction"
+                )
+            (
+                df.repartition(n_bins, "__bin")
+                .drop("__bin")
+                .write.mode("append")
+                .parquet(out_path)
             )
-        # canonicalize the local-FS scheme: listStatus renders
-        # 'file:/x', input_file_name() 'file:///x' — same file.
-        # The routing column is reserved-named, NOT 'file': a user
-        # column called 'file' must survive the rewrite untouched
-        canon = lambda c: F.regexp_replace(c, r"^file:/+", "file:///")  # noqa: E731
-        df = (
-            spark.read.schema(full_schema)
-            .parquet(*[f for f, _ in pairs])
-            .withColumn("__src_file", canon(F.input_file_name()))
-            .join(
-                F.broadcast(
-                    bin_map.select(
-                        canon(F.col("file")).alias("__src_file"), "__bin"
-                    )
-                ),
-                "__src_file",
-                "left",
-            )
-            .drop("__src_file")
-        )
-        df = df.persist()
-        n_unmatched = df.where(F.col("__bin").isNull()).count()
-        if n_unmatched:
+    finally:
+        if df is not None:
             df.unpersist()
-            raise RuntimeError(
-                f"compact_files: {n_unmatched} rows' input_file_name did not "
-                "match the plan's file list (URI scheme mismatch?) — refusing "
-                "to write a partial compaction"
-            )
-        (
-            df.repartition(n_bins, "__bin")
-            .drop("__bin")
-            .write.mode("append")
-            .parquet(out_path)
-        )
-        df.unpersist()
-    plan.unpersist()
+        plan.unpersist()
     return plan, keep_files
 
 
@@ -725,6 +727,8 @@ def recover_optimize(spark: SparkSession, path: str) -> str:
     directly after a crash before trusting row counts."""
     jvm = spark._jvm
     fs, root, _ = _fs_for(spark, path)
+    if not fs.exists(root):
+        return "clean"  # never-created table: nothing to recover
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(".compact_"):
@@ -779,20 +783,24 @@ def _live_epoch_exclude_fn(spark, path: str, live_checkpoints: Sequence[str]):
     per lineage against the planner's own candidate names closes that
     window (files committed after the plan's listing are not
     candidates at all)."""
-    from iot_sensor_data_pipeline_spark.sources.sinks import _lineage_of
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        _lineage_of,
+        parse_epoch_name,
+    )
 
     lineages = [_lineage_of(c) for c in live_checkpoints]
 
     def exclude_fn(base_names: Sequence[str]) -> set[str]:
         drop: set[str] = set()
         for lin in lineages:
-            marker = f"-{lin}-"
-            epochs: dict[str, int] = {}
-            for n in base_names:
-                if n.startswith("e") and marker in n:
-                    head = n[1:n.index(marker)]
-                    if head.isdigit():
-                        epochs[n] = int(head)
+            # THE shared parser (sinks.parse_epoch_name): a drifted
+            # hand copy here would fail OPEN — matching nothing, so
+            # excluding nothing — and retire a replayable epoch
+            epochs = {
+                n: e
+                for n in base_names
+                if (e := parse_epoch_name(n, lin)) is not None
+            }
             if epochs:
                 newest = max(epochs.values())
                 drop.update(n for n, e in epochs.items() if e == newest)
@@ -1032,46 +1040,46 @@ def optimize_table_partitioned(
         [(f"{base}/{rel}", bk) for rel, bk in bin_of.items()],
         "file string, __binkey string",
     )
-    # partition values must round-trip VERBATIM: with type inference
-    # on, a zero-padded dir like hour=00 reads back as long 0 and the
+    # partition values must round-trip VERBATIM: with type inference, a
+    # zero-padded dir like hour=00 reads back as long 0 and the
     # write-back targets hour=0 — a partition the journal's rename
     # destinations don't contain (and external readers keyed on the
-    # literal dir would lose the rows). Inference off keeps the
-    # partition columns as the literal strings the dirs spell.
-    inference_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev_inference = spark.conf.get(inference_key, "true")
-    spark.conf.set(inference_key, "false")
+    # literal dir would lose the rows). An EXPLICIT user schema typing
+    # every partition column as STRING makes Spark parse the dir values
+    # as the literal strings they spell — scoped to THIS read, unlike
+    # toggling the session-wide inference conf (which would silently
+    # retype partition columns for every concurrent reader).
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    data_schema = spark.read.parquet(f"{path}/{files[0][0]}").schema
+    if "__src_file" in data_schema.fieldNames():
+        raise ValueError(
+            "optimize_table_partitioned: the table has a column named "
+            "'__src_file' (the rewrite's routing column) — rename it first"
+        )
+    read_schema = StructType(
+        list(data_schema.fields)
+        + [StructField(c, StringType()) for c in part_cols]
+    )
+    df = (
+        spark.read.option("basePath", path)
+        .schema(read_schema)
+        .parquet(*[f"{path}/{rel}" for rel in retire_rels])
+        .withColumn("__src_file", canon(F.input_file_name()))
+        .join(
+            F.broadcast(
+                bin_map.select(
+                    canon(F.col("file")).alias("__src_file"), "__binkey"
+                )
+            ),
+            "__src_file",
+            "left",
+        )
+        .drop("__src_file")
+    ).persist()
     try:
-        src_schema = (
-            spark.read.option("basePath", path)
-            .parquet(f"{path}/{files[0][0]}")
-            .schema
-        )
-        if "__src_file" in src_schema.fieldNames():
-            raise ValueError(
-                "optimize_table_partitioned: the table has a column named "
-                "'__src_file' (the rewrite's routing column) — rename it "
-                "first"
-            )
-        df = (
-            spark.read.option("basePath", path)
-            .parquet(*[f"{path}/{rel}" for rel in retire_rels])
-            .withColumn("__src_file", canon(F.input_file_name()))
-            .join(
-                F.broadcast(
-                    bin_map.select(
-                        canon(F.col("file")).alias("__src_file"), "__binkey"
-                    )
-                ),
-                "__src_file",
-                "left",
-            )
-            .drop("__src_file")
-        )
-        df = df.persist()
         n_unmatched = df.where(F.col("__binkey").isNull()).count()
         if n_unmatched:
-            df.unpersist()
             raise RuntimeError(
                 f"optimize_table_partitioned: {n_unmatched} rows' "
                 "input_file_name did not match the plan (URI scheme "
@@ -1084,9 +1092,8 @@ def optimize_table_partitioned(
             .partitionBy(*part_cols)
             .parquet(staging)
         )
-        df.unpersist()
     finally:
-        spark.conf.set(inference_key, prev_inference)
+        df.unpersist()
     # journal-first swap, names partition-relative
     spath = jvm.org.apache.hadoop.fs.Path(staging)
     staging_base = fs.makeQualified(spath).toString().rstrip("/")

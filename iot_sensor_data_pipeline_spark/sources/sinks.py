@@ -79,6 +79,21 @@ def _lineage_of(checkpoint: str) -> str:
     return hashlib.sha256(checkpoint.encode("utf-8")).hexdigest()[:8]
 
 
+def parse_epoch_name(name: str, lineage: str) -> int | None:
+    """Epoch id from an ``e<N>-<lineage>-...`` data-file name, or None
+    when the name is not this lineage's. THE one parser for the sink's
+    naming convention — the guard, the as-of reader, and the
+    compaction planner's live-epoch exclusion all route through it
+    (like ``manifest.is_data_file``, two drifting copies would fail
+    OPEN: a parser matching nothing excludes nothing, and the planner
+    would retire a replayable epoch)."""
+    marker = f"-{lineage}-"
+    if not name.startswith("e") or marker not in name:
+        return None
+    head = name[1:name.index(marker)]
+    return int(head) if head.isdigit() else None
+
+
 def _iter_lineage_files(spark, path: str, lineage: str):
     """(hadoop Path, epoch) for every committed e<N>-<lineage>- data
     file under the table, RECURSIVE (partition subdirs included)."""
@@ -87,16 +102,15 @@ def _iter_lineage_files(spark, path: str, lineage: str):
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    marker = f"-{lineage}-"
     it = fs.listFiles(root, True)
     while it.hasNext():
         st = it.next()
         name = st.getPath().getName()
-        if not is_data_file(name) or not name.startswith("e") or marker not in name:
+        if not is_data_file(name):
             continue
-        head = name[1:name.index(marker)]
-        if head.isdigit():
-            yield st.getPath(), int(head)
+        epoch = parse_epoch_name(name, lineage)
+        if epoch is not None:
+            yield st.getPath(), epoch
 
 
 def list_sink_epochs(spark, path: str, checkpoint: str) -> list[int]:
@@ -280,13 +294,11 @@ def parquet_batch_sink(
         (crash between its delete and rename, manual cleanup): the
         epoch-regression guard must stay armed on what is actually on
         disk, not silently pass (ADVICE r9 item 1)."""
-        marker = f"-{lineage}-"
         best = -1
         for p, name in _iter_table_files(fs, jvm):
-            if name.startswith("e") and marker in name:
-                head = name[1:name.index(marker)]
-                if head.isdigit():
-                    best = max(best, int(head))
+            epoch = parse_epoch_name(name, lineage)
+            if epoch is not None:
+                best = max(best, epoch)
         return best
 
     def _guard_epoch_regression(fs, jvm, epoch_id: int) -> None:

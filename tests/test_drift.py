@@ -207,6 +207,7 @@ def test_categorical_drift(spark):
     rc = Counter("<NULL>" if v is None else v for v in ref_vals)
     cc = Counter("<NULL>" if v is None else v for v in cur_vals)
     top = [v for v, _ in sorted(rc.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    top = set(top) | {"<NULL>"}  # <NULL> is always its own bucket
     buckets = set(top) | {"<OTHER>"}
     rb = Counter({b: 0 for b in buckets})
     cb = Counter({b: 0 for b in buckets})
@@ -221,7 +222,9 @@ def test_categorical_drift(spark):
         q = max(cb[b] / n_cur, PSI_EPS)
         psi += (p - q) * math.log(p / q)
         tvd += abs(rb[b] / n_ref - cb[b] / n_cur)
-    unseen = sum(n for v, n in cc.items() if v not in rc) / n_cur
+    unseen = sum(
+        n for v, n in cc.items() if v not in rc and v != "<NULL>"
+    ) / n_cur
 
     assert got.n_ref == n_ref and got.n_cur == n_cur
     assert got.psi == pytest.approx(round(psi, 6), abs=1e-6)
