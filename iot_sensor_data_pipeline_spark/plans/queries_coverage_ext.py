@@ -654,6 +654,7 @@ GROUP BY m.col, t.n_ref, t.n_cur
     "lineitem_drift_report",
     oracle=_drift_oracle(),
     tags=("drift", "maintenance", "pipeline"),
+    bench=True,  # r10 anchor
 )
 def lineitem_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift of post-1995-06 shipments against the
@@ -758,6 +759,7 @@ GROUP BY m.col, t.n_ref, t.n_cur
     "documents_categorical_drift",
     oracle=_cat_drift_oracle(),
     tags=("drift", "pipeline"),
+    bench=True,  # r10 anchor
 )
 def documents_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language/source share drift between the short-document and
