@@ -155,7 +155,52 @@ def bench_maintenance(spark) -> dict[str, float]:
         update_manifest(spark, man_tbl, ["k"])
         manifest_noop_sec = time.perf_counter() - t0
 
+        # OPTIMIZE trace (VERDICT r10 task 7): a fixed fragmentation
+        # fixture — 40 small flat files / 3x8 partitioned files — so
+        # the journaled in-place swap gets a round-over-round anchor.
+        # bytes_rewritten / table_bytes ~= 1.0 here by construction
+        # (every file is small); the signal is SECONDS at fixed shape +
+        # that a second run is a cheap noop.
+        from iot_sensor_data_pipeline_spark.sources.manifest import (
+            optimize_table,
+            optimize_table_partitioned,
+        )
+
+        opt_tbl = os.path.join(tmp, "opt_tbl")
+        for i in range(40):
+            spark.range(i * 2000, (i + 1) * 2000).selectExpr(
+                "id AS k", "id * 2 AS v"
+            ).coalesce(1).write.mode("append").parquet(opt_tbl)
+        tbl_bytes = sum(_du(opt_tbl).values())
+        t0 = time.perf_counter()
+        res = optimize_table(spark, opt_tbl, target_bytes=1 << 30)
+        optimize_flat_sec = time.perf_counter() - t0
+        assert res["status"] == "optimized" and res["n_compacted"] == 40
+        t0 = time.perf_counter()
+        assert optimize_table(spark, opt_tbl, 1 << 30)["status"] == "noop"
+        optimize_noop_sec = time.perf_counter() - t0
+
+        popt_tbl = os.path.join(tmp, "popt_tbl")
+        for b in range(8):
+            spark.range(b * 3000, (b + 1) * 3000).selectExpr(
+                "id AS k", "CAST(id % 3 AS STRING) AS dt"
+            ).repartition(1).write.mode("append").partitionBy("dt").parquet(
+                popt_tbl
+            )
+        ptbl_bytes = sum(_du(popt_tbl).values())
+        t0 = time.perf_counter()
+        pres = optimize_table_partitioned(spark, popt_tbl, target_bytes=1 << 30)
+        optimize_part_sec = time.perf_counter() - t0
+        assert pres["status"] == "optimized" and pres["n_partitions"] == 3
+
         return {
+            "optimize_flat_sec": round(optimize_flat_sec, 3),
+            "optimize_flat_files": 40,
+            "optimize_flat_table_mb": round(tbl_bytes / 1e6, 2),
+            "optimize_noop_sec": round(optimize_noop_sec, 3),
+            "optimize_part_sec": round(optimize_part_sec, 3),
+            "optimize_part_files": 24,
+            "optimize_part_table_mb": round(ptbl_bytes / 1e6, 2),
             "cdc_base_sec": round(base_sec, 3),
             "cdc_batch_sec_mean": round(sum(batch_secs) / len(batch_secs), 3),
             "cdc_write_amp_per_batch": round(

@@ -54,9 +54,23 @@ __all__ = [
 PSI_EPS = 1e-6
 
 
+def _quoted(c: str) -> str:
+    """Backtick-quoted identifier for the generated stack/CAST SQL —
+    names with spaces, dots, or reserved words must parse as ONE
+    column reference, not misparse the expression (ADVICE r10).
+    Backticks and single quotes are rejected (the name doubles as a
+    string literal label in the same expression)."""
+    if "`" in c or "'" in c:
+        raise ValueError(
+            f"drift: column name {c!r} contains a quote character — "
+            "rename the column before building a drift report"
+        )
+    return f"`{c}`"
+
+
 def _long_form(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """(col, value) long form: one output row per non-null cell."""
-    pairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+    pairs = ", ".join(f"'{c}', CAST({_quoted(c)} AS DOUBLE)" for c in cols)
     return df.selectExpr(
         f"stack({len(cols)}, {pairs}) AS (col, value)"
     ).where(F.col("value").isNotNull())
@@ -104,8 +118,8 @@ def _reference_stats(
     to drift from. Shared by the direct and persisted-reference paths
     so the two can never disagree on stats semantics."""
     row = reference.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+        *[F.min(F.col(_quoted(c)).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(_quoted(c)).cast("double")).alias(f"hi_{c}") for c in cols],
     ).first()
     stats = {
         c: (row[f"lo_{c}"], row[f"hi_{c}"])
@@ -368,7 +382,8 @@ def drift_report_categorical(
 
     def long_counts(df: DataFrame) -> DataFrame:
         pairs = ", ".join(
-            f"'{c}', coalesce(CAST({c} AS STRING), '<NULL>')" for c in cols
+            f"'{c}', coalesce(CAST({_quoted(c)} AS STRING), '<NULL>')"
+            for c in cols
         )
         return (
             df.selectExpr(f"stack({len(cols)}, {pairs}) AS (col, val)")

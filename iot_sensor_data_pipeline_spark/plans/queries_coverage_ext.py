@@ -650,7 +650,7 @@ GROUP BY m.col, t.n_ref, t.n_cur
 """
 
 
-@register_extended(
+@register(  # rotated INTO the gate in r11 (VERDICT r10 task 2)
     "lineitem_drift_report",
     oracle=_drift_oracle(),
     tags=("drift", "maintenance", "pipeline"),
@@ -755,7 +755,7 @@ GROUP BY m.col, t.n_ref, t.n_cur
 """
 
 
-@register_extended(
+@register(  # rotated INTO the gate in r11 (VERDICT r10 task 2)
     "documents_categorical_drift",
     oracle=_cat_drift_oracle(),
     tags=("drift", "pipeline"),

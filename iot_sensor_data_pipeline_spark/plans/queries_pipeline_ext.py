@@ -51,7 +51,7 @@ FROM docs d
 """
 
 
-@register(
+@register_extended(  # rotated out of the gate in r11 (4 rounds hash-green)
     "documents_span_dedup", oracle=_SPAN_DEDUP_ORACLE, tags=("pipeline", "dedup"),
     bench=True,  # r9 anchor
 )

@@ -291,7 +291,9 @@ GROUP BY nation, o_year
 """
 
 
-@register("tpch_q9_product_profit", oracle=_Q9_ORACLE, tags=("relational", "join"))
+@register_extended(  # rotated out of the gate in r11 (4 rounds hash-green)
+    "tpch_q9_product_profit", oracle=_Q9_ORACLE, tags=("relational", "join")
+)
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%")).select(
         "p_partkey"

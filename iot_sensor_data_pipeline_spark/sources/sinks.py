@@ -94,6 +94,81 @@ def parse_epoch_name(name: str, lineage: str) -> int | None:
     return int(head) if head.isdigit() else None
 
 
+def parse_epoch_file(name: str) -> tuple[int, str] | None:
+    """(epoch, lineage) from an epoch-scoped data-file name WITHOUT
+    knowing the lineage up front — ``e<N>-<8-hex-lineage>-...``. The
+    lineage-agnostic sibling of :func:`parse_epoch_name` (consistent by
+    construction: a name this parser accepts, parse_epoch_name accepts
+    for the same lineage). OPTIMIZE uses it to discover WHICH lineages'
+    epochs it is retiring so it can persist the ``compacted_through``
+    watermark the as-of reader refuses below (VERDICT r10 task 1)."""
+    import re
+
+    m = re.match(r"^e(\d+)-([0-9a-f]{8})-", name)
+    if m is None:
+        return None
+    return int(m.group(1)), m.group(2)
+
+
+def _compacted_marker_path(path: str, lineage: str, jvm):
+    return jvm.org.apache.hadoop.fs.Path(
+        f"{path}/_compacted_through_{lineage}.json"
+    )
+
+
+def _read_compacted_through(fs, jvm, path: str, lineage: str) -> int | None:
+    """Highest epoch id of this lineage whose files an OPTIMIZE has
+    retired into lineage-less ``c<token>-`` compacted files, or None
+    when the lineage's history is fully intact."""
+    import json
+
+    p = _compacted_marker_path(path, lineage, jvm)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        state = json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(
+                stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+            )
+        )
+    finally:
+        stream.close()
+    return int(state["compacted_through"])
+
+
+def _write_compacted_through(fs, jvm, path: str, lineage: str, epoch: int) -> None:
+    """Monotone (max-of) write of the lineage's compaction watermark —
+    write-then-rename, idempotent, so the forward arm of
+    ``manifest.recover_optimize`` can re-run it safely."""
+    import json
+
+    existing = _read_compacted_through(fs, jvm, path, lineage)
+    if existing is not None and existing >= epoch:
+        return
+    p = _compacted_marker_path(path, lineage, jvm)
+    tmp = jvm.org.apache.hadoop.fs.Path(str(p) + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps({"compacted_through": epoch}).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise RuntimeError(f"compacted-through watermark swap failed: {p}")
+
+
+def read_compacted_through(spark, path: str, checkpoint: str) -> int | None:
+    """Public form of the compaction watermark: the highest epoch of
+    ``checkpoint``'s lineage that an OPTIMIZE has absorbed into
+    compacted files (None = history intact; see
+    :func:`read_sink_as_of` for why as-of reads refuse below it)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    return _read_compacted_through(fs, jvm, path, _lineage_of(checkpoint))
+
+
 def _iter_lineage_files(spark, path: str, lineage: str):
     """(hadoop Path, epoch) for every committed e<N>-<lineage>- data
     file under the table, RECURSIVE (partition subdirs included)."""
@@ -114,7 +189,11 @@ def _iter_lineage_files(spark, path: str, lineage: str):
 
 
 def list_sink_epochs(spark, path: str, checkpoint: str) -> list[int]:
-    """Sorted distinct epoch ids committed by ``checkpoint``'s lineage."""
+    """Sorted distinct epoch ids committed by ``checkpoint``'s lineage
+    whose files are STILL epoch-named on disk. After an OPTIMIZE of the
+    table, epochs at/below the lineage's ``compacted_through`` watermark
+    (:func:`read_compacted_through`) no longer appear here — their files
+    were absorbed into ``c<token>-`` compacted files."""
     return sorted({e for _, e in _iter_lineage_files(spark, path, _lineage_of(checkpoint))})
 
 
@@ -138,7 +217,11 @@ def newest_epoch_files(spark, path: str, checkpoint: str) -> list[str]:
 
 
 def read_sink_as_of(
-    spark, path: str, checkpoint: str, as_of_epoch: int | None = None
+    spark,
+    path: str,
+    checkpoint: str,
+    as_of_epoch: int | None = None,
+    allow_compacted: bool = False,
 ):
     """Time-travel read of an epoch-idempotent sink table: the rows ONE
     lineage (identified by its ``checkpoint`` path, exactly as the sink
@@ -146,6 +229,20 @@ def read_sink_as_of(
     None = every committed epoch). The epoch-scoped file names ARE the
     version metadata — no extra bookkeeping to maintain — so this reads
     files ``e<N>-<lineage>-*`` with N <= as_of_epoch and nothing else.
+
+    COMPACTION ERASES HISTORY: ``manifest.optimize_table`` (and its
+    partitioned sibling) rewrite settled epochs' files into lineage-less
+    ``c<token>-`` names and persist the max retired epoch per lineage as
+    a ``compacted_through`` watermark on the table. Once the watermark
+    exists, NO epoch-scoped answer is reconstructible — the compacted
+    files merge this lineage's retired epochs with whatever else was
+    small (other lineages, plain appends) — so this function RAISES for
+    any ``as_of_epoch`` on a compacted lineage, and for ``None`` too
+    unless ``allow_compacted=True``, which opts into CURRENT-STATE
+    semantics instead: the full merged table (all lineages — the only
+    consistent read that remains). A silent partial answer (only the
+    still-epoch-named files) is exactly the failure this guard exists
+    to prevent (VERDICT r10 task 1).
 
     Foreign lineages' files and non-epoch appends are EXCLUDED by
     design: epoch ids are only meaningful within one checkpoint, so
@@ -157,6 +254,23 @@ def read_sink_as_of(
     Cost: one recursive listing (metadata-grain) + a scan of the
     selected files only."""
     lineage = _lineage_of(checkpoint)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    watermark = _read_compacted_through(fs, jvm, path, lineage)
+    if watermark is not None:
+        if as_of_epoch is None and allow_compacted:
+            # opt-in current-state semantics: epoch scoping is gone, the
+            # merged table is the one consistent answer left
+            return spark.read.parquet(path)
+        raise ValueError(
+            f"history compacted away — epochs <= {watermark} of "
+            f"{checkpoint!r}'s lineage were absorbed into compacted "
+            f"(c<token>-) files by optimize_table, so no as-of answer "
+            f"is reconstructible from {path}. Pass allow_compacted=True "
+            "with as_of_epoch=None for the merged current state, or "
+            "exclude the table from OPTIMIZE to keep time travel."
+        )
     # ONE recursive listing, reused for the selection, the existence
     # check, and the schema probe — on an object store the listing is
     # the dominant metadata cost and must not triple
@@ -293,12 +407,19 @@ def parquet_batch_sink(
         The fallback authority when the lineage state file is missing
         (crash between its delete and rename, manual cleanup): the
         epoch-regression guard must stay armed on what is actually on
-        disk, not silently pass (ADVICE r9 item 1)."""
+        disk, not silently pass (ADVICE r9 item 1). The lineage's
+        ``compacted_through`` watermark joins the max: after an
+        OPTIMIZE absorbed old epochs' files into c<token>- names, the
+        file names alone UNDERSTATE the max epoch and a wiped-checkpoint
+        replay could slip past the guard."""
         best = -1
         for p, name in _iter_table_files(fs, jvm):
             epoch = parse_epoch_name(name, lineage)
             if epoch is not None:
                 best = max(best, epoch)
+        watermark = _read_compacted_through(fs, jvm, path, lineage)
+        if watermark is not None:
+            best = max(best, watermark)
         return best
 
     def _guard_epoch_regression(fs, jvm, epoch_id: int) -> None:

@@ -349,3 +349,41 @@ def test_read_sink_as_of_time_travel(spark, tmp_path):
     # a lineage that never wrote fails loudly
     with pytest.raises(ValueError, match="no committed files"):
         read_sink_as_of(spark, out, "/ckpt/NEVER")
+
+
+def test_recover_on_start_closes_duplicate_window(spark, tmp_path):
+    """VERDICT r10 task 6: an OPTIMIZE swap interrupted between
+    publish and retire leaves every compacted row visible TWICE until
+    recovery runs; Pipeline.recover_on_start rolls the swap forward at
+    boot, so reads are exact from the restart — not from whenever the
+    next optimize happens to run."""
+    import json
+
+    path = str(tmp_path / "t1")
+    for lo, hi in [(0, 100), (100, 200)]:
+        spark.range(lo, hi).select(F.col("id").alias("k")).coalesce(1)\
+            .write.mode("append").parquet(path)
+    retires = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    # forge the crash: the compacted add is fully published, the
+    # retires are still on disk, the journal survives
+    spark.read.parquet(path).coalesce(1).write.parquet(str(tmp_path / "st"))
+    part = next(f for f in os.listdir(tmp_path / "st") if f.endswith(".parquet"))
+    os.rename(str(tmp_path / "st" / part),
+              os.path.join(path, "cabcd1234-0.parquet"))
+    with open(os.path.join(path, "_optimize_journal.json"), "w") as fh:
+        json.dump({"add": ["cabcd1234-0.parquet"], "retire": retires,
+                   "compacted_epochs": {}}, fh)
+    assert spark.read.parquet(path).count() == 400  # the duplicate window
+
+    # a second, healthy table must recover as 'clean'; a nonexistent
+    # one is isolated as 'error'-free 'clean' (never-created table)
+    p2 = str(tmp_path / "t2")
+    spark.range(10).coalesce(1).write.parquet(p2)
+
+    out = Pipeline().recover_on_start(
+        spark, {"t1": path, "t2": p2, "never": str(tmp_path / "nope")}
+    )
+    assert out == {"t1": "forward", "t2": "clean", "never": "clean"}
+    got = spark.read.parquet(path)
+    assert got.count() == 200
+    assert got.agg(F.sum("k")).first()[0] == sum(range(200))

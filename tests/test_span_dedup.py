@@ -9,7 +9,7 @@ from iot_sensor_data_pipeline_spark.operators.span_dedup import (
     duplicated_spans,
     remove_duplicated_spans,
 )
-from iot_sensor_data_pipeline_spark.plans import REGISTRY
+from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
 from tests.conftest import SF_SMALL
 from tests.oracle_harness import compare_query
 
@@ -84,7 +84,7 @@ def test_duplicated_spans_reports_occurrences(spark):
 
 @pytest.mark.parametrize("sf", [SF, SF_SMALL])
 def test_matches_duckdb_oracle(spark, sf):
-    q = REGISTRY["documents_span_dedup"]
+    q = EXTENDED_REGISTRY["documents_span_dedup"]
     ok, msg = compare_query(spark, sf, q.fn, q.oracle)
     assert ok, msg
 
