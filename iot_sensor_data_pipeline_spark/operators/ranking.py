@@ -203,3 +203,132 @@ def ranking_metrics_report(
             F.round(F.col("__dcg") / F.col("__idcg"), round_out).alias("ndcg_at_k"),
         )
     )
+
+
+def binary_classification_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str],
+    n_calibration_bins: int = 10,
+    round_out: int = 6,
+) -> DataFrame:
+    """Per-group evaluation of a binary scorer — the model-eval
+    companion to :func:`ranking_metrics_report` for the pipeline's own
+    classifiers (``quality.train_quality_classifier`` scores, heuristic
+    quality gates, drift-triggered re-labels): where the ranking report
+    asks "is the ORDERING useful", this asks "does the score SEPARATE
+    and is it CALIBRATED", per group, exactly.
+
+    One row per ``by`` group: ``(by..., n, n_pos, auc, brier, ece)``.
+
+    - ``auc`` — ROC AUC via the tie-aware Mann-Whitney rank-sum
+      identity: with average ranks r_i over the group's scores,
+      ``AUC = (sum_{i in pos} r_i - n_pos(n_pos+1)/2) / (n_pos*n_neg)``
+      (the published equivalence; ties contribute 1/2, matching the
+      trapezoidal ROC). Computed at DISTINCT-SCORE grain: one groupBy
+      to (group, score) counts, ONE window per group ordered by score
+      for the cumulative count (metadata-sized relation — never a
+      per-row global sort), one final aggregate. NULL when the group is
+      single-class (no ranking to score — the ranking_metrics NULL
+      discipline, never a misleading 0.5).
+    - ``brier`` — mean squared error of the probability against the
+      0/1 label; the proper-scoring-rule summary.
+    - ``ece`` — expected calibration error over ``n_calibration_bins``
+      fixed-width probability bins: sum over bins of
+      ``|mean(score) - mean(label)| * n_bin / n``. Fixed-width (not
+      quantile) bins keep the whole report pure arithmetic, so a SQL
+      oracle reproduces it bit-for-bit — the drift_report discipline.
+
+    Scores must lie in [0, 1] (validated — a raw margin would silently
+    corrupt brier/ece); labels must be 0/1 integers (NULL labels are
+    rejected loudly rather than dropped: a silently shrinking eval set
+    is how eval bugs hide). Rows whose ``by`` key is NULL are excluded
+    by the report joins (standard equi-join semantics — the same rule a
+    SQL ``GROUP BY .. JOIN USING`` oracle applies); coalesce group keys
+    upstream if NULL is a group you care about. Everything is plain expressions over two
+    aggregation passes + one per-group window at distinct-score grain;
+    no UDFs, no collects."""
+    if not by:
+        raise ValueError(
+            "binary_classification_report: by must be non-empty (use a "
+            "constant column for one global report)"
+        )
+    if n_calibration_bins < 2:
+        raise ValueError("binary_classification_report: n_calibration_bins >= 2")
+    from pyspark.sql import Window
+
+    s, y = F.col(score_col), F.col(label_col)
+    bad = F.when(
+        s.isNull() | y.isNull() | (s < 0) | (s > 1) | ~y.isin(0, 1),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    base = df.select(
+        *by,
+        s.cast("double").alias("__s"),
+        y.cast("long").alias("__y"),
+        bad.alias("__bad"),
+    )
+    # one validation pass rides the same relation (raise_error on the
+    # projection would cost a job; the eval relation is re-used anyway)
+    n_bad = base.agg(F.sum("__bad")).first()[0]
+    if n_bad:
+        raise ValueError(
+            f"binary_classification_report: {n_bad} rows have NULL/"
+            f"out-of-[0,1] {score_col!r} or non-0/1 {label_col!r}"
+        )
+    # distinct-score grain: counts per (group, score)
+    g = base.groupBy(*by, "__s").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__npos"),
+        F.sum(F.pow(F.col("__s") - F.col("__y"), F.lit(2.0))).alias("__se"),
+    )
+    wcum = (
+        Window.partitionBy(*by).orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = g.select(
+        *by, "__n", "__npos", "__se",
+        (
+            F.coalesce(F.sum("__n").over(wcum), F.lit(0))
+            + (F.col("__n") + 1) / 2.0
+        ).alias("__avg_rank"),
+    )
+    per_group = ranked.groupBy(*by).agg(
+        F.sum("__n").alias("n"),
+        F.sum("__npos").alias("n_pos"),
+        F.sum(F.col("__npos") * F.col("__avg_rank")).alias("__pos_ranks"),
+        F.sum("__se").alias("__se_sum"),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = F.try_divide(
+        F.col("__pos_ranks") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0,
+        (F.col("n_pos") * n_neg).cast("double"),
+    )
+    # calibration bins: fixed-width over [0,1]; score == 1.0 folds into
+    # the last bin (same closed-top rule as drift_report's edge bin)
+    b = n_calibration_bins
+    bin_expr = F.least(F.floor(F.col("__s") * b), F.lit(b - 1)).cast("long")
+    cal = (
+        base.groupBy(*by, bin_expr.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.avg("__s").alias("__ms"),
+            F.avg(F.col("__y").cast("double")).alias("__my"),
+        )
+        .groupBy(*by)
+        .agg(
+            F.sum(
+                F.abs(F.col("__ms") - F.col("__my")) * F.col("__nb")
+            ).alias("__ece_num"),
+            F.sum("__nb").alias("__n2"),
+        )
+    )
+    return per_group.join(cal, by).select(
+        *by,
+        "n",
+        "n_pos",
+        F.round(auc, round_out).alias("auc"),
+        F.round(F.col("__se_sum") / F.col("n"), round_out).alias("brier"),
+        F.round(F.col("__ece_num") / F.col("__n2"), round_out).alias("ece"),
+    )

@@ -776,3 +776,86 @@ def documents_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_CAT_COLS),
         top_k=_CAT_TOPK,
     )
+
+
+# ---------------------------------------------------------------------------
+# documents_quality_auc — per-group binary-classifier evaluation
+# (operators/ranking.py binary_classification_report): tie-aware
+# Mann-Whitney AUC + Brier + fixed-bin ECE. Pure arithmetic end to end
+# (the score is an exact rational, ranks are integer cumsums, halves
+# are exact in binary), so the whole report hash-matches DuckDB.
+# ---------------------------------------------------------------------------
+
+_AUC_BINS = 10
+
+
+def _quality_auc_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT source,
+         (n_chars % 997) / 996.0 AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT source, s, count(*) AS n, sum(y) AS npos,
+         sum((s - y) * (s - y)) AS se
+  FROM base GROUP BY source, s
+),
+r AS (
+  SELECT *,
+         coalesce(sum(n) OVER (PARTITION BY source ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (n + 1) / 2.0 AS avg_rank
+  FROM g
+),
+pg AS (
+  SELECT source, sum(n) AS n, sum(npos) AS n_pos,
+         sum(npos * avg_rank) AS pos_ranks, sum(se) AS se_sum
+  FROM r GROUP BY source
+),
+cal AS (
+  SELECT source,
+         least(CAST(floor(s * {_AUC_BINS}) AS BIGINT), {_AUC_BINS - 1}) AS b,
+         count(*) AS nb, avg(s) AS ms, avg(CAST(y AS DOUBLE)) AS my
+  FROM base GROUP BY 1, 2
+),
+cg AS (
+  SELECT source, sum(abs(ms - my) * nb) AS ece_num, sum(nb) AS n2
+  FROM cal GROUP BY source
+)
+SELECT pg.source,
+       CAST(pg.n AS BIGINT) AS n,
+       CAST(pg.n_pos AS BIGINT) AS n_pos,
+       round((pos_ranks - n_pos * (n_pos + 1) / 2.0)
+             / NULLIF(CAST(n_pos * (pg.n - n_pos) AS DOUBLE), 0), 6) AS auc,
+       round(se_sum / pg.n, 6) AS brier,
+       round(ece_num / n2, 6) AS ece
+FROM pg JOIN cg USING (source)
+"""
+
+
+@register_extended(
+    "documents_quality_auc",
+    oracle=_quality_auc_oracle(),
+    tags=("pipeline", "eval"),
+)
+def documents_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source AUC/Brier/ECE of a deterministic pseudo-probability
+    (an exact rational of n_chars — engine-portable by construction)
+    against the is-English label: the eval report a curation pipeline
+    runs on its quality scorer per corpus slice."""
+    from iot_sensor_data_pipeline_spark.operators.ranking import (
+        binary_classification_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        ((F.col("n_chars") % 997) / F.lit(996.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return binary_classification_report(
+        scored, "score", "label", by=["source"],
+        n_calibration_bins=_AUC_BINS,
+    )

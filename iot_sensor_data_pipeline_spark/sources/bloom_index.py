@@ -64,6 +64,25 @@ def bloom_index_dir(path: str, on: Sequence[str]) -> str:
     return f"{path}/_bloom_{'_'.join(on)}"
 
 
+def _require_data_columns(spark: SparkSession, files, on: Sequence[str]) -> None:
+    """Key columns must live IN the data files, not in partition
+    directory names: a hive partition column read from an explicit
+    file list is all-NULL, so the incremental path would index a
+    covered file with NO bits for real keys and point reads would
+    PRUNE files that contain the key — silent wrong answers, the one
+    failure a bloom index must never produce. Partition-column point
+    lookups are directory pruning's job (Spark does it natively).
+    One footer-level schema probe of a single file."""
+    file_cols = set(spark.read.parquet(files[0]).schema.fieldNames())
+    missing = [c for c in on if c not in file_cols]
+    if missing:
+        raise ValueError(
+            f"bloom index keys {missing} are not data columns of the "
+            "files (hive partition columns?) — index data columns only; "
+            "partition columns already get directory-level pruning"
+        )
+
+
 def _not_null(on: Sequence[str]):
     e = F.lit(True)
     for c in on:
@@ -163,6 +182,7 @@ def write_bloom_index(
         raise ValueError("on must name at least one key column")
     m_bits, n_hashes = _resolve_params(m_bits, n_hashes, expected_keys_per_file, fpp)
     files = [_canon(f) for f in _list_parquet_files(spark, path)]
+    _require_data_columns(spark, files, on)
     df = spark.read.parquet(path).select(*on)
     blooms = _file_blooms(df, on, m_bits, n_hashes).unionByName(
         _coverage_rows(spark, files, m_bits, n_hashes)
@@ -214,6 +234,7 @@ def update_bloom_index(
     fdf = spark.createDataFrame([(f,) for f in files], "file string")
     kept = existing.join(F.broadcast(fdf), "file", "left_semi")
     if new_files:
+        _require_data_columns(spark, new_files, on)
         new_df = spark.read.schema(spark.read.parquet(path).schema).parquet(
             *new_files
         ).select(*on)
@@ -296,5 +317,11 @@ def read_pruned_bloom(
     full scan + semi-join, a few files opened instead of all of them."""
     kept, _total = prune_files_bloom(spark, path, on, keys)
     full = spark.read.parquet(path)
-    df = spark.read.schema(full.schema).parquet(*kept) if kept else full.limit(0)
+    # basePath keeps hive partition columns alive on the explicit file
+    # list (harmless for flat layouts — see manifest.read_pruned)
+    df = (
+        spark.read.schema(full.schema).option("basePath", path).parquet(*kept)
+        if kept
+        else full.limit(0)
+    )
     return df.join(F.broadcast(keys.select(*on).distinct()), list(on), "left_semi")

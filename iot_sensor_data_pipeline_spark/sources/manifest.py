@@ -28,10 +28,14 @@ Scale posture:
   paths are invisible to Spark/Hadoop parquet listings, so the data
   directory stays readable as before.
 
-Scope: flat parquet directories (hive-partitioned layouts get
-directory-level pruning from Spark itself; explicit file lists would
-drop the inferred partition columns). Numeric, string, and timestamp
-columns (timestamps compare in epoch-seconds domain).
+Scope: flat AND hive-partitioned parquet directories (r11). Partition
+PRUNING stays Spark's directory-level job; the manifest adds
+footer-level skipping on NON-partition columns within the surviving
+partitions — the listing covers ``k=v`` subdirs and ``read_pruned``
+reads the kept files with ``basePath`` so partition columns survive.
+Stats domains: numeric, string, and timestamp columns (timestamps
+compare in epoch-seconds domain); a requested column absent from the
+files (e.g. a partition column) yields conservative no-stats rows.
 """
 
 from __future__ import annotations
@@ -55,6 +59,7 @@ __all__ = [
     "optimize_table",
     "optimize_table_partitioned",
     "recover_optimize",
+    "vacuum_table",
 ]
 
 MANIFEST_DIR = "_manifest"
@@ -76,18 +81,44 @@ def is_data_file(name: str) -> bool:
 
 
 def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
-    """Non-hidden *.parquet files directly under ``path`` (Hadoop FS,
-    so any supported filesystem scheme works)."""
+    """Data files of the table at ``path`` (Hadoop FS, so any supported
+    filesystem scheme works): non-hidden ``*.parquet`` directly under
+    the root PLUS — for hive-partitioned layouts — files under ``k=v``
+    partition directories (every ancestor segment must be a partition
+    segment; staging/metadata subtrees are excluded by the same rule).
+    One listing covers both, so the skipping manifest and the bloom
+    index work on partitioned tables too: partition PRUNING is Spark's
+    directory-level job, but a selective predicate on a NON-partition
+    column still opens every file of the surviving partitions without
+    footer-level skipping (r11 — previously flat-only)."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         raise ValueError(f"no parquet files under {path}")
+    # manual walk that descends ONLY into k=v partition directories —
+    # never into metadata/staging subtrees ('_manifest', '_bloom_*',
+    # '.compact_*'): a blanket recursive listFiles would iterate those
+    # lazily and throw when a concurrent maintenance commit prunes a
+    # version directory mid-iteration (and would waste listing calls on
+    # files the filter drops anyway)
     out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if st.isFile() and is_data_file(name):
-            out.append(st.getPath().toString())
+    stack = [jpath]
+    while stack:
+        d = stack.pop()
+        try:
+            entries = fs.listStatus(d)
+        except Exception:  # noqa: BLE001 — partition dir vanished
+            # mid-walk (concurrent compaction/retire): its files are
+            # gone, which every consumer already treats conservatively
+            continue
+        for st in entries:
+            name = st.getPath().getName()
+            if st.isFile() and is_data_file(name):
+                out.append(st.getPath().toString())
+            elif (st.isDirectory() and "=" in name
+                  and not name.startswith((".", "_"))):
+                stack.append(st.getPath())
     return sorted(out)
 
 
@@ -510,7 +541,14 @@ def read_pruned(
     every file is pruned."""
     kept, _total = prune_files(spark, path, predicates)
     full = spark.read.parquet(path)
-    df = spark.read.schema(full.schema).parquet(*kept) if kept else full.limit(0)
+    # basePath keeps hive partition columns alive on the explicit file
+    # list (harmless for flat layouts); the schema is the plain read's
+    # own, so partition-value typing matches a full scan exactly
+    df = (
+        spark.read.schema(full.schema).option("basePath", path).parquet(*kept)
+        if kept
+        else full.limit(0)
+    )
     for c, (lo, hi) in predicates.items():
         if lo is not None:
             df = df.where(F.col(c) >= F.lit(lo))
@@ -1096,6 +1134,8 @@ def optimize_table_partitioned(
     min_bin_files: int = 2,
     exclude: Sequence[str] = (),
     live_checkpoints: Sequence[str] = (),
+    manifest_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> dict:
     """:func:`optimize_table` for HIVE-PARTITIONED layouts — the common
     100 TB case: a date-partitioned streaming sink accumulates one
@@ -1133,8 +1173,13 @@ def optimize_table_partitioned(
     drop and its rows would migrate up a level on write-back — the
     exact failure this function promises cannot happen.
 
-    The skipping manifest / bloom index are flat-layout tools (Spark
-    itself prunes partition dirs), so there is nothing to refresh here.
+    Since r11 the skipping manifest / bloom index cover hive layouts
+    too, so ``manifest_cols``/``bloom_cols`` refresh them incrementally
+    after the swap exactly as the flat path does (the new c-files
+    footer/bloom-read, the retired files drop out) — same CAVEAT as
+    there: when the live SINK keeps the indexes fresh, do not also pass
+    the columns here (one maintenance writer; the sink's next per-batch
+    refresh absorbs the swap, stale-in-between is conservative).
 
     Returns ``{"status", "n_compacted", "n_bins", "n_partitions",
     "recovered"}``."""
@@ -1145,6 +1190,19 @@ def optimize_table_partitioned(
     recovered = recover_optimize(spark, path)
     jvm = spark._jvm
     fs, root, _ = _fs_for(spark, path)
+
+    def _refresh_indexes() -> None:
+        # runs on the noop paths too, for the same
+        # crash-after-retire-before-refresh healing as the flat path
+        if manifest_cols:
+            update_manifest(spark, path, list(manifest_cols))
+        if bloom_cols:
+            from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+                update_bloom_index,
+            )
+
+            update_bloom_index(spark, path, list(bloom_cols))
+
     files = _list_partition_files_with_size(spark, path)
     if not files:
         return {"status": "noop", "n_compacted": 0, "n_bins": 0,
@@ -1174,6 +1232,7 @@ def optimize_table_partitioned(
         skip2 = exclude_fn(names)
         files = [t for t in files if t[0].rsplit("/", 1)[-1] not in skip2]
     if not files:
+        _refresh_indexes()
         return {"status": "noop", "n_compacted": 0, "n_bins": 0,
                 "n_partitions": 0, "recovered": recovered}
     fdf = spark.createDataFrame(files, "rel string, dir string, size long")
@@ -1198,6 +1257,7 @@ def optimize_table_partitioned(
         .collect()
     )  # file-metadata grain: one row per small file
     if not todo:
+        _refresh_indexes()
         return {"status": "noop", "n_compacted": 0, "n_bins": 0,
                 "n_partitions": 0, "recovered": recovered}
     retire_rels = [r.rel for r in todo]
@@ -1295,6 +1355,7 @@ def optimize_table_partitioned(
     # same watermark-before-journal-delete ordering as the flat path
     _write_epoch_watermarks(fs, jvm, path, _retired_epoch_watermarks(retire_rels))
     fs.delete(jp, False)
+    _refresh_indexes()
     return {
         "status": "optimized",
         "n_compacted": len(retire_rels),
@@ -1302,3 +1363,87 @@ def optimize_table_partitioned(
         "n_partitions": n_parts,
         "recovered": recovered,
     }
+
+
+def vacuum_table(
+    spark: SparkSession, path: str, min_age_seconds: float = 3600.0
+) -> dict:
+    """Reclaim the invisible leftovers interrupted writers strand —
+    the VACUUM half of the maintenance loop (OPTIMIZE compacts what
+    readers see; this deletes what they never see but storage still
+    bills): every artifact below is hidden from parquet listings
+    (``_``/``.`` prefixes), so nothing here changes any query result.
+
+    1. :func:`recover_optimize` first — resolves a pending swap journal
+       and reclaims orphaned ``.compact_*`` rewrite staging (a FULL
+       copy of the compacted bytes, the largest leak).
+    2. Orphaned epoch-sink staging dirs (``_staging_e*``) — left only
+       by a crashed micro-batch attempt whose epoch the stream replays.
+    3. Orphaned write-then-rename temporaries (``_*.json.tmp`` — the
+       lineage state / compacted-through watermark / journal writers).
+    4. Superseded metadata staging (``.v<N>.<token>.staging`` with N
+       below the dir's newest committed version) inside every ``_``
+       metadata dir that holds ``v<N>`` versions (skipping manifest,
+       bloom index, CDC snapshots, drift references).
+
+    ``min_age_seconds`` is the safety fence for classes 2–4: a LIVE
+    writer's in-flight staging or tmp file is indistinguishable from a
+    crashed one by name alone, so only artifacts whose modification
+    time is at least this old are reclaimed (default 1 h — far beyond
+    any single batch/commit). Class 1 is governed by the journal, not
+    by age. Cost: one shallow listing per metadata dir + the root —
+    metadata-grain, no data reads. Returns
+    ``{"recovered", "n_sink_staging", "n_tmp_files", "n_meta_staging"}``.
+    """
+    import time as _time
+
+    recovered = recover_optimize(spark, path)
+    fs, root, jvm = _fs_for(spark, path)
+    if not fs.exists(root):
+        return {"recovered": recovered, "n_sink_staging": 0,
+                "n_tmp_files": 0, "n_meta_staging": 0}
+    cutoff_ms = (_time.time() - min_age_seconds) * 1000.0
+
+    def old_enough(st) -> bool:
+        return st.getModificationTime() <= cutoff_ms
+
+    def subtree_old_enough(p) -> bool:
+        # a PARTITIONED staging dir's own mtime freezes once its first
+        # partition subdir exists while files keep landing below — the
+        # age fence must read the NEWEST mtime anywhere in the subtree
+        # or a long-running in-flight batch could be reclaimed
+        newest = 0
+        it = fs.listFiles(p, True)
+        try:
+            while it.hasNext():
+                newest = max(newest, it.next().getModificationTime())
+        except Exception:  # noqa: BLE001 — vanished mid-walk: actively
+            return False  # mutated, definitely not an old orphan
+        return newest <= cutoff_ms
+
+    n_sink = n_tmp = n_meta = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (st.isDirectory() and name.startswith("_staging_e")
+                and old_enough(st) and subtree_old_enough(st.getPath())):
+            fs.delete(st.getPath(), True)
+            n_sink += 1
+        elif (st.isFile() and name.startswith("_")
+              and name.endswith(".json.tmp") and old_enough(st)):
+            fs.delete(st.getPath(), False)
+            n_tmp += 1
+        elif st.isDirectory() and name.startswith("_"):
+            versions = _versions_in(spark, str(st.getPath()))
+            if not versions:
+                continue
+            newest = versions[-1]
+            for sub in fs.listStatus(st.getPath()):
+                sname = sub.getPath().getName()
+                if not (sname.startswith(".v") and sname.endswith(".staging")):
+                    continue
+                head = sname[2:-len(".staging")].split(".", 1)[0]
+                if head.isdigit() and int(head) < newest and old_enough(sub):
+                    fs.delete(sub.getPath(), True)
+                    n_meta += 1
+    return {"recovered": recovered, "n_sink_staging": n_sink,
+            "n_tmp_files": n_tmp, "n_meta_staging": n_meta}

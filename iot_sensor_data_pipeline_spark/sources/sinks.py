@@ -357,11 +357,18 @@ def parquet_batch_sink(
     escaping exception would replay the batch into duplicates)."""
     manifest_cols = list(manifest_cols)
     bloom_cols = list(bloom_cols)
-    if (manifest_cols or bloom_cols) and partition_cols:
+    # hive layouts keep their indexes too (r11 — the manifest/bloom
+    # listings cover k=v partition subdirs): footer skipping on
+    # NON-partition columns composes with Spark's directory pruning.
+    # Indexing a PARTITION column is rejected — its values live in dir
+    # names, not footers (manifest rows would be no-stats noise; bloom
+    # would silently index all-NULL keys and prune wrongly)
+    overlap = sorted((set(manifest_cols) | set(bloom_cols)) & set(partition_cols))
+    if overlap:
         raise ValueError(
-            "parquet_batch_sink: manifest_cols/bloom_cols require a flat "
-            "layout — hive-partitioned tables (partition_cols) already "
-            "get directory-level pruning"
+            f"parquet_batch_sink: {overlap} are partition columns — "
+            "index data columns only; partition columns already get "
+            "directory-level pruning"
         )
     def _refresh(fn, what: str, spark) -> None:
         # The parquet append is NOT idempotent: letting a maintenance

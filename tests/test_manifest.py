@@ -1091,3 +1091,254 @@ def test_commit_version_concurrent_writers_both_survive(spark, tmp_path):
     assert tags == {100, 200}
     # the reader resolves the newest complete version
     assert _read_versioned_in(spark, root).count() == 5
+
+
+def test_vacuum_table_reclaims_orphans(spark, tmp_path):
+    """vacuum_table (r11): crashed-writer leftovers — rewrite staging,
+    epoch-sink staging, json.tmp temporaries, superseded metadata
+    staging — are reclaimed; data files, committed versions, and live
+    state files are untouched; the age fence keeps fresh artifacts."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        update_manifest,
+        vacuum_table,
+    )
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+
+    path = str(tmp_path / "vac")
+    sink = parquet_batch_sink(path, checkpoint="/ckpt/V")
+    sink(spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1), 0)
+    write_manifest(spark, path, ["k"])
+    sink(spark.range(100, 150).select(F.col("id").alias("k")).coalesce(1), 1)
+    update_manifest(spark, path, ["k"])  # -> _manifest/v2 committed
+
+    # forge every orphan class
+    os.makedirs(os.path.join(path, ".compact_deadbeef"))
+    os.makedirs(os.path.join(path, "_staging_e9_deadbeef_cafe0000"))
+    with open(os.path.join(path, "_sink_lineage_xx.json.tmp"), "w") as fh:
+        fh.write("{}")
+    stale_meta = os.path.join(path, "_manifest", ".v1.dead0000.staging")
+    os.makedirs(stale_meta)
+
+    before = spark.read.parquet(path).count()
+
+    # everything is freshly forged: a conservative age fence keeps it
+    res = vacuum_table(spark, path, min_age_seconds=3600)
+    assert res["n_sink_staging"] == 0 and res["n_tmp_files"] == 0
+    assert res["n_meta_staging"] == 0
+    assert not os.path.exists(os.path.join(path, ".compact_deadbeef"))  # journal-governed, age-free
+    assert os.path.exists(stale_meta)
+
+    # age 0: reclaim all four classes
+    res = vacuum_table(spark, path, min_age_seconds=0)
+    assert res == {"recovered": "clean", "n_sink_staging": 1,
+                   "n_tmp_files": 1, "n_meta_staging": 1}
+    assert not os.path.exists(os.path.join(path, "_staging_e9_deadbeef_cafe0000"))
+    assert not os.path.exists(os.path.join(path, "_sink_lineage_xx.json.tmp"))
+    assert not os.path.exists(stale_meta)
+
+    # untouched: data, the committed manifest versions, live state file
+    assert spark.read.parquet(path).count() == before
+    assert read_manifest(spark, path).count() == 2
+    assert any(f.startswith("_sink_lineage_") and f.endswith(".json")
+               for f in os.listdir(path))
+    # idempotent steady state
+    assert vacuum_table(spark, path, min_age_seconds=0) == {
+        "recovered": "clean", "n_sink_staging": 0, "n_tmp_files": 0,
+        "n_meta_staging": 0,
+    }
+
+    # a partitioned in-flight staging whose ROOT mtime is old but whose
+    # subtree is still being written must survive (subtree-max fence)
+    import time as _time
+    live = os.path.join(path, "_staging_e7_aaaa0000_bbbb0000")
+    os.makedirs(os.path.join(live, "dt=a"))
+    with open(os.path.join(live, "dt=a", "part-0.parquet"), "wb") as fh:
+        fh.write(b"fresh")
+    old = _time.time() - 7200
+    os.utime(live, (old, old))
+    res = vacuum_table(spark, path, min_age_seconds=3600)
+    assert res["n_sink_staging"] == 0 and os.path.exists(live)
+    # once the subtree is old too, it reclaims
+    os.utime(os.path.join(live, "dt=a", "part-0.parquet"), (old, old))
+    os.utime(os.path.join(live, "dt=a"), (old, old))
+    res = vacuum_table(spark, path, min_age_seconds=3600)
+    assert res["n_sink_staging"] == 1 and not os.path.exists(live)
+
+
+def test_vacuum_table_resolves_pending_swap(spark, tmp_path):
+    """vacuum runs recovery first: a crash-stranded journal rolls
+    forward (duplicates gone) before the GC sweeps."""
+    import json
+
+    from iot_sensor_data_pipeline_spark.sources.manifest import vacuum_table
+
+    path = str(tmp_path / "vac2")
+    for lo, hi in [(0, 50), (50, 100)]:
+        spark.range(lo, hi).select(F.col("id").alias("k")).coalesce(1)\
+            .write.mode("append").parquet(path)
+    names = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    spark.read.parquet(path).coalesce(1).write.parquet(str(tmp_path / "st"))
+    part = next(f for f in os.listdir(tmp_path / "st") if f.endswith(".parquet"))
+    os.rename(str(tmp_path / "st" / part),
+              os.path.join(path, "caaaa0000-0.parquet"))
+    with open(os.path.join(path, "_optimize_journal.json"), "w") as fh:
+        json.dump({"add": ["caaaa0000-0.parquet"], "retire": names,
+                   "compacted_epochs": {}}, fh)
+
+    res = vacuum_table(spark, path)
+    assert res["recovered"] == "forward"
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_partitioned_manifest_prunes_within_partitions(spark, tmp_path):
+    """r11: the skipping manifest covers hive layouts — a selective
+    predicate on a NON-partition column opens only the files whose
+    footer range can match, inside every surviving partition; results
+    stay exact (partition columns included) and incremental refresh
+    footer-reads only the appended file."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import update_manifest
+
+    path = str(tmp_path / "pman")
+    # 2 partitions x 4 range-clustered files on k
+    for i in range(4):
+        for d in ("a", "b"):
+            spark.range(i * 1000, (i + 1) * 1000).select(
+                F.col("id").alias("k"), F.lit(d).alias("dt")
+            ).coalesce(1).write.mode("append").partitionBy("dt").parquet(path)
+    man = write_manifest(spark, path, ["k"])
+    assert man.count() == 8  # one row per file, both partitions listed
+
+    kept, total = prune_files(spark, path, {"k": (2500, 2600)})
+    assert total == 8 and len(kept) == 2  # file 2 of each partition
+    got = read_pruned(spark, path, {"k": (2500, 2600)})
+    # partition column SURVIVES the explicit-file read (basePath)
+    assert set(got.columns) == {"k", "dt"}
+    want = spark.read.parquet(path).where(F.col("k").between(2500, 2600))
+    assert sorted((r.k, r.dt) for r in got.collect()) == \
+        sorted((r.k, r.dt) for r in want.collect())
+
+    # composes with Spark's own partition pruning on top
+    assert got.where(F.col("dt") == "a").count() == 101
+
+    # incremental: append into ONE partition; only that file is new
+    spark.range(9000, 9100).select(
+        F.col("id").alias("k"), F.lit("a").alias("dt")
+    ).coalesce(1).write.mode("append").partitionBy("dt").parquet(path)
+    m2 = update_manifest(spark, path, ["k"])
+    assert m2.count() == 9
+    kept2, total2 = prune_files(spark, path, {"k": (9000, None)})
+    assert total2 == 9 and len(kept2) == 1
+
+
+def test_partitioned_bloom_index_point_reads(spark, tmp_path):
+    """r11: the per-file bloom index covers hive layouts; point reads
+    open only candidate files, keep partition columns, and stay exact.
+    Indexing a partition column is rejected loudly (its values are not
+    in the footers — silent NULL bits would prune wrongly)."""
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+        prune_files_bloom,
+        read_pruned_bloom,
+        update_bloom_index,
+        write_bloom_index,
+    )
+
+    path = str(tmp_path / "pbloom")
+    for i in range(4):
+        for d in ("a", "b"):
+            spark.range(i * 1000, (i + 1) * 1000).select(
+                F.col("id").alias("k"), F.lit(d).alias("dt")
+            ).coalesce(1).write.mode("append").partitionBy("dt").parquet(path)
+    write_bloom_index(spark, path, ["k"], expected_keys_per_file=1000)
+
+    keys = spark.createDataFrame([(2500,), (2600,)], "k long")
+    kept, total = prune_files_bloom(spark, path, ["k"], keys)
+    assert total == 8 and len(kept) <= 3  # ~2 true files + rare FPs
+    got = read_pruned_bloom(spark, path, ["k"], keys)
+    rows = sorted((r.k, r.dt) for r in got.collect())
+    assert rows == [(2500, "a"), (2500, "b"), (2600, "a"), (2600, "b")]
+
+    # incremental refresh indexes only the appended file
+    spark.range(9000, 9010).select(
+        F.col("id").alias("k"), F.lit("b").alias("dt")
+    ).coalesce(1).write.mode("append").partitionBy("dt").parquet(path)
+    update_bloom_index(spark, path, ["k"])
+    got2 = read_pruned_bloom(
+        spark, path, ["k"], spark.createDataFrame([(9005,)], "k long")
+    )
+    assert [(r.k, r.dt) for r in got2.collect()] == [(9005, "b")]
+
+    with _pytest.raises(ValueError, match="partition columns"):
+        write_bloom_index(spark, path, ["dt"], expected_keys_per_file=1000)
+
+
+def test_partitioned_sink_keeps_manifest_fresh(spark, tmp_path):
+    """r11: parquet_batch_sink accepts manifest_cols WITH
+    partition_cols — each epoch's commit refreshes the manifest over
+    the partitioned layout; a partition column in the index set raises."""
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+
+    path = str(tmp_path / "psink")
+    sink = parquet_batch_sink(
+        path, partition_cols=["dt"], manifest_cols=["k"], checkpoint="/ckpt/PS"
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("d"), (F.col("id") % 2).cast("string")).alias("dt"),
+        ).repartition(1)
+
+    sink(batch(0, 1000), 0)
+    sink(batch(1000, 2000), 1)
+    man = read_manifest(spark, path)
+    assert man.count() == 4  # 2 epochs x 2 partitions
+    kept, total = prune_files(spark, path, {"k": (1500, 1600)})
+    assert total == 4 and len(kept) == 2  # epoch-1 files only
+    got = read_pruned(spark, path, {"k": (1500, 1600)})
+    assert got.count() == 101 and set(got.columns) == {"k", "dt"}
+
+    with _pytest.raises(ValueError, match="partition columns"):
+        parquet_batch_sink(
+            path, partition_cols=["dt"], manifest_cols=["dt"],
+            checkpoint="/ckpt/PS2",
+        )
+
+
+def test_partitioned_optimize_refreshes_manifest(spark, tmp_path):
+    """r11: optimize_table_partitioned(manifest_cols=...) leaves the
+    partitioned table's skipping manifest exactly matching disk after
+    the swap — c-files in, retired micro-batch files out."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        optimize_table_partitioned,
+    )
+
+    path = str(tmp_path / "pomr")
+    for b in range(4):
+        spark.range(b * 500, (b + 1) * 500).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("dt"),
+        ).repartition(1).write.mode("append").partitionBy("dt").parquet(path)
+    write_manifest(spark, path, ["k"])
+    assert read_manifest(spark, path).count() == 8
+
+    res = optimize_table_partitioned(
+        spark, path, target_bytes=1 << 30, manifest_cols=["k"]
+    )
+    assert res["status"] == "optimized"
+    man_files = {
+        r.file.rsplit("/", 1)[-1]
+        for r in read_manifest(spark, path).select("file").distinct().collect()
+    }
+    disk = {
+        f for d in os.listdir(path) if d.startswith("dt=")
+        for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+    }
+    assert man_files == disk and all(f.startswith("c") for f in disk)
+    # pruning still exact on the compacted layout
+    got = read_pruned(spark, path, {"k": (100, 120)})
+    want = spark.read.parquet(path).where(F.col("k").between(100, 120))
+    assert got.count() == want.count() == 21

@@ -128,9 +128,12 @@ def test_streaming_sink_keeps_manifest_fresh_and_plans_compaction(
     assert len(files) == 1
     assert spark.read.parquet(compacted_dir).count() == 400
 
-    # manifest + hive partitions are mutually exclusive, loudly
-    with pytest.raises(ValueError, match="flat layout"):
-        parquet_batch_sink(out, partition_cols=["dt"], manifest_cols=["k"])
+    # r11: manifests cover hive layouts too — only indexing a
+    # PARTITION column is rejected (its values live in dir names, not
+    # footers); a data column composes fine
+    with pytest.raises(ValueError, match="partition columns"):
+        parquet_batch_sink(out, partition_cols=["dt"], manifest_cols=["dt"])
+    parquet_batch_sink(out, partition_cols=["dt"], manifest_cols=["k"])
 
 
 def test_parquet_sink_epoch_replay_is_idempotent(spark, tmp_path):

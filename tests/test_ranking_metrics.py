@@ -100,3 +100,80 @@ def test_duplicate_judgments_collapse_to_max_grade(spark):
     base = {r.qid: r.asDict() for r in ranking_metrics_report(results, relevance, k=3).collect()}
     dedup = {r.qid: r.asDict() for r in ranking_metrics_report(results, dup, k=3).collect()}
     assert base == dedup
+
+
+# ---------------------------------------------------------------------------
+# binary_classification_report (r11): tie-aware AUC + Brier + ECE
+# ---------------------------------------------------------------------------
+
+
+def _bcr(spark, rows):
+    from iot_sensor_data_pipeline_spark.operators.ranking import (
+        binary_classification_report,
+    )
+
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    return {
+        r.g: r
+        for r in binary_classification_report(df, "s", "y", by=["g"]).collect()
+    }
+
+
+def test_bcr_hand_computed_with_ties(spark):
+    """Group 'a': ranks 1, {2,3}->2.5 tied, 4; pos ranks 2.5+4=6.5 ->
+    AUC (6.5-3)/4 = 0.875. Brier and 10-bin ECE hand-checked."""
+    got = _bcr(spark, [
+        ("a", 0.1, 0), ("a", 0.2, 0), ("a", 0.2, 1), ("a", 0.8, 1),
+    ])["a"]
+    assert got.n == 4 and got.n_pos == 2
+    assert got.auc == 0.875
+    assert got.brier == round(0.73 / 4, 6)
+    assert got.ece == round((0.1 + 0.6 + 0.2) / 4, 6)
+
+
+def test_bcr_perfect_and_inverted_separation(spark):
+    got = _bcr(spark, [
+        ("c", 0.1, 0), ("c", 0.9, 1),
+        ("d", 0.9, 0), ("d", 0.1, 1),
+    ])
+    assert got["c"].auc == 1.0
+    assert got["d"].auc == 0.0
+
+
+def test_bcr_single_class_auc_is_null_not_half(spark):
+    """No negatives -> no ranking question; AUC must be NULL (the
+    ranking_metrics NULL discipline), while brier/ece still report."""
+    got = _bcr(spark, [("b", 0.3, 1), ("b", 0.7, 1)])["b"]
+    assert got.auc is None
+    assert got.brier == round((0.49 + 0.09) / 2, 6)
+    assert got.ece == 0.5
+
+
+def test_bcr_score_one_folds_into_last_bin(spark):
+    """score == 1.0 must land in bin 9 of 10 (closed top), not a
+    phantom bin 10."""
+    got = _bcr(spark, [("e", 1.0, 1), ("e", 0.0, 0)])["e"]
+    assert got.auc == 1.0 and got.ece == 0.0 and got.brier == 0.0
+
+
+def test_bcr_validation_raises(spark):
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.operators.ranking import (
+        binary_classification_report,
+    )
+
+    for rows in (
+        [("a", 1.5, 0)],            # score out of range
+        [("a", 0.5, 2)],            # non-binary label
+        [("a", None, 1)],           # NULL score
+        [("a", 0.5, None)],         # NULL label
+    ):
+        df = spark.createDataFrame(rows, "g string, s double, y int")
+        with _pytest.raises(ValueError, match="out-of|non-0/1"):
+            binary_classification_report(df, "s", "y", by=["g"])
+    with _pytest.raises(ValueError, match="by must be non-empty"):
+        binary_classification_report(
+            spark.createDataFrame([("a", 0.5, 1)], "g string, s double, y int"),
+            "s", "y", by=[],
+        )
