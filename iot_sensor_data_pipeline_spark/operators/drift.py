@@ -47,6 +47,7 @@ __all__ = [
     "drift_against_reference",
     "schema_drift",
     "drift_report_categorical",
+    "build_drift_reference_categorical",
 ]
 
 #: empty-bin share floor for the PSI log ratio (engine-portable pure
@@ -283,18 +284,23 @@ def build_drift_reference(
 
 
 def drift_against_reference(current: DataFrame, ref_dir: str) -> DataFrame:
-    """Score ``current`` against a persisted reference
-    (:func:`build_drift_reference`): same output contract as
-    :func:`drift_report`, but the reference side is the stored
-    histogram — cost is one scan of ``current`` plus the tiny count
-    relation. Columns absent from ``current`` are omitted (a SCHEMA
-    drift — detect it by diffing ``df.columns``, not distributions)."""
+    """Score ``current`` against a persisted reference: same output
+    contract as :func:`drift_report` (numeric references —
+    :func:`build_drift_reference`) or
+    :func:`drift_report_categorical` (categorical references —
+    :func:`build_drift_reference_categorical`; detected by the stored
+    relation's schema), but the reference side is the stored relation —
+    cost is one scan of ``current`` plus the tiny count relation.
+    Columns absent from ``current`` are omitted (a SCHEMA drift —
+    detect it by diffing ``df.columns``, not distributions)."""
     from iot_sensor_data_pipeline_spark.sources.manifest import (
         _read_versioned_in,
     )
 
     spark = current.sparkSession
     ref = _read_versioned_in(spark, ref_dir)
+    if "is_top" in ref.columns:
+        return _categorical_against_reference(current, ref, ref_dir)
     meta = ref.select("col", "lo", "hi", "n_bins").distinct().collect()
     if not meta:
         raise ValueError(f"empty drift reference at {ref_dir}")
@@ -372,37 +378,54 @@ def drift_report_categorical(
     combined — never a value collapse), and top_k bounds the compared
     bucket set. Deterministic end to end, so the whole pipeline
     hash-matches a SQL oracle cross-engine. Floats round to 6dp."""
-    from pyspark.sql import Window
-
     cols = list(cols)
     if not cols:
         raise ValueError("drift_report_categorical: cols must be non-empty")
     if top_k < 1:
         raise ValueError("drift_report_categorical: top_k must be >= 1")
+    ref_counts = _cat_long_counts(reference, cols)
+    cur_counts = _cat_long_counts(current, cols)
+    top = _cat_top(
+        ref_counts,
+        ref_counts.select("col").unionByName(cur_counts.select("col")),
+        top_k,
+    )
+    report = _report_from_counts(
+        _cat_bucketed(ref_counts, top, "n_ref_bin"),
+        _cat_bucketed(cur_counts, top, "n_cur_bin"),
+        key_col="bucket",
+    )
+    return _cat_finalize(report, cur_counts, ref_counts.select("col", "val"))
 
-    def long_counts(df: DataFrame) -> DataFrame:
-        pairs = ", ".join(
-            f"'{c}', coalesce(CAST({_quoted(c)} AS STRING), '<NULL>')"
-            for c in cols
-        )
-        return (
-            df.selectExpr(f"stack({len(cols)}, {pairs}) AS (col, val)")
-            .groupBy("col", "val")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
 
-    ref_counts = long_counts(reference)
-    cur_counts = long_counts(current)
+def _cat_long_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(col, val, n) vocabulary-grain counts; NULL renders as the
+    '<NULL>' sentinel (the always-own-bucket rule)."""
+    pairs = ", ".join(
+        f"'{c}', coalesce(CAST({_quoted(c)} AS STRING), '<NULL>')"
+        for c in cols
+    )
+    return (
+        df.selectExpr(f"stack({len(cols)}, {pairs}) AS (col, val)")
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _cat_top(ref_counts: DataFrame, col_source: DataFrame, top_k: int) -> DataFrame:
+    """The bucket vocabulary: the reference's deterministic top-K
+    (count desc, value asc) plus an ALWAYS-present '<NULL>' bucket per
+    column of ``col_source`` — '<NULL>' is rank-independent (a
+    NULL-share jump diluted inside <OTHER> would hide exactly the
+    drift that bucket exists to surface)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("col").orderBy(F.col("n").desc(), F.col("val").asc())
-    # '<NULL>' is ALWAYS its own bucket regardless of rank — the
-    # docstring's promise; a NULL-share jump diluted inside <OTHER>
-    # would hide exactly the drift this bucket exists to surface
     nulls = (
-        ref_counts.select("col").unionByName(cur_counts.select("col"))
-        .distinct()
+        col_source.select("col").distinct()
         .select("col", F.lit("<NULL>").alias("val"))
     )
-    top = (
+    return (
         ref_counts.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= top_k)
         .select("col", "val")
@@ -410,33 +433,37 @@ def drift_report_categorical(
         .distinct()
     )
 
-    def bucketed(counts: DataFrame, n_col: str) -> DataFrame:
-        return (
-            counts.join(
-                top.withColumn("__is_top", F.lit(True)), ["col", "val"], "left"
-            )
-            .select(
-                "col",
-                F.when(F.col("__is_top"), F.col("val"))
-                .otherwise(F.lit("<OTHER>"))
-                .alias("bucket"),
-                "n",
-            )
-            .groupBy("col", "bucket")
-            .agg(F.sum("n").alias(n_col))
-        )
 
-    report = _report_from_counts(
-        bucketed(ref_counts, "n_ref_bin"),
-        bucketed(cur_counts, "n_cur_bin"),
-        key_col="bucket",
+def _cat_bucketed(counts: DataFrame, top: DataFrame, n_col: str) -> DataFrame:
+    """Fold vocabulary counts into bucket counts: top values keep
+    their own bucket, everything else sums into '<OTHER>'."""
+    return (
+        counts.join(
+            top.withColumn("__is_top", F.lit(True)), ["col", "val"], "left"
+        )
+        .select(
+            "col",
+            F.when(F.col("__is_top"), F.col("val"))
+            .otherwise(F.lit("<OTHER>"))
+            .alias("bucket"),
+            "n",
+        )
+        .groupBy("col", "bucket")
+        .agg(F.sum("n").alias(n_col))
     )
-    # current VALUES with no reference occurrence at all (exact value,
-    # not bucket): the unseen mass. '<NULL>' is excluded — NULL is not
-    # a novel label; its movement is the <NULL> bucket's job
+
+
+def _cat_finalize(
+    report: DataFrame, cur_counts: DataFrame, ref_vocab: DataFrame
+) -> DataFrame:
+    """Attach ``unseen_share``: current VALUES with no reference
+    occurrence at all (exact value, not bucket). '<NULL>' is excluded —
+    NULL is not a novel label; its movement is the <NULL> bucket's
+    job. Shared by the direct and persisted-reference paths so the two
+    cannot diverge (the _report_from_counts discipline)."""
     unseen = (
         cur_counts.where(F.col("val") != "<NULL>")
-        .join(ref_counts.select("col", "val"), ["col", "val"], "left_anti")
+        .join(ref_vocab, ["col", "val"], "left_anti")
         .groupBy("col")
         .agg(F.sum("n").alias("__unseen"))
     )
@@ -453,4 +480,91 @@ def drift_report_categorical(
                 F.coalesce(F.col("__unseen"), F.lit(0)) / F.col("n_cur"), 6
             ),
         ).alias("unseen_share"),
+    )
+
+
+def build_drift_reference_categorical(
+    reference: DataFrame, cols: Sequence[str], ref_dir: str, top_k: int = 100
+) -> None:
+    """Persist the reference side of :func:`drift_report_categorical`
+    at ``ref_dir``: the full vocabulary-grain count relation ``(col,
+    val, n, is_top)`` — exact counts (so unseen-value detection stays
+    exact) plus the deterministic top-K flag (so the bucket set is
+    frozen at build time, not re-derived per batch). '<NULL>' is
+    materialized as an ``is_top`` row (n=0 when the reference had no
+    NULLs) because the sentinel bucket must exist regardless of rank.
+    Same versioned-commit discipline as :func:`build_drift_reference`;
+    :func:`drift_against_reference` detects which flavor a directory
+    holds and scores accordingly — one monitor entry point for numeric
+    and categorical columns."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        _commit_version_in,
+    )
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError(
+            "build_drift_reference_categorical: cols must be non-empty"
+        )
+    if top_k < 1:
+        raise ValueError("build_drift_reference_categorical: top_k must be >= 1")
+    ref_counts = _cat_long_counts(reference, cols)
+    top = _cat_top(ref_counts, ref_counts.select("col"), top_k)
+    # every column must surface even if the reference df is empty for
+    # it — stack always emits the col, so ref_counts covers all cols
+    # with at least the '<NULL>' row when rows exist; an entirely empty
+    # reference is a caller bug caught by the scorer's n_ref guard
+    rel = (
+        ref_counts.join(
+            top.withColumn("__t", F.lit(True)), ["col", "val"], "left"
+        )
+        .select(
+            "col", "val", "n",
+            F.coalesce(F.col("__t"), F.lit(False)).alias("is_top"),
+        )
+        .unionByName(
+            # '<NULL>' top rows absent from the counts (reference had
+            # no NULLs): materialize with n=0 so the bucket exists
+            top.where(F.col("val") == "<NULL>")
+            .join(ref_counts.select("col", "val"), ["col", "val"], "left_anti")
+            .select("col", "val", F.lit(0).cast("long").alias("n"),
+                    F.lit(True).alias("is_top"))
+        )
+    )
+    _commit_version_in(reference.sparkSession, ref_dir, rel)
+
+
+def _categorical_against_reference(
+    current: DataFrame, ref: DataFrame, ref_dir: str
+) -> DataFrame:
+    """Categorical arm of :func:`drift_against_reference`: the stored
+    ``(col, val, n, is_top)`` relation IS the reference vocabulary —
+    the bucket set was frozen at build time (never re-ranked per
+    batch, so two batches always score against identical buckets), the
+    exact vocab powers unseen-value detection, and the shared
+    ``_cat_bucketed`` / ``_cat_finalize`` keep this path equal to the
+    direct :func:`drift_report_categorical` by construction."""
+    cols_rows = ref.select("col").distinct().collect()
+    if not cols_rows:
+        raise ValueError(f"empty drift reference at {ref_dir}")
+    cols = sorted(r["col"] for r in cols_rows if r["col"] in current.columns)
+    if not cols:
+        raise ValueError(
+            "drift_against_reference: no reference column present in the "
+            f"current DataFrame (reference has "
+            f"{sorted(r['col'] for r in cols_rows)})"
+        )
+    ref = ref.where(F.col("col").isin(cols))
+    top = ref.where(F.col("is_top")).select("col", "val")
+    cur_counts = _cat_long_counts(current, cols)
+    report = _report_from_counts(
+        _cat_bucketed(ref.select("col", "val", "n"), top, "n_ref_bin"),
+        _cat_bucketed(cur_counts, top, "n_cur_bin"),
+        key_col="bucket",
+    )
+    # the n=0 materialized '<NULL>' rows are vocabulary bookkeeping,
+    # not observed reference values — exclude them from the unseen
+    # check's vocab (harmless either way: unseen already skips <NULL>)
+    return _cat_finalize(
+        report, cur_counts, ref.where(F.col("n") > 0).select("col", "val")
     )

@@ -315,3 +315,115 @@ def test_reference_rebuild_mid_stream_is_atomic(spark, tmp_path):
         assert by_epoch[0][col].escaped_share == expect_v1[col].escaped_share
         assert by_epoch[1][col].psi == expect_v2[col].psi, col
         assert by_epoch[1][col].escaped_share == expect_v2[col].escaped_share
+
+
+def test_categorical_reference_stored_equals_direct(spark, tmp_path):
+    """r11: a persisted categorical reference scores a current batch
+    IDENTICALLY to the direct drift_report_categorical (shared
+    bucketing/finalize helpers), including unseen-value shares and the
+    always-present <NULL> bucket when the reference had no NULLs."""
+    from iot_sensor_data_pipeline_spark.operators.drift import (
+        build_drift_reference_categorical,
+        drift_against_reference,
+        drift_report_categorical,
+    )
+
+    ref = spark.createDataFrame(
+        [("en", "web")] * 50 + [("fr", "web")] * 30 + [("de", "books")] * 15
+        + [("es", "books")] * 5,
+        "lang string, source string",
+    )
+    cur = spark.createDataFrame(
+        [("en", "web")] * 20 + [("fr", None)] * 25 + [("zz", "books")] * 10
+        + [("de", "crawl")] * 5,
+        "lang string, source string",
+    )
+    direct = {
+        r.col: r
+        for r in drift_report_categorical(ref, cur, ["lang", "source"],
+                                          top_k=3).collect()
+    }
+    ref_dir = str(tmp_path / "cref")
+    build_drift_reference_categorical(ref, ["lang", "source"], ref_dir, top_k=3)
+    stored = {
+        r.col: r for r in drift_against_reference(cur, ref_dir).collect()
+    }
+    assert set(stored) == set(direct) == {"lang", "source"}
+    for c in direct:
+        for f in ("n_ref", "n_cur", "psi", "tvd", "unseen_share"):
+            assert stored[c][f] == direct[c][f], (c, f)
+    # sanity on the semantics themselves
+    assert stored["lang"].unseen_share == round(10 / 60, 6)  # 'zz'
+    assert stored["source"].unseen_share == round(5 / 60, 6)  # 'crawl'
+
+
+def test_categorical_reference_buckets_frozen_at_build(spark, tmp_path):
+    """The stored top-K is frozen at build time: two different current
+    batches score against the SAME bucket set (a per-batch re-rank
+    would make monitor scores incomparable across batches)."""
+    from iot_sensor_data_pipeline_spark.operators.drift import (
+        build_drift_reference_categorical,
+        drift_against_reference,
+    )
+
+    ref = spark.createDataFrame(
+        [("a",)] * 40 + [("b",)] * 30 + [("c",)] * 2, "lab string"
+    )
+    ref_dir = str(tmp_path / "cref2")
+    build_drift_reference_categorical(ref, ["lab"], ref_dir, top_k=2)
+
+    same = spark.createDataFrame(
+        [("a",)] * 40 + [("b",)] * 30 + [("c",)] * 2, "lab string"
+    )
+    skew = spark.createDataFrame([("c",)] * 70, "lab string")
+    r_same = drift_against_reference(same, ref_dir).first()
+    r_skew = drift_against_reference(skew, ref_dir).first()
+    assert r_same.psi < 0.01 and r_same.unseen_share == 0.0
+    # 'c' is NOT top-2: its mass lands in <OTHER>, psi explodes, and it
+    # is NOT unseen (the exact vocab remembers it)
+    assert r_skew.psi > 1.0 and r_skew.unseen_share == 0.0
+
+
+def test_drift_monitor_dispatches_on_categorical_reference(spark, tmp_path):
+    """start_drift_monitor works unchanged over a categorical
+    reference — the scorer detects the stored relation's flavor."""
+    import json as _json
+
+    from iot_sensor_data_pipeline_spark.operators.drift import (
+        build_drift_reference_categorical,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.jobs import start_drift_monitor
+
+    ref = spark.createDataFrame(
+        [("en",)] * 80 + [("fr",)] * 20, "lang string"
+    )
+    ref_dir = str(tmp_path / "cref3")
+    build_drift_reference_categorical(ref, ["lang"], ref_dir, top_k=5)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    scores = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    alerts = []
+
+    def run():
+        q = start_drift_monitor(
+            spark.readStream.schema("lang string").json(str(src)),
+            ref_dir, scores, ckpt, psi_threshold=0.2,
+            on_drift=lambda e, rows: alerts.append(e), available_now=True,
+        )
+        q.awaitTermination(120)
+
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps({"lang": "en" if i % 5 else "fr"})
+                  for i in range(500))
+    )
+    run()
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps({"lang": "xx"}) for i in range(500))
+    )
+    run()
+    got = {r.epoch: r for r in spark.read.parquet(scores).collect()}
+    assert got[0].psi < 0.05 and got[0].unseen_share == 0.0
+    assert got[1].psi > 0.2 and got[1].unseen_share == 1.0
+    assert alerts == [1]
