@@ -243,10 +243,14 @@ def binary_classification_report(
     Scores must lie in [0, 1] (validated — a raw margin would silently
     corrupt brier/ece); labels must be 0/1 integers (NULL labels are
     rejected loudly rather than dropped: a silently shrinking eval set
-    is how eval bugs hide). Rows whose ``by`` key is NULL are excluded
-    by the report joins (standard equi-join semantics — the same rule a
-    SQL ``GROUP BY .. JOIN USING`` oracle applies); coalesce group keys
-    upstream if NULL is a group you care about. Everything is plain expressions over two
+    is how eval bugs hide). Validation rides the main projection
+    (``raise_error`` under a ``when`` — the apply_cdc discipline), so
+    it costs no eager validation job; the raise surfaces at action
+    time with the offending values in the message.
+    Rows whose ``by`` key is NULL are excluded by the report joins
+    (standard equi-join semantics — the same rule a SQL ``GROUP BY ..
+    JOIN USING`` oracle applies); coalesce group keys upstream if NULL
+    is a group you care about. Everything is plain expressions over two
     aggregation passes + one per-group window at distinct-score grain;
     no UDFs, no collects."""
     if not by:
@@ -259,24 +263,27 @@ def binary_classification_report(
     from pyspark.sql import Window
 
     s, y = F.col(score_col), F.col(label_col)
-    bad = F.when(
-        s.isNull() | y.isNull() | (s < 0) | (s > 1) | ~y.isin(0, 1),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    # inline fail-loud: the ok-condition is NULL for NULL score/label,
+    # so the when() is not-true for NULLs AND out-of-domain values —
+    # either way the otherwise branch raises with the offending pair
+    ok = (s >= 0) & (s <= 1) & y.isin(0, 1)
     base = df.select(
         *by,
-        s.cast("double").alias("__s"),
+        F.when(ok, s.cast("double")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"binary_classification_report: NULL/out-of-[0,1] "
+                        f"{score_col!r} or non-0/1 {label_col!r}: score="
+                    ),
+                    F.coalesce(s.cast("string"), F.lit("NULL")),
+                    F.lit(", label="),
+                    F.coalesce(y.cast("string"), F.lit("NULL")),
+                )
+            )
+        ).alias("__s"),
         y.cast("long").alias("__y"),
-        bad.alias("__bad"),
     )
-    # one validation pass rides the same relation (raise_error on the
-    # projection would cost a job; the eval relation is re-used anyway)
-    n_bad = base.agg(F.sum("__bad")).first()[0]
-    if n_bad:
-        raise ValueError(
-            f"binary_classification_report: {n_bad} rows have NULL/"
-            f"out-of-[0,1] {score_col!r} or non-0/1 {label_col!r}"
-        )
     # distinct-score grain: counts per (group, score)
     g = base.groupBy(*by, "__s").agg(
         F.count(F.lit(1)).alias("__n"),

@@ -60,6 +60,7 @@ __all__ = [
     "optimize_table_partitioned",
     "recover_optimize",
     "vacuum_table",
+    "table_health",
 ]
 
 MANIFEST_DIR = "_manifest"
@@ -1366,7 +1367,10 @@ def optimize_table_partitioned(
 
 
 def vacuum_table(
-    spark: SparkSession, path: str, min_age_seconds: float = 3600.0
+    spark: SparkSession,
+    path: str,
+    min_age_seconds: float = 3600.0,
+    dry_run: bool = False,
 ) -> dict:
     """Reclaim the invisible leftovers interrupted writers strand —
     the VACUUM half of the maintenance loop (OPTIMIZE compacts what
@@ -1394,10 +1398,23 @@ def vacuum_table(
     by age. Cost: one shallow listing per metadata dir + the root —
     metadata-grain, no data reads. Returns
     ``{"recovered", "n_sink_staging", "n_tmp_files", "n_meta_staging"}``.
+
+    ``dry_run=True`` COUNTS reclaimable artifacts without deleting
+    anything (and skips recovery — ``recovered`` reports ``'pending'``
+    when a journal exists, ``'clean'`` otherwise): the
+    :func:`table_health` probe.
     """
     import time as _time
 
-    recovered = recover_optimize(spark, path)
+    if dry_run:
+        fs0, root0, jvm0 = _fs_for(spark, path)
+        recovered = (
+            "pending"
+            if fs0.exists(root0) and fs0.exists(_journal_path(path, jvm0))
+            else "clean"
+        )
+    else:
+        recovered = recover_optimize(spark, path)
     fs, root, jvm = _fs_for(spark, path)
     if not fs.exists(root):
         return {"recovered": recovered, "n_sink_staging": 0,
@@ -1426,11 +1443,13 @@ def vacuum_table(
         name = st.getPath().getName()
         if (st.isDirectory() and name.startswith("_staging_e")
                 and old_enough(st) and subtree_old_enough(st.getPath())):
-            fs.delete(st.getPath(), True)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
             n_sink += 1
         elif (st.isFile() and name.startswith("_")
               and name.endswith(".json.tmp") and old_enough(st)):
-            fs.delete(st.getPath(), False)
+            if not dry_run:
+                fs.delete(st.getPath(), False)
             n_tmp += 1
         elif st.isDirectory() and name.startswith("_"):
             versions = _versions_in(spark, str(st.getPath()))
@@ -1443,7 +1462,125 @@ def vacuum_table(
                     continue
                 head = sname[2:-len(".staging")].split(".", 1)[0]
                 if head.isdigit() and int(head) < newest and old_enough(sub):
-                    fs.delete(sub.getPath(), True)
+                    if not dry_run:
+                        fs.delete(sub.getPath(), True)
                     n_meta += 1
     return {"recovered": recovered, "n_sink_staging": n_sink,
             "n_tmp_files": n_tmp, "n_meta_staging": n_meta}
+
+
+def table_health(
+    spark: SparkSession, path: str, target_bytes: int | None = None
+) -> dict:
+    """One metadata-grain probe of everything the maintenance family
+    tracks about a table — the report an operator reads BEFORE deciding
+    to optimize/vacuum/rebuild, and the scheduled-job heartbeat that
+    catches a silently degrading table (file-count creep, stale
+    manifest, stranded journal) without paying a single data read.
+
+    Returns a driver-small dict:
+
+    - ``n_files``, ``total_bytes``, ``partitioned``, ``n_partitions``;
+    - ``small_file_fraction`` — files under ``target_bytes`` (None →
+      omitted): the OPTIMIZE trigger signal;
+    - ``pending_journal`` — an interrupted OPTIMIZE swap awaits
+      :func:`recover_optimize` (readers may see duplicates NOW);
+    - ``reclaimable`` — :func:`vacuum_table` dry-run counts (nothing
+      is deleted by this probe);
+    - ``manifest`` — None, or ``{"version", "n_files_covered",
+      "n_uncovered"}`` where uncovered = on-disk data files the newest
+      committed manifest does not list (stale → those files are never
+      pruned; refresh with :func:`update_manifest`);
+    - ``bloom_indexes`` — ``{dir_name: {"version",
+      "n_files_covered", "n_uncovered"}}`` per ``_bloom_*`` index;
+    - ``epoch_lineages`` — ``{lineage: {"n_files", "max_epoch",
+      "compacted_through"}}`` per epoch-idempotent sink lineage whose
+      files (or watermark) are present.
+
+    Cost: the shared data-file listing + one shallow listing per
+    metadata dir + the tiny manifest/bloom file columns — never row
+    data."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        _read_compacted_through,
+        parse_epoch_file,
+    )
+
+    fs, root, jvm = _fs_for(spark, path)
+    if not fs.exists(root):
+        raise ValueError(f"no table at {path}")
+    files = _list_parquet_files(spark, path)
+    sizes = {}
+    for f in files:
+        try:
+            sizes[f] = int(fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(f)).getLen())
+        except Exception:  # noqa: BLE001 — vanished under a live writer
+            continue
+    base = fs.makeQualified(root).toString().rstrip("/")
+    part_dirs = {
+        f[len(base):].strip("/").rsplit("/", 1)[0]
+        for f in files if "/" in f[len(base):].strip("/")
+    }
+    out: dict = {
+        "n_files": len(files),
+        "total_bytes": sum(sizes.values()),
+        "partitioned": bool(part_dirs),
+        "n_partitions": len(part_dirs),
+        "pending_journal": bool(fs.exists(_journal_path(path, jvm))),
+        "reclaimable": {
+            k: v
+            for k, v in vacuum_table(spark, path, dry_run=True).items()
+            if k != "recovered"
+        },
+    }
+    if target_bytes:
+        small = sum(1 for b in sizes.values() if b < target_bytes)
+        out["small_file_fraction"] = round(small / len(files), 4) if files else 0.0
+
+    def _coverage(meta_dir: str) -> dict | None:
+        versions = _versions_in(spark, meta_dir)
+        if not versions:
+            return None
+        covered = {
+            r.file for r in spark.read.parquet(f"{meta_dir}/v{versions[-1]}")
+            .select("file").distinct().collect()
+        }
+        canon = lambda u: "/" + u.split(":", 1)[-1].lstrip("/")  # noqa: E731
+        covered_c = {canon(f) for f in covered}
+        uncovered = sum(1 for f in files if canon(f) not in covered_c)
+        return {
+            "version": versions[-1],
+            "n_files_covered": len(covered),
+            "n_uncovered": uncovered,
+        }
+
+    out["manifest"] = _coverage(f"{path}/{MANIFEST_DIR}")
+    blooms = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_bloom_"):
+            cov = _coverage(str(st.getPath()))
+            if cov is not None:
+                blooms[name] = cov
+    out["bloom_indexes"] = blooms
+
+    lineages: dict = {}
+    for f in files:
+        parsed = parse_epoch_file(f.rsplit("/", 1)[-1])
+        if parsed is None:
+            continue
+        epoch, lin = parsed
+        rec = lineages.setdefault(lin, {"n_files": 0, "max_epoch": -1})
+        rec["n_files"] += 1
+        rec["max_epoch"] = max(rec["max_epoch"], epoch)
+    # lineages whose epoch files were ALL compacted away still surface
+    # via their watermark sidecars
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_compacted_through_") and name.endswith(".json"):
+            lin = name[len("_compacted_through_"):-len(".json")]
+            lineages.setdefault(lin, {"n_files": 0, "max_epoch": -1})
+    for lin, rec in lineages.items():
+        rec["compacted_through"] = _read_compacted_through(fs, jvm, path, lin)
+    out["epoch_lineages"] = lineages
+    return out

@@ -1342,3 +1342,83 @@ def test_partitioned_optimize_refreshes_manifest(spark, tmp_path):
     got = read_pruned(spark, path, {"k": (100, 120)})
     want = spark.read.parquet(path).where(F.col("k").between(100, 120))
     assert got.count() == want.count() == 21
+
+
+def test_table_health_reports_everything(spark, tmp_path):
+    """r11 table_health: one metadata-grain probe — file/size/partition
+    counts, small-file fraction, pending journal, vacuum dry-run
+    reclaimables, manifest/bloom coverage incl. staleness, and epoch
+    lineages with their compaction watermarks. Nothing is mutated."""
+    import json
+
+    from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+        write_bloom_index,
+    )
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        optimize_table,
+        table_health,
+    )
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+
+    path = str(tmp_path / "health")
+    ckpt = "/ckpt/H"
+    sink = parquet_batch_sink(path, checkpoint=ckpt)
+    for e, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 260)]):
+        sink(spark.range(lo, hi).select(F.col("id").alias("k")).coalesce(1), e)
+    write_manifest(spark, path, ["k"])
+    write_bloom_index(spark, path, ["k"], expected_keys_per_file=100)
+
+    h = table_health(spark, path, target_bytes=1 << 30)
+    assert h["n_files"] == 3 and h["total_bytes"] > 0
+    assert h["partitioned"] is False and h["n_partitions"] == 0
+    assert h["small_file_fraction"] == 1.0
+    assert h["pending_journal"] is False
+    assert h["manifest"] == {"version": 1, "n_files_covered": 3,
+                             "n_uncovered": 0}
+    assert list(h["bloom_indexes"]) == ["_bloom_k"]
+    assert h["bloom_indexes"]["_bloom_k"]["n_uncovered"] == 0
+    lin = next(iter(h["epoch_lineages"]))
+    assert h["epoch_lineages"][lin] == {
+        "n_files": 3, "max_epoch": 2, "compacted_through": None,
+    }
+
+    # staleness: a raw append the indexes have not seen yet
+    spark.range(300, 340).select(F.col("id").alias("k")).coalesce(1)\
+        .write.mode("append").parquet(path)
+    h2 = table_health(spark, path, target_bytes=1 << 30)
+    assert h2["manifest"]["n_uncovered"] == 1
+    assert h2["bloom_indexes"]["_bloom_k"]["n_uncovered"] == 1
+
+    # compaction watermark + reclaimables + pending journal surface
+    res = optimize_table(spark, path, target_bytes=1 << 30,
+                         live_checkpoints=[ckpt])
+    assert res["status"] == "optimized"
+    os.makedirs(os.path.join(path, "_staging_e9_feedbeef_00000000"))
+    old = __import__("time").time() - 7200
+    os.utime(os.path.join(path, "_staging_e9_feedbeef_00000000"), (old, old))
+    with open(os.path.join(path, "_optimize_journal.json"), "w") as fh:
+        json.dump({"add": [], "retire": [], "compacted_epochs": {}}, fh)
+    h3 = table_health(spark, path, target_bytes=1 << 30)
+    assert h3["pending_journal"] is True
+    assert h3["reclaimable"]["n_sink_staging"] == 1
+    assert h3["epoch_lineages"][lin]["compacted_through"] == 1
+    assert h3["epoch_lineages"][lin]["max_epoch"] == 2  # e2 survives
+    # the probe mutated nothing
+    assert os.path.exists(os.path.join(path, "_optimize_journal.json"))
+    assert os.path.exists(os.path.join(path, "_staging_e9_feedbeef_00000000"))
+
+
+def test_table_health_partitioned(spark, tmp_path):
+    from iot_sensor_data_pipeline_spark.sources.manifest import table_health
+
+    path = str(tmp_path / "healthp")
+    for b in range(3):
+        spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("dt")
+        ).repartition(1).write.mode("append").partitionBy("dt").parquet(path)
+    h = table_health(spark, path)
+    assert h["partitioned"] is True and h["n_partitions"] == 2
+    assert h["n_files"] == 6
+    assert h["manifest"] is None and h["bloom_indexes"] == {}
+    assert h["epoch_lineages"] == {}
+    assert "small_file_fraction" not in h

@@ -157,6 +157,9 @@ def test_bcr_score_one_folds_into_last_bin(spark):
 
 
 def test_bcr_validation_raises(spark):
+    """Action-time inline validation (raise_error on the projection —
+    the apply_cdc discipline): every bad row class raises with the
+    offending values in the message; no eager validation job."""
     import pytest as _pytest
 
     from iot_sensor_data_pipeline_spark.operators.ranking import (
@@ -170,8 +173,8 @@ def test_bcr_validation_raises(spark):
         [("a", 0.5, None)],         # NULL label
     ):
         df = spark.createDataFrame(rows, "g string, s double, y int")
-        with _pytest.raises(ValueError, match="out-of|non-0/1"):
-            binary_classification_report(df, "s", "y", by=["g"])
+        with _pytest.raises(Exception, match="binary_classification_report"):
+            binary_classification_report(df, "s", "y", by=["g"]).collect()
     with _pytest.raises(ValueError, match="by must be non-empty"):
         binary_classification_report(
             spark.createDataFrame([("a", 0.5, 1)], "g string, s double, y int"),
