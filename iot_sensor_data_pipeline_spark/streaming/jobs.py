@@ -1870,3 +1870,109 @@ def start_drift_monitor(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()
+
+
+def start_constraint_monitor(
+    stream_df: DataFrame,
+    checks,
+    reports_dir: str,
+    checkpoint: str,
+    quarantine_dir: str | None = None,
+    on_violation=None,
+    trigger: str | None = None,
+    available_now: bool = False,
+    query_name: str | None = None,
+):
+    """Per-micro-batch data-quality gate — the operational twin of
+    :func:`start_drift_monitor`: every batch is evaluated against a
+    declarative ``operators.constraints`` check suite (ALL row-level
+    checks in ONE scan of the batch; unique/ref-integrity checks add
+    their own aggregates) and the per-check report rows — epoch-stamped
+    — append to ``reports_dir``. Where the drift monitor asks "did the
+    DISTRIBUTION move", this asks "does every row still satisfy what
+    the pipeline REQUIRES" (completeness, domains, keys), at the batch
+    that broke it.
+
+    ``quarantine_dir`` additionally diverts the batch's rows that
+    violate ANY row-level check into a dead-letter table (original
+    columns plus ``__violated`` — the comma-joined names of the failed
+    checks), so downstream consumers read clean rows while nothing is
+    silently dropped — the from_json corrupt-record discipline applied
+    to semantic quality. Set-level checks (unique, ref_integrity)
+    report but do not quarantine: a uniqueness violation has no single
+    guilty row. NOTE: this monitor only OBSERVES the stream — it does
+    not rewrite the main sink's rows; pair it with a filter in the
+    pipeline when quarantined rows must not reach the primary table.
+
+    ``on_violation(epoch_id, rows)`` fires when any check fails
+    (rows = the collected failing report rows, <= n_checks —
+    driver-small); same at-least-once alert contract as the drift
+    monitor, and the callback must not raise to "stop" the stream.
+    Both output tables ride the epoch-idempotent sink scoped to THIS
+    checkpoint's lineage, so a replayed batch converges instead of
+    duplicating report/quarantine rows."""
+    from iot_sensor_data_pipeline_spark.operators.constraints import check_suite
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+
+    checks = list(checks)
+    if not checks:
+        raise ValueError("start_constraint_monitor: checks must be non-empty")
+    reports_sink = parquet_batch_sink(reports_dir, checkpoint=checkpoint)
+    quarantine_sink = (
+        parquet_batch_sink(quarantine_dir, checkpoint=checkpoint)
+        if quarantine_dir
+        else None
+    )
+    row_checks = [c for c in checks if c.kind == "row"]
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()  # report + quarantine, one compute
+        try:
+            rep = check_suite(batch_df, checks).withColumn(
+                "epoch", F.lit(epoch_id).cast("long")
+            )
+            rep = rep.persist()  # written once, probed once for alerts
+            try:
+                reports_sink(rep.coalesce(1), epoch_id)
+                if quarantine_sink is not None and row_checks:
+                    violated = F.concat_ws(
+                        ",",
+                        *[
+                            F.when(F.expr(c.violation_expr), F.lit(c.name))
+                            for c in row_checks
+                        ],
+                    )
+                    bad = batch_df.withColumn("__violated", violated).where(
+                        F.col("__violated") != ""
+                    )
+                    # skip clean batches: an empty epoch write would
+                    # mint a zero-row file per batch forever (checks
+                    # are deterministic over the batch, so a replay
+                    # skips the same way it wrote)
+                    if not bad.isEmpty():
+                        quarantine_sink(bad, epoch_id)
+                if on_violation is not None:
+                    failing = rep.where(F.col("n_violations") > 0).collect()
+                    if failing:
+                        on_violation(epoch_id, failing)
+            finally:
+                rep.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()

@@ -1330,3 +1330,95 @@ def test_streaming_drift_monitor(spark, tmp_path):
     epoch1_rows = spark.read.parquet(scores).where(F.col("epoch") == 1)
     replay_sink(epoch1_rows.coalesce(1), 1)
     assert spark.read.parquet(scores).count() == 2
+
+
+def test_streaming_constraint_monitor(spark, tmp_path):
+    """start_constraint_monitor (r11): each micro-batch is scored
+    against a declarative check suite — per-check epoch-stamped report
+    rows, violating rows diverted to a quarantine table tagged with the
+    failed check names, alert fired exactly once per failing batch,
+    and a restart replays nothing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.constraints import (
+        in_range,
+        not_null,
+        unique,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        start_constraint_monitor,
+    )
+
+    src = tmp_path / "cm_src"
+    src.mkdir()
+    reports = str(tmp_path / "cm_reports")
+    quarantine = str(tmp_path / "cm_quar")
+    ckpt = str(tmp_path / "cm_ckpt")
+    alerts: list[tuple[int, list]] = []
+    checks = [
+        not_null("sensor_id"),
+        in_range("temperature", -40, 85),
+        unique("reading_id"),
+    ]
+
+    def run():
+        stream = spark.readStream.schema(
+            "reading_id long, sensor_id string, temperature double"
+        ).json(str(src))
+        q = start_constraint_monitor(
+            stream, checks, reports, ckpt, quarantine_dir=quarantine,
+            on_violation=lambda e, rows: alerts.append((e, rows)),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    # batch 0: clean
+    (src / "b0.json").write_text("\n".join(
+        _json.dumps({"reading_id": i, "sensor_id": f"s{i % 4}",
+                     "temperature": 20.0 + i % 10})
+        for i in range(100)
+    ))
+    run()
+    rep0 = spark.read.parquet(reports).where(F.col("epoch") == 0)
+    assert rep0.count() == 3
+    assert rep0.where(~F.col("passed")).count() == 0
+    assert not alerts
+    import os as _os
+    assert not _os.path.exists(quarantine)  # clean batches write nothing
+
+    # batch 1: one NULL sensor, one out-of-range temp (same row ids
+    # kept unique so exactly two rows quarantine), plus a dup key
+    rows = [
+        {"reading_id": 200, "sensor_id": None, "temperature": 21.0},
+        {"reading_id": 201, "sensor_id": "s1", "temperature": 900.0},
+        {"reading_id": 202, "sensor_id": "s2", "temperature": 22.0},
+        {"reading_id": 202, "sensor_id": "s3", "temperature": 23.0},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    run()
+    rep1 = {r.check: r for r in
+            spark.read.parquet(reports).where(F.col("epoch") == 1).collect()}
+    assert rep1["not_null(sensor_id)"].n_violations == 1
+    assert rep1["in_range(temperature)"].n_violations == 1
+    assert rep1["unique(reading_id)"].n_violations == 2  # both dup rows
+    quar = spark.read.parquet(quarantine).collect()
+    assert {(r.reading_id, r["__violated"]) for r in quar} == {
+        (200, "not_null(sensor_id)"), (201, "in_range(temperature)"),
+    }
+    assert len(alerts) == 1 and alerts[0][0] == 1
+    assert {r.check for r in alerts[0][1]} == {
+        "not_null(sensor_id)", "in_range(temperature)", "unique(reading_id)",
+    }
+
+    # restart with no new data: nothing replays
+    run()
+    assert spark.read.parquet(reports).count() == 6
+    assert len(alerts) == 1
+
+    # replayed epoch converges (epoch-idempotent sinks on both tables)
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+    replay = parquet_batch_sink(reports, checkpoint=ckpt)
+    replay(spark.read.parquet(reports).where(F.col("epoch") == 1).coalesce(1), 1)
+    assert spark.read.parquet(reports).count() == 6
