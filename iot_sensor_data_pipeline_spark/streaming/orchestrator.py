@@ -203,6 +203,27 @@ class Pipeline:
                 out[name] = "error"
         return out
 
+    def health(
+        self, spark, tables: dict[str, str], target_bytes: int | None = None
+    ) -> dict[str, dict]:
+        """Per-table :func:`~.manifest.table_health` probe — the
+        scheduled heartbeat companion to :meth:`plan_maintenance`
+        (plan_maintenance REFRESHES and PLANS; this only OBSERVES:
+        metadata-grain, zero mutation, zero data reads). A table whose
+        probe fails (not created yet, FS hiccup) reports
+        ``{"error": <message>}`` and the rest still report."""
+        from iot_sensor_data_pipeline_spark.sources.manifest import (
+            table_health,
+        )
+
+        out: dict[str, dict] = {}
+        for name, path in tables.items():
+            try:
+                out[name] = table_health(spark, path, target_bytes)
+            except Exception as e:  # noqa: BLE001 — per-table isolation
+                out[name] = {"error": str(e)}
+        return out
+
     def process_all_available(self) -> None:
         """Drain every query synchronously (test/batch-drive mode)."""
         for q in self.queries.values():

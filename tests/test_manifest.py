@@ -1422,3 +1422,46 @@ def test_table_health_partitioned(spark, tmp_path):
     assert h["manifest"] is None and h["bloom_indexes"] == {}
     assert h["epoch_lineages"] == {}
     assert "small_file_fraction" not in h
+
+
+def test_partitioned_optimize_refreshes_bloom(spark, tmp_path):
+    """r11: optimize_table_partitioned(bloom_cols=...) leaves the
+    partitioned table's bloom index covering exactly the compacted
+    files; point reads stay exact afterwards."""
+    from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+        read_pruned_bloom,
+        write_bloom_index,
+    )
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        _read_versioned_in,
+        optimize_table_partitioned,
+    )
+
+    path = str(tmp_path / "pob")
+    for b in range(4):
+        spark.range(b * 500, (b + 1) * 500).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("dt"),
+        ).repartition(1).write.mode("append").partitionBy("dt").parquet(path)
+    write_bloom_index(spark, path, ["k"], expected_keys_per_file=500)
+
+    res = optimize_table_partitioned(
+        spark, path, target_bytes=1 << 30, bloom_cols=["k"]
+    )
+    assert res["status"] == "optimized"
+    idx_files = {
+        r.file.rsplit("/", 1)[-1]
+        for r in _read_versioned_in(spark, f"{path}/_bloom_k")
+        .select("file").distinct().collect()
+    }
+    disk = {
+        f for d in os.listdir(path) if d.startswith("dt=")
+        for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+    }
+    assert idx_files == disk and all(f.startswith("c") for f in disk)
+    got = read_pruned_bloom(
+        spark, path, ["k"], spark.createDataFrame([(777,), (1501,)], "k long")
+    )
+    # dt values are digits, so Spark's partition inference types them
+    # int — the pruned read matches the plain read's typing exactly
+    assert sorted((r.k, r.dt) for r in got.collect()) == [(777, 1), (1501, 1)]

@@ -390,3 +390,17 @@ def test_recover_on_start_closes_duplicate_window(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 200
     assert got.agg(F.sum("k")).first()[0] == sum(range(200))
+
+
+def test_pipeline_health_probe(spark, tmp_path):
+    """Pipeline.health: per-table table_health with per-table error
+    isolation — observe-only (nothing mutated)."""
+    p1 = str(tmp_path / "h1")
+    spark.range(10).selectExpr("id AS k").coalesce(1).write.parquet(p1)
+    out = Pipeline().health(
+        spark, {"t1": p1, "missing": str(tmp_path / "nope")},
+        target_bytes=1 << 20,
+    )
+    assert out["t1"]["n_files"] == 1
+    assert out["t1"]["small_file_fraction"] == 1.0
+    assert "error" in out["missing"]
