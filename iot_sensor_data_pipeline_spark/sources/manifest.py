@@ -92,17 +92,24 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     directory-level job, but a selective predicate on a NON-partition
     column still opens every file of the surviving partitions without
     footer-level skipping (r11 — previously flat-only)."""
+    return [f for f, _sz in _walk_data_files(spark, path)]
+
+
+def _walk_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file, via a manual walk that
+    descends ONLY into k=v partition directories — never into
+    metadata/staging subtrees ('_manifest', '_bloom_*', '.compact_*'):
+    a blanket recursive listFiles would iterate those lazily and throw
+    when a concurrent maintenance commit prunes a version directory
+    mid-iteration (and would waste listing calls on files the filter
+    drops anyway). Sizes ride along from the same listStatus entries,
+    so consumers that need them (table_health) never pay a per-file
+    getFileStatus round-trip on top."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         raise ValueError(f"no parquet files under {path}")
-    # manual walk that descends ONLY into k=v partition directories —
-    # never into metadata/staging subtrees ('_manifest', '_bloom_*',
-    # '.compact_*'): a blanket recursive listFiles would iterate those
-    # lazily and throw when a concurrent maintenance commit prunes a
-    # version directory mid-iteration (and would waste listing calls on
-    # files the filter drops anyway)
     out = []
     stack = [jpath]
     while stack:
@@ -116,7 +123,7 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
         for st in entries:
             name = st.getPath().getName()
             if st.isFile() and is_data_file(name):
-                out.append(st.getPath().toString())
+                out.append((st.getPath().toString(), int(st.getLen())))
             elif (st.isDirectory() and "=" in name
                   and not name.startswith((".", "_"))):
                 stack.append(st.getPath())
@@ -1508,14 +1515,9 @@ def table_health(
     fs, root, jvm = _fs_for(spark, path)
     if not fs.exists(root):
         raise ValueError(f"no table at {path}")
-    files = _list_parquet_files(spark, path)
-    sizes = {}
-    for f in files:
-        try:
-            sizes[f] = int(fs.getFileStatus(
-                jvm.org.apache.hadoop.fs.Path(f)).getLen())
-        except Exception:  # noqa: BLE001 — vanished under a live writer
-            continue
+    walked = _walk_data_files(spark, path)
+    files = [f for f, _sz in walked]
+    sizes = dict(walked)  # from the SAME listing — no per-file RPCs
     base = fs.makeQualified(root).toString().rstrip("/")
     part_dirs = {
         f[len(base):].strip("/").rsplit("/", 1)[0]

@@ -1917,6 +1917,11 @@ def start_constraint_monitor(
     checks = list(checks)
     if not checks:
         raise ValueError("start_constraint_monitor: checks must be non-empty")
+    if quarantine_dir and "__violated" in stream_df.columns:
+        raise ValueError(
+            "start_constraint_monitor: the stream already has a "
+            "'__violated' column (the quarantine tag) — rename it"
+        )
     reports_sink = parquet_batch_sink(reports_dir, checkpoint=checkpoint)
     quarantine_sink = (
         parquet_batch_sink(quarantine_dir, checkpoint=checkpoint)
