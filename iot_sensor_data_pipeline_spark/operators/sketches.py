@@ -503,3 +503,99 @@ def grouped_quantiles_exact(
             ).alias("value"),
         )
     )
+
+
+def grouped_robust_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    round_out: int = 6,
+) -> DataFrame:
+    """Per-group ROBUST location/scale summary — the outlier-resistant
+    complement to the mean/stddev aggregates (one contaminated sensor
+    shifts a mean arbitrarily; the median and MAD have a 50% breakdown
+    point, which is why robust thresholds are the anomaly-baseline
+    convention): ``(group_cols..., n, median, q1, q3, iqr, mad)``.
+
+    Built entirely on :func:`grouped_quantiles_exact` (the rank-wise
+    percentile_cont — no group-sized buffers at any scale): one pass
+    for Q1/median/Q3, then the per-group median re-enters as a JOINED
+    column and a second quantile pass over ``|v - median|`` yields the
+    MAD. The median is rounded to ``round_out`` BEFORE the deviation
+    pass — deterministic cross-engine, so a SQL oracle mirrors the
+    identical pipeline digit for digit. NULL values are excluded
+    (ANSI); a group of all-NULLs is absent. Two key-shuffles + the
+    quantile machinery's windows; no UDFs, no collects."""
+    if not group_cols:
+        raise ValueError(
+            "grouped_robust_stats: group_cols must be non-empty (use a "
+            "constant column for one global summary)"
+        )
+    q3p = grouped_quantiles_exact(
+        df, group_cols, value_col, [0.25, 0.5, 0.75], round_out=round_out
+    )
+    stats = q3p.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("q") == 0.25, F.col("value"))).alias("q1"),
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("median"),
+        F.max(F.when(F.col("q") == 0.75, F.col("value"))).alias("q3"),
+    )
+    v = F.col(value_col).cast("double")
+    dev = (
+        df.where(v.isNotNull())
+        .select(*group_cols, v.alias("__v"))
+        .join(stats.select(*group_cols, "median"), group_cols)
+        .select(*group_cols, F.abs(F.col("__v") - F.col("median")).alias("__d"))
+    )
+    mad = (
+        grouped_quantiles_exact(dev, group_cols, "__d", [0.5],
+                                round_out=round_out)
+        .select(*group_cols, F.col("value").alias("mad"))
+    )
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.join(stats, group_cols)
+        .join(mad, group_cols)
+        .select(
+            *group_cols,
+            "n",
+            "median",
+            "q1",
+            "q3",
+            F.round(F.col("q3") - F.col("q1"), round_out).alias("iqr"),
+            "mad",
+        )
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    z_threshold: float = 3.5,
+    round_out: int = 6,
+) -> DataFrame:
+    """Rows whose MODIFIED z-score (Iglewicz-Hoaglin:
+    ``0.6745 * (v - median) / MAD``) exceeds ``z_threshold`` within
+    their group — the published robust-outlier rule (3.5 is its
+    conventional cut): unlike mean/stddev z-scores, the outliers
+    themselves cannot inflate the baseline that judges them. Returns
+    the original columns plus ``robust_z``. A zero-MAD group (over
+    half the values identical) has no defined scale — its rows are NOT
+    flagged (robust_z NULL would be a lie either way; use an exact-
+    value change detector there). Cost: one
+    :func:`grouped_robust_stats` pass + one key-shuffle join back."""
+    stats = grouped_robust_stats(df, group_cols, value_col, round_out)
+    v = F.col(value_col).cast("double")
+    z = F.round(
+        F.lit(0.6745) * (v - F.col("median")) / F.col("mad"), round_out
+    )
+    return (
+        df.join(stats.select(*group_cols, "median", "mad"), group_cols)
+        .withColumn("robust_z", z)
+        .where((F.col("mad") > 0) & (F.abs(F.col("robust_z")) > z_threshold))
+        .drop("median", "mad")
+    )

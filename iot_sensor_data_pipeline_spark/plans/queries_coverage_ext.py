@@ -859,3 +859,82 @@ def documents_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "score", "label", by=["source"],
         n_calibration_bins=_AUC_BINS,
     )
+
+
+# ---------------------------------------------------------------------------
+# events_robust_stats — grouped robust location/scale + modified-z
+# outliers (operators/sketches.py grouped_robust_stats /
+# robust_outliers): median/MAD/IQR per event type with the
+# Iglewicz-Hoaglin outlier count. Built on the rank-wise exact
+# percentile_cont, so the whole report (including the rounded-median
+# deviation pass) hash-matches DuckDB's quantile_cont digit for digit.
+# ---------------------------------------------------------------------------
+
+_ROBUST_Z = 3.5
+
+
+def _robust_stats_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         count(*) AS n,
+         round(quantile_cont(v, 0.25), 6) AS q1,
+         round(quantile_cont(v, 0.5), 6) AS median,
+         round(quantile_cont(v, 0.75), 6) AS q3
+  FROM base GROUP BY event_type
+),
+d AS (
+  SELECT b.event_type, abs(b.v - s.median) AS dd
+  FROM base b JOIN s USING (event_type)
+),
+m AS (
+  SELECT event_type, round(quantile_cont(dd, 0.5), 6) AS mad
+  FROM d GROUP BY event_type
+),
+o AS (
+  SELECT b.event_type, count(*) AS n_outliers
+  FROM base b JOIN s USING (event_type) JOIN m USING (event_type)
+  WHERE m.mad > 0
+    AND abs(round(0.6745 * (b.v - s.median) / m.mad, 6)) > {_ROBUST_Z}
+  GROUP BY b.event_type
+)
+SELECT s.event_type,
+       CAST(s.n AS BIGINT) AS n,
+       s.median, s.q1, s.q3,
+       round(s.q3 - s.q1, 6) AS iqr,
+       m.mad,
+       CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+FROM s JOIN m USING (event_type) LEFT JOIN o USING (event_type)
+"""
+
+
+@register_extended(
+    "events_robust_stats",
+    oracle=_robust_stats_oracle(),
+    tags=("analytics", "timeseries", "robust"),
+)
+def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD/IQR per event type plus the modified-z outlier count
+    — the contamination-resistant baseline an anomaly detector should
+    threshold on (a mean/stddev baseline lets the outliers inflate the
+    very scale that judges them)."""
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        grouped_robust_stats,
+        robust_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = grouped_robust_stats(ev, ["event_type"], "value")
+    out_counts = (
+        robust_outliers(ev, ["event_type"], "value", z_threshold=_ROBUST_Z)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    return stats.join(out_counts, "event_type", "left").select(
+        "event_type", "n", "median", "q1", "q3", "iqr", "mad",
+        F.coalesce(F.col("__o"), F.lit(0)).cast("long").alias("n_outliers"),
+    )

@@ -477,3 +477,45 @@ def test_grouped_quantiles_exact_null_group_key(spark):
         for r in grouped_quantiles_exact(df, ["g"], "v", [0.5]).collect()
     }
     assert out == {("a", 0.5): 2.0, (None, 0.5): 20.0}
+
+
+# ---------------------------------------------------------------------------
+# grouped_robust_stats / robust_outliers (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_robust_stats_hand_computed(spark):
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        grouped_robust_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)]
+        + [("h", 5.0), ("h", None)],
+        "k string, v double",
+    )
+    got = {r.k: r for r in grouped_robust_stats(df, ["k"], "v").collect()}
+    g = got["g"]
+    assert (g.n, g.median, g.q1, g.q3, g.iqr, g.mad) == (5, 3.0, 2.0, 4.0, 2.0, 1.0)
+    h = got["h"]  # NULL excluded; singleton group well-defined
+    assert (h.n, h.median, h.mad, h.iqr) == (1, 5.0, 0.0, 0.0)
+
+
+def test_robust_outliers_flags_and_zero_mad_guard(spark):
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        robust_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)]
+        # zero-MAD group: over half identical -> no defined scale, the
+        # deviant row must NOT be flagged (documented)
+        + [("z", 5.0), ("z", 5.0), ("z", 5.0), ("z", 9.0)],
+        "k string, v double",
+    )
+    out = robust_outliers(df, ["k"], "v").collect()
+    assert [(r.k, r.v) for r in out] == [("g", 100.0)]
+    assert out[0].robust_z == round(0.6745 * 97 / 1.0, 6)
+    # the outlier's own magnitude did not drag the baseline: 4.0 is
+    # well inside (a mean/std z-score would have been diluted instead)
+    assert all(r.v != 4.0 for r in out)
