@@ -938,3 +938,72 @@ def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "median", "q1", "q3", "iqr", "mad",
         F.coalesce(F.col("__o"), F.lit(0)).cast("long").alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_test — experiment analysis (operators/experiment.py
+# ab_test_report): unit-grain Welch z lift report. Deterministic
+# variant assignment (user_id % 3) and pure-arithmetic statistics, so
+# the whole report hash-matches DuckDB.
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH tagged AS (
+  SELECT user_id,
+         CASE user_id % 3 WHEN 0 THEN 'control' WHEN 1 THEN 'blue'
+              ELSE 'green' END AS variant,
+         CAST(value AS DOUBLE) AS value
+  FROM events WHERE user_id IS NOT NULL
+),
+pu AS (
+  SELECT variant, user_id, coalesce(sum(value), 0.0) AS m
+  FROM tagged GROUP BY variant, user_id
+),
+s AS (
+  SELECT variant, count(*) AS n_units, sum(m) AS sm, sum(m * m) AS ss
+  FROM pu GROUP BY variant
+),
+x AS (
+  SELECT variant, n_units, sm / n_units AS mean,
+         (ss - sm * sm / n_units) / NULLIF(n_units - 1, 0) AS var
+  FROM s
+),
+c AS (SELECT n_units AS nc, mean AS mc, var AS vc
+      FROM x WHERE variant = 'control')
+SELECT x.variant,
+       CAST(x.n_units AS BIGINT) AS n_units,
+       round(x.mean, 6) AS mean,
+       CASE WHEN x.variant <> 'control'
+            THEN round(x.mean - c.mc, 6) END AS lift,
+       CASE WHEN x.variant <> 'control'
+            THEN round((x.mean - c.mc) / NULLIF(c.mc, 0), 6) END AS rel_lift,
+       CASE WHEN x.variant <> 'control'
+              AND sqrt(c.vc / c.nc + x.var / x.n_units) > 0
+            THEN round((x.mean - c.mc)
+                       / sqrt(c.vc / c.nc + x.var / x.n_units), 6) END AS z
+FROM x, c
+"""
+
+
+@register_extended(
+    "events_ab_test",
+    oracle=_AB_ORACLE,
+    tags=("analytics", "experiment"),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-arm experiment read-out over the events stream: per-user
+    summed value as the unit metric, Welch z vs the control arm — the
+    decision table an experimentation platform renders."""
+    from iot_sensor_data_pipeline_spark.operators.experiment import (
+        ab_test_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, "control")
+        .when(F.col("user_id") % 3 == 1, "blue")
+        .otherwise("green")
+        .alias("variant"),
+        "value",
+    )
+    return ab_test_report(ev, "user_id", "variant", "value", control="control")
