@@ -23,8 +23,9 @@ Design rules that make it correct AND cross-engine exact:
   discipline).
 
 Shuffle inventory: one (variant, unit) groupBy over the events (the
-only corpus-scale shuffle, map-side combined), one variant-grain agg,
-one broadcast join of the 1-row control stats. No windows, no UDFs.
+only corpus-scale shuffle, map-side combined), one variant-grain agg;
+the three control scalars re-enter the plan as literals (no join at
+all — see the in-function note). No windows, no UDFs.
 """
 
 from __future__ import annotations
@@ -77,29 +78,34 @@ def ab_test_report(
     stats = stats.select(
         variant_col, "n_units", mean.alias("__mean"), var.alias("__var")
     )
-    ctrl = stats.where(F.col(variant_col) == control).select(
-        F.col("n_units").alias("__nc"),
-        F.col("__mean").alias("__mc"),
-        F.col("__var").alias("__vc"),
-    )
-    if ctrl.isEmpty():
+    # the control stats are THREE driver scalars; they re-enter the
+    # plan as literals (the drift reference-stats discipline) — a
+    # crossJoin of the filtered-aggregate row would plan as a
+    # BroadcastNestedLoopJoin (the optimizer cannot prove that build
+    # side scalar) and a constant-key equi-join constant-folds back
+    # into one; literals sidestep both. stats is variant-grain
+    # (driver-small by definition of an experiment), so the extra
+    # action costs one tiny job.
+    ctrl_row = stats.where(F.col(variant_col) == control).first()
+    if ctrl_row is None:
         raise ValueError(
             f"ab_test_report: control variant {control!r} has no units"
         )
-    # 1-row broadcast crossJoin: the sanctioned scalar pattern
-    # (audit_plan downgrades it to warn — see skew_report)
-    joined = stats.crossJoin(F.broadcast(ctrl))
-    is_ctrl = F.col(variant_col) == control
-    lift = F.col("__mean") - F.col("__mc")
-    se = F.sqrt(
-        F.col("__vc") / F.col("__nc") + F.col("__var") / F.col("n_units")
+    nc = F.lit(float(ctrl_row["n_units"]))
+    mc = F.lit(ctrl_row["__mean"])
+    vc = F.lit(ctrl_row["__var"]) if ctrl_row["__var"] is not None else (
+        F.lit(None).cast("double")
     )
+    joined = stats
+    is_ctrl = F.col(variant_col) == control
+    lift = F.col("__mean") - mc
+    se = F.sqrt(vc / nc + F.col("__var") / F.col("n_units"))
     return joined.select(
         variant_col,
         "n_units",
         F.round(F.col("__mean"), round_out).alias("mean"),
         F.when(~is_ctrl, F.round(lift, round_out)).alias("lift"),
-        F.when(~is_ctrl, F.round(F.try_divide(lift, F.col("__mc")), round_out))
+        F.when(~is_ctrl, F.round(F.try_divide(lift, mc), round_out))
         .alias("rel_lift"),
         F.when(
             ~is_ctrl & (se > 0), F.round(lift / se, round_out)
