@@ -835,7 +835,7 @@ FROM pg JOIN cg USING (source)
 """
 
 
-@register_extended(
+@register(  # rotated INTO the gate in r12 (VERDICT r11 task 1)
     "documents_quality_auc",
     oracle=_quality_auc_oracle(),
     tags=("pipeline", "eval"),
@@ -912,7 +912,7 @@ FROM s JOIN m USING (event_type) LEFT JOIN o USING (event_type)
 """
 
 
-@register_extended(
+@register(  # rotated INTO the gate in r12 (VERDICT r11 task 1)
     "events_robust_stats",
     oracle=_robust_stats_oracle(),
     tags=("analytics", "timeseries", "robust"),
@@ -985,7 +985,7 @@ FROM x, c
 """
 
 
-@register_extended(
+@register(  # rotated INTO the gate in r12 (VERDICT r11 task 1)
     "events_ab_test",
     oracle=_AB_ORACLE,
     tags=("analytics", "experiment"),

@@ -50,7 +50,9 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@register("tpch_q1_pricing_summary", oracle=_Q1_ORACLE, tags=("relational", "agg"), bench=True)
+@register_extended(  # rotated out of the gate in r12 (hash-green since r02)
+    "tpch_q1_pricing_summary", oracle=_Q1_ORACLE, tags=("relational", "agg"), bench=True
+)
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
@@ -90,7 +92,9 @@ LIMIT 10
 """
 
 
-@register("tpch_q3_top_orders", oracle=_Q3_ORACLE, tags=("relational", "join", "topk"), bench=True)
+@register_extended(  # rotated out of the gate in r12 (hash-green since r02)
+    "tpch_q3_top_orders", oracle=_Q3_ORACLE, tags=("relational", "join", "topk"), bench=True
+)
 def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").where(
@@ -131,7 +135,9 @@ GROUP BY n_name
 """
 
 
-@register("tpch_q5_regional_revenue", oracle=_Q5_ORACLE, tags=("relational", "join"), bench=True)
+@register_extended(  # rotated out of the gate in r12 (hash-green since r02)
+    "tpch_q5_regional_revenue", oracle=_Q5_ORACLE, tags=("relational", "join"), bench=True
+)
 def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     orders = t["orders"].where(

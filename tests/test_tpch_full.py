@@ -23,13 +23,14 @@ EXTENDED_WITH_ORACLE = sorted(
 
 
 def test_suite_is_complete():
-    """q1/3/5/6/14 live in the driver gate (q9 rotated in round 7 and
-    back OUT in round 11; q10 rotated OUT in round 10); everything
-    else is here — a user gets all 22 TPC-H query shapes across the
-    two registries."""
+    """q6/14 live in the driver gate (q9 rotated in round 7 and back
+    OUT in round 11; q10 OUT in round 10; q1/q3/q5 OUT in round 12);
+    everything else is here — a user gets all 22 TPC-H query shapes
+    across the two registries."""
     have = {n.split("_")[1] for n in TPCH_FULL}
-    assert have == {"q2", "q4", "q7", "q8", "q9", "q10", "q11", "q12", "q13",
-                    "q15", "q16", "q17", "q18", "q19", "q20", "q21", "q22"}
+    assert have == {"q1", "q2", "q3", "q4", "q5", "q7", "q8", "q9", "q10",
+                    "q11", "q12", "q13", "q15", "q16", "q17", "q18", "q19",
+                    "q20", "q21", "q22"}
     assert "tpch_q9_product_profit" in EXTENDED_REGISTRY
 
 
