@@ -1981,3 +1981,131 @@ def start_constraint_monitor(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()
+
+
+def start_constraint_gate(
+    stream_df: DataFrame,
+    checks,
+    primary_dir: str,
+    quarantine_dir: str,
+    checkpoint: str,
+    reports_dir: str | None = None,
+    partition_cols=(),
+    manifest_cols=(),
+    bloom_cols=(),
+    on_violation=None,
+    trigger: str | None = None,
+    available_now: bool = False,
+    query_name: str | None = None,
+):
+    """The GATING form of :func:`start_constraint_monitor` (VERDICT
+    r11 task 5): one job that both enforces and observes. The monitor
+    only watches — its docstring tells users to "pair it with a
+    filter", which leaves the actual clean-path wiring (and its replay
+    semantics) to every caller; this is that wiring, done once. The
+    reference's PERMISSIVE ingestion null-fills bad records straight
+    into its primary store (reference data_persistance.py:76) — the
+    silent-corruption path this gate closes: downstream consumers read
+    ``primary_dir`` and only ever see rows that passed every ROW-level
+    check, while nothing is dropped (failures land in
+    ``quarantine_dir`` tagged with ``__violated`` = the comma-joined
+    failed check names).
+
+    ONE scan per batch (the fan-out discipline of the standard jobs):
+    the batch persists once with the violation tag computed in the
+    same projection; the clean and quarantine splits both read that
+    cache, as does the optional check-suite report. All sinks are
+    epoch-idempotent under THIS checkpoint's lineage, so a replayed
+    batch converges on primary AND quarantine (no duplicates, no lost
+    rows) and ``input rows == primary + quarantine`` holds per epoch.
+    Set-level checks (unique, ref_integrity) report and alert but do
+    not gate — a uniqueness violation has no single guilty row;
+    deduplicate upstream (``dedup_within_watermark``) when uniqueness
+    must be enforced rather than observed.
+
+    ``partition_cols``/``manifest_cols``/``bloom_cols`` apply to the
+    PRIMARY sink only (the serving table); the quarantine is a
+    dead-letter audit log, deliberately unindexed. Empty splits write
+    nothing — a clean batch mints no quarantine file and an all-bad
+    batch mints no primary file."""
+    from iot_sensor_data_pipeline_spark.operators.constraints import check_suite
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+
+    checks = list(checks)
+    row_checks = [c for c in checks if c.kind == "row"]
+    if not row_checks:
+        raise ValueError(
+            "start_constraint_gate: needs at least one ROW-level check "
+            "to route on (set-level checks observe but cannot assign "
+            "blame to a row) — use start_constraint_monitor to only "
+            "observe"
+        )
+    if "__violated" in stream_df.columns:
+        raise ValueError(
+            "start_constraint_gate: the stream already has a "
+            "'__violated' column (the quarantine tag) — rename it"
+        )
+    primary_sink = parquet_batch_sink(
+        primary_dir,
+        partition_cols=partition_cols,
+        manifest_cols=manifest_cols,
+        bloom_cols=bloom_cols,
+        checkpoint=checkpoint,
+    )
+    quarantine_sink = parquet_batch_sink(quarantine_dir, checkpoint=checkpoint)
+    reports_sink = (
+        parquet_batch_sink(reports_dir, checkpoint=checkpoint)
+        if reports_dir
+        else None
+    )
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        violated = F.concat_ws(
+            ",",
+            *[
+                F.when(F.expr(c.violation_expr), F.lit(c.name))
+                for c in row_checks
+            ],
+        )
+        tagged = batch_df.withColumn("__violated", violated).persist()
+        try:
+            clean = tagged.where(F.col("__violated") == "").drop("__violated")
+            bad = tagged.where(F.col("__violated") != "")
+            if not clean.isEmpty():
+                primary_sink(clean, epoch_id)
+            if not bad.isEmpty():
+                quarantine_sink(bad, epoch_id)
+            if reports_sink is not None or on_violation is not None:
+                rep = check_suite(
+                    tagged.drop("__violated"), checks
+                ).withColumn("epoch", F.lit(epoch_id).cast("long")).persist()
+                try:
+                    if reports_sink is not None:
+                        reports_sink(rep.coalesce(1), epoch_id)
+                    if on_violation is not None:
+                        failing = rep.where(
+                            F.col("n_violations") > 0
+                        ).collect()
+                        if failing:
+                            on_violation(epoch_id, failing)
+                finally:
+                    rep.unpersist()
+        finally:
+            tagged.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()

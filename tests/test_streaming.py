@@ -1422,3 +1422,112 @@ def test_streaming_constraint_monitor(spark, tmp_path):
     replay = parquet_batch_sink(reports, checkpoint=ckpt)
     replay(spark.read.parquet(reports).where(F.col("epoch") == 1).coalesce(1), 1)
     assert spark.read.parquet(reports).count() == 6
+
+
+def test_streaming_constraint_gate_routes_and_converges(spark, tmp_path):
+    """start_constraint_gate (r12, VERDICT r11 task 5): one scan per
+    batch routes clean rows to the primary epoch-idempotent sink and
+    violating rows (tagged) to the quarantine; counts reconcile to the
+    input per epoch; a restart replays nothing and a forced epoch
+    replay converges on BOTH tables."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.constraints import (
+        in_range,
+        not_null,
+        unique,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        start_constraint_gate,
+    )
+
+    src = tmp_path / "cg_src"
+    src.mkdir()
+    primary = str(tmp_path / "cg_primary")
+    quarantine = str(tmp_path / "cg_quar")
+    reports = str(tmp_path / "cg_reports")
+    ckpt = str(tmp_path / "cg_ckpt")
+    alerts: list[int] = []
+    checks = [
+        not_null("sensor_id"),
+        in_range("temperature", -40, 85),
+        unique("reading_id"),  # set-level: reports, never gates
+    ]
+
+    def run():
+        stream = spark.readStream.schema(
+            "reading_id long, sensor_id string, temperature double"
+        ).json(str(src))
+        q = start_constraint_gate(
+            stream, checks, primary, quarantine, ckpt,
+            reports_dir=reports,
+            on_violation=lambda e, rows: alerts.append(e),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    # batch 0: clean -> everything lands in primary, no quarantine file
+    (src / "b0.json").write_text("\n".join(
+        _json.dumps({"reading_id": i, "sensor_id": f"s{i % 4}",
+                     "temperature": 20.0 + i % 10})
+        for i in range(100)
+    ))
+    run()
+    assert spark.read.parquet(primary).count() == 100
+    assert not _os.path.exists(quarantine)
+    assert not alerts
+
+    # batch 1: two bad rows (NULL key, out-of-range), two clean (one a
+    # dup key — set-level, must NOT be quarantined)
+    rows = [
+        {"reading_id": 200, "sensor_id": None, "temperature": 21.0},
+        {"reading_id": 201, "sensor_id": "s1", "temperature": 900.0},
+        {"reading_id": 202, "sensor_id": "s2", "temperature": 22.0},
+        {"reading_id": 202, "sensor_id": "s3", "temperature": 23.0},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    run()
+    prim = spark.read.parquet(primary)
+    assert prim.count() == 102  # 100 + the 2 clean rows of batch 1
+    # primary holds ONLY clean rows: every row satisfies every row check
+    assert prim.where(
+        F.col("sensor_id").isNull()
+        | ~F.col("temperature").between(-40, 85)
+    ).count() == 0
+    assert "__violated" not in prim.columns
+    quar = spark.read.parquet(quarantine).collect()
+    assert {(r.reading_id, r["__violated"]) for r in quar} == {
+        (200, "not_null(sensor_id)"), (201, "in_range(temperature)"),
+    }
+    # counts reconcile: input == primary + quarantine, per epoch
+    assert 100 + len(rows) == prim.count() + len(quar)
+    assert alerts == [1]
+    rep1 = {r.check: r.n_violations for r in
+            spark.read.parquet(reports).where(F.col("epoch") == 1).collect()}
+    assert rep1["unique(reading_id)"] == 2  # observed, not gated
+
+    # restart with no new data: nothing replays anywhere
+    run()
+    assert spark.read.parquet(primary).count() == 102
+    assert spark.read.parquet(quarantine).count() == 2
+    assert alerts == [1]
+
+    # forced epoch-1 replay converges on BOTH tables (epoch-idempotent
+    # sinks scoped to this checkpoint's lineage)
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+    replay_p = parquet_batch_sink(primary, checkpoint=ckpt)
+    replay_q = parquet_batch_sink(quarantine, checkpoint=ckpt)
+    replay_p(
+        spark.read.parquet(primary)
+        .where((F.col("reading_id") == 202) & (F.col("sensor_id") == "s2"))
+        .coalesce(1),
+        1,
+    )
+    replay_q(spark.read.parquet(quarantine).coalesce(1), 1)
+    # the replayed epoch REPLACES its prior files (1 row now stands in
+    # for epoch 1's two clean rows) instead of appending duplicates
+    assert spark.read.parquet(primary).count() == 101
+    assert spark.read.parquet(quarantine).count() == 2
