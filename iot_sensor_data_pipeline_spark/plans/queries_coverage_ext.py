@@ -1007,3 +1007,268 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return ab_test_report(ev, "user_id", "variant", "value", control="control")
+
+
+# ---------------------------------------------------------------------------
+# events_ab_conversion_multi — multi-metric experiment read-out
+# (operators/experiment.py ab_test_report_multi, r12): a conversion
+# metric (did the user EVER record value > 50) and the continuous
+# spend metric in ONE (variant, unit) pass. The Welch z on the 0/1
+# unit values IS the unpooled two-proportion z, so the same oracle
+# arithmetic covers both metric kinds.
+# ---------------------------------------------------------------------------
+
+_AB_MULTI_ORACLE = """
+WITH tagged AS (
+  SELECT user_id,
+         CASE user_id % 3 WHEN 0 THEN 'control' WHEN 1 THEN 'blue'
+              ELSE 'green' END AS variant,
+         CAST(value AS DOUBLE) AS value,
+         CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS conv
+  FROM events WHERE user_id IS NOT NULL
+),
+pu AS (
+  SELECT variant, user_id,
+         coalesce(sum(value), 0.0) AS m0,
+         coalesce(max(conv), 0.0) AS m1
+  FROM tagged GROUP BY variant, user_id
+),
+s AS (
+  SELECT variant, count(*) AS n_units,
+         sum(m0) AS s0, sum(m0 * m0) AS ss0,
+         sum(m1) AS s1, sum(m1 * m1) AS ss1
+  FROM pu GROUP BY variant
+),
+x AS (
+  SELECT variant, n_units,
+         s0 / n_units AS mean0,
+         (ss0 - s0 * s0 / n_units) / NULLIF(n_units - 1, 0) AS var0,
+         s1 / n_units AS mean1,
+         (ss1 - s1 * s1 / n_units) / NULLIF(n_units - 1, 0) AS var1
+  FROM s
+),
+c AS (SELECT n_units AS nc, mean0 AS mc0, var0 AS vc0,
+             mean1 AS mc1, var1 AS vc1
+      FROM x WHERE variant = 'control')
+SELECT x.variant, 'spend' AS metric, CAST(x.n_units AS BIGINT) AS n_units,
+       round(x.mean0, 6) AS mean,
+       CASE WHEN x.variant <> 'control'
+            THEN round(x.mean0 - c.mc0, 6) END AS lift,
+       CASE WHEN x.variant <> 'control'
+            THEN round((x.mean0 - c.mc0) / NULLIF(c.mc0, 0), 6) END AS rel_lift,
+       CASE WHEN x.variant <> 'control'
+              AND sqrt(c.vc0 / c.nc + x.var0 / x.n_units) > 0
+            THEN round((x.mean0 - c.mc0)
+                       / sqrt(c.vc0 / c.nc + x.var0 / x.n_units), 6) END AS z
+FROM x, c
+UNION ALL
+SELECT x.variant, 'purchase' AS metric, CAST(x.n_units AS BIGINT) AS n_units,
+       round(x.mean1, 6) AS mean,
+       CASE WHEN x.variant <> 'control'
+            THEN round(x.mean1 - c.mc1, 6) END AS lift,
+       CASE WHEN x.variant <> 'control'
+            THEN round((x.mean1 - c.mc1) / NULLIF(c.mc1, 0), 6) END AS rel_lift,
+       CASE WHEN x.variant <> 'control'
+              AND sqrt(c.vc1 / c.nc + x.var1 / x.n_units) > 0
+            THEN round((x.mean1 - c.mc1)
+                       / sqrt(c.vc1 / c.nc + x.var1 / x.n_units), 6) END AS z
+FROM x, c
+"""
+
+
+@register_extended(
+    "events_ab_conversion_multi",
+    oracle=_AB_MULTI_ORACLE,
+    tags=("analytics", "experiment"),
+)
+def events_ab_conversion_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion + spend in one experiment report, one corpus pass
+    (r12 — running ab_test_report per metric would re-shuffle the
+    events N times)."""
+    from iot_sensor_data_pipeline_spark.operators.experiment import (
+        Metric,
+        ab_test_report_multi,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, "control")
+        .when(F.col("user_id") % 3 == 1, "blue")
+        .otherwise("green")
+        .alias("variant"),
+        "value",
+        (F.col("value") > 50).alias("converted"),
+    )
+    return ab_test_report_multi(
+        ev, "user_id", "variant",
+        [Metric("spend", "value", "sum"),
+         Metric("purchase", "converted", "conversion")],
+        control="control",
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_cuped — CUPED variance-reduced experiment analysis
+# (operators/experiment.py ab_test_report_cuped, r12): the pre-period
+# spend (before Jan 16) is the covariate for the in-period spend —
+# the same-metric-pre-period covariate CUPED was designed around.
+# Pure sum/multiply/divide/sqrt arithmetic, so DuckDB reproduces the
+# adjusted report digit for digit at 6dp.
+# ---------------------------------------------------------------------------
+
+_AB_CUPED_ORACLE = """
+WITH tagged AS (
+  SELECT user_id,
+         CASE user_id % 3 WHEN 0 THEN 'control' WHEN 1 THEN 'blue'
+              ELSE 'green' END AS variant,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              THEN CAST(value AS DOUBLE) END AS post,
+         CASE WHEN ts < TIMESTAMP '2024-01-16'
+              THEN CAST(value AS DOUBLE) END AS pre
+  FROM events WHERE user_id IS NOT NULL
+),
+pu AS (
+  SELECT variant, user_id,
+         coalesce(sum(post), 0.0) AS m, coalesce(sum(pre), 0.0) AS x
+  FROM tagged GROUP BY variant, user_id
+),
+v AS (
+  SELECT variant, count(*) AS n, sum(m) AS sm, sum(x) AS sx,
+         sum(m * m) AS smm, sum(x * x) AS sxx, sum(m * x) AS smx
+  FROM pu GROUP BY variant
+),
+p AS (
+  SELECT sum(n) AS nn, sum(sm) AS psm, sum(sx) AS psx,
+         sum(sxx) AS psxx, sum(smx) AS psmx
+  FROM v
+),
+t AS (
+  SELECT nn, psx / nn AS xbar,
+         CASE WHEN nn > 1 AND (psxx - psx * psx / nn) / (nn - 1) > 0
+              THEN ((psmx - psm * psx / nn) / (nn - 1))
+                   / ((psxx - psx * psx / nn) / (nn - 1))
+              ELSE 0.0 END AS theta
+  FROM p
+),
+a AS (
+  SELECT v.variant, v.n, t.theta,
+         v.sm - t.theta * v.sx + v.n * (t.theta * t.xbar) AS sadj,
+         v.smm - 2 * t.theta * v.smx + t.theta * t.theta * v.sxx
+           + 2 * (t.theta * t.xbar) * v.sm
+           - 2 * (t.theta * t.xbar) * t.theta * v.sx
+           + v.n * (t.theta * t.xbar) * (t.theta * t.xbar) AS ssadj
+  FROM v, t
+),
+x AS (
+  SELECT variant, n AS n_units, theta, sadj / n AS mean,
+         (ssadj - sadj * sadj / n) / NULLIF(n - 1, 0) AS var
+  FROM a
+),
+c AS (SELECT n_units AS nc, mean AS mc, var AS vc
+      FROM x WHERE variant = 'control')
+SELECT x.variant, CAST(x.n_units AS BIGINT) AS n_units,
+       round(x.theta, 6) AS theta,
+       round(x.mean, 6) AS mean,
+       CASE WHEN x.variant <> 'control'
+            THEN round(x.mean - c.mc, 6) END AS lift,
+       CASE WHEN x.variant <> 'control'
+            THEN round((x.mean - c.mc) / NULLIF(c.mc, 0), 6) END AS rel_lift,
+       CASE WHEN x.variant <> 'control'
+              AND sqrt(c.vc / c.nc + x.var / x.n_units) > 0
+            THEN round((x.mean - c.mc)
+                       / sqrt(c.vc / c.nc + x.var / x.n_units), 6) END AS z
+FROM x, c
+"""
+
+
+@register_extended(
+    "events_ab_cuped",
+    oracle=_AB_CUPED_ORACLE,
+    tags=("analytics", "experiment"),
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-reduced read-out: in-period spend adjusted by the
+    pre-period spend covariate (r12). The adjustment is
+    treatment-independent (pooled theta), so the lift is unbiased
+    while its standard error shrinks by the metric/covariate
+    correlation."""
+    from iot_sensor_data_pipeline_spark.operators.experiment import (
+        ab_test_report_cuped,
+    )
+
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, "control")
+        .when(F.col("user_id") % 3 == 1, "blue")
+        .otherwise("green")
+        .alias("variant"),
+        F.when(F.col("ts") >= cut, F.col("value")).alias("post"),
+        F.when(F.col("ts") < cut, F.col("value")).alias("pre"),
+    )
+    return ab_test_report_cuped(
+        ev, "user_id", "variant", "post", "pre", control="control"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_srm_check — sample-ratio-mismatch guardrail
+# (operators/experiment.py srm_check, r12): realized unit split vs the
+# configured thirds allocation; the chi-square statistic is pure
+# arithmetic over variant-grain counts.
+# ---------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH u AS (
+  SELECT DISTINCT
+         CASE user_id % 3 WHEN 0 THEN 'control' WHEN 1 THEN 'blue'
+              ELSE 'green' END AS variant,
+         user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+cnt AS (SELECT variant, count(*) AS n_units FROM u GROUP BY variant),
+exp AS (
+  SELECT * FROM (VALUES ('blue', 1.0 / 3), ('control', 1.0 / 3),
+                        ('green', 1.0 / 3)) AS t(variant, expected_share)
+),
+tot AS (SELECT CAST(sum(n_units) AS DOUBLE) AS nt FROM cnt),
+k AS (
+  SELECT e.variant, coalesce(c.n_units, 0) AS n_units, e.expected_share,
+         CAST(coalesce(c.n_units, 0) AS DOUBLE) / t.nt AS obs,
+         (coalesce(c.n_units, 0) - e.expected_share * t.nt)
+           * (coalesce(c.n_units, 0) - e.expected_share * t.nt)
+           / (e.expected_share * t.nt) AS term
+  FROM exp e LEFT JOIN cnt c USING (variant), tot t
+)
+SELECT variant, CAST(n_units AS BIGINT) AS n_units,
+       round(expected_share, 6) AS expected_share,
+       round(obs, 6) AS observed_share,
+       round(term, 6) AS chi2_term,
+       round((SELECT sum(term) FROM k), 6) AS chi2,
+       CAST(2 AS BIGINT) AS df_chi
+FROM k
+"""
+
+
+@register_extended(
+    "events_srm_check",
+    oracle=_SRM_ORACLE,
+    tags=("analytics", "experiment", "guardrail"),
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's first row: is the realized split still the
+    configured thirds? (r12 — an SRM invalidates every lift above
+    it.)"""
+    from iot_sensor_data_pipeline_spark.operators.experiment import srm_check
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, "control")
+        .when(F.col("user_id") % 3 == 1, "blue")
+        .otherwise("green")
+        .alias("variant"),
+    )
+    return srm_check(
+        ev, "user_id", "variant",
+        {"control": 1.0 / 3, "blue": 1.0 / 3, "green": 1.0 / 3},
+    )
