@@ -193,6 +193,73 @@ def bench_maintenance(spark) -> dict[str, float]:
         optimize_part_sec = time.perf_counter() - t0
         assert pres["status"] == "optimized" and pres["n_partitions"] == 3
 
+        # streaming-monitor overhead (VERDICT r11 task 7): the drift
+        # and constraint monitors are the per-batch hot path of a
+        # production ingest — correctness-pinned since r11 but not
+        # regression-tracked. One fixed 50k-row batch through each
+        # monitor flavor; seconds include the availableNow query
+        # start/stop (the per-batch floor a micro-batch deployment
+        # actually pays).
+        from iot_sensor_data_pipeline_spark.operators.constraints import (
+            in_range,
+            not_null,
+        )
+        from iot_sensor_data_pipeline_spark.operators.drift import (
+            build_drift_reference,
+            build_drift_reference_categorical,
+        )
+        from iot_sensor_data_pipeline_spark.streaming.jobs import (
+            start_constraint_monitor,
+            start_drift_monitor,
+        )
+
+        mon_rows = 50_000
+        ref_df = spark.range(mon_rows).selectExpr(
+            "CAST((id * 7) % 100 AS DOUBLE) AS x",
+            "concat('c', CAST(id % 20 AS STRING)) AS cat",
+        )
+        ref_num = os.path.join(tmp, "ref_num")
+        ref_cat = os.path.join(tmp, "ref_cat")
+        build_drift_reference(ref_df, ["x"], ref_num, n_bins=16)
+        build_drift_reference_categorical(ref_df, ["cat"], ref_cat, top_k=16)
+        mon_src = os.path.join(tmp, "mon_src")
+        os.makedirs(mon_src)
+        with open(os.path.join(mon_src, "b0.json"), "w") as fh:
+            fh.write("\n".join(
+                json.dumps({
+                    "x": float((i * 7) % 100),
+                    "cat": None if i % 97 == 0 else f"c{i % 20}",
+                })
+                for i in range(mon_rows)
+            ))
+
+        def mon_stream():
+            return spark.readStream.schema("x double, cat string").json(
+                mon_src
+            )
+
+        def timed_monitor(start_fn) -> float:
+            t0 = time.perf_counter()
+            q = start_fn()
+            q.awaitTermination(300)
+            return time.perf_counter() - t0
+
+        drift_num_sec = timed_monitor(lambda: start_drift_monitor(
+            mon_stream(), ref_num, os.path.join(tmp, "mon_s1"),
+            os.path.join(tmp, "mon_c1"), available_now=True,
+        ))
+        drift_cat_sec = timed_monitor(lambda: start_drift_monitor(
+            mon_stream(), ref_cat, os.path.join(tmp, "mon_s2"),
+            os.path.join(tmp, "mon_c2"), available_now=True,
+        ))
+        constraint_sec = timed_monitor(lambda: start_constraint_monitor(
+            mon_stream(),
+            [not_null("cat"), in_range("x", 0.0, 1e9)],
+            os.path.join(tmp, "mon_s3"), os.path.join(tmp, "mon_c3"),
+            quarantine_dir=os.path.join(tmp, "mon_q3"),
+            available_now=True,
+        ))
+
         return {
             "optimize_flat_sec": round(optimize_flat_sec, 3),
             "optimize_flat_files": 40,
@@ -210,6 +277,10 @@ def bench_maintenance(spark) -> dict[str, float]:
             "manifest_build_sec": round(manifest_build_sec, 3),
             "manifest_update_sec": round(manifest_update_sec, 3),
             "manifest_noop_sec": round(manifest_noop_sec, 3),
+            "monitor_batch_rows": mon_rows,
+            "drift_monitor_numeric_batch_sec": round(drift_num_sec, 3),
+            "drift_monitor_categorical_batch_sec": round(drift_cat_sec, 3),
+            "constraint_monitor_batch_sec": round(constraint_sec, 3),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

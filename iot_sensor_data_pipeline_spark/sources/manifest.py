@@ -682,10 +682,16 @@ def plan_compaction(
     single file buys nothing).
 
     Scale note: the plan is FILE-METADATA-grain (one row per file from
-    one directory listing — no footer or data reads) and the cumsum is
-    a window over that tiny relation; a million-file table plans in
-    seconds. The global name-order window is single-partition BY DESIGN:
-    it runs on the metadata relation, never on data.
+    one directory listing the driver already holds — no footer or data
+    reads), so the cumsum split runs as PLAIN PYTHON over that list and
+    the returned DataFrame is a local relation: zero Spark jobs, zero
+    shuffles, and no global-order window for maintenance logs to warn
+    about (r12 — the previous windowed formulation was metadata-grain
+    and benign, but ``Window.partitionBy(lit)`` is folded away by
+    Catalyst's EliminateWindowPartitions, so every OPTIMIZE cried
+    WindowExec's single-partition scale-wolf). A million-file table
+    plans in driver milliseconds; the python mirror in tests pins the
+    split's exact semantics.
     """
     if target_bytes < 1:
         raise ValueError(f"plan_compaction: target_bytes must be positive, got {target_bytes}")
@@ -705,41 +711,29 @@ def plan_compaction(
         names = [f.rsplit("/", 1)[-1] for f, _ in files]
         skip2 = set(exclude_fn(names))
         files = [(f, s) for f, s in files if f.rsplit("/", 1)[-1] not in skip2]
-    fdf = spark.createDataFrame(files, "file string, size long")
-    from pyspark.sql import Window
-
-    small = fdf.where(F.col("size") < target_bytes)
-    # partitionBy a literal: semantically identical to the bare global
-    # order (one partition either way — this is the metadata relation,
-    # n_files rows from the listing above, never data), but it keeps
-    # WindowExec's "No Partition Defined" warning out of every
-    # maintenance log, where it reads as a scale scare about a window
-    # that is single-partition BY DESIGN (VERDICT r11 cosmetic note)
-    w = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("file")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # greedy cumsum split over the (sorted) name order; bin = floor of
+    # the PRECEDING small-file bytes / target, so a bin exceeds target
+    # by at most one straddling file — same answer on any engine
+    cum = 0
+    bin_of: dict[str, int] = {}
+    n_in_bin: dict[int, int] = {}
+    for f, s in files:  # _list_parquet_files_with_size sorts by name
+        if s >= target_bytes:
+            continue
+        b = cum // target_bytes
+        bin_of[f] = b
+        n_in_bin[b] = n_in_bin.get(b, 0) + 1
+        cum += s
+    rows = []
+    for f, s in files:
+        b = bin_of.get(f)
+        if b is not None and n_in_bin[b] >= min_bin_files:
+            rows.append((f, s, "compact", b))
+        else:
+            rows.append((f, s, "keep", None))
+    return spark.createDataFrame(
+        rows, "file string, size long, action string, bin long"
     )
-    binned = small.select(
-        "file",
-        "size",
-        F.floor(
-            F.coalesce(F.sum("size").over(w), F.lit(0)) / target_bytes
-        ).alias("bin"),
-    )
-    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("__n"))
-    binned = binned.join(counts, "bin").select(
-        "file",
-        "size",
-        F.when(F.col("__n") >= min_bin_files, F.lit("compact"))
-        .otherwise(F.lit("keep"))
-        .alias("action"),
-        F.when(F.col("__n") >= min_bin_files, F.col("bin")).alias("bin"),
-    )
-    keeps = fdf.where(F.col("size") >= target_bytes).select(
-        "file", "size", F.lit("keep").alias("action"), F.lit(None).cast("long").alias("bin")
-    )
-    return binned.unionByName(keeps)
 
 
 def compact_files(
@@ -1611,7 +1605,10 @@ def vacuum_table(
 
 
 def table_health(
-    spark: SparkSession, path: str, target_bytes: int | None = None
+    spark: SparkSession,
+    path: str,
+    target_bytes: int | None = None,
+    vacuum_min_age_seconds: float = 3600.0,
 ) -> dict:
     """One metadata-grain probe of everything the maintenance family
     tracks about a table — the report an operator reads BEFORE deciding
@@ -1626,8 +1623,10 @@ def table_health(
       omitted): the OPTIMIZE trigger signal;
     - ``pending_journal`` — an interrupted OPTIMIZE swap awaits
       :func:`recover_optimize` (readers may see duplicates NOW);
-    - ``reclaimable`` — :func:`vacuum_table` dry-run counts (nothing
-      is deleted by this probe);
+    - ``reclaimable`` — :func:`vacuum_table` dry-run counts at
+      ``vacuum_min_age_seconds`` (nothing is deleted by this probe;
+      pass the SAME age the real vacuum will use, so the trigger
+      signal and the action agree — ``Pipeline.maintain`` does);
     - ``manifest`` — None, or ``{"version", "n_files_covered",
       "n_uncovered"}`` where uncovered = on-disk data files the newest
       committed manifest does not list (stale → those files are never
@@ -1665,7 +1664,10 @@ def table_health(
         "pending_journal": bool(fs.exists(_journal_path(path, jvm))),
         "reclaimable": {
             k: v
-            for k, v in vacuum_table(spark, path, dry_run=True).items()
+            for k, v in vacuum_table(
+                spark, path, min_age_seconds=vacuum_min_age_seconds,
+                dry_run=True,
+            ).items()
             if k != "recovered"
         },
     }

@@ -56,6 +56,14 @@ class MaintenancePolicy:
     vacuum_min_age_seconds: float = 3600.0
     cooldown_seconds: float = 0.0
 
+    def __post_init__(self) -> None:
+        if self.target_bytes < 1:
+            raise ValueError("MaintenancePolicy: target_bytes must be >= 1")
+        if not 0.0 <= self.small_file_fraction <= 1.0:
+            raise ValueError(
+                "MaintenancePolicy: small_file_fraction must be in [0, 1]"
+            )
+
 
 @dataclass(frozen=True)
 class TableSpec:
@@ -84,6 +92,8 @@ class Pipeline:
         #: per-table OPTIMIZE hysteresis: post-optimize listing
         #: signature + monotonic timestamp of the last attempt
         self._maint_state: dict[str, dict] = {}
+        #: the most recent await_all maintenance tick's report
+        self.last_maintenance: dict[str, dict] = {}
 
     def track_table(
         self,
@@ -138,10 +148,30 @@ class Pipeline:
         )
         return self
 
-    def await_all(self, poll_seconds: float = 1.0, timeout: float | None = None) -> None:
+    def await_all(
+        self,
+        poll_seconds: float = 1.0,
+        timeout: float | None = None,
+        spark=None,
+        maintenance_policy: "MaintenancePolicy | None" = None,
+        maintenance_interval_seconds: float = 3600.0,
+    ) -> None:
         """Liveness loop (the one the reference never reaches): returns
-        when every query stops; raises the first query exception."""
+        when every query stops; raises the first query exception.
+
+        With ``spark`` + ``maintenance_policy``, the loop ALSO
+        self-maintains: every ``maintenance_interval_seconds`` it runs
+        one :meth:`maintain` tick over the tracked tables (r12 — the
+        reference's orchestrator pattern polls liveness forever and
+        never acts, reference main.py:48-53; here the same loop that
+        watches the queries keeps their sink tables compacted, indexed
+        and vacuumed). Each tick's report lands in
+        ``self.last_maintenance`` for operators to scrape; a tick that
+        raises is logged and the loop keeps both polling and ticking —
+        maintenance must never take the pipeline down."""
         deadline = None if timeout is None else time.monotonic() + timeout
+        maintaining = spark is not None and maintenance_policy is not None
+        next_tick = time.monotonic() if maintaining else None
         while True:
             active = [q for q in self.queries.values() if q.isActive]
             for name, q in self.queries.items():
@@ -150,6 +180,19 @@ class Pipeline:
                     raise RuntimeError(f"query '{name}' failed") from q.exception()
             if not active:
                 return
+            if maintaining and time.monotonic() >= next_tick:
+                import logging
+
+                try:
+                    self.last_maintenance = self.maintain(
+                        spark, maintenance_policy
+                    )
+                except Exception:  # noqa: BLE001 — keep the pipeline up
+                    logging.getLogger(__name__).warning(
+                        "await_all: maintenance tick failed; queries "
+                        "keep running", exc_info=True,
+                    )
+                next_tick = time.monotonic() + maintenance_interval_seconds
             if deadline is not None and time.monotonic() > deadline:
                 return
             time.sleep(poll_seconds)
@@ -365,7 +408,10 @@ class Pipeline:
         for name, spec in (tables or self.tables).items():
             actions: dict[str, object] = {}
             try:
-                h = table_health(spark, spec.path, policy.target_bytes)
+                h = table_health(
+                    spark, spec.path, policy.target_bytes,
+                    vacuum_min_age_seconds=policy.vacuum_min_age_seconds,
+                )
             except ValueError:
                 # not created yet (stream has not committed a batch)
                 out[name] = {"health": None, "actions": {"status": "absent"}}

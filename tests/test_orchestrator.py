@@ -487,3 +487,44 @@ def test_pipeline_maintain_closes_the_loop(spark, tmp_path):
         "optimized", "noop",
     )
     assert read_keys() == set(range(600))
+
+
+def test_await_all_self_maintains_on_a_cadence(spark, tmp_path):
+    """r12: the liveness loop itself runs maintenance ticks while the
+    queries stay up — the reference's orchestrator polls forever and
+    never acts; ours compacts its own sink tables as it watches."""
+    from iot_sensor_data_pipeline_spark.streaming.orchestrator import (
+        MaintenancePolicy,
+        Pipeline,
+    )
+
+    path = str(tmp_path / "selfmaint")
+    for i in range(6):
+        spark.range(i * 50, (i + 1) * 50).selectExpr("id AS k")\
+            .coalesce(1).write.mode("append").parquet(path)
+
+    p = Pipeline()
+    dummy = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .start()
+    )
+    try:
+        p.add("dummy", dummy)
+        p.track_table("t", path)
+        p.await_all(
+            poll_seconds=0.2, timeout=8, spark=spark,
+            maintenance_policy=MaintenancePolicy(
+                target_bytes=1 << 30, min_files=4
+            ),
+            maintenance_interval_seconds=0.5,
+        )
+    finally:
+        p.stop_all()
+    # a tick ran (later no-op ticks may have overwritten the report of
+    # the one that optimized — the durable evidence is the layout)
+    assert p.last_maintenance.get("t"), p.last_maintenance
+    names = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert names and all(f.startswith("c") for f in names)  # compacted
+    assert spark.read.parquet(path).count() == 300  # reads exact
