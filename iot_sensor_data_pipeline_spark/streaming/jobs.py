@@ -2109,3 +2109,105 @@ def start_constraint_gate(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()
+
+
+def start_ab_accumulator(
+    stream_df: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    metric_col: str,
+    stats_dir: str,
+    checkpoint: str,
+    trigger: str | None = None,
+    available_now: bool = False,
+    query_name: str | None = None,
+):
+    """Streaming experiment accumulation at the randomization-unit
+    grain (r12): each micro-batch appends its (variant, unit) PARTIAL
+    metric sums to ``stats_dir`` through the epoch-idempotent sink,
+    and :func:`read_ab_report` folds the accumulated partials through
+    the standard ``operators.experiment`` analysis whenever a read-out
+    is wanted.
+
+    Why partials, not a running report: a unit's events spread across
+    many batches, so a per-batch analysis would be event-grain — the
+    exact correlated-samples mistake ``ab_test_report`` exists to
+    avoid — while keeping a RUNNING unit table would need a
+    corpus-scale keyed rewrite per batch. Partial rows are append-only
+    (one (variant, unit) row per batch it appears in, map-side
+    combined), and ``sum of partials == unit sum``, so the fold at
+    report time is exact. Batch cost: one (variant, unit) groupBy of
+    the BATCH (not the history); storage: one row per (unit, batch)
+    touched — compact them with ``optimize_table``/
+    ``Pipeline.maintain`` like any other append sink (the fold is
+    grouping-invariant, so compaction never changes the report).
+    Replays converge: the sink is epoch-idempotent under this
+    checkpoint's lineage. Rows with NULL unit or variant are excluded
+    HERE (same rule as the batch report) so the persisted relation is
+    analyzable as-is."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+
+    for reserved in ("__m_partial", "__epoch"):
+        if reserved in stream_df.columns:
+            raise ValueError(
+                f"start_ab_accumulator: the stream already has a "
+                f"{reserved!r} column — rename it"
+            )
+    sink = parquet_batch_sink(stats_dir, checkpoint=checkpoint)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.where(
+                F.col(unit_col).isNotNull() & F.col(variant_col).isNotNull()
+            )
+            .groupBy(variant_col, unit_col)
+            .agg(
+                F.coalesce(
+                    F.sum(F.col(metric_col).cast("double")), F.lit(0.0)
+                ).alias("__m_partial")
+            )
+            .withColumn("__epoch", F.lit(epoch_id).cast("long"))
+        )
+        if not partial.isEmpty():
+            sink(partial, epoch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()
+
+
+def read_ab_report(
+    spark,
+    stats_dir: str,
+    unit_col: str,
+    variant_col: str,
+    control: str,
+    round_out: int = 6,
+) -> DataFrame:
+    """The live experiment read-out over a :func:`start_ab_accumulator`
+    table: fold the partial rows back to unit grain happens INSIDE
+    ``ab_test_report`` itself (its first step is a (variant, unit)
+    sum, and sum of partials == unit sum), so this is one call with
+    the exact batch-mode semantics — Welch z, literal-injected control
+    stats, the same NULL/degenerate rules."""
+    from iot_sensor_data_pipeline_spark.operators.experiment import (
+        ab_test_report,
+    )
+
+    return ab_test_report(
+        spark.read.parquet(stats_dir),
+        unit_col, variant_col, "__m_partial", control, round_out,
+    )

@@ -505,6 +505,15 @@ class Pipeline:
                     "the failed step found it — every step is "
                     "individually crash-safe", name, spec.path, exc_info=True,
                 )
+                # a PERSISTENT failure (e.g. the schema-evolution
+                # guard) would otherwise re-attempt every tick —
+                # stamp the attempt time so cooldown_seconds
+                # rate-limits retries; post_sig None never matches a
+                # real signature, so new data still re-arms instantly
+                # once the cooldown passes
+                self._maint_state[name] = {
+                    "post_sig": None, "t": time.monotonic(),
+                }
                 actions["error"] = str(e)
                 out[name] = {"health": h, "actions": actions}
         return out

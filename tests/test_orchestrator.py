@@ -528,3 +528,46 @@ def test_await_all_self_maintains_on_a_cadence(spark, tmp_path):
     names = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert names and all(f.startswith("c") for f in names)  # compacted
     assert spark.read.parquet(path).count() == 300  # reads exact
+
+
+def test_maintain_error_isolation_and_cooldown(spark, tmp_path, monkeypatch):
+    """A failing optimize reports {'error': ...} without touching the
+    table, and cooldown_seconds rate-limits the retry; other tables in
+    the same tick still maintain."""
+    from iot_sensor_data_pipeline_spark.sources import manifest as M
+    from iot_sensor_data_pipeline_spark.streaming.orchestrator import (
+        MaintenancePolicy,
+        Pipeline,
+    )
+
+    def frag(name):
+        path = str(tmp_path / name)
+        for i in range(5):
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id AS k")\
+                .coalesce(1).write.mode("append").parquet(path)
+        return path
+
+    broken, healthy = frag("broken"), frag("healthy")
+    orig = M.optimize_table
+
+    def explode(spark_, path, *a, **kw):
+        if path == broken:
+            raise RuntimeError("forced failure")
+        return orig(spark_, path, *a, **kw)
+
+    monkeypatch.setattr(M, "optimize_table", explode)
+
+    p = Pipeline().track_table("b", broken).track_table("h", healthy)
+    policy = MaintenancePolicy(
+        target_bytes=1 << 30, min_files=4, cooldown_seconds=3600
+    )
+    res = p.maintain(spark, policy)
+    assert "forced failure" in res["b"]["actions"]["error"]
+    assert res["h"]["actions"]["optimize"]["status"] == "optimized"
+    assert spark.read.parquet(broken).count() == 50  # untouched, exact
+
+    # the failed attempt is cooldown-stamped: the next tick within the
+    # window does NOT re-attempt (no second error entry)
+    res2 = p.maintain(spark, policy)
+    assert res2["b"]["actions"] == {}
+    assert res2["h"]["actions"] == {}  # healthy: signature hysteresis

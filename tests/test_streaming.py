@@ -1531,3 +1531,82 @@ def test_streaming_constraint_gate_routes_and_converges(spark, tmp_path):
     # for epoch 1's two clean rows) instead of appending duplicates
     assert spark.read.parquet(primary).count() == 101
     assert spark.read.parquet(quarantine).count() == 2
+
+
+def test_streaming_ab_accumulator_unit_grain(spark, tmp_path):
+    """start_ab_accumulator (r12): unit sums accumulate across batches
+    as mergeable partials; the live report equals the batch report
+    over the full event history, a restart replays nothing, and a
+    forced epoch replay converges."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.operators.experiment import (
+        ab_test_report,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.jobs import (
+        read_ab_report,
+        start_ab_accumulator,
+    )
+
+    src = tmp_path / "ab_src"
+    src.mkdir()
+    stats = str(tmp_path / "ab_stats")
+    ckpt = str(tmp_path / "ab_ckpt")
+
+    def run():
+        stream = spark.readStream.schema(
+            "u long, variant string, m double"
+        ).json(str(src))
+        q = start_ab_accumulator(
+            stream, "u", "variant", "m", stats, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+
+    # unit 1's events SPAN both batches — the accumulated report must
+    # treat them as one unit, not two samples
+    b0 = [
+        {"u": 1, "variant": "control", "m": 1.0},
+        {"u": 2, "variant": "control", "m": 3.0},
+        {"u": 3, "variant": "t", "m": 4.0},
+        {"u": None, "variant": "t", "m": 9.0},  # excluded: no unit
+    ]
+    b1 = [
+        {"u": 1, "variant": "control", "m": 2.0},  # same unit, later batch
+        {"u": 4, "variant": "t", "m": 6.0},
+        {"u": 5, "variant": "t", "m": 8.0},
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b0))
+    run()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    run()
+
+    live = {r.variant: r for r in
+            read_ab_report(spark, stats, "u", "variant", "control").collect()}
+    all_events = spark.createDataFrame(
+        [(r["u"], r["variant"], r["m"]) for r in b0 + b1],
+        "u long, variant string, m double",
+    )
+    want = {r.variant: r for r in
+            ab_test_report(all_events, "u", "variant", "m", "control").collect()}
+    for v in ("control", "t"):
+        for fld in ("n_units", "mean", "lift", "rel_lift", "z"):
+            assert getattr(live[v], fld) == getattr(want[v], fld), (v, fld)
+    assert live["control"].n_units == 2  # unit 1 counted ONCE (m=3.0)
+
+    # restart with no new data: nothing replays, report unchanged
+    run()
+    live2 = {r.variant: r for r in
+             read_ab_report(spark, stats, "u", "variant", "control").collect()}
+    assert live2["control"].mean == live["control"].mean
+
+    # forced epoch-1 replay converges (epoch-idempotent partials)
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+    replay = parquet_batch_sink(stats, checkpoint=ckpt)
+    epoch1 = spark.read.parquet(stats).where(F.col("__epoch") == 1)
+    replay(epoch1.coalesce(1), 1)
+    live3 = {r.variant: r for r in
+             read_ab_report(spark, stats, "u", "variant", "control").collect()}
+    assert live3["control"].mean == live["control"].mean
+    assert live3["t"].z == live["t"].z
