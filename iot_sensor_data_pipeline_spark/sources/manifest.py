@@ -711,9 +711,20 @@ def plan_compaction(
         names = [f.rsplit("/", 1)[-1] for f, _ in files]
         skip2 = set(exclude_fn(names))
         files = [(f, s) for f, s in files if f.rsplit("/", 1)[-1] not in skip2]
-    # greedy cumsum split over the (sorted) name order; bin = floor of
-    # the PRECEDING small-file bytes / target, so a bin exceeds target
-    # by at most one straddling file — same answer on any engine
+    return spark.createDataFrame(
+        _pack_bins(files, target_bytes, min_bin_files),
+        "file string, size long, action string, bin long",
+    )
+
+
+def _pack_bins(
+    files: Sequence[tuple[str, int]], target_bytes: int, min_bin_files: int
+) -> list[tuple[str, int, str, int | None]]:
+    """The pure greedy cumsum split over the (sorted) name order;
+    bin = floor of the PRECEDING small-file bytes / target, so a bin
+    exceeds target by at most one straddling file — same answer on any
+    engine (integer division, no float drift). Property-pinned in
+    tests/test_properties.py on top of the python-mirror golden."""
     cum = 0
     bin_of: dict[str, int] = {}
     n_in_bin: dict[int, int] = {}
@@ -724,16 +735,14 @@ def plan_compaction(
         bin_of[f] = b
         n_in_bin[b] = n_in_bin.get(b, 0) + 1
         cum += s
-    rows = []
+    rows: list[tuple[str, int, str, int | None]] = []
     for f, s in files:
         b = bin_of.get(f)
         if b is not None and n_in_bin[b] >= min_bin_files:
             rows.append((f, s, "compact", b))
         else:
             rows.append((f, s, "keep", None))
-    return spark.createDataFrame(
-        rows, "file string, size long, action string, bin long"
-    )
+    return rows
 
 
 def compact_files(

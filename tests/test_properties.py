@@ -474,3 +474,52 @@ def test_funnel_stages_matches_brute_force_chain_search(spark, rows, budget):
     for u, events in by_user.items():
         want = _brute_stage(events, len(steps), budget)
         assert got.get(u, 0) == want, (u, sorted(events), budget, got.get(u), want)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), max_size=40),
+    st.integers(min_value=1, max_value=2000),
+    st.integers(min_value=1, max_value=5),
+)
+def test_pack_bins_invariants(sizes, target, min_bin_files):
+    """plan_compaction's greedy split (r12 pure form): every file
+    appears exactly once; compact bins hold >= min_bin_files files and
+    never exceed target + one straddling file; keeps are exactly the
+    big files plus downgraded small bins; binning is deterministic in
+    name order."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import _pack_bins
+
+    files = sorted((f"f{i:04d}.parquet", s) for i, s in enumerate(sizes))
+    rows = _pack_bins(files, target, min_bin_files)
+    assert sorted((f, s) for f, s, _a, _b in rows) == files  # partition
+
+    bins: dict[int, list[int]] = {}
+    for f, s, action, b in rows:
+        if action == "compact":
+            assert s < target and b is not None
+            bins.setdefault(b, []).append(s)
+        else:
+            assert b is None
+    for b, members in bins.items():
+        assert len(members) >= min_bin_files
+        # a bin exceeds target by at most its one straddling file
+        assert sum(members) < target + max(members)
+
+    # every small file in a keep row is there ONLY because its bin was
+    # downgraded (under min_bin_files) — recompute the raw bin ids
+    cum, raw = 0, {}
+    for f, s in files:
+        if s < target:
+            raw[f] = cum // target
+            cum += s
+    from collections import Counter
+
+    raw_counts = Counter(raw.values())
+    for f, s, action, _b in rows:
+        if s < target:
+            want = "compact" if raw_counts[raw[f]] >= min_bin_files else "keep"
+            assert action == want
+
+    # determinism: same input -> identical output
+    assert _pack_bins(files, target, min_bin_files) == rows
