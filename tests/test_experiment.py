@@ -285,3 +285,20 @@ def test_srm_check_goldens_and_guards(spark):
         srm_check(df, "u", "variant", {"a": 1.5, "b": -0.5})
     with pytest.raises(ValueError, match="non-empty"):
         srm_check(df, "u", "variant", {})
+
+
+def test_new_experiment_queries_plan_shapes(spark):
+    """The r12 registered experiment queries keep the literal-injection
+    discipline: no BroadcastNestedLoopJoin, no CartesianProduct in any
+    executed plan (the control/pooled scalars ride as literals)."""
+    from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("events_ab_conversion_multi", "events_ab_cuped",
+                 "events_srm_check"):
+        plan = (
+            EXTENDED_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
