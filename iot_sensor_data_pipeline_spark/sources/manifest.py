@@ -1098,6 +1098,63 @@ def _live_epoch_exclude_fn(spark, path: str, live_checkpoints: Sequence[str]):
     return exclude_fn
 
 
+def _journaled_swap(
+    spark: SparkSession, path: str, staging: str,
+    retire_rels: Sequence[str], token: str,
+) -> int:
+    """Publish-then-retire a staged rewrite under the crash journal —
+    THE swap discipline, shared by flat/partitioned OPTIMIZE and the
+    row-level mutations (``sources.mutations``), so
+    :func:`recover_optimize`'s forward/back rules can never drift
+    between writers. Staged data files (listed recursively, so a
+    ``partitionBy`` staging layout keeps its partition-relative dirs)
+    are journaled as ``c<token>-<i>.parquet`` adds alongside the
+    partition-relative retire names, renamed in (destination partition
+    dirs are created for adds that target a NEW partition — a merge's
+    inserts), the originals deleted, the per-lineage
+    ``compacted_through`` watermarks persisted from the retire names,
+    and the journal dropped last. A crash anywhere is healed by
+    :func:`recover_optimize`: all-adds-present rolls forward, any-add
+    missing rolls back (originals are intact because retires start
+    only after every add landed). Returns the number of files added."""
+    jvm = spark._jvm
+    fs, _root, _ = _fs_for(spark, path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    staging_base = fs.makeQualified(spath).toString().rstrip("/")
+    staged = []
+    it = fs.listFiles(spath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.isFile() and is_data_file(st.getPath().getName()):
+            staged.append(st.getPath())
+    add_rels = []
+    for i, p in enumerate(staged):
+        rel_dir = p.getParent().toString()[len(staging_base):].strip("/")
+        name = f"c{token}-{i}.parquet"
+        add_rels.append(f"{rel_dir}/{name}" if rel_dir else name)
+    # (1) journal first: the swap is re-derivable from names alone
+    jp = _commit_journal(fs, jvm, path, add_rels, retire_rels)
+    # (2) publish: adds in
+    for src, rel in zip(staged, add_rels):
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        parent = dst.getParent()
+        if not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(src, dst):
+            raise RuntimeError(f"journaled swap: rename {src} -> {dst} failed")
+    fs.delete(spath, True)
+    # (3) retire originals, (3.5) persist the per-lineage
+    # compacted_through watermarks (as-of reads must refuse the epochs
+    # this swap just absorbed), (4) drop the journal — the watermark
+    # lands BEFORE the journal deletes so a crash in between re-runs it
+    # via forward recovery, never skips it
+    for rel in retire_rels:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}"), False)
+    _write_epoch_watermarks(fs, jvm, path, _retired_epoch_watermarks(retire_rels))
+    fs.delete(jp, False)
+    return len(add_rels)
+
+
 def optimize_table(
     spark: SparkSession,
     path: str,
@@ -1199,36 +1256,14 @@ def optimize_table(
         _refresh_indexes()  # heals the crash-after-retire gap (above)
         return {"status": "noop", "n_compacted": 0, "n_bins": 0,
                 "recovered": recovered}
-    staged = [
-        st.getPath()
-        for st in fs.listStatus(spath)
-        if st.isFile() and is_data_file(st.getPath().getName())
-    ]
-    add_names = [f"c{token}-{i}.parquet" for i in range(len(staged))]
     retire_names = [n.rsplit("/", 1)[-1] for n in retire]
-    # (1) journal first: the swap is re-derivable from names alone
-    jp = _commit_journal(fs, jvm, path, add_names, retire_names)
-    # (2) publish: adds in
-    for src, name in zip(staged, add_names):
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
-        if not fs.rename(src, dst):
-            raise RuntimeError(f"optimize_table: rename {src} -> {dst} failed")
-    fs.delete(spath, True)
-    # (3) retire originals, (3.5) persist the per-lineage
-    # compacted_through watermarks (as-of reads must refuse the epochs
-    # this swap just absorbed), (4) drop the journal — the watermark
-    # lands BEFORE the journal deletes so a crash in between re-runs it
-    # via forward recovery, never skips it
-    for name in retire_names:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"), False)
-    _write_epoch_watermarks(fs, jvm, path, _retired_epoch_watermarks(retire_names))
-    fs.delete(jp, False)
+    n_adds = _journaled_swap(spark, path, staging, retire_names, token)
     # (5) indexes: incremental refresh absorbs adds + retires
     _refresh_indexes()
     return {
         "status": "optimized",
         "n_compacted": len(retire_names),
-        "n_bins": len(add_names),
+        "n_bins": n_adds,
         "recovered": recovered,
     }
 
@@ -1474,37 +1509,13 @@ def optimize_table_partitioned(
         )
     finally:
         df.unpersist()
-    # journal-first swap, names partition-relative
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    staging_base = fs.makeQualified(spath).toString().rstrip("/")
-    staged = []
-    it = fs.listFiles(spath, True)
-    while it.hasNext():
-        st = it.next()
-        if st.isFile() and is_data_file(st.getPath().getName()):
-            staged.append(st.getPath())
-    add_rels = []
-    for i, p in enumerate(staged):
-        rel_dir = p.getParent().toString()[len(staging_base):].strip("/")
-        add_rels.append(f"{rel_dir}/c{token}-{i}.parquet")
-    jp = _commit_journal(fs, jvm, path, add_rels, retire_rels)
-    for src, rel in zip(staged, add_rels):
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
-        if not fs.rename(src, dst):
-            raise RuntimeError(
-                f"optimize_table_partitioned: rename {src} -> {dst} failed"
-            )
-    fs.delete(spath, True)
-    for rel in retire_rels:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}"), False)
-    # same watermark-before-journal-delete ordering as the flat path
-    _write_epoch_watermarks(fs, jvm, path, _retired_epoch_watermarks(retire_rels))
-    fs.delete(jp, False)
+    # journal-first swap, names partition-relative (shared discipline)
+    n_adds = _journaled_swap(spark, path, staging, retire_rels, token)
     _refresh_indexes()
     return {
         "status": "optimized",
         "n_compacted": len(retire_rels),
-        "n_bins": len(add_rels),
+        "n_bins": n_adds,
         "n_partitions": n_parts,
         "recovered": recovered,
     }

@@ -1,0 +1,847 @@
+"""Row-level mutations on parquet lakehouse tables: DELETE, UPDATE,
+MERGE (upsert), and metadata-only partition drops — copy-on-write, the
+way Delta/Iceberg/Hudi CoW tables do it, built on this layer's own
+journaled-swap discipline (``manifest._journaled_swap`` +
+``manifest.recover_optimize``).
+
+Why this exists: a 100 TB training-data corpus is not append-only in
+practice — GDPR/right-to-be-forgotten deletes, label corrections,
+backfills, and dimension upserts all need ROW-level mutation, and
+"rewrite the whole table" is a non-answer at that scale. The reference
+pipeline has no story here at all (its JDBC sink appends forever); this
+module gives the parquet tables the lakehouse answer:
+
+- **touch only files that contain matching rows.** Every mutation runs
+  a probe pass first — ``input_file_name()`` grouped over the predicate
+  (column-pruned: Spark reads only the predicate's columns) — and
+  rewrites exactly the matched files. A delete of one user's rows from
+  a million-file table rewrites the handful of files that hold them;
+  the other 999,99x files are not read, not rewritten, not even opened
+  (the probe's scan opens candidates only, and the skipping indexes
+  narrow candidacy below that).
+- **prune candidates before the probe.** ``prune_predicates`` routes
+  through the footer-stats manifest (``manifest.prune_files``) and, for
+  MERGE, an existing bloom index on the join keys routes through
+  ``bloom_index.prune_files_bloom`` — so the probe itself opens a
+  subset of files when the indexes exist. Both are conservative:
+  un-indexed files stay candidates.
+- **crash-safe.** Rewrites stage under ``.compact_<token>`` and publish
+  via the shared journal (add names in, originals retired, journal
+  dropped last). A crash at any point is healed by
+  ``recover_optimize`` — forward if every add landed, back otherwise —
+  and every entry point runs recovery first, exactly like OPTIMIZE.
+- **as-of honesty.** Retiring an epoch-named sink file makes its epoch
+  unreconstructible, so the swap persists the same ``compacted_through``
+  watermarks OPTIMIZE does and ``sinks.read_sink_as_of`` refuses
+  epoch-scoped reads at/below them instead of silently returning
+  partial history.
+
+Partition columns inside mutation predicates read as the LITERAL
+STRINGS their directory names spell (``dt=2024-01-02`` is the string
+``'2024-01-02'``, ``hour=00`` is ``'00'``) — the same verbatim
+round-trip rule the partitioned OPTIMIZE uses, applied to both the
+probe and the rewrite so the two can never disagree. Whole-partition
+retention deletes should use :func:`drop_partitions` instead: matching
+directories delete as metadata, no data file is read at all.
+
+Single-maintenance-writer assumption (same as OPTIMIZE): one mutation
+or OPTIMIZE at a time per table. Mutations on a LIVE epoch-idempotent
+sink table must pass ``live_checkpoints``; a mutation whose matches
+touch a lineage's newest (possibly-uncommitted) epoch RAISES — a
+rewrite there would race the stream's replay, which re-adds the
+original file and silently resurrects the deleted/stale rows.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from iot_sensor_data_pipeline_spark.sources.manifest import (
+    _fs_for,
+    _journaled_swap,
+    _live_epoch_exclude_fn,
+    _retired_epoch_watermarks,
+    _walk_data_files,
+    _write_epoch_watermarks,
+    prune_files,
+    recover_optimize,
+)
+
+__all__ = [
+    "delete_where",
+    "update_where",
+    "merge_into",
+    "drop_partitions",
+]
+
+#: reserved routing column for the copy-on-write rewrites (same role
+#: and guard as the OPTIMIZE family's routing column)
+_SRC = "__src_file"
+
+
+def _canon_expr(c: Column) -> Column:
+    # listStatus renders the local scheme 'file:/x', input_file_name
+    # 'file:///x' — same file (see compact_files)
+    return F.regexp_replace(c, r"^file:/+", "file:///")
+
+
+def _canon(name: str) -> str:
+    import re
+
+    return re.sub(r"^file:/+", "file:///", name)
+
+
+def _bare(name: str) -> str:
+    """Scheme-free form of a LOCAL path for cross-module file-identity
+    comparison — the bloom index canonicalizes 'file:/x' to '/x' while
+    the walk renders 'file:/x' and input_file_name 'file:///x'; all
+    three are the same file. Non-local schemes pass through verbatim."""
+    import re
+
+    return re.sub(r"^file:/+", "/", name)
+
+
+def _cond_expr(condition) -> Column:
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    # DELETE/UPDATE WHERE p acts on rows where p is TRUE; NULL is not
+    # TRUE (SQL three-valued logic), so NULL-predicate rows are kept
+    # untouched
+    return F.coalesce(cond.cast("boolean"), F.lit(False))
+
+
+def _layout(
+    spark: SparkSession, path: str
+) -> tuple[list[str], list[str], dict[str, str]]:
+    """(partition columns, file URIs, {canon file URI: partition-relative
+    path}) for the table — flat tables return ``part_cols == []``. The
+    same uniform-depth guard as the partitioned OPTIMIZE applies: a
+    mixed layout would migrate rows across partition levels on
+    write-back, so it raises before anything is read."""
+    fs, root, _ = _fs_for(spark, path)
+    base = fs.makeQualified(root).toString().rstrip("/")
+    files = [f for f, _sz in _walk_data_files(spark, path)]
+    if not files:
+        raise ValueError(f"no parquet data files under {path}")
+    rel_of: dict[str, str] = {}
+    for f in files:
+        q = f if "://" in f or f.startswith("file:/") else f"{base}/{f}"
+        rel_of[_canon(q)] = q[len(base):].strip("/") if q.startswith(base) else (
+            _canon(q)[len(_canon(base)):].strip("/")
+        )
+    rels = list(rel_of.values())
+    part_cols = [
+        s.split("=")[0] for s in rels[0].split("/")[:-1] if "=" in s
+    ]
+    offenders = sorted(
+        r for r in rels
+        if [s.split("=")[0] for s in r.split("/")[:-1] if "=" in s] != part_cols
+    )
+    if offenders:
+        raise ValueError(
+            f"mixed partition layouts under {path} — expected every file "
+            f"under {'/'.join(part_cols) or '<flat>'} directories, but "
+            f"these differ: {offenders[:10]}"
+            f"{' ...' if len(offenders) > 10 else ''}. A rewrite would "
+            "migrate rows across partition levels; fix the layout first."
+        )
+    return part_cols, sorted(rel_of), rel_of
+
+
+def _read_schema_for(
+    spark: SparkSession, path: str, candidates: Sequence[str],
+    part_cols: Sequence[str],
+) -> tuple[StructType, StructType]:
+    """(data schema = the mergeSchema UNION over the candidate files,
+    read schema = that plus partition columns typed STRING — the
+    verbatim partition-value round-trip rule of the partitioned
+    OPTIMIZE, applied to mutations).
+
+    The union schema is what makes mutations safe on a schema-evolved
+    table WITHOUT the OPTIMIZE family's fail-before-write guard: a
+    candidate missing a newer column reads it as NULL (exactly what a
+    union-schema reader of the original sees) and no candidate's
+    column can be silently dropped, because every column is in the
+    union by construction. Rewritten files upgrade to the union schema
+    — the standard lakehouse CoW behavior — and incompatible TYPE
+    evolution fails loudly inside mergeSchema before anything is
+    written. The footer pass is distributed and covers candidates
+    only, so index-pruned mutations never pay a whole-table pass."""
+    data_schema = (
+        spark.read.option("mergeSchema", "true").parquet(*candidates).schema
+    )
+    if _SRC in data_schema.fieldNames():
+        raise ValueError(
+            f"the table has a column named '{_SRC}' (the rewrite's "
+            "routing column) — rename it first"
+        )
+    overlap = [c for c in part_cols if c in data_schema.fieldNames()]
+    if overlap:
+        raise ValueError(
+            f"partition columns {overlap} also exist INSIDE the data "
+            "files — an ambiguous layout this writer refuses to rewrite"
+        )
+    read_schema = StructType(
+        list(data_schema.fields)
+        + [StructField(c, StringType()) for c in part_cols]
+    )
+    return data_schema, read_schema
+
+
+def _read_files(
+    spark: SparkSession, path: str, files: Sequence[str],
+    read_schema: StructType,
+) -> DataFrame:
+    return (
+        spark.read.option("basePath", path)
+        .schema(read_schema)
+        .parquet(*files)
+    )
+
+
+def _probe_matches(
+    spark: SparkSession, path: str, candidates: Sequence[str],
+    read_schema: StructType, cond: Column,
+) -> tuple[list[str], int]:
+    """(canon URIs of files containing >=1 matching row, total matching
+    rows) — one column-pruned scan of the candidates; the driver
+    receives one row per MATCHED file, never per candidate."""
+    rows = (
+        _read_files(spark, path, candidates, read_schema)
+        .where(cond)
+        .groupBy(_canon_expr(F.input_file_name()).alias(_SRC))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    return [r[_SRC] for r in rows], int(sum(r["__n"] for r in rows))
+
+
+def _guard_live(
+    spark: SparkSession, path: str, live_checkpoints: Sequence[str],
+    matched_rels: Sequence[str], all_rels: Sequence[str], who: str,
+) -> None:
+    """RAISE when a matched file is a live lineage's newest epoch.
+
+    OPTIMIZE can silently SKIP the newest epoch (compaction of the rest
+    is still complete); a mutation cannot — skipping it would commit a
+    partial delete/update and report success. The newest-epoch set is
+    derived from the planner's own listing (the shared
+    ``_live_epoch_exclude_fn`` discipline), and the caller retries
+    after the stream seals the epoch."""
+    if not live_checkpoints:
+        return
+    exclude_fn = _live_epoch_exclude_fn(spark, path, live_checkpoints)
+    bases = [r.rsplit("/", 1)[-1] for r in all_rels]
+    hot = exclude_fn(bases)
+    offenders = sorted(
+        r for r in matched_rels if r.rsplit("/", 1)[-1] in hot
+    )
+    if offenders:
+        raise RuntimeError(
+            f"{who}: matching rows live in a streaming lineage's NEWEST "
+            f"epoch files {offenders[:5]} whose offsets may be "
+            "uncommitted — rewriting them would race the stream's "
+            "replay (the replay re-adds the original file and "
+            "resurrects the mutated rows). Retry after the next "
+            "micro-batch seals the epoch, or stop the stream first."
+        )
+
+
+def _narrow_candidates(
+    spark: SparkSession, path: str, files: Sequence[str],
+    prune_predicates: Mapping[str, tuple] | None,
+) -> list[str]:
+    """Optionally intersect the full listing with the skipping
+    manifest's verdict — conservative (missing/stale manifest keeps
+    everything), so the probe can only get cheaper, never wrong."""
+    if not prune_predicates:
+        return list(files)
+    kept, _total = prune_files(spark, path, prune_predicates)
+    kept_bare = {_bare(k) for k in kept}
+    return [f for f in files if _bare(f) in kept_bare]
+
+
+def _refresh_indexes(
+    spark: SparkSession, path: str,
+    manifest_cols: Sequence[str] | None, bloom_cols: Sequence[str] | None,
+) -> None:
+    if manifest_cols:
+        from iot_sensor_data_pipeline_spark.sources.manifest import (
+            update_manifest,
+        )
+
+        update_manifest(spark, path, list(manifest_cols))
+    if bloom_cols:
+        from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+            update_bloom_index,
+        )
+
+        update_bloom_index(spark, path, list(bloom_cols))
+
+
+def _write_routed(
+    df: DataFrame, n_files: int, staging: str, part_cols: Sequence[str]
+) -> None:
+    """Write the rewrite relation to staging, one task per source file
+    (the ``__src_file`` routing column keeps output file count — and
+    size — proportional to the input files being replaced)."""
+    w = df.repartition(n_files, F.col(_SRC)).drop(_SRC).write.mode("append")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(staging)
+
+
+def _prune_empty_staged(spark: SparkSession, staging: str) -> None:
+    """Delete zero-row staged files before the swap: a source file
+    whose rows were ALL deleted leaves an empty shuffle partition, and
+    Spark still emits a footer-only parquet file for it — journaling
+    that in would replace the retired file with a permanent zero-row
+    shard. One tiny job over the STAGED files only (per-file row
+    presence via ``input_file_name``); files absent from the grouped
+    result are the empties."""
+    fs, root, jvm = _fs_for(spark, staging)
+    staged = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        if st.isFile() and st.getPath().getName().endswith(".parquet"):
+            staged.append(st.getPath().toString())
+    if not staged:
+        return
+    nonempty = {
+        _canon(r[0])
+        for r in spark.read.parquet(*staged)
+        .select(_canon_expr(F.input_file_name()).alias("f"))
+        .groupBy("f")
+        .count()
+        .collect()
+    }
+    for s in staged:
+        if _canon(s) not in nonempty:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(s), False)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: Column | str,
+    prune_predicates: Mapping[str, tuple] | None = None,
+    manifest_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    live_checkpoints: Sequence[str] = (),
+) -> dict:
+    """DELETE FROM <table> WHERE <condition>, copy-on-write.
+
+    Probe -> rewrite only files containing matches (survivor rows keep
+    their file-grain placement via the routing column; a fully-deleted
+    file retires with no replacement) -> journaled swap -> incremental
+    index refresh. Rows where the condition is NULL are KEPT (SQL
+    three-valued logic: DELETE removes rows where the predicate is
+    TRUE). Returns ``{"status", "n_rows_deleted", "n_files_rewritten",
+    "n_files_untouched", "recovered"}`` — untouched files are never
+    read past the (column-pruned) probe.
+
+    ``prune_predicates`` (col -> (lo, hi), as in ``manifest.
+    prune_files``) narrows the probe through the footer-stats manifest
+    when one exists; pass the selective range of the delete (e.g. the
+    user-id or date bounds) so a 100 TB probe opens only plausible
+    files. Conservative by construction — never changes the answer.
+    """
+    cond = _cond_expr(condition)
+    recovered = recover_optimize(spark, path)
+    part_cols, files_canon, rel_of = _layout(spark, path)
+    all_rels = [rel_of[f] for f in files_canon]
+    candidates = _narrow_candidates(spark, path, files_canon, prune_predicates)
+    matched, n_del = ([], 0)
+    if candidates:
+        _data_schema, read_schema = _read_schema_for(
+            spark, path, candidates, part_cols
+        )
+        matched, n_del = _probe_matches(
+            spark, path, candidates, read_schema, cond
+        )
+    if not matched:
+        _refresh_indexes(spark, path, manifest_cols, bloom_cols)
+        return {"status": "noop", "n_rows_deleted": 0,
+                "n_files_rewritten": 0,
+                "n_files_untouched": len(files_canon),
+                "recovered": recovered}
+    matched_rels = [rel_of[m] for m in matched]
+    _guard_live(spark, path, live_checkpoints, matched_rels, all_rels,
+                "delete_where")
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}/.compact_{token}"
+    survivors = (
+        _read_files(spark, path, matched, read_schema)
+        .withColumn(_SRC, _canon_expr(F.input_file_name()))
+        .where(~cond)
+    )
+    _write_routed(survivors, len(matched), staging, part_cols)
+    _prune_empty_staged(spark, staging)
+    _journaled_swap(spark, path, staging, matched_rels, token)
+    _refresh_indexes(spark, path, manifest_cols, bloom_cols)
+    return {
+        "status": "deleted",
+        "n_rows_deleted": n_del,
+        "n_files_rewritten": len(matched_rels),
+        "n_files_untouched": len(files_canon) - len(matched_rels),
+        "recovered": recovered,
+    }
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition: Column | str,
+    set: Mapping[str, Column | str],  # noqa: A002 — SQL's own keyword
+    prune_predicates: Mapping[str, tuple] | None = None,
+    manifest_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    live_checkpoints: Sequence[str] = (),
+) -> dict:
+    """UPDATE <table> SET col = expr, ... WHERE <condition>, CoW.
+
+    Every assignment's right-hand side evaluates against the ORIGINAL
+    row (one simultaneous ``select``, so ``{"a": col("b"), "b":
+    col("a")}`` swaps — SQL UPDATE semantics, not sequential
+    ``withColumn`` drift) and casts to the column's existing type, so
+    a rewrite can never evolve the schema. Partition columns cannot be
+    assigned (that would migrate rows across directories — delete +
+    re-insert, or use :func:`merge_into`). NULL-condition rows are not
+    updated. Returns ``{"status", "n_rows_updated", "n_files_rewritten",
+    "n_files_untouched", "recovered"}``."""
+    if not set:
+        raise ValueError("update_where: empty SET clause")
+    cond = _cond_expr(condition)
+    recovered = recover_optimize(spark, path)
+    part_cols, files_canon, rel_of = _layout(spark, path)
+    all_rels = [rel_of[f] for f in files_canon]
+    bad = [c for c in set if c in part_cols]
+    if bad:
+        raise ValueError(
+            f"update_where: SET targets partition columns {bad} — rows "
+            "would migrate across partition directories; use "
+            "delete_where + an insert (or merge_into) instead"
+        )
+    candidates = _narrow_candidates(spark, path, files_canon, prune_predicates)
+    matched, n_upd = ([], 0)
+    data_schema, read_schema = _read_schema_for(
+        spark, path, candidates or files_canon, part_cols
+    )
+    missing = [c for c in set if c not in data_schema.fieldNames()]
+    if missing:
+        raise ValueError(
+            f"update_where: SET targets columns {missing} that the table "
+            "does not have (mutations never evolve the schema)"
+        )
+    if candidates:
+        matched, n_upd = _probe_matches(
+            spark, path, candidates, read_schema, cond
+        )
+    if not matched:
+        _refresh_indexes(spark, path, manifest_cols, bloom_cols)
+        return {"status": "noop", "n_rows_updated": 0,
+                "n_files_rewritten": 0,
+                "n_files_untouched": len(files_canon),
+                "recovered": recovered}
+    matched_rels = [rel_of[m] for m in matched]
+    _guard_live(spark, path, live_checkpoints, matched_rels, all_rels,
+                "update_where")
+    by_name = {f.name: f for f in data_schema.fields}
+    assignments = {
+        c: (F.expr(e) if isinstance(e, str) else e).cast(by_name[c].dataType)
+        for c, e in set.items()
+    }
+    projected = [
+        (F.when(cond, assignments[f.name]).otherwise(F.col(f.name))
+         .alias(f.name) if f.name in assignments else F.col(f.name))
+        for f in data_schema.fields
+    ] + [F.col(c) for c in part_cols]
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}/.compact_{token}"
+    rewritten = (
+        _read_files(spark, path, matched, read_schema)
+        .withColumn(_SRC, _canon_expr(F.input_file_name()))
+        .select(*projected, F.col(_SRC))
+    )
+    _write_routed(rewritten, len(matched), staging, part_cols)
+    _prune_empty_staged(spark, staging)
+    _journaled_swap(spark, path, staging, matched_rels, token)
+    _refresh_indexes(spark, path, manifest_cols, bloom_cols)
+    return {
+        "status": "updated",
+        "n_rows_updated": n_upd,
+        "n_files_rewritten": len(matched_rels),
+        "n_files_untouched": len(files_canon) - len(matched_rels),
+        "recovered": recovered,
+    }
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: Sequence[str],
+    when_matched: str = "update",
+    insert: bool = True,
+    manifest_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    live_checkpoints: Sequence[str] = (),
+) -> dict:
+    """MERGE INTO <table> USING <source> ON <keys> — copy-on-write
+    upsert: matched target rows update to the source's values (or
+    delete, ``when_matched="delete"``), unmatched source rows insert
+    (``insert=False`` for update-only), unmatched target rows pass
+    through untouched.
+
+    File pruning is the whole game at scale: when a bloom index on the
+    join keys exists (``bloom_index.write_bloom_index(path, on)``), the
+    source's keys probe it FIRST and only candidate files are scanned
+    at all; the key-only probe scan then narrows to files that truly
+    hold matches, and only those rewrite. A thousand-row upsert into a
+    million-file table opens the bloom index plus a handful of files.
+    Inserts land as NEW files (partition directories are created as
+    needed on a partitioned table), so the untouched bulk of the table
+    is never read, and the whole publish runs under the shared crash
+    journal.
+
+    Source contract: key columns must be non-null and UNIQUE in the
+    source (a duplicate key makes "the source's values" ambiguous —
+    RAISES, the standard MERGE cardinality error, checked before any
+    write); non-key source columns must be a subset of the table's
+    columns (never schema evolution); missing table columns insert as
+    NULL and keep their target value on update. On a partitioned table
+    the partition columns must appear in the source for inserts (their
+    values spell the directory names verbatim) and, like
+    :func:`update_where`, cannot change for matched rows — a source row
+    may not move a matched row across partitions (RAISES; delete +
+    re-insert expresses that intent explicitly).
+
+    Returns ``{"status", "n_rows_updated"|"n_rows_deleted",
+    "n_rows_inserted", "n_files_rewritten", "n_files_untouched",
+    "recovered"}``."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be 'update' or 'delete', got {when_matched!r}"
+        )
+    on = list(on)
+    if not on:
+        raise ValueError("merge_into: empty key list")
+    recovered = recover_optimize(spark, path)
+    part_cols, files_canon, rel_of = _layout(spark, path)
+    all_rels = [rel_of[f] for f in files_canon]
+    # the union schema comes from ALL files here (not post-prune): the
+    # bloom probe hashes the source keys under the table's key TYPES,
+    # which must be known before any pruning can run
+    data_schema, read_schema = _read_schema_for(
+        spark, path, files_canon, part_cols
+    )
+    table_cols = read_schema.fieldNames()
+    src_cols = source.columns
+    missing_keys = [c for c in on if c not in src_cols]
+    if missing_keys:
+        raise ValueError(f"merge_into: source lacks key columns {missing_keys}")
+    if any(c not in table_cols for c in on):
+        raise ValueError(
+            f"merge_into: table lacks key columns "
+            f"{[c for c in on if c not in table_cols]}"
+        )
+    extra = [c for c in src_cols if c not in table_cols]
+    if extra:
+        raise ValueError(
+            f"merge_into: source columns {extra} do not exist in the "
+            "table (mutations never evolve the schema) — drop or rename "
+            "them first"
+        )
+    if insert and part_cols:
+        need = [c for c in part_cols if c not in src_cols]
+        if need:
+            raise ValueError(
+                f"merge_into: inserts into a partitioned table need the "
+                f"partition columns {need} in the source"
+            )
+    by_name = {f.name: f for f in read_schema.fields}
+    # cast source to the table's types ONCE — key comparisons, updates
+    # and inserts all see identical typing (partition cols: verbatim
+    # strings, same as the read side)
+    src = source.select(
+        *[F.col(c).cast(by_name[c].dataType).alias(c) for c in src_cols]
+    )
+    if src.where(
+        ~_all_of([F.col(c).isNotNull() for c in on])
+    ).limit(1).count():
+        raise ValueError("merge_into: source key columns contain NULLs")
+    dup = src.groupBy(*on).count().where(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(
+            "merge_into: duplicate keys in the source — a matched target "
+            "row would receive ambiguous values (MERGE cardinality "
+            "violation)"
+        )
+    src = src.persist()
+    try:
+        # ---- candidate narrowing: bloom index on the keys, if present
+        candidates = list(files_canon)
+        try:
+            from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+                bloom_index_dir,
+                prune_files_bloom,
+            )
+
+            fs, _root, jvm = _fs_for(spark, path)
+            idx = jvm.org.apache.hadoop.fs.Path(bloom_index_dir(path, on))
+            if fs.exists(idx):
+                kept, _tot = prune_files_bloom(
+                    spark, path, on, src.select(*on)
+                )
+                kept_bare = {_bare(k) for k in kept}
+                candidates = [
+                    f for f in candidates if _bare(f) in kept_bare
+                ]
+        except ValueError:
+            pass  # unreadable/empty index: conservative full candidacy
+        # ---- probe: which candidate files hold key matches (key-only
+        # columns scanned; join strategy is Catalyst/AQE's call)
+        matched: list[str] = []
+        if candidates:
+            matched = [
+                r[_SRC]
+                for r in (
+                    _read_files(spark, path, candidates, read_schema)
+                    .select(*on, _canon_expr(F.input_file_name()).alias(_SRC))
+                    .join(src.select(*on).distinct(), on, "left_semi")
+                    .select(_SRC)
+                    .distinct()
+                    .collect()
+                )
+            ]
+        matched_rels = [rel_of[m] for m in matched]
+        _guard_live(spark, path, live_checkpoints, matched_rels, all_rels,
+                    "merge_into")
+        n_touched = 0
+        token = uuid.uuid4().hex[:8]
+        staging = f"{path}/.compact_{token}"
+        wrote = False
+        if matched:
+            tgt = (
+                _read_files(spark, path, matched, read_schema)
+                .withColumn(_SRC, _canon_expr(F.input_file_name()))
+            )
+            upd_cols = [c for c in src_cols if c not in on]
+            s = src.select(
+                *on,
+                *[F.col(c).alias(f"__new_{c}") for c in upd_cols],
+                F.lit(True).alias("__m"),
+            )
+            joined = tgt.join(s, on, "left").persist()
+            try:
+                n_touched = joined.where(F.col("__m")).count()
+                if when_matched == "delete":
+                    # project the helper columns away — survivors must
+                    # carry EXACTLY the table schema (+ routing col)
+                    out = joined.where(F.col("__m").isNull()).select(
+                        *[F.col(f.name) for f in read_schema.fields],
+                        F.col(_SRC),
+                    )
+                else:
+                    moved = [
+                        c for c in part_cols
+                        if c in upd_cols
+                    ]
+                    if moved:
+                        n_moved = joined.where(
+                            F.col("__m")
+                            & _any_of([
+                                ~F.col(f"__new_{c}").eqNullSafe(F.col(c))
+                                for c in moved
+                            ])
+                        ).limit(1).count()
+                        if n_moved:
+                            raise ValueError(
+                                "merge_into: a matched source row changes "
+                                f"partition column(s) {moved} — rows may "
+                                "not migrate across partition directories "
+                                "in an update; delete + re-insert instead"
+                            )
+                    out = joined.select(
+                        *[
+                            (F.when(
+                                F.col("__m"),
+                                F.col(f"__new_{f.name}"),
+                            ).otherwise(F.col(f.name)).alias(f.name)
+                             if f.name in upd_cols and f.name not in part_cols
+                             else F.col(f.name))
+                            for f in read_schema.fields
+                        ],
+                        F.col(_SRC),
+                    )
+                _write_routed(out, len(matched), staging, part_cols)
+                wrote = True
+                inserts = (
+                    src.join(tgt.select(*on), on, "left_anti")
+                    if insert else None
+                )
+                n_ins = _append_inserts(
+                    inserts, read_schema, part_cols, staging
+                ) if insert else 0
+            finally:
+                joined.unpersist()
+        else:
+            inserts = src if insert else None
+            n_ins = _append_inserts(
+                inserts, read_schema, part_cols, staging
+            ) if insert else 0
+            wrote = n_ins > 0
+        if not wrote and not matched:
+            _refresh_indexes(spark, path, manifest_cols, bloom_cols)
+            return {"status": "noop", "n_rows_updated": 0,
+                    "n_rows_deleted": 0, "n_rows_inserted": 0,
+                    "n_files_rewritten": 0,
+                    "n_files_untouched": len(files_canon),
+                    "recovered": recovered}
+        _prune_empty_staged(spark, staging)
+        _journaled_swap(spark, path, staging, matched_rels, token)
+        _refresh_indexes(spark, path, manifest_cols, bloom_cols)
+        return {
+            "status": "merged",
+            "n_rows_updated": n_touched if when_matched == "update" else 0,
+            "n_rows_deleted": n_touched if when_matched == "delete" else 0,
+            "n_rows_inserted": n_ins,
+            "n_files_rewritten": len(matched_rels),
+            "n_files_untouched": len(files_canon) - len(matched_rels),
+            "recovered": recovered,
+        }
+    finally:
+        src.unpersist()
+
+
+def _append_inserts(
+    inserts: DataFrame | None, read_schema: StructType,
+    part_cols: Sequence[str], staging: str,
+) -> int:
+    """Write the insert rows (conformed to the table schema, missing
+    columns as typed NULLs) into the staging dir and return how many.
+    Insert file count follows the source's own partitioning — a large
+    backfill writes in parallel; coalescing small inserts is OPTIMIZE's
+    job on its next pass, not the merge's."""
+    if inserts is None:
+        return 0
+    inserts = inserts.persist()
+    try:
+        n = inserts.count()
+        if not n:
+            return 0
+        have = set(inserts.columns)
+        conformed = inserts.select(
+            *[
+                (F.col(f.name) if f.name in have
+                 else F.lit(None).cast(f.dataType).alias(f.name))
+                for f in read_schema.fields
+            ]
+        )
+        w = conformed.write.mode("append")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(staging)
+        return int(n)
+    finally:
+        inserts.unpersist()
+
+
+def _all_of(exprs: Sequence[Column]) -> Column:
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = out & e
+    return out
+
+
+def _any_of(exprs: Sequence[Column]) -> Column:
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = out | e
+    return out
+
+
+def drop_partitions(
+    spark: SparkSession,
+    path: str,
+    values: Mapping[str, str | Sequence[str]],
+    manifest_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+) -> dict:
+    """ALTER TABLE DROP PARTITION — the metadata-only delete: matching
+    partition DIRECTORIES are removed whole; no data file is read, no
+    rewrite happens. This is how retention ("drop everything before
+    dt=X") should run at 100 TB — :func:`delete_where` with a
+    partition predicate would get the same answer by rewriting nothing
+    (every matched file fully retires) but pays a probe scan over the
+    doomed partitions first.
+
+    ``values`` maps partition column -> directory value(s), compared
+    VERBATIM against the directory spelling (``{"dt": ["2024-01-01",
+    "2024-01-02"]}``; ``hour=00`` is ``"00"``). A directory drops when
+    EVERY mapped column matches; unmapped columns are wildcards. The
+    per-lineage ``compacted_through`` watermarks persist BEFORE any
+    directory deletes (a crash mid-drop leaves as-of reads already
+    refusing the epochs whose files are about to vanish — conservative;
+    re-run to finish the deletes), then the skipping indexes refresh so
+    dropped files leave them. Returns ``{"status",
+    "n_partitions_dropped", "n_files_dropped"}``."""
+    recovered = recover_optimize(spark, path)
+    part_cols, files_canon, rel_of = _layout(spark, path)
+    if not part_cols:
+        raise ValueError(
+            f"drop_partitions: {path} is not hive-partitioned — use "
+            "delete_where for row-level deletes on a flat table"
+        )
+    unknown = [c for c in values if c not in part_cols]
+    if unknown:
+        raise ValueError(
+            f"drop_partitions: {unknown} are not partition columns of "
+            f"the table (partitioned by {part_cols})"
+        )
+    if not values:
+        raise ValueError("drop_partitions: empty values map")
+    allowed = {
+        c: {v} if isinstance(v, str) else set(v) for c, v in values.items()
+    }
+    doomed_rels: list[str] = []
+    doomed_dirs: set[str] = set()
+    for f in files_canon:
+        rel = rel_of[f]
+        kv = dict(
+            s.split("=", 1) for s in rel.split("/")[:-1] if "=" in s
+        )
+        if all(kv.get(c) in vs for c, vs in allowed.items()):
+            doomed_rels.append(rel)
+            doomed_dirs.add(rel.rsplit("/", 1)[0])
+    if not doomed_rels:
+        return {"status": "noop", "n_partitions_dropped": 0,
+                "n_files_dropped": 0, "recovered": recovered}
+    fs, _root, jvm = _fs_for(spark, path)
+    # watermarks FIRST: conservative under a crash (see docstring)
+    _write_epoch_watermarks(
+        fs, jvm, path, _retired_epoch_watermarks(doomed_rels)
+    )
+    # delete the deepest mapped level's directories whole; parent
+    # levels that become empty stay as harmless empty dirs
+    dropped_subtrees: set[str] = set()
+    depth = max(
+        i for i, c in enumerate(part_cols) if c in values
+    )
+    for d in sorted(doomed_dirs):
+        subtree = "/".join(d.split("/")[: depth + 1])
+        dropped_subtrees.add(subtree)
+    for subtree in sorted(dropped_subtrees):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{subtree}"), True)
+    _refresh_indexes(spark, path, manifest_cols, bloom_cols)
+    return {
+        "status": "dropped",
+        "n_partitions_dropped": len(doomed_dirs),
+        "n_files_dropped": len(doomed_rels),
+        "recovered": recovered,
+    }

@@ -1,0 +1,547 @@
+"""Row-level mutation tests: DELETE / UPDATE / MERGE / DROP PARTITION
+(sources/mutations.py) — copy-on-write semantics, untouched-file
+discipline, crash recovery, as-of watermarks, live-stream guards, and
+every loud-failure contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.sources.mutations import (
+    delete_where,
+    drop_partitions,
+    merge_into,
+    update_where,
+)
+
+
+def _mk_flat(spark, path, n=200, files=8):
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("k"),
+        F.concat(F.lit("u"), (F.col("id") % 7).cast("string")).alias("user"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise((F.col("id") * 2).cast("double"))
+        .alias("v"),
+    )
+    df.repartition(files).write.parquet(path)
+    return df
+
+
+def _file_states(path):
+    """{relative data-file path: (size, mtime)} — the untouched-file pin."""
+    out = {}
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                out[os.path.relpath(p, path)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DELETE
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_matches_filter_semantics(spark, tmp_path):
+    """Result == original minus rows where the predicate is TRUE; a
+    NULL predicate keeps the row (SQL three-valued logic)."""
+    path = str(tmp_path / "t")
+    _mk_flat(spark, path)
+    before = spark.read.parquet(path).collect()
+    cond = F.col("v") > 300  # NULL for id % 13 == 0 rows
+    expected = sorted(
+        (r.id for r in before if r.v is not None and r.v > 300)
+    )
+    res = delete_where(spark, path, cond)
+    after = spark.read.parquet(path)
+    assert res["status"] == "deleted"
+    assert res["n_rows_deleted"] == len(expected)
+    got = sorted(r.id for r in before)
+    kept = sorted(r.id for r in after.collect())
+    assert kept == [i for i in got if i not in set(expected)]
+    # null-predicate rows all survived
+    assert after.where(F.col("v").isNull()).count() == sum(
+        1 for r in before if r.v is None
+    )
+    # idempotent noop second pass
+    res2 = delete_where(spark, path, cond)
+    assert res2["status"] == "noop" and res2["n_rows_deleted"] == 0
+
+
+def test_delete_where_touches_only_matching_files(spark, tmp_path):
+    """Files without matches keep their exact bytes and mtime — the
+    copy-on-write discipline that makes a 100 TB point-delete cheap.
+    The delete is keyed so matches land in a known subset of files."""
+    path = str(tmp_path / "t")
+    # one file per k bucket: matches (k == 3) live in exactly one file
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    )
+    df.repartition(5, "k").write.parquet(path)
+    before = _file_states(path)
+    res = delete_where(spark, path, F.col("k") == 3)
+    after = _file_states(path)
+    assert res["n_rows_deleted"] == 60
+    untouched_before = {
+        f: st for f, st in before.items() if f in after
+    }
+    # every surviving original file is byte-identical
+    for f, st in untouched_before.items():
+        assert after[f] == st, f
+    assert res["n_files_untouched"] == len(untouched_before)
+    assert spark.read.parquet(path).where("k = 3").count() == 0
+    assert spark.read.parquet(path).count() == 240
+
+
+def test_delete_where_sql_string_and_full_file_retire(spark, tmp_path):
+    """A string predicate compiles via F.expr; a file whose every row
+    matches retires with NO replacement file."""
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("k")
+    )
+    for kv in range(4):  # exactly one file per k value
+        base.where(F.col("k") == kv).coalesce(1) \
+            .write.mode("append").parquet(path)
+    n_before = len(_file_states(path))
+    assert n_before == 4
+    res = delete_where(spark, path, "k = 2")
+    assert res["status"] == "deleted" and res["n_rows_deleted"] == 25
+    after = spark.read.parquet(path)
+    assert after.count() == 75 and after.where("k = 2").count() == 0
+    # the fully-deleted file is gone and nothing replaced it
+    assert len(_file_states(path)) == n_before - 1
+
+
+def test_delete_where_prune_predicates_stay_exact(spark, tmp_path):
+    """Routing the probe through the footer-stats manifest changes
+    which files are OPENED, never the answer; out-of-range files stay
+    byte-identical."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import write_manifest
+
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 10).alias("k")
+    ).repartitionByRange(10, "id").write.parquet(path)
+    write_manifest(spark, path, ["id"])
+    before = _file_states(path)
+    res = delete_where(
+        spark, path, F.col("id").between(150, 250),
+        prune_predicates={"id": (150, 250)},
+        manifest_cols=["id"],
+    )
+    assert res["n_rows_deleted"] == 101
+    after = _file_states(path)
+    same = [f for f in before if f in after and after[f] == before[f]]
+    # ranges outside [150, 250] were never rewritten
+    assert len(same) >= 8
+    got = spark.read.parquet(path)
+    assert got.count() == 899
+    assert got.where("id between 150 and 250").count() == 0
+    # manifest refreshed: pruning still exact post-swap
+    from iot_sensor_data_pipeline_spark.sources.manifest import read_pruned
+
+    assert read_pruned(spark, path, {"id": (900, None)}).count() == 100
+
+
+def test_mutations_run_recovery_first(spark, tmp_path):
+    """A forged crashed swap (journal present, adds missing) rolls BACK
+    before the mutation plans anything — shared recover_optimize
+    discipline."""
+    import json
+
+    path = str(tmp_path / "t")
+    _mk_flat(spark, path, n=50, files=2)
+    with open(os.path.join(path, "_optimize_journal.json"), "w") as fh:
+        json.dump({"add": ["cdeadbeef-0.parquet"], "retire": []}, fh)
+    res = delete_where(spark, path, F.lit(False))
+    assert res["recovered"] == "back"
+    assert res["status"] == "noop"
+    assert spark.read.parquet(path).count() == 50
+
+
+def test_delete_sets_compacted_through_watermark(spark, tmp_path):
+    """Deleting rows out of epoch-named sink files retires those files
+    into c-files — the epochs are no longer reconstructible, so the
+    as-of guard must arm exactly as it does for OPTIMIZE."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        parquet_batch_sink,
+        read_compacted_through,
+        read_sink_as_of,
+    )
+
+    path = str(tmp_path / "sink")
+    ckpt = "/ckpt/MUT"
+    sink = parquet_batch_sink(path, checkpoint=ckpt)
+    for e, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 260)]):
+        sink(spark.range(lo, hi).select(F.col("id").alias("k")).coalesce(1), e)
+    assert read_sink_as_of(spark, path, ckpt, 1).count() == 200
+
+    res = delete_where(spark, path, F.col("k") < 150,
+                       live_checkpoints=[ckpt])
+    assert res["status"] == "deleted" and res["n_rows_deleted"] == 150
+    # epochs 0 and 1 were rewritten -> watermark 1; epoch 2 untouched
+    assert read_compacted_through(spark, path, ckpt) == 1
+    with pytest.raises(ValueError, match="history compacted"):
+        read_sink_as_of(spark, path, ckpt, 1)
+    cur = read_sink_as_of(spark, path, ckpt, None, allow_compacted=True)
+    assert cur.count() == 110
+
+
+def test_delete_refuses_live_newest_epoch(spark, tmp_path):
+    """Matches inside a live lineage's NEWEST epoch RAISE (a rewrite
+    would race the stream's replay); matches confined to settled epochs
+    proceed."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import parquet_batch_sink
+
+    path = str(tmp_path / "sink")
+    ckpt = "/ckpt/LIVE"
+    sink = parquet_batch_sink(path, checkpoint=ckpt)
+    sink(spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1), 0)
+    sink(spark.range(100, 200).select(F.col("id").alias("k")).coalesce(1), 1)
+    with pytest.raises(RuntimeError, match="NEWEST"):
+        delete_where(spark, path, F.col("k") >= 150,
+                     live_checkpoints=[ckpt])
+    # nothing changed
+    assert spark.read.parquet(path).count() == 200
+    # settled-epoch matches are fine with the stream running
+    res = delete_where(spark, path, F.col("k") < 50,
+                       live_checkpoints=[ckpt])
+    assert res["status"] == "deleted" and res["n_rows_deleted"] == 50
+
+
+def test_delete_schema_guards(spark, tmp_path):
+    """Reserved routing column and lossy schema evolution both raise
+    BEFORE any write."""
+    path = str(tmp_path / "t")
+    spark.range(5).select(F.col("id"), F.lit("x").alias("__src_file")) \
+        .write.parquet(path)
+    with pytest.raises(ValueError, match="__src_file"):
+        delete_where(spark, path, F.lit(True))
+
+    # schema-evolved table: mutations read the mergeSchema UNION, so
+    # the evolved file's extra column survives the rewrite (upgraded
+    # files carry the union schema; old rows read it as NULL) — never
+    # the silent value drop a single-footer pinned schema would cause
+    path2 = str(tmp_path / "t2")
+    spark.range(0, 10).select(F.col("id")).coalesce(1).write.parquet(path2)
+    spark.range(10, 20).select(
+        F.col("id"), (F.col("id") * 1.0).alias("extra")
+    ).coalesce(1).write.mode("append").parquet(path2)
+    res = delete_where(spark, path2, "id in (5, 15)")
+    assert res["n_rows_deleted"] == 2
+    got = spark.read.option("mergeSchema", "true").parquet(path2)
+    assert sorted(got.columns) == ["extra", "id"]
+    assert got.count() == 18
+    assert got.where("id = 16").first().extra == 16.0  # value preserved
+    assert got.where("id = 4").first().extra is None
+
+    # incompatible TYPE evolution still fails loudly before any write
+    path3 = str(tmp_path / "t3")
+    spark.range(0, 5).select(F.col("id").cast("long").alias("x")) \
+        .coalesce(1).write.parquet(path3)
+    spark.createDataFrame([("s",)], "x string").coalesce(1) \
+        .write.mode("append").parquet(path3)
+    with pytest.raises(Exception, match="[Mm]erge|[Ff]ailed"):
+        delete_where(spark, path3, F.lit(True))
+
+
+# ---------------------------------------------------------------------------
+# UPDATE
+# ---------------------------------------------------------------------------
+
+
+def test_update_where_simultaneous_assignment(spark, tmp_path):
+    """Every RHS sees the ORIGINAL row: a two-column swap works, and
+    values cast to the column's existing type."""
+    path = str(tmp_path / "t")
+    spark.range(0, 40).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("a"),
+        (F.col("id") * 100).alias("b"),
+    ).repartition(3).write.parquet(path)
+    res = update_where(
+        spark, path, F.col("id") < 10,
+        {"a": F.col("b"), "b": F.col("a")},
+    )
+    assert res["status"] == "updated" and res["n_rows_updated"] == 10
+    got = {r.id: (r.a, r.b) for r in spark.read.parquet(path).collect()}
+    for i in range(40):
+        assert got[i] == ((i * 100, i * 10) if i < 10 else (i * 10, i * 100))
+    # type preservation: double literal into a long column stays long
+    update_where(spark, path, "id = 0", {"a": F.lit(7.9)})
+    f = spark.read.parquet(path)
+    assert dict(f.dtypes)["a"] == "bigint"
+    assert f.where("id = 0").first().a == 7
+
+
+def test_update_where_guards(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(10).select(
+        F.col("id"), F.lit("a").alias("dt2")
+    ).write.partitionBy("dt2").parquet(path)
+    with pytest.raises(ValueError, match="partition columns"):
+        update_where(spark, path, "id = 1", {"dt2": F.lit("b")})
+    with pytest.raises(ValueError, match="does not have"):
+        update_where(spark, path, "id = 1", {"nope": F.lit(1)})
+    with pytest.raises(ValueError, match="empty SET"):
+        update_where(spark, path, "id = 1", {})
+
+
+def test_update_where_partitioned_literal_values(spark, tmp_path):
+    """Partition columns inside the predicate compare as the literal
+    directory strings (hour=00 is '00'), and the rewrite lands back in
+    the same directories verbatim."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"{i % 2:02d}") for i in range(40)], "id long, hour string"
+    )
+    df.repartition(2).write.partitionBy("hour").parquet(path)
+    assert os.path.isdir(os.path.join(path, "hour=00"))
+    res = update_where(
+        spark, path, F.col("hour") == "00", {"id": F.col("id") + 1000}
+    )
+    assert res["n_rows_updated"] == 20
+    # directories round-tripped verbatim (no hour=0 minted)
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("hour=")
+    )
+    assert dirs == ["hour=00", "hour=01"]
+    got = spark.read.parquet(path)
+    assert got.where(F.col("hour") == "00").agg(
+        F.min("id")
+    ).first()[0] >= 1000
+    assert got.where(F.col("hour") == "01").agg(F.max("id")).first()[0] < 1000
+
+
+# ---------------------------------------------------------------------------
+# MERGE
+# ---------------------------------------------------------------------------
+
+
+def test_merge_into_upsert_parity(spark, tmp_path):
+    """MERGE == the equivalent full-outer expression computed
+    independently; untouched files stay byte-identical."""
+    path = str(tmp_path / "t")
+    spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 8).alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("val"),
+    ).repartition(8, "id").write.parquet(path)
+    before_states = _file_states(path)
+    src = spark.createDataFrame(
+        [(5, 99, "upd5"), (6, 99, "upd6"), (900, 1, "new900")],
+        "id long, k long, val string",
+    )
+    res = merge_into(spark, path, src, on=["id"])
+    assert res["status"] == "merged"
+    assert res["n_rows_updated"] == 2 and res["n_rows_inserted"] == 1
+    got = {r.id: (r.k, r.val) for r in spark.read.parquet(path).collect()}
+    assert len(got) == 201
+    assert got[5] == (99, "upd5") and got[6] == (99, "upd6")
+    assert got[900] == (1, "new900")
+    assert got[7] == (7, "v7")
+    after_states = _file_states(path)
+    identical = [
+        f for f in before_states
+        if f in after_states and after_states[f] == before_states[f]
+    ]
+    assert len(identical) == res["n_files_untouched"]
+    assert res["n_files_rewritten"] <= 2  # ids 5 and 6 live in <=2 files
+
+
+def test_merge_into_delete_and_update_only_modes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(0, 50).select(F.col("id"), F.lit(0).alias("n")) \
+        .repartition(4).write.parquet(path)
+    src = spark.createDataFrame(
+        [(1,), (2,), (777,)], "id long"
+    )
+    res = merge_into(spark, path, src, on=["id"], when_matched="delete",
+                     insert=False)
+    assert res["n_rows_deleted"] == 2 and res["n_rows_inserted"] == 0
+    got = spark.read.parquet(path)
+    # helper columns must not leak into the table schema
+    assert got.columns == ["id", "n"]
+    assert got.count() == 48
+    assert got.where("id in (1, 2, 777)").count() == 0
+    # update-only: unmatched source rows do NOT insert
+    src2 = spark.createDataFrame([(3, 5), (888, 5)], "id long, n long")
+    res2 = merge_into(spark, path, src2, on=["id"], insert=False)
+    assert res2["n_rows_updated"] == 1 and res2["n_rows_inserted"] == 0
+    got2 = spark.read.parquet(path)
+    assert got2.where("id = 888").count() == 0
+    assert got2.where("id = 3").first().n == 5
+
+
+def test_merge_into_insert_only_and_missing_columns(spark, tmp_path):
+    """No key matches -> zero rewrites, inserts land as new files;
+    source columns missing from the table insert as typed NULLs."""
+    path = str(tmp_path / "t")
+    spark.range(0, 30).select(
+        F.col("id"), (F.col("id") * 1.5).alias("score"),
+        F.lit("x").alias("tag"),
+    ).repartition(2).write.parquet(path)
+    before = _file_states(path)
+    src = spark.createDataFrame([(100, 9.0), (101, 10.0)],
+                                "id long, score double")
+    res = merge_into(spark, path, src, on=["id"])
+    assert res["n_files_rewritten"] == 0 and res["n_rows_inserted"] == 2
+    after = _file_states(path)
+    for f, st in before.items():
+        assert after[f] == st  # originals untouched byte-for-byte
+    got = spark.read.parquet(path)
+    assert got.count() == 32
+    row = got.where("id = 100").first()
+    assert row.score == 9.0 and row.tag is None
+
+
+def test_merge_into_source_contract_violations(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(10).select(F.col("id"), F.lit(1).alias("n")) \
+        .write.parquet(path)
+    dup = spark.createDataFrame([(1, 2), (1, 3)], "id long, n long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(spark, path, dup, on=["id"])
+    nul = spark.createDataFrame([(None, 2)], "id long, n long")
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into(spark, path, nul, on=["id"])
+    extra = spark.createDataFrame([(1, 2, 3)], "id long, n long, zz long")
+    with pytest.raises(ValueError, match="do not exist in the table"):
+        merge_into(spark, path, extra, on=["id"])
+    with pytest.raises(ValueError, match="'update' or 'delete'"):
+        merge_into(spark, path, dup.limit(1), on=["id"],
+                   when_matched="upsert")
+
+
+def test_merge_into_partitioned_new_partition_and_migration_guard(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i * 2, "2024-01-01" if i < 10 else "2024-01-02")
+         for i in range(20)],
+        "id long, n long, dt string",
+    ).repartition(2).write.partitionBy("dt").parquet(path)
+    # upsert: one update in an existing partition + one insert into a
+    # partition that does not exist yet
+    src = spark.createDataFrame(
+        [(3, 999, "2024-01-01"), (50, 1, "2024-03-01")],
+        "id long, n long, dt string",
+    )
+    res = merge_into(spark, path, src, on=["id"])
+    assert res["n_rows_updated"] == 1 and res["n_rows_inserted"] == 1
+    got = spark.read.parquet(path)
+    assert got.where("dt = '2024-03-01'").count() == 1
+    assert got.where("id = 3").first().n == 999
+    # a matched row may NOT migrate partitions
+    mover = spark.createDataFrame(
+        [(3, 1, "2024-01-02")], "id long, n long, dt string"
+    )
+    with pytest.raises(ValueError, match="migrate"):
+        merge_into(spark, path, mover, on=["id"])
+    # inserts into a partitioned table need the partition column
+    nopart = spark.createDataFrame([(60, 1)], "id long, n long")
+    with pytest.raises(ValueError, match="partition columns"):
+        merge_into(spark, path, nopart, on=["id"])
+
+
+def test_merge_into_bloom_pruned_candidates_stay_exact(spark, tmp_path):
+    """With a bloom index on the key, MERGE prunes candidate files
+    before the probe — same answer, and key-free files never rewrite."""
+    from iot_sensor_data_pipeline_spark.sources.bloom_index import (
+        write_bloom_index,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 3).alias("n")
+    ).repartitionByRange(10, "id").write.parquet(path)
+    write_bloom_index(spark, path, ["id"], expected_keys_per_file=256)
+    before = _file_states(path)
+    src = spark.createDataFrame([(42, 777), (43, 777)], "id long, n long")
+    res = merge_into(spark, path, src, on=["id"], bloom_cols=["id"])
+    assert res["n_rows_updated"] == 2
+    # ids 42/43 are range-clustered into ONE file; >= 8 files untouched
+    assert res["n_files_rewritten"] == 1
+    after = _file_states(path)
+    assert sum(1 for f in before if after.get(f) == before[f]) >= 9
+    got = spark.read.parquet(path)
+    assert got.where("id in (42, 43)").agg(
+        F.min("n"), F.max("n")
+    ).first() == (777, 777)
+    assert got.count() == 2000
+
+
+# ---------------------------------------------------------------------------
+# DROP PARTITION
+# ---------------------------------------------------------------------------
+
+
+def test_drop_partitions_metadata_only(spark, tmp_path):
+    """Matching directories delete whole; surviving partitions'
+    files keep their exact bytes (nothing was read or rewritten)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}", f"{i % 2:02d}")
+         for i in range(60)],
+        "id long, dt string, hour string",
+    ).repartition(2).write.partitionBy("dt", "hour").parquet(path)
+    before = _file_states(path)
+    res = drop_partitions(spark, path, {"dt": "2024-01-02"})
+    assert res["status"] == "dropped"
+    assert res["n_partitions_dropped"] == 2  # two hour dirs under it
+    after = _file_states(path)
+    assert not os.path.isdir(os.path.join(path, "dt=2024-01-02"))
+    for f, st in after.items():
+        assert before[f] == st  # survivors byte-identical
+    got = spark.read.parquet(path)
+    assert got.where("dt = '2024-01-02'").count() == 0
+    assert got.count() == 40
+    # multi-value + deeper-level drop
+    res2 = drop_partitions(spark, path, {"hour": ["00"]})
+    assert res2["status"] == "dropped"
+    assert spark.read.parquet(path).where("hour = '00'").count() == 0
+    # noop + guards
+    assert drop_partitions(spark, path, {"dt": "1999-01-01"})["status"] == "noop"
+    with pytest.raises(ValueError, match="not partition columns"):
+        drop_partitions(spark, path, {"id": "1"})
+    flat = str(tmp_path / "flat")
+    spark.range(5).write.parquet(flat)
+    with pytest.raises(ValueError, match="not hive-partitioned"):
+        drop_partitions(spark, flat, {"dt": "x"})
+
+
+def test_drop_partitions_arms_asof_watermark(spark, tmp_path):
+    """Dropping partitions that hold epoch-named sink files persists
+    the compacted_through watermark BEFORE the deletes — as-of reads
+    refuse the vanished epochs instead of silently shrinking."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        parquet_batch_sink,
+        read_compacted_through,
+        read_sink_as_of,
+    )
+
+    path = str(tmp_path / "sink")
+    ckpt = "/ckpt/DP"
+    sink = parquet_batch_sink(path, partition_cols=["dt"],
+                              checkpoint=ckpt)
+    for e, dt in enumerate(["2024-01-01", "2024-01-02"]):
+        sink(
+            spark.range(e * 10, e * 10 + 10).select(
+                F.col("id").alias("k"), F.lit(dt).alias("dt")
+            ).coalesce(1),
+            e,
+        )
+    assert read_sink_as_of(spark, path, ckpt, 0).count() == 10
+    res = drop_partitions(spark, path, {"dt": "2024-01-01"})
+    assert res["status"] == "dropped"
+    assert read_compacted_through(spark, path, ckpt) == 0
+    with pytest.raises(ValueError, match="history compacted"):
+        read_sink_as_of(spark, path, ckpt, 0)
+    assert spark.read.parquet(path).count() == 10
