@@ -277,6 +277,37 @@ def bench_maintenance(spark) -> dict[str, float]:
         maintain_noop_sec = time.perf_counter() - t0
         assert tick["t"]["actions"] == {}
 
+        # row-level mutation trace (r12): fixed fixture — a 20-file
+        # table; the point-delete's probe + single-file rewrite and a
+        # two-row MERGE (one update, one insert) are the per-call floor
+        # a GDPR-delete / upsert deployment pays. File-count asserts
+        # pin that the copy-on-write pruning actually held.
+        from pyspark.sql import functions as F
+
+        from iot_sensor_data_pipeline_spark.sources.mutations import (
+            delete_where,
+            merge_into,
+        )
+
+        mut_tbl = os.path.join(tmp, "mut_tbl")
+        for i in range(20):
+            spark.range(i * 5000, (i + 1) * 5000).selectExpr(
+                "id AS k", "id * 2 AS v"
+            ).coalesce(1).write.mode("append").parquet(mut_tbl)
+        t0 = time.perf_counter()
+        dres = delete_where(spark, mut_tbl, F.col("k").between(7000, 7999))
+        delete_sec = time.perf_counter() - t0
+        assert dres["status"] == "deleted" and dres["n_rows_deleted"] == 1000
+        assert dres["n_files_rewritten"] == 1, dres
+        mut_src = spark.createDataFrame(
+            [(12345, -1), (2_000_000, -2)], "k long, v long"
+        )
+        t0 = time.perf_counter()
+        mres = merge_into(spark, mut_tbl, mut_src, on=["k"])
+        merge_sec = time.perf_counter() - t0
+        assert mres["n_rows_updated"] == 1 and mres["n_rows_inserted"] == 1
+        assert mres["n_files_rewritten"] == 1, mres
+
         return {
             "optimize_flat_sec": round(optimize_flat_sec, 3),
             "optimize_flat_files": 40,
@@ -299,6 +330,9 @@ def bench_maintenance(spark) -> dict[str, float]:
             "drift_monitor_categorical_batch_sec": round(drift_cat_sec, 3),
             "constraint_monitor_batch_sec": round(constraint_sec, 3),
             "maintain_noop_tick_sec": round(maintain_noop_sec, 3),
+            "mutation_table_files": 20,
+            "delete_point_sec": round(delete_sec, 3),
+            "merge_upsert_sec": round(merge_sec, 3),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,174 @@
+"""Oracle-checked queries for the row-level mutation surface
+(``sources/mutations.py``): each one copies a testdata table into a
+scratch directory, runs the mutation THERE, and returns the mutated
+table's content — which the DuckDB oracle re-derives as a pure SELECT
+over the ORIGINAL table (``DELETE WHERE p`` == ``WHERE p IS NOT
+TRUE``, ``UPDATE`` == ``CASE``, ``MERGE`` == ``CASE ... UNION ALL
+inserts``). The differential harness hash-compares the two at two
+scale points, so the copy-on-write machinery (probe, routed rewrite,
+journaled swap, partition round-trip) is pinned against an engine that
+never saw the mutation — only its relational meaning.
+
+The scratch directory is NOT deleted by the query function: the
+returned DataFrame is lazy and the caller (driver / harness) collects
+it after we return, so the files must outlive this call. Scratch dirs
+live under the system temp root and are per-call unique.
+
+All mutations here are against the SCRATCH copy; the shared testdata
+parquet is never touched.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.plans.registry import register_extended
+from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+
+def _scratch(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"mutq_{prefix}_") + "/t"
+
+
+_DEL_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE (lang = 'de' OR n_chars < 120) IS NOT TRUE
+"""
+
+
+@register_extended(
+    "documents_delete_where", oracle=_DEL_ORACLE, tags=("mutation", "delete")
+)
+def documents_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM documents WHERE lang = 'de' OR n_chars < 120 — on a
+    scratch copy; the oracle keeps rows where the predicate IS NOT
+    TRUE (the exact three-valued complement)."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import delete_where
+
+    path = _scratch("del")
+    load_table(spark, sf_dir, "documents").repartition(6).write.parquet(path)
+    delete_where(
+        spark, path, (F.col("lang") == "de") | (F.col("n_chars") < 120)
+    )
+    return spark.read.parquet(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+_UPD_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05
+             THEN -l_quantity ELSE l_quantity END, 6) AS qty,
+  round(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05
+             THEN l_tax + 0.01 ELSE l_tax END, 6) AS tax
+FROM lineitem
+"""
+
+
+@register_extended(
+    "lineitem_update_where", oracle=_UPD_ORACLE, tags=("mutation", "update")
+)
+def lineitem_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE lineitem SET l_quantity = -l_quantity, l_tax = l_tax +
+    0.01 WHERE l_returnflag = 'R' AND l_discount > 0.05 — both RHS
+    evaluate against the ORIGINAL row (simultaneous assignment), which
+    is exactly the oracle's CASE over the untouched table."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import update_where
+
+    path = _scratch("upd")
+    load_table(spark, sf_dir, "lineitem").repartition(8).write.parquet(path)
+    update_where(
+        spark, path,
+        (F.col("l_returnflag") == "R") & (F.col("l_discount") > 0.05),
+        {"l_quantity": -F.col("l_quantity"),
+         "l_tax": F.col("l_tax") + F.lit(0.01)},
+    )
+    t = spark.read.parquet(path)
+    return t.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_quantity", 6).alias("qty"),
+        F.round("l_tax", 6).alias("tax"),
+    )
+
+
+_MERGE_ORACLE = """
+SELECT
+  o_orderkey,
+  o_custkey,
+  CASE WHEN o_orderkey % 97 = 0 THEN '9-MERGED' ELSE o_orderpriority END
+    AS o_orderpriority,
+  round(CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END, 6) AS price
+FROM orders
+UNION ALL
+SELECT o_orderkey + 10000000, CAST(NULL AS BIGINT), '9-NEW',
+       round(0.0, 6)
+FROM orders WHERE o_orderkey % 501 = 0
+"""
+
+
+@register_extended(
+    "orders_merge_upsert", oracle=_MERGE_ORACLE, tags=("mutation", "merge")
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders: every key divisible by 97 updates priority
+    and price; synthetic keys (orderkey + 10M for keys divisible by
+    501) insert with NULL o_custkey (a source column the table has but
+    the source omits). The oracle re-derives both arms relationally."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import merge_into
+
+    path = _scratch("mrg")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(6).write.parquet(path)
+    updates = orders.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit("9-MERGED").alias("o_orderpriority"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 501 == 0).select(
+        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        F.lit("9-NEW").alias("o_orderpriority"),
+        F.lit(0.0).alias("o_totalprice"),
+    )
+    merge_into(spark, path, updates.unionByName(inserts), on=["o_orderkey"])
+    t = spark.read.parquet(path)
+    return t.select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.round("o_totalprice", 6).alias("price"),
+    )
+
+
+_DROP_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem
+WHERE l_returnflag <> 'R'
+"""
+
+
+@register_extended(
+    "lineitem_drop_partition", oracle=_DROP_ORACLE,
+    tags=("mutation", "partition"),
+)
+def lineitem_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE DROP PARTITION (l_returnflag='R') on a scratch copy
+    hive-partitioned by return flag — the metadata-only retention
+    delete; the oracle is the complementary partition filter."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        drop_partitions,
+    )
+
+    path = _scratch("drop")
+    load_table(spark, sf_dir, "lineitem").repartition(4) \
+        .write.partitionBy("l_returnflag").parquet(path)
+    drop_partitions(spark, path, {"l_returnflag": "R"})
+    t = spark.read.parquet(path)
+    return t.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+    )

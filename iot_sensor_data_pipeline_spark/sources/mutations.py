@@ -571,12 +571,24 @@ def merge_into(
     src = source.select(
         *[F.col(c).cast(by_name[c].dataType).alias(c) for c in src_cols]
     )
-    if src.where(
-        ~_all_of([F.col(c).isNotNull() for c in on])
-    ).limit(1).count():
+    # one validation job for both source-contract checks: NULL keys and
+    # duplicate keys ride the same key-grain aggregation
+    bad = (
+        src.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.max(
+                F.when(
+                    _any_of([F.col(c).isNull() for c in on]), 1
+                ).otherwise(0)
+            ).alias("has_null"),
+            F.max(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("has_dup"),
+        )
+        .first()
+    )
+    if bad and bad.has_null:
         raise ValueError("merge_into: source key columns contain NULLs")
-    dup = src.groupBy(*on).count().where(F.col("count") > 1).limit(1).count()
-    if dup:
+    if bad and bad.has_dup:
         raise ValueError(
             "merge_into: duplicate keys in the source — a matched target "
             "row would receive ambiguous values (MERGE cardinality "
