@@ -25,7 +25,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iot_sensor_data_pipeline_spark.plans.registry import register_extended
+from iot_sensor_data_pipeline_spark.plans.registry import register, register_extended
 from iot_sensor_data_pipeline_spark.sources.tables import load_table
 
 
@@ -40,7 +40,7 @@ WHERE (lang = 'de' OR n_chars < 120) IS NOT TRUE
 """
 
 
-@register_extended(
+@register(  # rotated INTO the gate in r12 (second r12 rotation)
     "documents_delete_where", oracle=_DEL_ORACLE, tags=("mutation", "delete")
 )
 def documents_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,7 +113,7 @@ FROM orders WHERE o_orderkey % 501 = 0
 """
 
 
-@register_extended(
+@register(  # rotated INTO the gate in r12 (second r12 rotation)
     "orders_merge_upsert", oracle=_MERGE_ORACLE, tags=("mutation", "merge")
 )
 def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

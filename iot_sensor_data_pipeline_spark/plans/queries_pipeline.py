@@ -38,7 +38,9 @@ GROUP BY text
 """
 
 
-@register("documents_dedup_exact", oracle=_DEDUP_EXACT_ORACLE, tags=("pipeline", "dedup"))
+@register_extended(  # rotated OUT of the gate in r12 (second r12 rotation: mutation flagships in)
+    "documents_dedup_exact", oracle=_DEDUP_EXACT_ORACLE, tags=("pipeline", "dedup")
+)
 def documents_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup + the 128-bit md5 fingerprint per survivor
     (same grain, so the former documents_fingerprint entry folds in

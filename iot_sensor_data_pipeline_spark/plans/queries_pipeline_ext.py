@@ -1093,7 +1093,7 @@ FROM lineitem GROUP BY l_returnflag"""
 )
 
 
-@register(
+@register_extended(  # rotated OUT of the gate in r12 (second r12 rotation: mutation flagships in)
     "lineitem_quantiles_exact",
     oracle=_QUANTILES_ORACLE,
     tags=("relational", "quantiles"),

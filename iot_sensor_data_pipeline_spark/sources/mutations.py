@@ -521,6 +521,12 @@ def merge_into(
     may not move a matched row across partitions (RAISES; delete +
     re-insert expresses that intent explicitly).
 
+    ``when_matched="delete"`` composes with ``insert=True`` the SQL
+    way: a source row that MATCHED deletes its target row and is NOT
+    re-inserted (insert is WHEN NOT MATCHED). Full row replacement is
+    therefore ``when_matched="update"`` with every column in the
+    source, not delete+insert.
+
     Returns ``{"status", "n_rows_updated"|"n_rows_deleted",
     "n_rows_inserted", "n_files_rewritten", "n_files_untouched",
     "recovered"}``."""
@@ -571,6 +577,7 @@ def merge_into(
     src = source.select(
         *[F.col(c).cast(by_name[c].dataType).alias(c) for c in src_cols]
     )
+    src = src.persist()
     # one validation job for both source-contract checks: NULL keys and
     # duplicate keys ride the same key-grain aggregation
     bad = (
@@ -594,7 +601,6 @@ def merge_into(
             "row would receive ambiguous values (MERGE cardinality "
             "violation)"
         )
-    src = src.persist()
     try:
         # ---- candidate narrowing: bloom index on the keys, if present
         candidates = list(files_canon)
@@ -764,13 +770,6 @@ def _append_inserts(
         inserts.unpersist()
 
 
-def _all_of(exprs: Sequence[Column]) -> Column:
-    out = exprs[0]
-    for e in exprs[1:]:
-        out = out & e
-    return out
-
-
 def _any_of(exprs: Sequence[Column]) -> Column:
     out = exprs[0]
     for e in exprs[1:]:
@@ -818,6 +817,14 @@ def drop_partitions(
         )
     if not values:
         raise ValueError("drop_partitions: empty values map")
+    for c, v in values.items():
+        vals = [v] if isinstance(v, str) else list(v)
+        if not vals or any(not isinstance(x, str) for x in vals):
+            raise ValueError(
+                f"drop_partitions: values for {c!r} must be non-empty "
+                "directory-spelling STRINGS (hour=00 is '00', not 0) — "
+                f"got {v!r}"
+            )
     allowed = {
         c: {v} if isinstance(v, str) else set(v) for c, v in values.items()
     }
