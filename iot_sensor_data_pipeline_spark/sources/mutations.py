@@ -77,6 +77,7 @@ __all__ = [
     "update_where",
     "merge_into",
     "drop_partitions",
+    "partition_values",
 ]
 
 #: reserved routing column for the copy-on-write rewrites (same role
@@ -777,12 +778,36 @@ def _any_of(exprs: Sequence[Column]) -> Column:
     return out
 
 
+def partition_values(
+    spark: SparkSession, path: str, column: str
+) -> list[str]:
+    """Sorted distinct VERBATIM directory values of one partition
+    column — the relation a retention policy decides over (lex order
+    is date-correct for ISO dates and zero-padded components, which is
+    exactly why sinks should spell partitions that way). Metadata-grain:
+    one listing, no data file opened."""
+    part_cols, _files, rel_of = _layout(spark, path)
+    if column not in part_cols:
+        raise ValueError(
+            f"partition_values: {column!r} is not a partition column "
+            f"(partitioned by {part_cols or '<flat>'})"
+        )
+    vals: set[str] = set()
+    for rel in rel_of.values():
+        kv = dict(s.split("=", 1) for s in rel.split("/")[:-1] if "=" in s)
+        if column in kv:
+            vals.add(kv[column])
+    return sorted(vals)
+
+
 def drop_partitions(
     spark: SparkSession,
     path: str,
     values: Mapping[str, str | Sequence[str]],
     manifest_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    live_checkpoints: Sequence[str] = (),
+    on_live: str = "raise",
 ) -> dict:
     """ALTER TABLE DROP PARTITION — the metadata-only delete: matching
     partition DIRECTORIES are removed whole; no data file is read, no
@@ -800,8 +825,20 @@ def drop_partitions(
     directory deletes (a crash mid-drop leaves as-of reads already
     refusing the epochs whose files are about to vanish — conservative;
     re-run to finish the deletes), then the skipping indexes refresh so
-    dropped files leave them. Returns ``{"status",
-    "n_partitions_dropped", "n_files_dropped"}``."""
+    dropped files leave them.
+
+    ``live_checkpoints`` guards a table still fed by epoch-idempotent
+    streams: a doomed subtree holding a live lineage's NEWEST epoch
+    file would be re-added whole by the stream's replay (resurrecting
+    dropped rows until the next retention pass). ``on_live="raise"``
+    refuses the whole drop; ``on_live="skip"`` drops every SAFE subtree
+    now and reports the skipped ones under ``"skipped_live"`` — the
+    right mode for a periodic retention tick, which simply gets them
+    next time (the hot epoch has sealed by then). Returns ``{"status",
+    "n_partitions_dropped", "n_files_dropped", "skipped_live",
+    "recovered"}``."""
+    if on_live not in ("raise", "skip"):
+        raise ValueError(f"on_live must be 'raise' or 'skip', got {on_live!r}")
     recovered = recover_optimize(spark, path)
     part_cols, files_canon, rel_of = _layout(spark, path)
     if not part_cols:
@@ -840,27 +877,60 @@ def drop_partitions(
             doomed_dirs.add(rel.rsplit("/", 1)[0])
     if not doomed_rels:
         return {"status": "noop", "n_partitions_dropped": 0,
-                "n_files_dropped": 0, "recovered": recovered}
+                "n_files_dropped": 0, "skipped_live": [],
+                "recovered": recovered}
+    # deletion grain: the deepest MAPPED level's directories, whole;
+    # parent levels that become empty stay as harmless empty dirs
+    depth = max(i for i, c in enumerate(part_cols) if c in values)
+
+    def subtree_of(dir_rel: str) -> str:
+        return "/".join(dir_rel.split("/")[: depth + 1])
+
+    skipped_live: list[str] = []
+    if live_checkpoints:
+        exclude_fn = _live_epoch_exclude_fn(spark, path, live_checkpoints)
+        hot = exclude_fn([r.rsplit("/", 1)[-1] for r in rel_of.values()])
+        hot_subtrees = sorted({
+            subtree_of(rel.rsplit("/", 1)[0])
+            for rel in doomed_rels
+            if rel.rsplit("/", 1)[-1] in hot
+        })
+        if hot_subtrees:
+            if on_live == "raise":
+                raise RuntimeError(
+                    "drop_partitions: doomed subtree(s) "
+                    f"{hot_subtrees[:5]} hold a live streaming lineage's "
+                    "NEWEST epoch file — the stream's replay would "
+                    "re-add the file and resurrect dropped rows. Retry "
+                    "after the next micro-batch seals the epoch, or "
+                    "pass on_live='skip' to drop the safe subtrees now."
+                )
+            skipped_live = hot_subtrees
+            keep = set(hot_subtrees)
+            doomed_rels = [
+                r for r in doomed_rels
+                if subtree_of(r.rsplit("/", 1)[0]) not in keep
+            ]
+            doomed_dirs = {
+                d for d in doomed_dirs if subtree_of(d) not in keep
+            }
+            if not doomed_rels:
+                return {"status": "noop", "n_partitions_dropped": 0,
+                        "n_files_dropped": 0,
+                        "skipped_live": skipped_live,
+                        "recovered": recovered}
     fs, _root, jvm = _fs_for(spark, path)
     # watermarks FIRST: conservative under a crash (see docstring)
     _write_epoch_watermarks(
         fs, jvm, path, _retired_epoch_watermarks(doomed_rels)
     )
-    # delete the deepest mapped level's directories whole; parent
-    # levels that become empty stay as harmless empty dirs
-    dropped_subtrees: set[str] = set()
-    depth = max(
-        i for i, c in enumerate(part_cols) if c in values
-    )
-    for d in sorted(doomed_dirs):
-        subtree = "/".join(d.split("/")[: depth + 1])
-        dropped_subtrees.add(subtree)
-    for subtree in sorted(dropped_subtrees):
+    for subtree in sorted({subtree_of(d) for d in doomed_dirs}):
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{subtree}"), True)
     _refresh_indexes(spark, path, manifest_cols, bloom_cols)
     return {
         "status": "dropped",
         "n_partitions_dropped": len(doomed_dirs),
         "n_files_dropped": len(doomed_rels),
+        "skipped_live": skipped_live,
         "recovered": recovered,
     }

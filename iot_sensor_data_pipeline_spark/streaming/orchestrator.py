@@ -66,6 +66,49 @@ class MaintenancePolicy:
 
 
 @dataclass(frozen=True)
+class RetentionSpec:
+    """Partition-expiry rule for a hive-partitioned table, acted on by
+    :meth:`Pipeline.maintain` (r12: composes the maintenance loop with
+    ``mutations.drop_partitions`` so a date-partitioned deployment
+    self-expires instead of growing forever).
+
+    Values compare as the VERBATIM directory strings, in LEX order —
+    date-correct when partitions are spelled ISO (``dt=2024-01-02``)
+    or zero-padded (``hour=00``), which is the layout the sinks
+    produce. Exactly one of:
+
+    - ``keep_latest``: keep the N lex-greatest values of ``column``,
+      drop every older one (count-based retention — "last 30 days" for
+      a daily-partitioned table that writes every day);
+    - ``drop_below``: drop every value strictly below the cutoff; a
+      callable is re-evaluated each tick (wall-clock retention:
+      ``lambda: (date.today() - timedelta(days=30)).isoformat()``).
+
+    Drops run with ``on_live="skip"``: a subtree still holding a live
+    lineage's newest epoch survives this tick and expires on a later
+    one, so retention never races a stream's replay."""
+
+    column: str
+    keep_latest: int | None = None
+    drop_below: str | Callable[[], str] | None = None
+
+    def __post_init__(self) -> None:
+        if (self.keep_latest is None) == (self.drop_below is None):
+            raise ValueError(
+                "RetentionSpec: set exactly one of keep_latest/drop_below"
+            )
+        if self.keep_latest is not None and self.keep_latest < 1:
+            raise ValueError("RetentionSpec: keep_latest must be >= 1")
+
+    def doomed(self, values: list[str]) -> list[str]:
+        """The subset of (sorted) partition values this rule expires."""
+        if self.keep_latest is not None:
+            return values[: max(0, len(values) - self.keep_latest)]
+        cutoff = self.drop_below() if callable(self.drop_below) else self.drop_below
+        return [v for v in values if v < cutoff]
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """A maintained table: where it lives, which live streams feed it
     (their checkpoints gate the newest-epoch exclusion during a live
@@ -73,7 +116,8 @@ class TableSpec:
     ``sink_maintains_indexes=True`` marks tables whose SINK refreshes
     the manifest/bloom per batch — the one-maintenance-writer rule
     (see ``optimize_table``'s caveat): maintain() then never touches
-    those indexes itself."""
+    those indexes itself. ``retention`` expires old partitions each
+    maintain tick (see :class:`RetentionSpec`)."""
 
     path: str
     checkpoints: tuple[str, ...] = ()
@@ -81,6 +125,7 @@ class TableSpec:
     bloom_cols: tuple[str, ...] = ()
     cluster_by: tuple[str, ...] = ()
     sink_maintains_indexes: bool = False
+    retention: RetentionSpec | None = None
 
 
 class Pipeline:
@@ -104,6 +149,7 @@ class Pipeline:
         bloom_cols: Sequence[str] = (),
         cluster_by: Sequence[str] = (),
         sink_maintains_indexes: bool = False,
+        retention: RetentionSpec | None = None,
     ) -> "Pipeline":
         """Register a sink table for :meth:`maintain` — call it where
         the sink is built, so the orchestrator knows each table's
@@ -116,6 +162,7 @@ class Pipeline:
             tuple(bloom_cols),
             tuple(cluster_by),
             sink_maintains_indexes,
+            retention,
         )
         return self
 
@@ -380,6 +427,14 @@ class Pipeline:
            least ``policy.vacuum_min_reclaimable`` (the real run
            re-applies ``policy.vacuum_min_age_seconds``, so a live
            writer's young staging is still spared).
+        5. **retention** (r12) when the spec carries a
+           :class:`RetentionSpec` and the table is partitioned: expired
+           partition values drop metadata-only via
+           ``mutations.drop_partitions`` with ``on_live="skip"`` — a
+           subtree holding a live lineage's newest epoch survives the
+           tick and expires later, so retention never resurrects rows
+           through a stream replay. As-of watermarks arm before the
+           deletes, exactly as a manual drop does.
 
         Per-table isolation throughout: one table's failure reports as
         ``{"error": ...}`` and the rest still maintain. Returns
@@ -498,6 +553,34 @@ class Pipeline:
                         spark, spec.path,
                         min_age_seconds=policy.vacuum_min_age_seconds,
                     )
+                if spec.retention is not None and h["partitioned"]:
+                    from iot_sensor_data_pipeline_spark.sources.mutations import (
+                        drop_partitions,
+                        partition_values,
+                    )
+
+                    ret = spec.retention
+                    doomed = ret.doomed(
+                        partition_values(spark, spec.path, ret.column)
+                    )
+                    if doomed:
+                        idx_kw = (
+                            {}
+                            if spec.sink_maintains_indexes
+                            else {
+                                "manifest_cols": spec.manifest_cols or None,
+                                "bloom_cols": spec.bloom_cols or None,
+                            }
+                        )
+                        # on_live="skip": a doomed subtree holding a
+                        # live lineage's newest epoch survives this
+                        # tick and expires on a later one — retention
+                        # must never race a stream's replay
+                        actions["retention"] = drop_partitions(
+                            spark, spec.path, {ret.column: doomed},
+                            live_checkpoints=spec.checkpoints,
+                            on_live="skip", **idx_kw,
+                        )
                 out[name] = {"health": h, "actions": actions}
             except Exception as e:  # noqa: BLE001 — per-table isolation
                 log.warning(

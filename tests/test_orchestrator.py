@@ -571,3 +571,121 @@ def test_maintain_error_isolation_and_cooldown(spark, tmp_path, monkeypatch):
     res2 = p.maintain(spark, policy)
     assert res2["b"]["actions"] == {}
     assert res2["h"]["actions"] == {}  # healthy: signature hysteresis
+
+
+def test_pipeline_maintain_retention_expires_partitions(spark, tmp_path):
+    """r12 retention: a date-partitioned live sink tracked with a
+    RetentionSpec expires its oldest partitions on the maintain tick —
+    EXCEPT a doomed subtree still holding the live lineage's newest
+    epoch, which is skipped this tick (on_live='skip') and expires on
+    a later one once a fresh epoch seals it. Reads stay exact and the
+    as-of watermark arms for the dropped epochs."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        parquet_batch_sink,
+        read_compacted_through,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.orchestrator import (
+        MaintenancePolicy,
+        Pipeline,
+        RetentionSpec,
+    )
+
+    path = str(tmp_path / "ret")
+    ckpt = "/ckpt/RET_E2E"
+    sink = parquet_batch_sink(path, partition_cols=["dt"], checkpoint=ckpt)
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    for e, dt in enumerate(days):
+        sink(
+            spark.range(e * 10, (e + 1) * 10).select(
+                F.col("id").alias("k"), F.lit(dt).alias("dt")
+            ).coalesce(1),
+            e,
+        )
+
+    p = Pipeline().track_table(
+        "t", path, checkpoints=[ckpt],
+        retention=RetentionSpec(column="dt", keep_latest=2),
+    )
+    policy = MaintenancePolicy(target_bytes=1 << 30, min_files=999)
+    res = p.maintain(spark, policy)
+    ret = res["t"]["actions"]["retention"]
+    assert ret["status"] == "dropped"
+    assert ret["n_partitions_dropped"] == 2 and ret["skipped_live"] == []
+    got = spark.read.parquet(path)
+    dts = {r.dt for r in got.select(F.col("dt").cast("string").alias("dt")).distinct().collect()}
+    assert dts == set(days[2:])
+    assert got.count() == 20
+    # epochs 0 and 1 vanished with their partitions -> watermark 1
+    assert read_compacted_through(spark, path, ckpt) == 1
+
+    # second tick: nothing left to expire
+    res2 = p.maintain(spark, policy)
+    assert "retention" not in res2["t"]["actions"]
+
+    # the live lineage's NEWEST epoch lands in an already-old partition
+    # (late data): a drop_below cutoff dooms it, but the tick SKIPS it
+    sink(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), F.lit("2024-01-03").alias("dt")
+        ).coalesce(1),
+        4,
+    )
+    p2 = Pipeline().track_table(
+        "t", path, checkpoints=[ckpt],
+        retention=RetentionSpec(column="dt", drop_below="2024-01-04"),
+    )
+    res3 = p2.maintain(spark, policy)
+    ret3 = res3["t"]["actions"]["retention"]
+    assert ret3["skipped_live"] == ["dt=2024-01-03"]
+    assert ret3["n_partitions_dropped"] == 0
+    assert spark.read.parquet(path).where("dt = '2024-01-03'").count() == 20
+
+    # a fresh epoch seals e4 elsewhere; the next tick expires the
+    # skipped subtree
+    sink(
+        spark.range(200, 210).select(
+            F.col("id").alias("k"), F.lit("2024-01-05").alias("dt")
+        ).coalesce(1),
+        5,
+    )
+    res4 = p2.maintain(spark, policy)
+    ret4 = res4["t"]["actions"]["retention"]
+    assert ret4["status"] == "dropped" and ret4["skipped_live"] == []
+    got = spark.read.parquet(path)
+    assert {
+        r.dt
+        for r in got.select(F.col("dt").cast("string").alias("dt"))
+        .distinct().collect()
+    } == {"2024-01-04", "2024-01-05"}
+
+
+def test_drop_partitions_on_live_modes(spark, tmp_path):
+    """Standalone drop_partitions: on_live='raise' refuses when a
+    doomed subtree holds the live newest epoch; on_live='skip' drops
+    the safe subtrees and reports the hot one."""
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        drop_partitions,
+    )
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        parquet_batch_sink,
+    )
+
+    path = str(tmp_path / "dl")
+    ckpt = "/ckpt/DROPLIVE"
+    sink = parquet_batch_sink(path, partition_cols=["dt"], checkpoint=ckpt)
+    sink(spark.range(10).select(F.col("id").alias("k"),
+                                F.lit("a").alias("dt")).coalesce(1), 0)
+    sink(spark.range(10, 20).select(F.col("id").alias("k"),
+                                    F.lit("b").alias("dt")).coalesce(1), 1)
+    # newest epoch (1) lives in dt=b; dooming both partitions:
+    with _pytest.raises(RuntimeError, match="NEWEST"):
+        drop_partitions(spark, path, {"dt": ["a", "b"]},
+                        live_checkpoints=[ckpt])
+    res = drop_partitions(spark, path, {"dt": ["a", "b"]},
+                          live_checkpoints=[ckpt], on_live="skip")
+    assert res["status"] == "dropped"
+    assert res["skipped_live"] == ["dt=b"]
+    got = spark.read.parquet(path)
+    assert {r.dt for r in got.select("dt").distinct().collect()} == {"b"}
