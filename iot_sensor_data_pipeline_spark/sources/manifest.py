@@ -978,9 +978,23 @@ def recover_optimize(spark: SparkSession, path: str) -> str:
         if st.isDirectory() and name.startswith(".compact_"):
             fs.delete(st.getPath(), True)
     jp = _journal_path(path, jvm)
-    if not fs.exists(jp):
+    journal_cdf: str | None = None
+    j = None
+    if fs.exists(jp):
+        j = _read_json_file(fs, jvm, jp)
+        journal_cdf = j.get("cdf_staging")
+    # orphaned change-feed staging from a crash BEFORE the journal
+    # committed (same single-maintenance-writer justification as the
+    # .compact_ GC above): anything staged under _changes that the
+    # live journal does not claim is a dead mutation's leftovers
+    croot = jvm.org.apache.hadoop.fs.Path(f"{path}/{CHANGES_DIR}")
+    if fs.exists(croot):
+        for st in fs.listStatus(croot):
+            name = st.getPath().getName()
+            if name.startswith(".staging-") and name != journal_cdf:
+                fs.delete(st.getPath(), True)
+    if j is None:
         return "clean"
-    j = _read_json_file(fs, jvm, jp)
     adds = [jvm.org.apache.hadoop.fs.Path(f"{path}/{n}") for n in j["add"]]
     retires = [jvm.org.apache.hadoop.fs.Path(f"{path}/{n}") for n in j["retire"]]
     if all(fs.exists(p) for p in adds):
@@ -995,11 +1009,22 @@ def recover_optimize(spark: SparkSession, path: str) -> str:
         if marks is None:
             marks = _retired_epoch_watermarks(j["retire"])
         _write_epoch_watermarks(fs, jvm, path, marks)
+        # the swap committed, so its change feed commits with it (the
+        # staging may already be gone when the crash hit between the
+        # feed commit and the journal delete — idempotent)
+        if journal_cdf is not None:
+            _commit_cdf_staging(fs, jvm, path, journal_cdf)
         fs.delete(jp, False)
         return "forward"
     for p in adds:
         if fs.exists(p):
             fs.delete(p, False)
+    if journal_cdf is not None:
+        cs = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{CHANGES_DIR}/{journal_cdf}"
+        )
+        if fs.exists(cs):
+            fs.delete(cs, True)  # rolled back: the feed rolls back too
     fs.delete(jp, False)
     return "back"
 
@@ -1032,34 +1057,67 @@ def _write_epoch_watermarks(fs, jvm, path: str, marks: Mapping[str, int]) -> Non
         _write_compacted_through(fs, jvm, path, lineage, epoch)
 
 
-def _commit_journal(fs, jvm, path: str, add: Sequence[str], retire: Sequence[str]):
+def _commit_journal(
+    fs, jvm, path: str, add: Sequence[str], retire: Sequence[str],
+    cdf_staging: str | None = None,
+):
     """Write-then-rename the (add, retire) journal — shared by the flat
     and partitioned OPTIMIZE so the swap discipline recover_optimize
     depends on cannot drift between them. The journal also carries the
     per-lineage ``compacted_epochs`` watermarks derived from the retire
     list, so a crash AFTER retires but BEFORE the watermark write still
     ends with the watermark persisted (the forward-recovery arm re-runs
-    it from the journal). Returns the journal Path."""
+    it from the journal), and — for mutations with a change feed — the
+    ``cdf_staging`` dir name, so the feed commits or discards WITH the
+    swap (forward recovery publishes it, rollback deletes it; the feed
+    can never disagree with the table). Returns the journal Path."""
     import json
 
     jp = _journal_path(path, jvm)
     tmp = jvm.org.apache.hadoop.fs.Path(str(jp) + ".tmp")
+    payload = {
+        "add": list(add),
+        "retire": list(retire),
+        "compacted_epochs": _retired_epoch_watermarks(retire),
+    }
+    if cdf_staging is not None:
+        payload["cdf_staging"] = cdf_staging
     out = fs.create(tmp, True)
     try:
-        out.write(json.dumps(
-            {
-                "add": list(add),
-                "retire": list(retire),
-                "compacted_epochs": _retired_epoch_watermarks(retire),
-            },
-            sort_keys=True,
-        ).encode("utf-8"))
+        out.write(json.dumps(payload, sort_keys=True).encode("utf-8"))
     finally:
         out.close()
     fs.delete(jp, False)
     if not fs.rename(tmp, jp):
         raise RuntimeError(f"optimize journal commit failed: {jp}")
     return jp
+
+
+CHANGES_DIR = "_changes"
+
+
+def _commit_cdf_staging(fs, jvm, path: str, staging_name: str) -> int | None:
+    """Publish a staged change-feed dir as the next committed version
+    under ``<path>/_changes/v<N>``; returns N, or None when the staging
+    dir no longer exists (already committed by a prior attempt —
+    idempotent under forward-recovery re-runs)."""
+    src = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{CHANGES_DIR}/{staging_name}"
+    )
+    if not fs.exists(src):
+        return None
+    # single-maintenance-writer: max+1 cannot race another allocator
+    out = []
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/{CHANGES_DIR}")
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    nxt = (max(out) + 1) if out else 1
+    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{CHANGES_DIR}/v{nxt}")
+    if not fs.rename(src, dst):
+        raise RuntimeError(f"change-feed commit failed: {src} -> {dst}")
+    return nxt
 
 
 def _live_epoch_exclude_fn(spark, path: str, live_checkpoints: Sequence[str]):
@@ -1101,6 +1159,7 @@ def _live_epoch_exclude_fn(spark, path: str, live_checkpoints: Sequence[str]):
 def _journaled_swap(
     spark: SparkSession, path: str, staging: str,
     retire_rels: Sequence[str], token: str,
+    cdf_staging: str | None = None,
 ) -> int:
     """Publish-then-retire a staged rewrite under the crash journal —
     THE swap discipline, shared by flat/partitioned OPTIMIZE and the
@@ -1133,7 +1192,7 @@ def _journaled_swap(
         name = f"c{token}-{i}.parquet"
         add_rels.append(f"{rel_dir}/{name}" if rel_dir else name)
     # (1) journal first: the swap is re-derivable from names alone
-    jp = _commit_journal(fs, jvm, path, add_rels, retire_rels)
+    jp = _commit_journal(fs, jvm, path, add_rels, retire_rels, cdf_staging)
     # (2) publish: adds in
     for src, rel in zip(staged, add_rels):
         dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
@@ -1145,12 +1204,15 @@ def _journaled_swap(
     fs.delete(spath, True)
     # (3) retire originals, (3.5) persist the per-lineage
     # compacted_through watermarks (as-of reads must refuse the epochs
-    # this swap just absorbed), (4) drop the journal — the watermark
-    # lands BEFORE the journal deletes so a crash in between re-runs it
-    # via forward recovery, never skips it
+    # this swap just absorbed), (3.7) commit the change feed, (4) drop
+    # the journal — watermark and feed land BEFORE the journal deletes
+    # so a crash in between re-runs them via forward recovery, never
+    # skips them
     for rel in retire_rels:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}"), False)
     _write_epoch_watermarks(fs, jvm, path, _retired_epoch_watermarks(retire_rels))
+    if cdf_staging is not None:
+        _commit_cdf_staging(fs, jvm, path, cdf_staging)
     fs.delete(jp, False)
     return len(add_rels)
 

@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from iot_sensor_data_pipeline_spark.sources.manifest import (
+    CHANGES_DIR,
     _fs_for,
     _journaled_swap,
     _live_epoch_exclude_fn,
@@ -78,11 +79,36 @@ __all__ = [
     "merge_into",
     "drop_partitions",
     "partition_values",
+    "read_change_feed",
+    "change_feed_versions",
 ]
 
 #: reserved routing column for the copy-on-write rewrites (same role
 #: and guard as the OPTIMIZE family's routing column)
 _SRC = "__src_file"
+
+#: change-feed op column: 'delete' | 'update_pre' | 'update_post' | 'insert'
+_OP = "__op"
+
+
+def _stage_cdf(path: str, changes: DataFrame, token: str) -> str:
+    """Write the change relation to ``_changes/.staging-<token>`` and
+    return the staging NAME. The journal carries it, so the feed
+    commits (renames to ``_changes/v<N>``) or rolls back WITH the swap —
+    ``recover_optimize`` publishes it on forward recovery and deletes
+    it on rollback; an orphan from a crash before the journal is GC'd
+    by the next recovery pass."""
+    name = f".staging-{token}"
+    changes.write.parquet(f"{path}/{CHANGES_DIR}/{name}")
+    return name
+
+
+def _guard_cdf_schema(read_schema: StructType) -> None:
+    if _OP in read_schema.fieldNames():
+        raise ValueError(
+            f"change_feed=True needs the reserved column name '{_OP}', "
+            "which this table already uses — rename it first"
+        )
 
 
 def _canon_expr(c: Column) -> Column:
@@ -334,6 +360,7 @@ def delete_where(
     manifest_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
     live_checkpoints: Sequence[str] = (),
+    change_feed: bool = False,
 ) -> dict:
     """DELETE FROM <table> WHERE <condition>, copy-on-write.
 
@@ -374,16 +401,29 @@ def delete_where(
     matched_rels = [rel_of[m] for m in matched]
     _guard_live(spark, path, live_checkpoints, matched_rels, all_rels,
                 "delete_where")
+    if change_feed:
+        _guard_cdf_schema(read_schema)
     token = uuid.uuid4().hex[:8]
     staging = f"{path}/.compact_{token}"
-    survivors = (
+    base = (
         _read_files(spark, path, matched, read_schema)
         .withColumn(_SRC, _canon_expr(F.input_file_name()))
-        .where(~cond)
+        .persist()
     )
-    _write_routed(survivors, len(matched), staging, part_cols)
-    _prune_empty_staged(spark, staging)
-    _journaled_swap(spark, path, staging, matched_rels, token)
+    cdf_name = None
+    try:
+        _write_routed(base.where(~cond), len(matched), staging, part_cols)
+        _prune_empty_staged(spark, staging)
+        if change_feed:
+            cdf_name = _stage_cdf(
+                path,
+                base.where(cond).drop(_SRC)
+                .withColumn(_OP, F.lit("delete")),
+                token,
+            )
+    finally:
+        base.unpersist()
+    _journaled_swap(spark, path, staging, matched_rels, token, cdf_name)
     _refresh_indexes(spark, path, manifest_cols, bloom_cols)
     return {
         "status": "deleted",
@@ -403,6 +443,7 @@ def update_where(
     manifest_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
     live_checkpoints: Sequence[str] = (),
+    change_feed: bool = False,
 ) -> dict:
     """UPDATE <table> SET col = expr, ... WHERE <condition>, CoW.
 
@@ -462,16 +503,33 @@ def update_where(
          .alias(f.name) if f.name in assignments else F.col(f.name))
         for f in data_schema.fields
     ] + [F.col(c) for c in part_cols]
+    if change_feed:
+        _guard_cdf_schema(read_schema)
     token = uuid.uuid4().hex[:8]
     staging = f"{path}/.compact_{token}"
-    rewritten = (
+    base = (
         _read_files(spark, path, matched, read_schema)
         .withColumn(_SRC, _canon_expr(F.input_file_name()))
-        .select(*projected, F.col(_SRC))
+        .persist()
     )
-    _write_routed(rewritten, len(matched), staging, part_cols)
-    _prune_empty_staged(spark, staging)
-    _journaled_swap(spark, path, staging, matched_rels, token)
+    cdf_name = None
+    try:
+        _write_routed(
+            base.select(*projected, F.col(_SRC)),
+            len(matched), staging, part_cols,
+        )
+        _prune_empty_staged(spark, staging)
+        if change_feed:
+            pre = base.where(cond).drop(_SRC).withColumn(
+                _OP, F.lit("update_pre")
+            )
+            post = base.where(cond).select(*projected).withColumn(
+                _OP, F.lit("update_post")
+            )
+            cdf_name = _stage_cdf(path, pre.unionByName(post), token)
+    finally:
+        base.unpersist()
+    _journaled_swap(spark, path, staging, matched_rels, token, cdf_name)
     _refresh_indexes(spark, path, manifest_cols, bloom_cols)
     return {
         "status": "updated",
@@ -492,6 +550,7 @@ def merge_into(
     manifest_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
     live_checkpoints: Sequence[str] = (),
+    change_feed: bool = False,
 ) -> dict:
     """MERGE INTO <table> USING <source> ON <keys> — copy-on-write
     upsert: matched target rows update to the source's values (or
@@ -644,6 +703,12 @@ def merge_into(
         n_touched = 0
         token = uuid.uuid4().hex[:8]
         staging = f"{path}/.compact_{token}"
+        if change_feed:
+            _guard_cdf_schema(read_schema)
+        cdf_name = f".staging-{token}" if change_feed else None
+        feed_dir = (
+            f"{path}/{CHANGES_DIR}/{cdf_name}" if change_feed else None
+        )
         wrote = False
         if matched:
             tgt = (
@@ -659,6 +724,16 @@ def merge_into(
             joined = tgt.join(s, on, "left").persist()
             try:
                 n_touched = joined.where(F.col("__m")).count()
+                upd_exprs = [
+                    (F.when(
+                        F.col("__m"),
+                        F.col(f"__new_{f.name}"),
+                    ).otherwise(F.col(f.name)).alias(f.name)
+                     if f.name in [c for c in src_cols if c not in on]
+                     and f.name not in part_cols
+                     else F.col(f.name))
+                    for f in read_schema.fields
+                ]
                 if when_matched == "delete":
                     # project the helper columns away — survivors must
                     # carry EXACTLY the table schema (+ routing col)
@@ -686,33 +761,36 @@ def merge_into(
                                 "not migrate across partition directories "
                                 "in an update; delete + re-insert instead"
                             )
-                    out = joined.select(
-                        *[
-                            (F.when(
-                                F.col("__m"),
-                                F.col(f"__new_{f.name}"),
-                            ).otherwise(F.col(f.name)).alias(f.name)
-                             if f.name in upd_cols and f.name not in part_cols
-                             else F.col(f.name))
-                            for f in read_schema.fields
-                        ],
-                        F.col(_SRC),
-                    )
+                    out = joined.select(*upd_exprs, F.col(_SRC))
                 _write_routed(out, len(matched), staging, part_cols)
+                if change_feed:
+                    cols = [F.col(f.name) for f in read_schema.fields]
+                    feed = joined.where(F.col("__m")).select(*cols) \
+                        .withColumn(_OP, F.lit(
+                            "delete" if when_matched == "delete"
+                            else "update_pre"
+                        ))
+                    if when_matched == "update":
+                        feed = feed.unionByName(
+                            joined.where(F.col("__m"))
+                            .select(*upd_exprs)
+                            .withColumn(_OP, F.lit("update_post"))
+                        )
+                    feed.write.mode("append").parquet(feed_dir)
                 wrote = True
                 inserts = (
                     src.join(tgt.select(*on), on, "left_anti")
                     if insert else None
                 )
                 n_ins = _append_inserts(
-                    inserts, read_schema, part_cols, staging
+                    inserts, read_schema, part_cols, staging, feed_dir
                 ) if insert else 0
             finally:
                 joined.unpersist()
         else:
             inserts = src if insert else None
             n_ins = _append_inserts(
-                inserts, read_schema, part_cols, staging
+                inserts, read_schema, part_cols, staging, feed_dir
             ) if insert else 0
             wrote = n_ins > 0
         if not wrote and not matched:
@@ -723,7 +801,14 @@ def merge_into(
                     "n_files_untouched": len(files_canon),
                     "recovered": recovered}
         _prune_empty_staged(spark, staging)
-        _journaled_swap(spark, path, staging, matched_rels, token)
+        fs, _root, jvm = _fs_for(spark, path)
+        feed_exists = change_feed and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(feed_dir)
+        )
+        _journaled_swap(
+            spark, path, staging, matched_rels, token,
+            cdf_name if feed_exists else None,
+        )
         _refresh_indexes(spark, path, manifest_cols, bloom_cols)
         return {
             "status": "merged",
@@ -740,13 +825,14 @@ def merge_into(
 
 def _append_inserts(
     inserts: DataFrame | None, read_schema: StructType,
-    part_cols: Sequence[str], staging: str,
+    part_cols: Sequence[str], staging: str, feed_dir: str | None = None,
 ) -> int:
     """Write the insert rows (conformed to the table schema, missing
-    columns as typed NULLs) into the staging dir and return how many.
-    Insert file count follows the source's own partitioning — a large
-    backfill writes in parallel; coalescing small inserts is OPTIMIZE's
-    job on its next pass, not the merge's."""
+    columns as typed NULLs) into the staging dir — and, when a change
+    feed is staged, their 'insert' post-images into it — returning how
+    many. Insert file count follows the source's own partitioning — a
+    large backfill writes in parallel; coalescing small inserts is
+    OPTIMIZE's job on its next pass, not the merge's."""
     if inserts is None:
         return 0
     inserts = inserts.persist()
@@ -766,6 +852,9 @@ def _append_inserts(
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(staging)
+        if feed_dir is not None:
+            conformed.withColumn(_OP, F.lit("insert")) \
+                .write.mode("append").parquet(feed_dir)
         return int(n)
     finally:
         inserts.unpersist()
@@ -934,3 +1023,60 @@ def drop_partitions(
         "skipped_live": skipped_live,
         "recovered": recovered,
     }
+
+
+def change_feed_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed change-feed versions under ``<path>/_changes/v<N>``,
+    ascending; empty when no mutation has ever run with
+    ``change_feed=True``. One shallow listing, metadata-grain."""
+    fs, _root, jvm = _fs_for(spark, path)
+    croot = jvm.org.apache.hadoop.fs.Path(f"{path}/{CHANGES_DIR}")
+    if not fs.exists(croot):
+        return []
+    out = []
+    for st in fs.listStatus(croot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def read_change_feed(
+    spark: SparkSession, path: str, since_version: int | None = None
+) -> DataFrame:
+    """The table's change data feed: every committed mutation's row
+    images — ``__op`` in ``{'delete', 'update_pre', 'update_post',
+    'insert'}`` plus ``__commit_version`` (monotone per mutation, so a
+    downstream incremental consumer reads ``since_version=<last seen>``
+    each cycle and processes exactly the new mutations). Partition
+    columns appear as their verbatim directory strings, matching the
+    mutation read semantics.
+
+    The feed is journal-atomic with the table: a crashed mutation's
+    feed commits iff its swap rolled forward (``recover_optimize``
+    publishes or deletes the staged feed with the swap), so the feed
+    can never claim a change the table does not show, or vice versa.
+    OPTIMIZE/compaction and :func:`drop_partitions` are NOT in the feed
+    — the first moves bytes without changing the relation; the second
+    is metadata-only by design (use :func:`delete_where` with
+    ``change_feed=True`` when retention must emit delete images).
+
+    Raises when the table has no feed at all; ``since_version`` beyond
+    the newest returns an EMPTY frame with the feed's schema (the
+    steady-state poll)."""
+    versions = change_feed_versions(spark, path)
+    if not versions:
+        raise ValueError(
+            f"no change feed under {path} — run a mutation with "
+            "change_feed=True first"
+        )
+    picked = [
+        v for v in versions if since_version is None or v > since_version
+    ]
+    dirs = [f"{path}/{CHANGES_DIR}/v{v}" for v in (picked or versions)]
+    df = spark.read.option("mergeSchema", "true").parquet(*dirs).withColumn(
+        "__commit_version",
+        F.regexp_extract(F.input_file_name(), r"/v(\d+)/[^/]+$", 1)
+        .cast("long"),
+    )
+    return df if picked else df.limit(0)

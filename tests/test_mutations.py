@@ -545,3 +545,147 @@ def test_drop_partitions_arms_asof_watermark(spark, tmp_path):
     with pytest.raises(ValueError, match="history compacted"):
         read_sink_as_of(spark, path, ckpt, 0)
     assert spark.read.parquet(path).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# CHANGE DATA FEED
+# ---------------------------------------------------------------------------
+
+
+def test_change_feed_delete_and_update(spark, tmp_path):
+    """Mutations with change_feed=True append journal-atomic pre/post
+    images under _changes/v<N>; the reader paginates by
+    since_version."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        change_feed_versions,
+        read_change_feed,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    ).repartition(4).write.parquet(path)
+
+    with pytest.raises(ValueError, match="no change feed"):
+        read_change_feed(spark, path)
+
+    res = delete_where(spark, path, "id >= 90", change_feed=True)
+    assert res["n_rows_deleted"] == 10
+    assert change_feed_versions(spark, path) == [1]
+    feed = read_change_feed(spark, path)
+    rows = feed.collect()
+    assert len(rows) == 10
+    assert {r["__op"] for r in rows} == {"delete"}
+    assert sorted(r.id for r in rows) == list(range(90, 100))
+    assert {r["__commit_version"] for r in rows} == {1}
+
+    res2 = update_where(
+        spark, path, "id < 3", {"v": F.col("v") + 1}, change_feed=True
+    )
+    assert res2["n_rows_updated"] == 3
+    assert change_feed_versions(spark, path) == [1, 2]
+    v2 = read_change_feed(spark, path, since_version=1)
+    assert v2.count() == 6  # 3 pre + 3 post
+    pre = {r.id: r.v for r in v2.where("__op = 'update_pre'").collect()}
+    post = {r.id: r.v for r in v2.where("__op = 'update_post'").collect()}
+    assert pre == {0: 0, 1: 10, 2: 20}
+    assert post == {0: 1, 1: 11, 2: 21}
+    # steady-state poll: nothing new -> empty frame, schema intact
+    tail = read_change_feed(spark, path, since_version=2)
+    assert tail.count() == 0 and "__op" in tail.columns
+
+    # feed-less mutations mint no version
+    delete_where(spark, path, "id = 50")
+    assert change_feed_versions(spark, path) == [1, 2]
+
+    # reserved column collision is loud
+    bad = str(tmp_path / "bad")
+    spark.range(3).select(F.col("id"), F.lit("x").alias("__op")) \
+        .write.parquet(bad)
+    with pytest.raises(ValueError, match="__op"):
+        delete_where(spark, bad, "id = 0", change_feed=True)
+
+
+def test_change_feed_merge_ops(spark, tmp_path):
+    """MERGE emits update_pre/update_post for matched rows and insert
+    post-images; delete-mode emits delete images."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        read_change_feed,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 50).select(
+        F.col("id"), F.lit("old").alias("tag")
+    ).repartition(3).write.parquet(path)
+    src = spark.createDataFrame(
+        [(7, "new7"), (8, "new8"), (500, "new500")], "id long, tag string"
+    )
+    merge_into(spark, path, src, on=["id"], change_feed=True)
+    feed = read_change_feed(spark, path)
+    by_op = {
+        r["__op"]: r["n"]
+        for r in feed.groupBy("__op").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_op == {"update_pre": 2, "update_post": 2, "insert": 1}
+    assert feed.where("__op = 'insert'").first().id == 500
+    assert {
+        r.tag for r in feed.where("__op = 'update_post'").collect()
+    } == {"new7", "new8"}
+
+    # delete-mode merge
+    merge_into(
+        spark, path, src.select("id").limit(2), on=["id"],
+        when_matched="delete", insert=False, change_feed=True,
+    )
+    v2 = read_change_feed(spark, path, since_version=1)
+    assert {r["__op"] for r in v2.collect()} == {"delete"}
+    assert v2.count() == 2
+
+
+def test_change_feed_crash_atomicity(spark, tmp_path):
+    """The feed commits iff the swap commits: rollback recovery deletes
+    the staged feed; forward recovery publishes it; an orphan staging
+    with no journal is GC'd."""
+    import json
+
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        recover_optimize,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        change_feed_versions,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 20).select(F.col("id")).coalesce(1).write.parquet(path)
+
+    def forge(cdf_name, adds):
+        os.makedirs(os.path.join(path, "_changes", cdf_name), exist_ok=True)
+        spark.range(1).select(
+            F.col("id"), F.lit("delete").alias("__op")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "_changes", cdf_name)
+        )
+        with open(os.path.join(path, "_optimize_journal.json"), "w") as fh:
+            json.dump({"add": adds, "retire": [],
+                       "cdf_staging": cdf_name}, fh)
+
+    # rollback: an add is missing -> swap rolls back, feed discarded
+    forge(".staging-dead1", ["cdead1-0.parquet"])
+    assert recover_optimize(spark, path) == "back"
+    assert change_feed_versions(spark, path) == []
+    assert not os.path.exists(os.path.join(path, "_changes", ".staging-dead1"))
+
+    # forward: every add present -> swap commits, feed publishes
+    with open(os.path.join(path, "cdead2-0.parquet"), "wb") as fh:
+        fh.write(b"")  # presence is what forward recovery checks
+    forge(".staging-dead2", ["cdead2-0.parquet"])
+    assert recover_optimize(spark, path) == "forward"
+    assert change_feed_versions(spark, path) == [1]
+
+    # orphan staging, no journal at all -> GC'd by the next recovery
+    os.makedirs(os.path.join(path, "_changes", ".staging-orphan"))
+    assert recover_optimize(spark, path) == "clean"
+    assert not os.path.exists(
+        os.path.join(path, "_changes", ".staging-orphan")
+    )
+    assert change_feed_versions(spark, path) == [1]
