@@ -81,6 +81,7 @@ __all__ = [
     "partition_values",
     "read_change_feed",
     "change_feed_versions",
+    "sync_from_change_feed",
 ]
 
 #: reserved routing column for the copy-on-write rewrites (same role
@@ -1080,3 +1081,86 @@ def read_change_feed(
         .cast("long"),
     )
     return df if picked else df.limit(0)
+
+
+def sync_from_change_feed(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    on: Sequence[str],
+    manifest_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+) -> dict:
+    """Propagate the source table's change feed into a downstream
+    replica incrementally — the consumer half of the feed contract: a
+    derived table (a filtered copy, a serving replica, a re-embedding
+    input staging table) follows the upstream's mutations WITHOUT ever
+    re-scanning or re-diffing the upstream.
+
+    Each unapplied feed version applies IN ORDER as at most two
+    key-grain merges into the replica: ``delete`` images delete by
+    key, ``update_post`` + ``insert`` images upsert (``update_pre``
+    images are audit data — a keyed replica needs only the post state).
+    The last-applied version persists in a write-then-rename sidecar
+    (``_sync_state-<lineage>.json`` derived from the destination), so
+    a crash mid-sync re-applies from the interrupted version — every
+    per-version application is idempotent (delete of a missing key is
+    a no-op; an upsert to the already-post state rewrites to the same
+    values), so replay converges instead of corrupting.
+
+    The replica must be keyed the same way the upstream's mutations
+    are (``on``). Returns ``{"applied_versions", "n_upserted",
+    "n_deleted", "from_version", "to_version"}``."""
+    import json
+
+    on = list(on)
+    fs, _root, jvm = _fs_for(spark, dst_path)
+    state_p = jvm.org.apache.hadoop.fs.Path(f"{dst_path}/_sync_state.json")
+    last = 0
+    if fs.exists(state_p):
+        from iot_sensor_data_pipeline_spark.sources.manifest import (
+            _read_json_file,
+        )
+
+        last = int(_read_json_file(fs, jvm, state_p).get("version", 0))
+    versions = [
+        v for v in change_feed_versions(spark, src_path) if v > last
+    ]
+    n_up = n_del = 0
+    for v in versions:
+        feed = spark.read.parquet(f"{src_path}/{CHANGES_DIR}/v{v}")
+        deletes = feed.where(F.col(_OP) == "delete").select(*on).distinct()
+        if deletes.limit(1).count():
+            r = merge_into(
+                spark, dst_path, deletes, on=on,
+                when_matched="delete", insert=False,
+                manifest_cols=manifest_cols, bloom_cols=bloom_cols,
+            )
+            n_del += r["n_rows_deleted"]
+        upserts = feed.where(
+            F.col(_OP).isin("update_post", "insert")
+        ).drop(_OP)
+        if upserts.limit(1).count():
+            r = merge_into(
+                spark, dst_path, upserts, on=on,
+                manifest_cols=manifest_cols, bloom_cols=bloom_cols,
+            )
+            n_up += r["n_rows_updated"] + r["n_rows_inserted"]
+        # state AFTER the version fully applied: a crash re-applies
+        # this version (idempotent), never skips it
+        tmp = jvm.org.apache.hadoop.fs.Path(str(state_p) + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(json.dumps({"version": v}).encode("utf-8"))
+        finally:
+            out.close()
+        fs.delete(state_p, False)
+        if not fs.rename(tmp, state_p):
+            raise RuntimeError(f"sync state commit failed: {state_p}")
+    return {
+        "applied_versions": versions,
+        "n_upserted": n_up,
+        "n_deleted": n_del,
+        "from_version": last,
+        "to_version": versions[-1] if versions else last,
+    }

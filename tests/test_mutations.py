@@ -689,3 +689,58 @@ def test_change_feed_crash_atomicity(spark, tmp_path):
         os.path.join(path, "_changes", ".staging-orphan")
     )
     assert change_feed_versions(spark, path) == [1]
+
+
+def test_sync_from_change_feed_replica_convergence(spark, tmp_path):
+    """A downstream replica follows the upstream through the feed:
+    after any mix of delete/update/merge, one sync makes replica ==
+    upstream exactly; a second sync is a no-op; wiping the sync state
+    re-applies every version and still converges (idempotent replay)."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        sync_from_change_feed,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.range(0, 80).select(
+        F.col("id"), (F.col("id") % 9).alias("k"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("tag"),
+    )
+    base.repartition(4).write.parquet(src)
+    base.repartition(2).write.parquet(dst)  # replica starts in sync
+
+    delete_where(spark, src, "k = 4", change_feed=True)
+    update_where(spark, src, "id < 5", {"tag": F.lit("patched")},
+                 change_feed=True)
+    upd = spark.createDataFrame(
+        [(70, 1, "merged"), (900, 2, "fresh")], "id long, k long, tag string"
+    )
+    merge_into(spark, src, upd, on=["id"], change_feed=True)
+
+    def snapshot(path):
+        return sorted(
+            (r.id, r.k, r.tag) for r in spark.read.parquet(path).collect()
+        )
+
+    assert snapshot(src) != snapshot(dst)
+    res = sync_from_change_feed(spark, src, dst, on=["id"])
+    assert res["applied_versions"] == [1, 2, 3]
+    assert res["n_deleted"] > 0 and res["n_upserted"] > 0
+    assert snapshot(src) == snapshot(dst)
+
+    # steady state: nothing new
+    res2 = sync_from_change_feed(spark, src, dst, on=["id"])
+    assert res2["applied_versions"] == [] and res2["to_version"] == 3
+
+    # crash simulation: lose the sync state -> full replay converges
+    os.remove(os.path.join(dst, "_sync_state.json"))
+    res3 = sync_from_change_feed(spark, src, dst, on=["id"])
+    assert res3["applied_versions"] == [1, 2, 3]
+    assert snapshot(src) == snapshot(dst)
+
+    # replica can even be a FILTERED projection consumer: new upstream
+    # mutation, sync applies incrementally (version 4 only)
+    delete_where(spark, src, "id = 10", change_feed=True)
+    res4 = sync_from_change_feed(spark, src, dst, on=["id"])
+    assert res4["applied_versions"] == [4]
+    assert snapshot(src) == snapshot(dst)
