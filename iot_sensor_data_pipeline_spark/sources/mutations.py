@@ -134,12 +134,22 @@ def _bare(name: str) -> str:
     return re.sub(r"^file:/+", "/", name)
 
 
-def _cond_expr(condition) -> Column:
-    cond = F.expr(condition) if isinstance(condition, str) else condition
-    # DELETE/UPDATE WHERE p acts on rows where p is TRUE; NULL is not
-    # TRUE (SQL three-valued logic), so NULL-predicate rows are kept
-    # untouched
-    return F.coalesce(cond.cast("boolean"), F.lit(False))
+def _cond_parts(condition) -> tuple[Column, Column]:
+    """(match, keep-safe) forms of the mutation predicate.
+
+    DELETE/UPDATE WHERE p acts on rows where p is TRUE; NULL is not
+    TRUE (SQL three-valued logic). ``where(p)`` already excludes NULL,
+    so the MATCH side stays the raw predicate — which Catalyst can
+    push into the parquet scan (row-group stats skipping); wrapping it
+    in coalesce() there would demote it to a post-scan DataFilter and
+    silently cost the probe its pushdown. The NEGATION is where the
+    NULL case bites (survivors must keep FALSE *and* NULL rows), so
+    the keep-safe form ``coalesce(p, false)`` exists only to be
+    negated."""
+    raw = (
+        F.expr(condition) if isinstance(condition, str) else condition
+    ).cast("boolean")
+    return raw, F.coalesce(raw, F.lit(False))
 
 
 def _layout(
@@ -380,7 +390,7 @@ def delete_where(
     user-id or date bounds) so a 100 TB probe opens only plausible
     files. Conservative by construction — never changes the answer.
     """
-    cond = _cond_expr(condition)
+    match_cond, keep_safe = _cond_parts(condition)
     recovered = recover_optimize(spark, path)
     part_cols, files_canon, rel_of = _layout(spark, path)
     all_rels = [rel_of[f] for f in files_canon]
@@ -391,7 +401,7 @@ def delete_where(
             spark, path, candidates, part_cols
         )
         matched, n_del = _probe_matches(
-            spark, path, candidates, read_schema, cond
+            spark, path, candidates, read_schema, match_cond
         )
     if not matched:
         _refresh_indexes(spark, path, manifest_cols, bloom_cols)
@@ -413,12 +423,14 @@ def delete_where(
     )
     cdf_name = None
     try:
-        _write_routed(base.where(~cond), len(matched), staging, part_cols)
+        _write_routed(
+            base.where(~keep_safe), len(matched), staging, part_cols
+        )
         _prune_empty_staged(spark, staging)
         if change_feed:
             cdf_name = _stage_cdf(
                 path,
-                base.where(cond).drop(_SRC)
+                base.where(match_cond).drop(_SRC)
                 .withColumn(_OP, F.lit("delete")),
                 token,
             )
@@ -459,7 +471,7 @@ def update_where(
     "n_files_untouched", "recovered"}``."""
     if not set:
         raise ValueError("update_where: empty SET clause")
-    cond = _cond_expr(condition)
+    match_cond, _keep_safe = _cond_parts(condition)
     recovered = recover_optimize(spark, path)
     part_cols, files_canon, rel_of = _layout(spark, path)
     all_rels = [rel_of[f] for f in files_canon]
@@ -483,7 +495,7 @@ def update_where(
         )
     if candidates:
         matched, n_upd = _probe_matches(
-            spark, path, candidates, read_schema, cond
+            spark, path, candidates, read_schema, match_cond
         )
     if not matched:
         _refresh_indexes(spark, path, manifest_cols, bloom_cols)
@@ -499,8 +511,10 @@ def update_where(
         c: (F.expr(e) if isinstance(e, str) else e).cast(by_name[c].dataType)
         for c, e in set.items()
     }
+    # F.when is itself NULL-safe (a NULL condition takes the otherwise
+    # branch), so the raw predicate serves the projection directly
     projected = [
-        (F.when(cond, assignments[f.name]).otherwise(F.col(f.name))
+        (F.when(match_cond, assignments[f.name]).otherwise(F.col(f.name))
          .alias(f.name) if f.name in assignments else F.col(f.name))
         for f in data_schema.fields
     ] + [F.col(c) for c in part_cols]
@@ -521,10 +535,10 @@ def update_where(
         )
         _prune_empty_staged(spark, staging)
         if change_feed:
-            pre = base.where(cond).drop(_SRC).withColumn(
+            pre = base.where(match_cond).drop(_SRC).withColumn(
                 _OP, F.lit("update_pre")
             )
-            post = base.where(cond).select(*projected).withColumn(
+            post = base.where(match_cond).select(*projected).withColumn(
                 _OP, F.lit("update_post")
             )
             cdf_name = _stage_cdf(path, pre.unionByName(post), token)

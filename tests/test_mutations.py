@@ -744,3 +744,31 @@ def test_sync_from_change_feed_replica_convergence(spark, tmp_path):
     res4 = sync_from_change_feed(spark, src, dst, on=["id"])
     assert res4["applied_versions"] == [4]
     assert snapshot(src) == snapshot(dst)
+
+
+def test_probe_plan_prunes_columns_and_pushes_filters(spark, tmp_path):
+    """The mutation probe's scan must read ONLY the predicate's
+    columns and push the raw predicate into the parquet scan
+    (row-group stats skipping) — wrapping the predicate in the
+    NULL-safe coalesce() there would demote it to a post-scan filter,
+    which is exactly the regression this test exists to catch."""
+    from iot_sensor_data_pipeline_spark.sources import mutations as M
+
+    path = str(tmp_path / "t")
+    spark.range(0, 5000).selectExpr(
+        "id", "id * 2 AS a", "id * 3 AS b", "CAST(id AS STRING) AS s"
+    ).repartition(4).write.parquet(path)
+    part_cols, files, _rel = M._layout(spark, path)
+    _ds, rs = M._read_schema_for(spark, path, files, part_cols)
+    match_cond, _safe = M._cond_parts(F.col("a") > 9000)
+    probe = (
+        M._read_files(spark, path, files, rs)
+        .where(match_cond)
+        .groupBy(M._canon_expr(F.input_file_name()).alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # column pruning: only the predicate column is read
+    assert "FileScan parquet [a#" in scan, scan
+    assert "GreaterThan(a,9000)" in scan, scan  # pushed, not post-scan
