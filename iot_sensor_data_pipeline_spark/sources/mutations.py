@@ -81,6 +81,7 @@ __all__ = [
     "partition_values",
     "read_change_feed",
     "change_feed_versions",
+    "expire_change_feed",
     "sync_from_change_feed",
 ]
 
@@ -1078,12 +1079,24 @@ def read_change_feed(
 
     Raises when the table has no feed at all; ``since_version`` beyond
     the newest returns an EMPTY frame with the feed's schema (the
-    steady-state poll)."""
+    steady-state poll). A ``since_version`` whose successor was
+    EXPIRED (:func:`expire_change_feed`) RAISES — the retained feed
+    cannot prove continuity from that cursor, and silently skipping a
+    gap would desynchronize every consumer; re-baseline from the table
+    itself instead."""
     versions = change_feed_versions(spark, path)
     if not versions:
         raise ValueError(
             f"no change feed under {path} — run a mutation with "
             "change_feed=True first"
+        )
+    if since_version is not None and since_version + 1 < versions[0]:
+        raise ValueError(
+            f"change feed gap: versions {since_version + 1}..."
+            f"{versions[0] - 1} were expired — a consumer at cursor "
+            f"{since_version} cannot catch up incrementally; "
+            "re-baseline the replica from the table, then resume from "
+            f"version {versions[-1]}"
         )
     picked = [
         v for v in versions if since_version is None or v > since_version
@@ -1116,7 +1129,8 @@ def sync_from_change_feed(
     key, ``update_post`` + ``insert`` images upsert (``update_pre``
     images are audit data — a keyed replica needs only the post state).
     The last-applied version persists in a write-then-rename sidecar
-    (``_sync_state-<lineage>.json`` derived from the destination), so
+    (``_sync_state.json`` in the DESTINATION — one upstream per
+    replica; fan-in from several upstreams needs one replica each), so
     a crash mid-sync re-applies from the interrupted version — every
     per-version application is idempotent (delete of a missing key is
     a no-op; an upsert to the already-post state rewrites to the same
@@ -1137,9 +1151,15 @@ def sync_from_change_feed(
         )
 
         last = int(_read_json_file(fs, jvm, state_p).get("version", 0))
-    versions = [
-        v for v in change_feed_versions(spark, src_path) if v > last
-    ]
+    all_versions = change_feed_versions(spark, src_path)
+    if all_versions and last + 1 < all_versions[0]:
+        raise ValueError(
+            f"change feed gap: the replica's cursor is {last} but the "
+            f"oldest retained feed version is {all_versions[0]} "
+            "(expire_change_feed ran past it) — re-baseline the replica "
+            "from the upstream table, then resume"
+        )
+    versions = [v for v in all_versions if v > last]
     n_up = n_del = 0
     for v in versions:
         feed = spark.read.parquet(f"{src_path}/{CHANGES_DIR}/v{v}")
@@ -1177,4 +1197,32 @@ def sync_from_change_feed(
         "n_deleted": n_del,
         "from_version": last,
         "to_version": versions[-1] if versions else last,
+    }
+
+
+def expire_change_feed(
+    spark: SparkSession, path: str, keep_versions: int
+) -> dict:
+    """Drop the oldest committed change-feed versions, keeping the
+    newest ``keep_versions`` — the feed's own retention (each version
+    holds full row images, so an unexpired feed on a hot table grows
+    like the mutation traffic itself). Consumers whose cursor predates
+    the oldest retained version get a LOUD gap error from
+    :func:`read_change_feed` / :func:`sync_from_change_feed` instead
+    of a silent skip — run expiry on a cadence slower than the slowest
+    consumer's sync cadence. Returns ``{"n_expired",
+    "oldest_retained"}``."""
+    if keep_versions < 1:
+        raise ValueError("expire_change_feed: keep_versions must be >= 1")
+    versions = change_feed_versions(spark, path)
+    doomed = versions[: max(0, len(versions) - keep_versions)]
+    fs, _root, jvm = _fs_for(spark, path)
+    for v in doomed:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/{CHANGES_DIR}/v{v}"), True
+        )
+    retained = versions[len(doomed):]
+    return {
+        "n_expired": len(doomed),
+        "oldest_retained": retained[0] if retained else None,
     }

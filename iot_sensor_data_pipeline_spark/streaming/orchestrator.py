@@ -104,7 +104,9 @@ class RetentionSpec:
         """The subset of (sorted) partition values this rule expires."""
         if self.keep_latest is not None:
             return values[: max(0, len(values) - self.keep_latest)]
-        cutoff = self.drop_below() if callable(self.drop_below) else self.drop_below
+        cutoff = str(
+            self.drop_below() if callable(self.drop_below) else self.drop_below
+        )  # str(): a date/datetime cutoff renders as its ISO spelling
         return [v for v in values if v < cutoff]
 
 

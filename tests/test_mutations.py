@@ -772,3 +772,60 @@ def test_probe_plan_prunes_columns_and_pushes_filters(spark, tmp_path):
     # column pruning: only the predicate column is read
     assert "FileScan parquet [a#" in scan, scan
     assert "GreaterThan(a,9000)" in scan, scan  # pushed, not post-scan
+
+
+def test_change_feed_partitioned_table(spark, tmp_path):
+    """Feed rows from a partitioned table carry the partition columns
+    as their verbatim directory strings, matching mutation-read
+    semantics; the feed itself is flat (no partition dirs)."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        read_change_feed,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"{i % 2:02d}") for i in range(30)], "id long, hour string"
+    ).repartition(2).write.partitionBy("hour").parquet(path)
+    delete_where(spark, path, F.col("hour") == "00", change_feed=True)
+    feed = read_change_feed(spark, path)
+    rows = feed.collect()
+    assert len(rows) == 15
+    assert {r.hour for r in rows} == {"00"}  # verbatim string, not 0
+    assert dict(feed.dtypes)["hour"] == "string"
+    assert spark.read.parquet(path).count() == 15
+
+
+def test_expire_change_feed_and_gap_guard(spark, tmp_path):
+    """Expiry keeps the newest N versions; a consumer whose cursor
+    predates the oldest retained version gets a LOUD gap error from
+    both the reader and the replica sync — never a silent skip."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        change_feed_versions,
+        expire_change_feed,
+        read_change_feed,
+        sync_from_change_feed,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 40).select(F.col("id"), F.lit(0).alias("n")) \
+        .repartition(2).write.parquet(path)
+    for i in range(4):
+        update_where(spark, path, f"id = {i}", {"n": F.lit(i + 1)},
+                     change_feed=True)
+    assert change_feed_versions(spark, path) == [1, 2, 3, 4]
+
+    res = expire_change_feed(spark, path, keep_versions=2)
+    assert res == {"n_expired": 2, "oldest_retained": 3}
+    assert change_feed_versions(spark, path) == [3, 4]
+
+    # cursor at 2: v3 onward is contiguous -> fine
+    assert read_change_feed(spark, path, since_version=2).count() == 4
+    # cursor at 1: v2 is gone -> loud gap
+    with pytest.raises(ValueError, match="gap"):
+        read_change_feed(spark, path, since_version=1)
+    # replica sync behind the expiry horizon: same loud failure
+    dst = str(tmp_path / "dst")
+    spark.range(0, 40).select(F.col("id"), F.lit(0).alias("n")) \
+        .write.parquet(dst)
+    with pytest.raises(ValueError, match="re-baseline"):
+        sync_from_change_feed(spark, path, dst, on=["id"])
