@@ -1806,6 +1806,31 @@ def table_health(
                 blooms[name] = cov
     out["bloom_indexes"] = blooms
 
+    # change data feed (r12): version count + bytes, so the probe sees
+    # feed growth (row-image versions grow like mutation traffic —
+    # expire_change_feed is the lever) — one shallow listing per
+    # committed version, metadata-grain like everything else here
+    croot = jvm.org.apache.hadoop.fs.Path(f"{path}/{CHANGES_DIR}")
+    feed = None
+    if fs.exists(croot):
+        vs = []
+        fbytes = 0
+        for st in fs.listStatus(croot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+                vs.append(int(name[1:]))
+                for f_st in fs.listStatus(st.getPath()):
+                    if f_st.isFile():
+                        fbytes += int(f_st.getLen())
+        if vs:
+            feed = {
+                "n_versions": len(vs),
+                "oldest": min(vs),
+                "newest": max(vs),
+                "total_bytes": fbytes,
+            }
+    out["change_feed"] = feed
+
     lineages: dict = {}
     for f in files:
         parsed = parse_epoch_file(f.rsplit("/", 1)[-1])

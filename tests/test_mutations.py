@@ -829,3 +829,20 @@ def test_expire_change_feed_and_gap_guard(spark, tmp_path):
         .write.parquet(dst)
     with pytest.raises(ValueError, match="re-baseline"):
         sync_from_change_feed(spark, path, dst, on=["id"])
+
+
+def test_table_health_reports_change_feed(spark, tmp_path):
+    """The ops probe surfaces feed growth (version span + bytes) so a
+    deployment knows when expire_change_feed is due; feed-less tables
+    report None."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import table_health
+
+    path = str(tmp_path / "t")
+    spark.range(0, 30).select(F.col("id"), F.lit(0).alias("n")) \
+        .repartition(2).write.parquet(path)
+    assert table_health(spark, path)["change_feed"] is None
+    update_where(spark, path, "id = 1", {"n": F.lit(1)}, change_feed=True)
+    update_where(spark, path, "id = 2", {"n": F.lit(2)}, change_feed=True)
+    cf = table_health(spark, path)["change_feed"]
+    assert cf["n_versions"] == 2 and (cf["oldest"], cf["newest"]) == (1, 2)
+    assert cf["total_bytes"] > 0
