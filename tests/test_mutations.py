@@ -846,3 +846,39 @@ def test_table_health_reports_change_feed(spark, tmp_path):
     cf = table_health(spark, path)["change_feed"]
     assert cf["n_versions"] == 2 and (cf["oldest"], cf["newest"]) == (1, 2)
     assert cf["total_bytes"] > 0
+
+
+def test_table_checksum_and_verify_replica(spark, tmp_path):
+    """(count, checksum) is layout/order-insensitive — a compacted or
+    re-partitioned copy verifies equal; any single-cell divergence is
+    caught; projected replicas verify over the shared column set."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        table_checksum,
+        verify_replica,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+    )
+    base.repartition(8).write.parquet(src)
+    base.orderBy(F.desc("id")).coalesce(1).write.parquet(dst)  # same rows
+    assert verify_replica(spark, src, dst)["in_sync"]
+    assert table_checksum(spark, src) == table_checksum(spark, dst)
+
+    # one-cell divergence flips the verdict
+    update_where(spark, dst, "id = 250", {"k": F.lit(99)})
+    res = verify_replica(spark, src, dst)
+    assert not res["in_sync"]
+    assert res["src_rows"] == res["dst_rows"] == 500  # count alone blind
+
+    # a projected replica verifies over the shared columns
+    proj = str(tmp_path / "proj")
+    spark.read.parquet(src).select("id", "s").write.parquet(proj)
+    assert verify_replica(spark, src, proj)["in_sync"]
+    with pytest.raises(ValueError, match="share no columns"):
+        none = str(tmp_path / "none")
+        spark.range(3).select(F.col("id").alias("zz")).write.parquet(none)
+        verify_replica(spark, src, none)
