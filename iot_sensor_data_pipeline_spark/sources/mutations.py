@@ -1230,6 +1230,27 @@ def expire_change_feed(
     }
 
 
+def _checksum_frame(spark: SparkSession, path: str):
+    """(DataFrame under the module's read rules, its columns) — or
+    (None, []) for a table whose rows were ALL deleted (zero data
+    files, a reachable state after a full purge). One listing serves
+    layout detection, the union schema, and the scan; partition
+    columns type as their VERBATIM directory strings and the schema is
+    the mergeSchema union, so the checksum agrees with every other
+    reader in this module (a default spark.read would int-ify hour=00
+    and pick one arbitrary footer on an evolved table — two silent
+    ways for identical tables to hash differently)."""
+    try:
+        part_cols, files_canon, _rel = _layout(spark, path)
+    except ValueError:
+        return None, []
+    _ds, read_schema = _read_schema_for(spark, path, files_canon, part_cols)
+    return (
+        _read_files(spark, path, files_canon, read_schema),
+        read_schema.fieldNames(),
+    )
+
+
 def table_checksum(
     spark: SparkSession, path: str, columns: Sequence[str] | None = None
 ) -> tuple[int, int]:
@@ -1240,10 +1261,18 @@ def table_checksum(
     of per-row xxhash64 over the selected columns wraps in 64-bit
     space; commutative, so file layout, row order, and compaction
     history are invisible to it — exactly what comparing a replica to
-    its upstream needs). NULL-vs-absent distinction rides on the
-    struct hash. Partition columns hash as their read-side values."""
-    df = spark.read.parquet(path)
-    cols = list(columns) if columns else sorted(df.columns)
+    its upstream needs). Reads under the module's rules: any pending
+    crashed swap recovers FIRST (a torn add+retire window would
+    checksum duplicate rows), the schema is the mergeSchema union, and
+    partition columns hash as their verbatim directory strings. A
+    fully-purged table (zero data files) returns ``(0, 0)``."""
+    recover_optimize(spark, path)
+    df, all_cols = _checksum_frame(spark, path)
+    if df is None:
+        return 0, 0
+    if columns is not None and not list(columns):
+        raise ValueError("table_checksum: empty column list")
+    cols = sorted(all_cols) if columns is None else list(columns)
     row = (
         df.select(F.xxhash64(F.struct(*[F.col(c) for c in cols])).alias("h"))
         .agg(
@@ -1271,17 +1300,46 @@ def verify_replica(
     run after :func:`sync_from_change_feed` on a cadence to catch
     divergence (a missed mutation, an out-of-band write) without a
     row-level join between two 100 TB tables. When ``columns`` is
-    omitted, the SHARED sorted column set is compared, so a replica
-    that projects a subset still verifies over what it carries.
-    Returns ``{"in_sync", "src_rows", "dst_rows"}``."""
+    None, the SHARED sorted column set is compared, so a replica that
+    projects a subset still verifies over what it carries; an
+    explicitly empty list raises. One listing + one scan per side
+    (the column discovery and the checksum share the frame); pending
+    crashed swaps on either side recover first. A fully-purged side
+    counts 0. Returns ``{"in_sync", "src_rows", "dst_rows"}``."""
+    recover_optimize(spark, src_path)
+    recover_optimize(spark, dst_path)
+    sdf, s_cols = _checksum_frame(spark, src_path)
+    ddf, d_cols = _checksum_frame(spark, dst_path)
     if columns is None:
-        src_cols = set(spark.read.parquet(src_path).columns)
-        dst_cols = set(spark.read.parquet(dst_path).columns)
-        columns = sorted(src_cols & dst_cols)
-        if not columns:
+        shared = sorted(set(s_cols) & set(d_cols))
+        if s_cols and d_cols and not shared:
             raise ValueError(
                 "verify_replica: the two tables share no columns"
             )
-    sn, sc = table_checksum(spark, src_path, columns)
-    dn, dc = table_checksum(spark, dst_path, columns)
+        columns = shared
+    elif not list(columns):
+        raise ValueError("verify_replica: empty column list")
+
+    def _sum(df) -> tuple[int, int]:
+        if df is None:
+            return 0, 0
+        row = (
+            df.select(
+                F.xxhash64(
+                    F.struct(*[F.col(c) for c in columns])
+                ).alias("h")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(F.col("h").cast("decimal(38,0)"))
+                    % F.expr("CAST(18446744073709551616 AS DECIMAL(38,0))")
+                ).alias("s"),
+            )
+            .first()
+        )
+        return int(row.n), int(row.s or 0)
+
+    sn, sc = _sum(sdf)
+    dn, dc = _sum(ddf)
     return {"in_sync": (sn, sc) == (dn, dc), "src_rows": sn, "dst_rows": dn}

@@ -851,7 +851,9 @@ def test_table_health_reports_change_feed(spark, tmp_path):
 def test_table_checksum_and_verify_replica(spark, tmp_path):
     """(count, checksum) is layout/order-insensitive — a compacted or
     re-partitioned copy verifies equal; any single-cell divergence is
-    caught; projected replicas verify over the shared column set."""
+    caught; projected replicas verify over the shared column set;
+    partition columns hash as verbatim strings so partitioned-vs-flat
+    replica pairs verify; a fully-purged table counts (0, 0)."""
     from iot_sensor_data_pipeline_spark.sources.mutations import (
         table_checksum,
         verify_replica,
@@ -878,7 +880,29 @@ def test_table_checksum_and_verify_replica(spark, tmp_path):
     proj = str(tmp_path / "proj")
     spark.read.parquet(src).select("id", "s").write.parquet(proj)
     assert verify_replica(spark, src, proj)["in_sync"]
+
+    # partitioned upstream vs FLAT replica: the checksum types the
+    # partition column as its verbatim directory string (hour=00 is
+    # '00'), matching what the change feed delivers to replicas — a
+    # default inference read would int-ify it and never verify
+    psrc = str(tmp_path / "psrc")
+    pdst = str(tmp_path / "pdst")
+    pdata = spark.createDataFrame(
+        [(i, f"{i % 2:02d}") for i in range(40)], "id long, hour string"
+    )
+    pdata.repartition(2).write.partitionBy("hour").parquet(psrc)
+    pdata.write.parquet(pdst)
+    assert verify_replica(spark, psrc, pdst)["in_sync"]
+
     with pytest.raises(ValueError, match="share no columns"):
         none = str(tmp_path / "none")
         spark.range(3).select(F.col("id").alias("zz")).write.parquet(none)
         verify_replica(spark, src, none)
+
+    # fully-purged table: (0, 0), and verify reports the count gap
+    purged = str(tmp_path / "purged")
+    spark.range(5).select(F.col("id")).write.parquet(purged)
+    delete_where(spark, purged, F.lit(True))
+    assert table_checksum(spark, purged) == (0, 0)
+    r = verify_replica(spark, src, purged)
+    assert not r["in_sync"] and r["dst_rows"] == 0
