@@ -308,6 +308,41 @@ def bench_maintenance(spark) -> dict[str, float]:
         assert mres["n_rows_updated"] == 1 and mres["n_rows_inserted"] == 1
         assert mres["n_files_rewritten"] == 1, mres
 
+        # incremental materialized view (r12): fixed fixture — a
+        # 100k-row/20-file table with a 50-group MV; the anchors are
+        # the full build (one GROUP BY scan), a refresh absorbing a
+        # 500-row feed-carried delete (key-grain joins + dirty-group
+        # recompute), and the steady-state noop poll. The refresh
+        # staying far under the build is the whole point of IVM.
+        from iot_sensor_data_pipeline_spark.sources.matview import (
+            create_agg_view,
+            refresh_agg_view,
+        )
+
+        mv_tbl = os.path.join(tmp, "mv_tbl")
+        for i in range(20):
+            spark.range(i * 5000, (i + 1) * 5000).selectExpr(
+                "id AS k",
+                "CAST(id % 50 AS STRING) AS g",
+                "CAST(id % 997 AS DOUBLE) AS v",
+            ).coalesce(1).write.mode("append").parquet(mv_tbl)
+        mv_dir = os.path.join(tmp, "mv_view")
+        t0 = time.perf_counter()
+        cres = create_agg_view(spark, mv_tbl, mv_dir, ["g"], "v")
+        mv_build_sec = time.perf_counter() - t0
+        assert cres["n_groups"] == 50
+        delete_where(
+            spark, mv_tbl, F.col("k").between(3000, 3499),
+            change_feed=True,
+        )
+        t0 = time.perf_counter()
+        rres = refresh_agg_view(spark, mv_tbl, mv_dir)
+        mv_refresh_sec = time.perf_counter() - t0
+        assert rres["status"] == "refreshed" and rres["n_groups"] == 50
+        t0 = time.perf_counter()
+        assert refresh_agg_view(spark, mv_tbl, mv_dir)["status"] == "noop"
+        mv_refresh_noop_sec = time.perf_counter() - t0
+
         return {
             "optimize_flat_sec": round(optimize_flat_sec, 3),
             "optimize_flat_files": 40,
@@ -333,6 +368,9 @@ def bench_maintenance(spark) -> dict[str, float]:
             "mutation_table_files": 20,
             "delete_point_sec": round(delete_sec, 3),
             "merge_upsert_sec": round(merge_sec, 3),
+            "mv_build_sec": round(mv_build_sec, 3),
+            "mv_refresh_sec": round(mv_refresh_sec, 3),
+            "mv_refresh_noop_sec": round(mv_refresh_noop_sec, 3),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -21,6 +21,7 @@ from iot_sensor_data_pipeline_spark.plans import queries_pipeline_ext  # noqa: E
 from iot_sensor_data_pipeline_spark.plans import queries_constraints  # noqa: E402,F401
 from iot_sensor_data_pipeline_spark.plans import queries_coverage_ext  # noqa: E402,F401
 from iot_sensor_data_pipeline_spark.plans import queries_mutations  # noqa: E402,F401
+from iot_sensor_data_pipeline_spark.plans import queries_matview  # noqa: E402,F401
 
 __all__ = [
     "EXTENDED_REGISTRY",

@@ -302,6 +302,7 @@ def _commit_version_in(
     rel: DataFrame,
     keep_versions: int = 2,
     single_file: bool = True,
+    meta: Mapping | None = None,
 ) -> None:
     """Versioned metadata commit (VERDICT r9 task 2 — the bucketed-CDC
     discipline applied to the skipping manifest and the bloom index):
@@ -312,6 +313,14 @@ def _commit_version_in(
     just before ``v<N+1>`` committed still reads ``v<N>`` (kept —
     ``keep_versions >= 2``), and a crash mid-write leaves only an
     invisible staging dir for the next commit to garbage-collect.
+
+    ``meta`` (optional) lands as ``_meta.json`` INSIDE the staged dir
+    before the rename, so relation and metadata commit in the same
+    atomic rename — a consumer state cursor stored here (the
+    materialized-view feed cursor) can never point at a different
+    relation than the one it was computed with. Spark's reader ignores
+    underscore-prefixed files, so the sidecar is invisible to the
+    parquet read.
 
     The commit itself SERIALIZES concurrent writers instead of assuming
     them away (VERDICT r10 task 5): a committed ``v<N>`` is NEVER
@@ -343,6 +352,8 @@ def _commit_version_in(
         (rel.coalesce(1) if single_file else rel).write.mode(
             "overwrite"
         ).parquet(staging)
+        if meta is not None:
+            _write_json_file(fs, jvm, f"{staging}/_meta.json", meta)
         return staging
 
     versions = _versions_in(spark, root_dir)
@@ -930,6 +941,20 @@ def _guard_lossy_rewrite_schema(
 
 def _journal_path(path: str, jvm):
     return jvm.org.apache.hadoop.fs.Path(f"{path}/_optimize_journal.json")
+
+
+def _write_json_file(fs, jvm, path_str: str, obj: Mapping) -> None:
+    """Write ``obj`` as JSON to ``path_str`` (overwrite). Callers
+    needing atomic visibility put the file inside a staged dir that
+    renames as a whole (``_commit_version_in``'s ``meta``) or
+    write-then-rename themselves."""
+    import json
+
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path_str), True)
+    try:
+        out.write(json.dumps(obj, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
 
 
 def _read_json_file(fs, jvm, p) -> dict:

@@ -111,6 +111,33 @@ class RetentionSpec:
 
 
 @dataclass(frozen=True)
+class MatviewSpec:
+    """An incrementally-maintained aggregate view
+    (``sources/matview.py``) the maintenance loop keeps fresh: each
+    :meth:`Pipeline.maintain` tick calls ``refresh_agg_view`` — a
+    metadata-grain no-op poll when the source's change feed has
+    nothing new, a key-grain fold when it does. ``keys``/``value_col``
+    make the tick SELF-HEALING: when set and the view does not exist
+    yet (first deployment, or an operator re-baselined by deleting the
+    view after a feed gap), the tick runs ``create_agg_view`` instead
+    of erroring. ``src`` is a tracked-table name (resolved through
+    :attr:`Pipeline.tables`) or a raw path."""
+
+    src: str
+    mv_path: str
+    keys: tuple[str, ...] = ()
+    value_col: str | None = None
+    single_file: bool = True
+
+    def __post_init__(self) -> None:
+        if bool(self.keys) != (self.value_col is not None):
+            raise ValueError(
+                "MatviewSpec: keys and value_col come together (both set "
+                "-> self-creating; both unset -> refresh-only)"
+            )
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """A maintained table: where it lives, which live streams feed it
     (their checkpoints gate the newest-epoch exclusion during a live
@@ -136,6 +163,7 @@ class Pipeline:
     def __init__(self) -> None:
         self.queries: dict[str, StreamingQuery] = {}
         self.tables: dict[str, TableSpec] = {}
+        self.matviews: dict[str, MatviewSpec] = {}
         #: per-table OPTIMIZE hysteresis: post-optimize listing
         #: signature + monotonic timestamp of the last attempt
         self._maint_state: dict[str, dict] = {}
@@ -165,6 +193,30 @@ class Pipeline:
             tuple(cluster_by),
             sink_maintains_indexes,
             retention,
+        )
+        return self
+
+    def track_matview(
+        self,
+        name: str,
+        src: str,
+        mv_path: str,
+        keys: Sequence[str] = (),
+        value_col: str | None = None,
+        single_file: bool = True,
+    ) -> "Pipeline":
+        """Register an incrementally-maintained aggregate view for
+        :meth:`maintain` (see :class:`MatviewSpec`). ``src`` is a name
+        previously given to :meth:`track_table` or a raw table path;
+        the name must not collide with a tracked table (both share the
+        maintenance report's keyspace)."""
+        if name in self.tables:
+            raise ValueError(
+                f"track_matview: {name!r} is already a tracked table — "
+                "the maintenance report keys both by name"
+            )
+        self.matviews[name] = MatviewSpec(
+            src, mv_path, tuple(keys), value_col, single_file
         )
         return self
 
@@ -437,6 +489,14 @@ class Pipeline:
            tick and expires later, so retention never resurrects rows
            through a stream replay. As-of watermarks arm before the
            deletes, exactly as a manual drop does.
+        6. **materialized views** (r12): every :meth:`track_matview`
+           entry refreshes from its source's change feed — a
+           metadata-grain poll when nothing changed, a key-grain fold
+           (plus dirty-group recompute) when mutations landed; a
+           missing view whose spec declares ``keys``/``value_col`` is
+           created instead (self-healing after a re-baseline). Views
+           run AFTER the table actions so a tick's own feed-carrying
+           mutations are absorbed in the same tick.
 
         Per-table isolation throughout: one table's failure reports as
         ``{"error": ...}`` and the rest still maintain. Returns
@@ -601,6 +661,51 @@ class Pipeline:
                 }
                 actions["error"] = str(e)
                 out[name] = {"health": h, "actions": actions}
+        # materialized views last: they consume the change feeds the
+        # table actions above may have just produced (retention's
+        # drop_partitions is deliberately feed-less, so expiry never
+        # shows up as MV deltas). Noop polls keep the steady-state
+        # all-empty-actions invariant.
+        for name, mspec in self.matviews.items():
+            mv_actions: dict[str, object] = {}
+            try:
+                from iot_sensor_data_pipeline_spark.sources.manifest import (
+                    _versions_in,
+                )
+                from iot_sensor_data_pipeline_spark.sources.matview import (
+                    create_agg_view,
+                    refresh_agg_view,
+                )
+
+                src_path = (
+                    self.tables[mspec.src].path
+                    if mspec.src in self.tables
+                    else mspec.src
+                )
+                if not _versions_in(spark, mspec.mv_path):
+                    if mspec.keys:
+                        mv_actions["mv_create"] = create_agg_view(
+                            spark, src_path, mspec.mv_path,
+                            list(mspec.keys), mspec.value_col,
+                            single_file=mspec.single_file,
+                        )
+                    else:
+                        mv_actions["status"] = "absent"
+                else:
+                    res = refresh_agg_view(
+                        spark, src_path, mspec.mv_path,
+                        single_file=mspec.single_file,
+                    )
+                    if res["status"] == "refreshed":
+                        mv_actions["mv_refresh"] = res
+            except Exception as e:  # noqa: BLE001 — per-view isolation
+                log.warning(
+                    "maintain: matview refresh failed for %s (%s); the "
+                    "view keeps its last committed version", name,
+                    mspec.mv_path, exc_info=True,
+                )
+                mv_actions["error"] = str(e)
+            out[name] = {"health": None, "actions": mv_actions}
         return out
 
     def process_all_available(self) -> None:

@@ -689,3 +689,77 @@ def test_drop_partitions_on_live_modes(spark, tmp_path):
     assert res["skipped_live"] == ["dt=b"]
     got = spark.read.parquet(path)
     assert {r.dt for r in got.select("dt").distinct().collect()} == {"b"}
+
+
+def test_pipeline_maintain_refreshes_matviews(spark, tmp_path):
+    """The maintenance tick keeps a tracked MV fresh: first tick
+    self-creates it (spec declares keys/value_col), a feed-carrying
+    mutation then lands, the next tick folds it in, and a steady-state
+    tick reports empty actions. A refresh-only spec on a missing view
+    reports 'absent' instead of erroring."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.sources.matview import (
+        read_agg_partials,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import delete_where
+    from iot_sensor_data_pipeline_spark.streaming.orchestrator import (
+        MaintenancePolicy,
+        MatviewSpec,
+        Pipeline,
+    )
+
+    path = str(tmp_path / "t")
+    mv = str(tmp_path / "mv")
+    spark.range(0, 200).select(
+        F.col("id"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"),
+        (F.col("id") % 31).cast("double").alias("v"),
+    ).repartition(4).write.parquet(path)
+
+    pl = (
+        Pipeline()
+        .track_table("t", path)
+        .track_matview("t_by_grp", "t", mv, keys=["grp"], value_col="v")
+        .track_matview("ghost", "t", str(tmp_path / "nope"))
+    )
+    pol = MaintenancePolicy(target_bytes=1 << 30, min_files=1000)
+
+    tick = pl.maintain(spark, pol)
+    assert tick["t_by_grp"]["actions"]["mv_create"]["n_groups"] == 4
+    assert tick["ghost"]["actions"] == {"status": "absent"}
+
+    delete_where(spark, path, F.col("v") < 3, change_feed=True)
+    tick = pl.maintain(spark, pol)
+    assert tick["t_by_grp"]["actions"]["mv_refresh"]["status"] == "refreshed"
+    got = {
+        r["grp"]: (r["n_rows"], round(r["sum_v"], 6))
+        for r in read_agg_partials(spark, mv).collect()
+    }
+    exp = {
+        r["grp"]: (r["n"], round(r["s"], 6))
+        for r in spark.read.parquet(path).groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()
+    }
+    assert got == exp
+
+    # steady state: the MV poll decides nothing, mutates nothing
+    tick = pl.maintain(spark, pol)
+    assert tick["t_by_grp"]["actions"] == {}
+
+    # per-view isolation: a broken spec (self-create against a source
+    # with no data files) errors in ITS slot only
+    pl.track_matview(
+        "broken", str(tmp_path / "no_table"), str(tmp_path / "mv2"),
+        keys=["grp"], value_col="v",
+    )
+    tick = pl.maintain(spark, pol)
+    assert "error" in tick["broken"]["actions"]
+    assert tick["t_by_grp"]["actions"] == {}
+
+    with _pytest.raises(ValueError, match="already a tracked table"):
+        pl.track_matview("t", "t", mv)
+    with _pytest.raises(ValueError, match="come together"):
+        MatviewSpec("t", mv, keys=("grp",), value_col=None)
