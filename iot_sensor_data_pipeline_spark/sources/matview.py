@@ -17,31 +17,32 @@ key-grain DataFrame joins.
 
 Design (Spark-first):
 
-- **stored partials, derived finals.** The MV stores the five
-  associative moments per group — ``n_rows`` (count(*)), ``n_v``
-  (count of non-NULL values), ``sum_v``, ``sumsq_v``, ``min_v``,
-  ``max_v`` — the same mergeable algebra as
-  ``operators.sketches.partial_aggregates``, so ``read_agg_view`` can
-  also answer any COARSER grouping of the MV keys by re-merging
-  partial rows (no base-table access). avg/stddev derive at read time;
-  deriving them per partial and averaging would weight groups, not
-  rows.
+- **stored partials, derived finals.** The MV stores the associative
+  moments per group — ``n_rows`` (count(*)) plus, per measure column,
+  count of non-NULL values, sum, sum-of-squares, min, max — the same
+  mergeable algebra as ``operators.sketches.partial_aggregates``, so
+  ``read_agg_view`` can also answer any COARSER grouping of the MV
+  keys by re-merging partial rows (no base-table access). avg/stddev
+  derive at read time; deriving them per partial and averaging would
+  weight groups, not rows. SEVERAL measure columns share one MV — one
+  feed fold maintains all of them (N measures never cost N refreshes).
 - **sum/count are self-maintainable; min/max are not.** Inserted
   images add to the moments, deleted images subtract (an update is a
   delete of the pre-image plus an insert of the post-image, so a
   key-moving UPDATE transfers its row between groups for free). min and
   max only REFINE under inserts; a removal that may have removed the
-  current extreme makes the group DIRTY, and dirty groups alone are
-  recomputed exactly from the base table via a broadcast semi-join on
-  their keys — the textbook affected-group recompute, sublinear because
-  deletes touching a group extreme are the rare case and the semi-join
-  scan prunes through the same predicate/partition machinery every
-  other read uses. The dirty test is conservative-exact: a group is
-  dirty iff it saw any removal and either has no stored extreme yet or
-  the removed range touches the candidate extreme
-  (``rm_min <= least(min_v, ins_min)`` / ``rm_max >= greatest(...)``)
-  — equal values count as touching, so removing one of two copies of
-  the minimum recomputes rather than guesses.
+  current extreme of ANY measure makes the group DIRTY, and dirty
+  groups alone are recomputed exactly from the base table via a
+  broadcast semi-join on their keys — the textbook affected-group
+  recompute, sublinear because deletes touching a group extreme are
+  the rare case and the semi-join scan prunes through the same
+  predicate/partition machinery every other read uses. The dirty test
+  is conservative-exact: a group is dirty iff it saw any removal and
+  either has no stored extreme yet or the removed range touches the
+  candidate extreme (``rm_min <= least(min, ins_min)`` /
+  ``rm_max >= greatest(...)``) — equal values count as touching, so
+  removing one of two copies of the minimum recomputes rather than
+  guesses.
 - **the recompute also heals float drift.** Incremental add/subtract
   on doubles accumulates rounding error that a full rebuild would not;
   every dirty-group recompute replaces ALL of the group's moments with
@@ -56,9 +57,8 @@ Design (Spark-first):
   Replaying a refresh after a crash re-reads the same feed versions
   against the same MV version and produces the same result.
 - **gaps fail loudly.** A cursor whose successor feed version was
-  expired (``expire_change_feed``) raises through
-  ``read_change_feed``'s continuity guard — re-create the view instead
-  of silently desynchronizing. The dirty-group recompute additionally
+  expired (``expire_change_feed``) raises a re-create error instead of
+  silently desynchronizing. The dirty-group recompute additionally
   cross-checks its exact ``count(*)`` against the incrementally-merged
   count and raises on disagreement (a mutation that ran without
   ``change_feed=True`` is the usual culprit; the MV contract is that
@@ -104,33 +104,133 @@ __all__ = [
     "read_agg_partials",
 ]
 
-#: MV partial columns, in storage order after the keys. Key names
-#: colliding with these are rejected at create time.
-_MOMENTS = ("n_rows", "n_v", "sum_v", "sumsq_v", "min_v", "max_v")
+
+def _norm_value_cols(value_col: str | Sequence[str]) -> list[str]:
+    return [value_col] if isinstance(value_col, str) else list(value_col)
 
 
-def _read_base(spark: SparkSession, path: str) -> DataFrame:
-    """The source table under the mutation module's read rules (union
-    schema over files, partition columns as verbatim strings) — the MV
-    must aggregate exactly the relation the mutations mutate, or the
-    feed's row images would not reconcile with the scan."""
-    part_cols, files_canon, _rel_of = _layout(spark, path)
-    _data, read_schema = _read_schema_for(
-        spark, path, files_canon, part_cols
+def _vsuffixes(value_cols: Sequence[str]) -> dict[str, str]:
+    """{measure column: moment-name suffix}. A single measure keeps the
+    original unsuffixed-family names (``n_v``/``sum_v``/...); several
+    measures suffix by column name (``n_price``/``sum_price``/...)."""
+    if len(value_cols) == 1:
+        return {value_cols[0]: "v"}
+    return {c: c for c in value_cols}
+
+
+def _moment_names(value_cols: Sequence[str]) -> list[str]:
+    """MV moment columns, in storage order after the keys."""
+    out = ["n_rows"]
+    for s in _vsuffixes(value_cols).values():
+        out += [f"n_{s}", f"sum_{s}", f"sumsq_{s}", f"min_{s}", f"max_{s}"]
+    return out
+
+
+def _list_files(
+    spark: SparkSession, path: str, live_checkpoints: Sequence[str]
+) -> tuple[list[str], list[str]]:
+    """(partition columns, data files to absorb) — LISTING ONLY, no
+    footer reads, so the steady-state refresh poll stays metadata-grain
+    at any file count. ``live_checkpoints`` applies the SAME
+    newest-epoch exclusion the live OPTIMIZE uses: a live lineage's
+    newest epoch may still be uncommitted (a replay could rewrite it),
+    so the MV leaves it for a later refresh, by which time a newer
+    epoch has sealed it."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        _live_epoch_exclude_fn,
     )
-    return _read_files(spark, path, files_canon, read_schema)
+
+    try:
+        part_cols, files_canon, _rel_of = _layout(spark, path)
+    except ValueError as e:
+        if "no parquet data files" in str(e):
+            # a fully-deleted table (reachable via delete_where) has no
+            # files to absorb — the refresh proceeds on the feed alone
+            return [], []
+        raise
+    files = list(files_canon)
+    if live_checkpoints:
+        excl = _live_epoch_exclude_fn(spark, path, live_checkpoints)(
+            [f.rsplit("/", 1)[-1] for f in files]
+        )
+        files = [f for f in files if f.rsplit("/", 1)[-1] not in excl]
+        if not files:
+            raise ValueError(
+                f"create/refresh_agg_view: every data file under {path} "
+                "belongs to a live lineage's newest (possibly "
+                "uncommitted) epoch — nothing absorbable yet"
+            )
+    return part_cols, files
 
 
-def _moment_aggs(value_col: str) -> list:
-    v = F.col(value_col).cast("double")
-    return [
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count(v).alias("n_v"),
-        F.coalesce(F.sum(v), F.lit(0.0)).alias("sum_v"),
-        F.coalesce(F.sum(v * v), F.lit(0.0)).alias("sumsq_v"),
-        F.min(v).alias("min_v"),
-        F.max(v).alias("max_v"),
-    ]
+def _file_scan(
+    spark: SparkSession, path: str, live_checkpoints: Sequence[str]
+) -> tuple[list[str], StructType]:
+    """(data files to absorb, read schema) under the mutation module's
+    read rules (union schema over the files' footers, partition columns
+    as verbatim strings) — the MV must aggregate exactly the relation
+    the mutations mutate, or the feed's row images would not reconcile
+    with the scan. Pays a footer pass over the listed files; callers
+    that only need the LISTING (epoch detection, the noop poll) use
+    :func:`_list_files` instead."""
+    part_cols, files = _list_files(spark, path, live_checkpoints)
+    if not files:
+        return [], None
+    _data, read_schema = _read_schema_for(spark, path, files, part_cols)
+    return files, read_schema
+
+
+def _epoch_cursors(files: Sequence[str]) -> dict[str, int]:
+    """{lineage: max epoch} over epoch-named files (``e<N>-<lineage>-``,
+    the sink's replay-idempotent naming) — the append-absorption cursor
+    companion to the feed cursor."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        parse_epoch_file,
+    )
+
+    out: dict[str, int] = {}
+    for f in files:
+        parsed = parse_epoch_file(f.rsplit("/", 1)[-1])
+        if parsed is not None:
+            e, lin = parsed
+            out[lin] = max(out.get(lin, -1), e)
+    return out
+
+
+def _compaction_watermarks(spark: SparkSession, path: str) -> dict[str, int]:
+    """{lineage: compacted_through} from the sinks' per-lineage
+    watermark sidecars — the epochs an OPTIMIZE (or a mutation rewrite)
+    has absorbed into epoch-less compacted files. An MV whose epoch
+    cursor is BELOW a lineage's watermark can no longer reconstruct the
+    missed epochs from file names and must re-baseline."""
+    fs, root, jvm = _fs_for(spark, path)
+    if not fs.exists(root):
+        return {}
+    out: dict[str, int] = {}
+    prefix, suffix = "_compacted_through_", ".json"
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (st.isFile() and name.startswith(prefix)
+                and name.endswith(suffix)):
+            lin = name[len(prefix):-len(suffix)]
+            out[lin] = int(
+                _read_json_file(fs, jvm, st.getPath())["compacted_through"]
+            )
+    return out
+
+
+def _moment_aggs(value_cols: Sequence[str]) -> list:
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, s in _vsuffixes(value_cols).items():
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(v).alias(f"n_{s}"),
+            F.coalesce(F.sum(v), F.lit(0.0)).alias(f"sum_{s}"),
+            F.coalesce(F.sum(v * v), F.lit(0.0)).alias(f"sumsq_{s}"),
+            F.min(v).alias(f"min_{s}"),
+            F.max(v).alias(f"max_{s}"),
+        ]
+    return aggs
 
 
 def _mv_meta(spark: SparkSession, mv_path: str) -> tuple[int, dict]:
@@ -153,12 +253,55 @@ def _mv_meta(spark: SparkSession, mv_path: str) -> tuple[int, dict]:
     return versions[-1], _read_json_file(fs, jvm, p)
 
 
+def _meta_value_cols(meta: dict) -> list[str]:
+    return list(meta.get("value_cols") or [meta["value_col"]])
+
+
 def _nullsafe_cond(left, right, keys: Sequence[str]):
     cond = None
     for k in keys:
         c = left[k].eqNullSafe(right[k])
         cond = c if cond is None else (cond & c)
     return cond
+
+
+def _exact_groups(
+    spark: SparkSession,
+    src_path: str,
+    keys: Sequence[str],
+    value_cols: str | Sequence[str],
+    dirty_keys: DataFrame,
+    broadcast: bool,
+    live_checkpoints: Sequence[str] = (),
+) -> DataFrame:
+    """Exact moments for the dirty groups only: a semi-join of the base
+    table against the dirty key set, then one GROUP BY. Column-pruned
+    on purpose — the scan reads ONLY the key + measure columns (parquet
+    columnar), and when a key IS a partition column the broadcast
+    semi-join's dynamic partition pruning restricts the scan to the
+    dirty partitions. ``broadcast=False`` for a mutation that dirtied
+    millions of groups: the semi-join degrades to a shuffle instead of
+    a driver/executor OOM on the broadcast build. The live-lineage
+    newest-epoch exclusion matches the caller's delta scan, so the
+    recount cross-check compares like with like."""
+    value_cols = _norm_value_cols(value_cols)
+    files, read_schema = _file_scan(spark, src_path, live_checkpoints)
+    if not files:
+        raise ValueError(
+            "refresh_agg_view: dirty groups need an exact recompute but "
+            "the table has no data files — the change feed and the MV "
+            "are out of sync; re-create the view"
+        )
+    base = _read_files(spark, src_path, files, read_schema).select(
+        *keys, *value_cols
+    )
+    dk = (F.broadcast(dirty_keys) if broadcast else dirty_keys).alias("k")
+    b = base.alias("b")
+    return (
+        b.join(dk, _nullsafe_cond(b, dk, keys), "left_semi")
+        .groupBy(*keys)
+        .agg(*_moment_aggs(value_cols))
+    )
 
 
 def read_agg_partials(spark: SparkSession, mv_path: str) -> DataFrame:
@@ -176,9 +319,10 @@ def create_agg_view(
     src_path: str,
     mv_path: str,
     keys: Sequence[str],
-    value_col: str,
+    value_col: str | Sequence[str],
     keep_versions: int = 2,
     single_file: bool = True,
+    live_checkpoints: Sequence[str] = (),
 ) -> dict:
     """Full build: one ``GROUP BY`` scan of the source table, committed
     as MV ``v1`` with the feed cursor taken BEFORE the scan (a feed
@@ -187,22 +331,44 @@ def create_agg_view(
     the groups it touched is healed by the dirty recompute — under the
     documented single-writer discipline the case never arises).
 
-    ``single_file=False`` for key spaces too large for one driver-read
-    file (a per-user MV); the aggregate write then stays distributed.
+    ``value_col`` may be ONE column name or a LIST — several measures
+    share the MV and every later refresh maintains all of them in one
+    feed fold. ``single_file=False`` for key spaces too large for one
+    driver-read file (a per-user MV); the aggregate write then stays
+    distributed.
 
-    Returns ``{"status", "n_groups", "feed_version"}``."""
+    STREAMING APPENDS: the MV also follows epoch-idempotent sink
+    batches (``sinks.parquet_batch_sink`` with a checkpoint) — the
+    build records per-lineage epoch cursors and every refresh absorbs
+    NEWLY SEALED epochs as insert deltas, no feed required. On a table
+    with LIVE streams pass their checkpoints: the newest (possibly
+    uncommitted) epoch of each live lineage is excluded from the scan
+    exactly as a live OPTIMIZE excludes it, and absorbs once sealed.
+
+    Returns ``{"status", "n_groups", "feed_version",
+    "epoch_cursors"}``."""
     keys = list(keys)
+    value_cols = _norm_value_cols(value_col)
     if not keys:
         raise ValueError("create_agg_view: need at least one key column")
-    bad = [k for k in keys if k in _MOMENTS]
+    if not value_cols:
+        raise ValueError("create_agg_view: need at least one value column")
+    if len(set(value_cols)) != len(value_cols):
+        raise ValueError(
+            f"create_agg_view: duplicate value columns in {value_cols}"
+        )
+    reserved = set(_moment_names(value_cols))
+    bad = [k for k in keys if k in reserved]
     if bad:
         raise ValueError(
             f"create_agg_view: key columns {bad} collide with the MV's "
-            f"reserved moment columns {_MOMENTS} — alias them first"
+            f"generated moment columns {sorted(reserved)} — alias them "
+            "first"
         )
-    if value_col in keys:
+    overlap = [c for c in value_cols if c in keys]
+    if overlap:
         raise ValueError(
-            f"create_agg_view: value_col {value_col!r} is also a key"
+            f"create_agg_view: value columns {overlap} are also keys"
         )
     if _versions_in(spark, mv_path):
         raise ValueError(
@@ -212,27 +378,40 @@ def create_agg_view(
         )
     feed = change_feed_versions(spark, src_path)
     cursor = feed[-1] if feed else 0
-    base = _read_base(spark, src_path)
-    missing = [c for c in [*keys, value_col] if c not in base.columns]
+    files, read_schema = _file_scan(spark, src_path, live_checkpoints)
+    if not files:
+        raise ValueError(
+            f"create_agg_view: no parquet data files under {src_path}"
+        )
+    # epoch cursors: max scanned epoch per lineage, floored by any
+    # compaction watermark (epochs already absorbed into epoch-less
+    # compacted files were read by THIS full scan — a later refresh
+    # must not treat the watermark as missed history)
+    cursors = _epoch_cursors(files)
+    for lin, wm in _compaction_watermarks(spark, src_path).items():
+        cursors[lin] = max(cursors.get(lin, -1), wm)
+    base = _read_files(spark, src_path, files, read_schema)
+    missing = [c for c in [*keys, *value_cols] if c not in base.columns]
     if missing:
         raise ValueError(
             f"create_agg_view: source table lacks columns {missing}"
         )
-    partials = base.groupBy(*keys).agg(*_moment_aggs(value_col))
+    partials = base.groupBy(*keys).agg(*_moment_aggs(value_cols))
     _commit_version_in(
         spark, mv_path, partials,
         keep_versions=keep_versions, single_file=single_file,
         meta={
             "keys": keys,
-            "value_col": value_col,
+            "value_cols": value_cols,
             "feed_version": cursor,
+            "epoch_cursors": cursors,
             "schema": partials.schema.jsonValue(),
         },
     )
     # count from the committed MV (group-grain), not a second base scan
     n_groups = read_agg_partials(spark, mv_path).count()
     return {"status": "created", "n_groups": n_groups,
-            "feed_version": cursor}
+            "feed_version": cursor, "epoch_cursors": cursors}
 
 
 def refresh_agg_view(
@@ -242,18 +421,32 @@ def refresh_agg_view(
     keep_versions: int = 2,
     single_file: bool = True,
     recompute_all: bool = False,
+    live_checkpoints: Sequence[str] = (),
 ) -> dict:
-    """Fold the source's unapplied change-feed versions into the MV and
-    commit the result as the next MV version (cursor rides the same
-    rename — see module docstring). No new feed versions -> no-op, no
-    version minted.
+    """Fold the source's unapplied change-feed versions AND its newly
+    sealed epoch-sink appends into the MV, committing the result as the
+    next MV version (both cursors ride the same rename — see module
+    docstring). Appends are pure insert deltas discovered from the
+    sinks' replay-idempotent ``e<N>-<lineage>-`` file names, so a
+    streaming table needs no change feed at all for the MV to follow
+    it; pass the live streams' checkpoints so the newest (possibly
+    uncommitted) epoch waits for a later refresh, exactly as a live
+    OPTIMIZE would. Nothing new on either channel -> no-op, no version
+    minted. A compaction watermark ABOVE the MV's epoch cursor raises
+    the re-create error: the missed epochs were absorbed into
+    epoch-less compacted files and are no longer enumerable.
 
-    Returns ``{"status", "applied_versions", "n_groups",
-    "n_dirty_recomputed", "feed_version"}``."""
+    Returns ``{"status", "applied_versions", "n_epoch_files_absorbed",
+    "n_groups", "n_dirty_recomputed", "feed_version",
+    "epoch_cursors"}``."""
     _v, meta = _mv_meta(spark, mv_path)
     keys: list[str] = list(meta["keys"])
-    value_col: str = meta["value_col"]
+    value_cols = _meta_value_cols(meta)
+    suf = list(_vsuffixes(value_cols).items())
     cursor: int = int(meta["feed_version"])
+    epoch_cursors = {
+        k: int(v) for k, v in (meta.get("epoch_cursors") or {}).items()
+    }
     all_versions = change_feed_versions(spark, src_path)
     # continuity first, even when there is nothing new: a cursor below
     # the oldest retained version minus one means the MV slept through
@@ -264,32 +457,81 @@ def refresh_agg_view(
             f"oldest retained feed version is {all_versions[0]} "
             "(expire_change_feed ran past it) — re-create the view"
         )
+    for lin, wm in _compaction_watermarks(spark, src_path).items():
+        if wm > epoch_cursors.get(lin, -1):
+            raise ValueError(
+                f"epoch gap: lineage {lin}'s epochs through {wm} were "
+                "compacted into epoch-less files but the MV's cursor is "
+                f"{epoch_cursors.get(lin, -1)} — the missed appends are "
+                "no longer enumerable by epoch; re-create the view "
+                "(refresh BEFORE optimizing, or exclude live lineages' "
+                "newest epochs on both sides)"
+            )
     new_versions = [v for v in all_versions if v > cursor]
-    if not new_versions:
-        return {"status": "noop", "applied_versions": [],
-                "n_groups": None, "n_dirty_recomputed": 0,
-                "feed_version": cursor}
-    feed = read_change_feed(spark, src_path, since_version=cursor)
+    # LISTING ONLY here: the steady-state poll must not pay a footer
+    # pass; the union read schema resolves below over exactly the new
+    # epoch files being absorbed
+    part_cols, files = _list_files(spark, src_path, live_checkpoints)
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        parse_epoch_file,
+    )
 
-    v = F.col(value_col).cast("double")
+    new_epoch_files = []
+    new_cursors = dict(epoch_cursors)
+    for f in files:
+        parsed = parse_epoch_file(f.rsplit("/", 1)[-1])
+        if parsed is None:
+            continue
+        e, lin = parsed
+        if e > epoch_cursors.get(lin, -1):
+            new_epoch_files.append(f)
+            new_cursors[lin] = max(new_cursors.get(lin, -1), e)
+    if not new_versions and not new_epoch_files:
+        return {"status": "noop", "applied_versions": [],
+                "n_epoch_files_absorbed": 0, "n_groups": None,
+                "n_dirty_recomputed": 0, "feed_version": cursor,
+                "epoch_cursors": epoch_cursors}
+    need = [*keys, *value_cols]
+    parts = []
+    if new_versions:
+        parts.append(
+            read_change_feed(spark, src_path, since_version=cursor)
+            .select(*need, F.col(_OP))
+        )
+    if new_epoch_files:
+        _data, append_schema = _read_schema_for(
+            spark, src_path, new_epoch_files, part_cols
+        )
+        parts.append(
+            _read_files(spark, src_path, new_epoch_files, append_schema)
+            .select(*need)
+            .withColumn(_OP, F.lit("insert"))
+        )
+    feed = parts[0]
+    for p in parts[1:]:
+        feed = feed.unionByName(p)
+
     sign = F.when(
         F.col(_OP).isin("insert", "update_post"), F.lit(1)
     ).otherwise(F.lit(-1))
     # signed delta moments per group. sum() skips NULL terms, so the
     # value-dependent deltas self-restrict to non-NULL images; the
     # row-count delta must not (a NULL-valued row still counts).
-    delta = feed.groupBy(*keys).agg(
-        F.sum(sign).alias("d_n_rows"),
-        F.coalesce(
-            F.sum(F.when(v.isNotNull(), sign)), F.lit(0)
-        ).alias("d_n_v"),
-        F.coalesce(F.sum(sign * v), F.lit(0.0)).alias("d_sum_v"),
-        F.coalesce(F.sum(sign * v * v), F.lit(0.0)).alias("d_sumsq_v"),
-        F.min(F.when(sign > 0, v)).alias("ins_min"),
-        F.max(F.when(sign > 0, v)).alias("ins_max"),
-        F.min(F.when(sign < 0, v)).alias("rm_min"),
-        F.max(F.when(sign < 0, v)).alias("rm_max"),
-    )
+    delta_aggs = [F.sum(sign).alias("d_n_rows")]
+    for c, s in suf:
+        v = F.col(c).cast("double")
+        delta_aggs += [
+            F.coalesce(
+                F.sum(F.when(v.isNotNull(), sign)), F.lit(0)
+            ).alias(f"d_n_{s}"),
+            F.coalesce(F.sum(sign * v), F.lit(0.0)).alias(f"d_sum_{s}"),
+            F.coalesce(F.sum(sign * v * v), F.lit(0.0)).alias(f"d_sumsq_{s}"),
+            F.min(F.when(sign > 0, v)).alias(f"ins_min_{s}"),
+            F.max(F.when(sign > 0, v)).alias(f"ins_max_{s}"),
+            F.min(F.when(sign < 0, v)).alias(f"rm_min_{s}"),
+            F.max(F.when(sign < 0, v)).alias(f"rm_max_{s}"),
+        ]
+    delta = feed.groupBy(*keys).agg(*delta_aggs)
 
     mv = read_agg_partials(spark, mv_path).alias("m")
     d = delta.alias("d")
@@ -301,17 +543,20 @@ def refresh_agg_view(
     n_rows_new = F.coalesce(mv["n_rows"], F.lit(0)) + F.coalesce(
         d["d_n_rows"], F.lit(0)
     )
-    n_v_new = F.coalesce(mv["n_v"], F.lit(0)) + F.coalesce(
-        d["d_n_v"], F.lit(0)
-    )
+    n_new = {
+        s: F.coalesce(mv[f"n_{s}"], F.lit(0))
+        + F.coalesce(d[f"d_n_{s}"], F.lit(0))
+        for _c, s in suf
+    }
     # a negative merged count means the feed and the MV disagree about
     # history (double-applied feed, hand-edited MV, or a mutation that
     # ran without change_feed=True) — fail the refresh, loudly, inside
     # the projection (raise_error under when, the apply_cdc/AUC
     # discipline — no extra validation job)
-    n_rows_guarded = F.when(
-        (n_rows_new >= 0) & (n_v_new >= 0), n_rows_new
-    ).otherwise(
+    all_ok = (n_rows_new >= 0)
+    for s in n_new:
+        all_ok = all_ok & (n_new[s] >= 0)
+    n_rows_guarded = F.when(all_ok, n_rows_new).otherwise(
         F.raise_error(F.concat(
             F.lit("refresh_agg_view: negative merged count for group ("),
             F.concat_ws(
@@ -323,41 +568,47 @@ def refresh_agg_view(
                   "re-create the view"),
         ))
     )
-    cand_min = F.least(mv["min_v"], d["ins_min"])
-    cand_max = F.greatest(mv["max_v"], d["ins_max"])
     alive = n_rows_new > 0
-    has_values = n_v_new > 0
-    dirty = (
-        F.lit(recompute_all)
-        | (
-            d["rm_min"].isNotNull()
-            & has_values
+    # per-measure merge + the combined dirty flag: a removal touching
+    # ANY measure's candidate extreme recomputes the whole group (one
+    # recompute replaces every measure's moments anyway)
+    dirty = F.lit(recompute_all)
+    measure_cols: list = []
+    for _c, s in suf:
+        cand_min = F.least(mv[f"min_{s}"], d[f"ins_min_{s}"])
+        cand_max = F.greatest(mv[f"max_{s}"], d[f"ins_max_{s}"])
+        has = n_new[s] > 0
+        dirty = dirty | (
+            d[f"rm_min_{s}"].isNotNull()
+            & has
             & (
-                mv["min_v"].isNull()
-                | (d["rm_min"] <= cand_min)
-                | (d["rm_max"] >= cand_max)
+                mv[f"min_{s}"].isNull()
+                | (d[f"rm_min_{s}"] <= cand_min)
+                | (d[f"rm_max_{s}"] >= cand_max)
             )
         )
-    )
-    # canonical storage: a group alive with zero non-NULL values holds
-    # EXACT zero sums (incremental subtraction would leave float
-    # epsilon) and NULL extremes
+        # canonical storage: a group alive with zero non-NULL values
+        # holds EXACT zero sums (incremental subtraction would leave
+        # float epsilon) and NULL extremes
+        measure_cols += [
+            n_new[s].alias(f"n_{s}"),
+            F.when(
+                has,
+                F.coalesce(mv[f"sum_{s}"], F.lit(0.0))
+                + F.coalesce(d[f"d_sum_{s}"], F.lit(0.0)),
+            ).otherwise(F.lit(0.0)).alias(f"sum_{s}"),
+            F.when(
+                has,
+                F.coalesce(mv[f"sumsq_{s}"], F.lit(0.0))
+                + F.coalesce(d[f"d_sumsq_{s}"], F.lit(0.0)),
+            ).otherwise(F.lit(0.0)).alias(f"sumsq_{s}"),
+            F.when(has, cand_min).alias(f"min_{s}"),
+            F.when(has, cand_max).alias(f"max_{s}"),
+        ]
     merged = j.select(
         *[F.coalesce(mv[k], d[k]).alias(k) for k in keys],
         n_rows_guarded.alias("n_rows"),
-        n_v_new.alias("n_v"),
-        F.when(
-            has_values,
-            F.coalesce(mv["sum_v"], F.lit(0.0))
-            + F.coalesce(d["d_sum_v"], F.lit(0.0)),
-        ).otherwise(F.lit(0.0)).alias("sum_v"),
-        F.when(
-            has_values,
-            F.coalesce(mv["sumsq_v"], F.lit(0.0))
-            + F.coalesce(d["d_sumsq_v"], F.lit(0.0)),
-        ).otherwise(F.lit(0.0)).alias("sumsq_v"),
-        F.when(has_values, cand_min).alias("min_v"),
-        F.when(has_values, cand_max).alias("max_v"),
+        *measure_cols,
         (dirty & alive).alias("__dirty"),
     ).where(alive).persist()
     try:
@@ -366,13 +617,10 @@ def refresh_agg_view(
         n_dirty = merged.where(F.col("__dirty")).count()
         if n_dirty:
             dirty_keys = merged.where(F.col("__dirty")).select(*keys)
-            base = _read_base(spark, src_path)
-            dk = F.broadcast(dirty_keys).alias("k")
-            b = base.alias("b")
-            exact = (
-                b.join(dk, _nullsafe_cond(b, dk, keys), "left_semi")
-                .groupBy(*keys)
-                .agg(*_moment_aggs(value_col))
+            exact = _exact_groups(
+                spark, src_path, keys, value_cols, dirty_keys,
+                broadcast=n_dirty <= 1_000_000,
+                live_checkpoints=live_checkpoints,
             ).alias("x")
             dm = merged.where(F.col("__dirty")).alias("dm")
             # exact recount must agree with the incrementally-merged
@@ -388,16 +636,14 @@ def refresh_agg_view(
                     "change_feed=True?) — re-create the view"
                 ))
             )
+            moment_cols = [c for c in _moment_names(value_cols)
+                           if c != "n_rows"]
             recomputed = (
                 dm.join(exact, _nullsafe_cond(dm, exact, keys), "left")
                 .select(
                     *[dm[k].alias(k) for k in keys],
                     recount.alias("n_rows"),
-                    exact["n_v"].alias("n_v"),
-                    exact["sum_v"].alias("sum_v"),
-                    exact["sumsq_v"].alias("sumsq_v"),
-                    exact["min_v"].alias("min_v"),
-                    exact["max_v"].alias("max_v"),
+                    *[exact[c].alias(c) for c in moment_cols],
                 )
             )
             out = (
@@ -409,12 +655,14 @@ def refresh_agg_view(
         out = out.select(
             *[F.col(c).cast(schema[c].dataType) for c in cols]
         ).persist()
+        new_feed_cursor = new_versions[-1] if new_versions else cursor
         try:
             n_groups = out.count()
             _commit_version_in(
                 spark, mv_path, out,
                 keep_versions=keep_versions, single_file=single_file,
-                meta={**meta, "feed_version": new_versions[-1]},
+                meta={**meta, "feed_version": new_feed_cursor,
+                      "epoch_cursors": new_cursors},
             )
         finally:
             out.unpersist()
@@ -423,9 +671,11 @@ def refresh_agg_view(
     return {
         "status": "refreshed",
         "applied_versions": new_versions,
+        "n_epoch_files_absorbed": len(new_epoch_files),
         "n_groups": n_groups,
         "n_dirty_recomputed": n_dirty,
-        "feed_version": new_versions[-1],
+        "feed_version": new_feed_cursor,
+        "epoch_cursors": new_cursors,
     }
 
 
@@ -438,44 +688,52 @@ def read_agg_view(
     (default) or any COARSER ``group_keys`` subset, answered by merging
     partial rows (``operators.sketches.merge_aggregates`` discipline:
     exact n/sum/min/max, avg and population stddev derived from merged
-    moments, NULL when the group has no non-NULL values). Never touches
-    the base table."""
+    moments, NULL when the group has no non-NULL values; one family per
+    measure column, suffixed by column name when the MV carries several
+    measures). Never touches the base table."""
+    _ver, meta = _mv_meta(spark, mv_path)
+    mv_keys = list(meta["keys"])
+    value_cols = _meta_value_cols(meta)
+    suffixes = list(_vsuffixes(value_cols).values())
     partials = read_agg_partials(spark, mv_path)
     if group_keys is None:
         merged = partials
-        out_keys = [
-            c for c in partials.columns if c not in _MOMENTS
-        ]
+        out_keys = mv_keys
     else:
         out_keys = list(group_keys)
-        missing = [k for k in out_keys if k not in partials.columns]
+        missing = [k for k in out_keys if k not in mv_keys]
         if missing:
             raise ValueError(
                 f"read_agg_view: {missing} are not MV key columns "
-                f"({[c for c in partials.columns if c not in _MOMENTS]})"
+                f"({mv_keys})"
             )
-        merged = partials.groupBy(*out_keys).agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("n_v").alias("n_v"),
-            F.sum("sum_v").alias("sum_v"),
-            F.sum("sumsq_v").alias("sumsq_v"),
-            F.min("min_v").alias("min_v"),
-            F.max("max_v").alias("max_v"),
+        aggs = [F.sum("n_rows").alias("n_rows")]
+        for s in suffixes:
+            aggs += [
+                F.sum(f"n_{s}").alias(f"n_{s}"),
+                F.sum(f"sum_{s}").alias(f"sum_{s}"),
+                F.sum(f"sumsq_{s}").alias(f"sumsq_{s}"),
+                F.min(f"min_{s}").alias(f"min_{s}"),
+                F.max(f"max_{s}").alias(f"max_{s}"),
+            ]
+        merged = partials.groupBy(*out_keys).agg(*aggs)
+    derived: list = []
+    for s in suffixes:
+        mean = F.try_divide(F.col(f"sum_{s}"), F.col(f"n_{s}"))
+        # clamp: float cancellation can push E[x^2]-E[x]^2 a hair
+        # negative
+        var = F.greatest(
+            F.try_divide(F.col(f"sumsq_{s}"), F.col(f"n_{s}"))
+            - mean * mean,
+            F.lit(0.0),
         )
-    mean = F.try_divide(F.col("sum_v"), F.col("n_v"))
-    # clamp: float cancellation can push E[x^2]-E[x]^2 a hair negative
-    var = F.greatest(
-        F.try_divide(F.col("sumsq_v"), F.col("n_v")) - mean * mean,
-        F.lit(0.0),
-    )
-    has = F.col("n_v") > 0
-    return merged.select(
-        *out_keys,
-        "n_rows",
-        "n_v",
-        F.when(has, F.col("sum_v")).alias("sum_v"),
-        "min_v",
-        "max_v",
-        F.when(has, mean).alias("avg_v"),
-        F.when(has, F.sqrt(var)).alias("stddev_pop_v"),
-    )
+        has = F.col(f"n_{s}") > 0
+        derived += [
+            F.col(f"n_{s}").alias(f"n_{s}"),
+            F.when(has, F.col(f"sum_{s}")).alias(f"sum_{s}"),
+            F.col(f"min_{s}").alias(f"min_{s}"),
+            F.col(f"max_{s}").alias(f"max_{s}"),
+            F.when(has, mean).alias(f"avg_{s}"),
+            F.when(has, F.sqrt(var)).alias(f"stddev_pop_{s}"),
+        ]
+    return merged.select(*out_keys, "n_rows", *derived)

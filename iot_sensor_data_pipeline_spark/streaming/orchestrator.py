@@ -115,8 +115,10 @@ class MatviewSpec:
     """An incrementally-maintained aggregate view
     (``sources/matview.py``) the maintenance loop keeps fresh: each
     :meth:`Pipeline.maintain` tick calls ``refresh_agg_view`` — a
-    metadata-grain no-op poll when the source's change feed has
-    nothing new, a key-grain fold when it does. ``keys``/``value_col``
+    metadata-grain no-op poll when the source has nothing new, a
+    key-grain fold when mutations (change feed) or streaming appends
+    (newly sealed sink epochs) landed; a tracked source's checkpoints
+    pass through as the live newest-epoch exclusion automatically. ``keys``/``value_col``
     make the tick SELF-HEALING: when set and the view does not exist
     yet (first deployment, or an operator re-baselined by deleting the
     view after a feed gap), the tick runs ``create_agg_view`` instead
@@ -489,14 +491,17 @@ class Pipeline:
            tick and expires later, so retention never resurrects rows
            through a stream replay. As-of watermarks arm before the
            deletes, exactly as a manual drop does.
-        6. **materialized views** (r12): every :meth:`track_matview`
-           entry refreshes from its source's change feed — a
-           metadata-grain poll when nothing changed, a key-grain fold
-           (plus dirty-group recompute) when mutations landed; a
+        6. **materialized views** (r12; runs FIRST in the tick): every
+           :meth:`track_matview` entry refreshes from its source's
+           change feed AND newly sealed sink epochs — a metadata-grain
+           poll when nothing changed, a key-grain fold (plus
+           dirty-group recompute) when mutations or appends landed; a
            missing view whose spec declares ``keys``/``value_col`` is
-           created instead (self-healing after a re-baseline). Views
-           run AFTER the table actions so a tick's own feed-carrying
-           mutations are absorbed in the same tick.
+           created instead (self-healing after a re-baseline). The
+           tracked source's checkpoints pass through as the live
+           newest-epoch exclusion, and refreshing BEFORE the table
+           actions guarantees this tick's own OPTIMIZE never compacts
+           an epoch the view has not absorbed.
 
         Per-table isolation throughout: one table's failure reports as
         ``{"error": ...}`` and the rest still maintain. Returns
@@ -522,6 +527,64 @@ class Pipeline:
 
         log = logging.getLogger(__name__)
         out: dict[str, dict] = {}
+        # materialized views FIRST: they must absorb the sealed sink
+        # epochs BEFORE this tick's OPTIMIZE can compact those epochs
+        # into epoch-less files (the compaction watermark then stays at
+        # or below every view's epoch cursor, so the refresh-raising
+        # epoch-gap guard never trips on the loop's own maintenance).
+        # Feed-carrying mutations are never run by maintain itself, so
+        # nothing is lost by running the views early; retention's
+        # drop_partitions is deliberately feed-less either way (an MV
+        # over a retention-expired table needs delete_where-based
+        # retention or a re-create after drops). Noop polls keep the
+        # steady-state all-empty-actions invariant.
+        for name, mspec in self.matviews.items():
+            mv_actions: dict[str, object] = {}
+            try:
+                from iot_sensor_data_pipeline_spark.sources.manifest import (
+                    _versions_in,
+                )
+                from iot_sensor_data_pipeline_spark.sources.matview import (
+                    create_agg_view,
+                    refresh_agg_view,
+                )
+
+                if mspec.src in self.tables:
+                    src_spec = self.tables[mspec.src]
+                    src_path = src_spec.path
+                    # the tracked table knows its live streams — the
+                    # MV applies the same newest-epoch exclusion a
+                    # live OPTIMIZE does, so appends absorb only once
+                    # sealed
+                    live = src_spec.checkpoints
+                else:
+                    src_path, live = mspec.src, ()
+                if not _versions_in(spark, mspec.mv_path):
+                    if mspec.keys:
+                        mv_actions["mv_create"] = create_agg_view(
+                            spark, src_path, mspec.mv_path,
+                            list(mspec.keys), mspec.value_col,
+                            single_file=mspec.single_file,
+                            live_checkpoints=live,
+                        )
+                    else:
+                        mv_actions["status"] = "absent"
+                else:
+                    res = refresh_agg_view(
+                        spark, src_path, mspec.mv_path,
+                        single_file=mspec.single_file,
+                        live_checkpoints=live,
+                    )
+                    if res["status"] == "refreshed":
+                        mv_actions["mv_refresh"] = res
+            except Exception as e:  # noqa: BLE001 — per-view isolation
+                log.warning(
+                    "maintain: matview refresh failed for %s (%s); the "
+                    "view keeps its last committed version", name,
+                    mspec.mv_path, exc_info=True,
+                )
+                mv_actions["error"] = str(e)
+            out[name] = {"health": None, "actions": mv_actions}
         for name, spec in (tables or self.tables).items():
             actions: dict[str, object] = {}
             try:
@@ -661,51 +724,6 @@ class Pipeline:
                 }
                 actions["error"] = str(e)
                 out[name] = {"health": h, "actions": actions}
-        # materialized views last: they consume the change feeds the
-        # table actions above may have just produced (retention's
-        # drop_partitions is deliberately feed-less, so expiry never
-        # shows up as MV deltas). Noop polls keep the steady-state
-        # all-empty-actions invariant.
-        for name, mspec in self.matviews.items():
-            mv_actions: dict[str, object] = {}
-            try:
-                from iot_sensor_data_pipeline_spark.sources.manifest import (
-                    _versions_in,
-                )
-                from iot_sensor_data_pipeline_spark.sources.matview import (
-                    create_agg_view,
-                    refresh_agg_view,
-                )
-
-                src_path = (
-                    self.tables[mspec.src].path
-                    if mspec.src in self.tables
-                    else mspec.src
-                )
-                if not _versions_in(spark, mspec.mv_path):
-                    if mspec.keys:
-                        mv_actions["mv_create"] = create_agg_view(
-                            spark, src_path, mspec.mv_path,
-                            list(mspec.keys), mspec.value_col,
-                            single_file=mspec.single_file,
-                        )
-                    else:
-                        mv_actions["status"] = "absent"
-                else:
-                    res = refresh_agg_view(
-                        spark, src_path, mspec.mv_path,
-                        single_file=mspec.single_file,
-                    )
-                    if res["status"] == "refreshed":
-                        mv_actions["mv_refresh"] = res
-            except Exception as e:  # noqa: BLE001 — per-view isolation
-                log.warning(
-                    "maintain: matview refresh failed for %s (%s); the "
-                    "view keeps its last committed version", name,
-                    mspec.mv_path, exc_info=True,
-                )
-                mv_actions["error"] = str(e)
-            out[name] = {"health": None, "actions": mv_actions}
         return out
 
     def process_all_available(self) -> None:

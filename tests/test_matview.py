@@ -394,9 +394,9 @@ def test_create_guards(spark, tmp_path):
     double-create all fail loudly before any write."""
     path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
     _mk(spark, path)
-    with pytest.raises(ValueError, match="reserved moment columns"):
+    with pytest.raises(ValueError, match="generated moment columns"):
         create_agg_view(spark, path, mv, ["sum_v"], "v")
-    with pytest.raises(ValueError, match="also a key"):
+    with pytest.raises(ValueError, match="are also keys"):
         create_agg_view(spark, path, mv, ["v"], "v")
     with pytest.raises(ValueError, match="lacks columns"):
         create_agg_view(spark, path, mv, ["grp"], "nope")
@@ -425,3 +425,246 @@ def test_all_groups_die_reads_empty_via_sidecar_schema(spark, tmp_path):
     assert read_agg_partials(spark, mv).count() == 0
     assert read_agg_view(spark, mv).count() == 0
     assert refresh_agg_view(spark, path, mv)["status"] == "noop"
+
+
+def test_recompute_plan_is_pruned_broadcast_semi(spark, tmp_path):
+    """The dirty-group recompute's executed plan: broadcast LeftSemi
+    hash join (no cartesian/BNLJ), scan reading ONLY key + value
+    columns — the shape that keeps a few dirty groups from costing a
+    wide scan at 100 TB."""
+    from iot_sensor_data_pipeline_spark.sources.matview import _exact_groups
+
+    path = str(tmp_path / "t")
+    # extra wide columns that must NOT appear in the recompute scan
+    spark.range(0, 500).select(
+        F.col("id"),
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string")).alias("grp"),
+        (F.col("id") % 17).cast("double").alias("v"),
+        F.repeat(F.lit("x"), 100).alias("payload"),
+        (F.col("id") * 3).alias("other"),
+    ).repartition(4).write.parquet(path)
+    dirty = spark.createDataFrame([("g1",), ("g3",)], "grp string")
+    df = _exact_groups(spark, path, ["grp"], "v", dirty, broadcast=True)
+    assert df.count() == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"grp", "v"}, read_cols
+    # the shuffled degrade path computes the same relation
+    df2 = _exact_groups(spark, path, ["grp"], "v", dirty, broadcast=False)
+    assert sorted(map(tuple, df2.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_multi_measure_single_fold(spark, tmp_path):
+    """Several measure columns share one MV: one feed fold maintains
+    all of them (suffixed moment families), exact vs a direct
+    aggregate after a delete + update; coarser-grain read and the
+    suffix/guard surfaces hold."""
+    path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    df = spark.range(0, 240).select(
+        F.col("id"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"),
+        F.concat(
+            F.lit("s"), ((F.col("id") / 4).cast("long") % 2).cast("string")
+        ).alias("sub"),
+        (F.col("id") % 19).cast("double").alias("price"),
+        F.when(F.col("id") % 9 == 0, None)
+        .otherwise((F.col("id") % 7).cast("double"))
+        .alias("qty"),
+    )
+    df.repartition(4).write.parquet(path)
+    r = create_agg_view(
+        spark, path, mv, ["grp", "sub"], ["price", "qty"]
+    )
+    assert r["n_groups"] == 8
+    parts = read_agg_partials(spark, mv)
+    assert {"n_price", "sum_price", "n_qty", "min_qty"} <= set(parts.columns)
+
+    delete_where(spark, path, F.col("price") < 2, change_feed=True)
+    update_where(
+        spark, path, F.col("id") % 5 == 0,
+        {"qty": F.col("qty") + 100.0}, change_feed=True,
+    )
+    rr = refresh_agg_view(spark, path, mv)
+    assert rr["status"] == "refreshed"
+
+    got = {
+        (r2["grp"], r2["sub"]): (
+            r2["n_rows"], r2["n_price"], round(r2["sum_price"], 6),
+            r2["min_price"], r2["max_price"],
+            r2["n_qty"], round(r2["sum_qty"], 6), r2["min_qty"],
+            r2["max_qty"],
+        )
+        for r2 in read_agg_partials(spark, mv).collect()
+    }
+    exp = {
+        (r2["grp"], r2["sub"]): (
+            r2["n_rows"], r2["n_price"], round(r2["sum_price"], 6),
+            r2["min_price"], r2["max_price"],
+            r2["n_qty"], round(r2["sum_qty"], 6), r2["min_qty"],
+            r2["max_qty"],
+        )
+        for r2 in spark.read.parquet(path).groupBy("grp", "sub").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("price").alias("n_price"),
+            F.coalesce(F.sum("price"), F.lit(0.0)).alias("sum_price"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+            F.count("qty").alias("n_qty"),
+            F.coalesce(F.sum("qty"), F.lit(0.0)).alias("sum_qty"),
+            F.min("qty").alias("min_qty"),
+            F.max("qty").alias("max_qty"),
+        ).collect()
+    }
+    assert got == exp
+
+    # coarser grain across both measures, derived avg checked
+    roll = {
+        r2["grp"]: (r2["n_rows"], round(r2["avg_price"], 9),
+                    round(r2["avg_qty"], 9))
+        for r2 in read_agg_view(spark, mv, group_keys=["grp"]).collect()
+    }
+    droll = {
+        r2["grp"]: (r2["n"], round(r2["ap"], 9), round(r2["aq"], 9))
+        for r2 in spark.read.parquet(path).groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("price").alias("ap"), F.avg("qty").alias("aq"),
+        ).collect()
+    }
+    for k in droll:
+        assert roll[k][0] == droll[k][0]
+        assert roll[k][1] == pytest.approx(droll[k][1], abs=1e-6)
+        assert roll[k][2] == pytest.approx(droll[k][2], abs=1e-6)
+
+    with pytest.raises(ValueError, match="duplicate value columns"):
+        create_agg_view(
+            spark, path, str(tmp_path / "mv3"), ["grp"], ["price", "price"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# streaming appends (epoch-sink absorption)
+# ---------------------------------------------------------------------------
+
+
+def _epoch_sink(spark, path, ckpt, epoch, lo, hi):
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        parquet_batch_sink,
+    )
+
+    sink = parquet_batch_sink(path, checkpoint=ckpt)
+    sink(
+        spark.range(lo, hi).select(
+            F.col("id"),
+            F.concat(F.lit("g"), (F.col("id") % 3).cast("string"))
+            .alias("grp"),
+            (F.col("id") % 23).cast("double").alias("v"),
+        ).coalesce(1),
+        epoch,
+    )
+
+
+def test_appends_absorb_without_feed(spark, tmp_path):
+    """Epoch-sink batches landing after the build absorb as insert
+    deltas with no change feed anywhere; a second refresh is a noop."""
+    path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    ckpt = "/ckpt/MVAPPEND1"
+    _epoch_sink(spark, path, ckpt, 0, 0, 100)
+    _epoch_sink(spark, path, ckpt, 1, 100, 200)
+    create_agg_view(spark, path, mv, ["grp"], "v")
+    _epoch_sink(spark, path, ckpt, 2, 200, 300)
+    _epoch_sink(spark, path, ckpt, 3, 300, 420)
+    r = refresh_agg_view(spark, path, mv)
+    assert r["status"] == "refreshed"
+    assert r["n_epoch_files_absorbed"] == 2
+    assert r["applied_versions"] == []
+    assert _mv_state(spark, mv) == _expected(spark, path)
+    assert refresh_agg_view(spark, path, mv)["status"] == "noop"
+
+
+def test_appends_and_mutations_one_refresh(spark, tmp_path):
+    """A feed-carrying delete over the ABSORBED epoch plus a newly
+    appended epoch fold in one refresh; recount stays consistent. (The
+    delete runs BEFORE the append on purpose: a mutation may only
+    rewrite files the MV has absorbed — rewriting an un-absorbed epoch
+    arms the compaction watermark past the cursor, which the epoch-gap
+    guard rejects, pinned by
+    test_optimize_before_refresh_raises_epoch_gap.)"""
+    path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    ckpt = "/ckpt/MVAPPEND2"
+    _epoch_sink(spark, path, ckpt, 0, 0, 150)
+    create_agg_view(spark, path, mv, ["grp"], "v")
+    delete_where(spark, path, F.col("v") <= 1, change_feed=True)
+    _epoch_sink(spark, path, ckpt, 1, 150, 260)
+    r = refresh_agg_view(spark, path, mv)
+    assert r["status"] == "refreshed"
+    assert r["n_epoch_files_absorbed"] == 1
+    assert r["applied_versions"] == [1]
+    assert _mv_state(spark, mv) == _expected(spark, path)
+
+
+def test_live_newest_epoch_excluded_until_sealed(spark, tmp_path):
+    """With live_checkpoints the newest epoch waits: the build and
+    every refresh exclude it, it absorbs once a newer epoch lands, and
+    a final refresh WITHOUT the live exclusion drains the tail."""
+    path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    ckpt = "/ckpt/MVLIVE"
+    _epoch_sink(spark, path, ckpt, 0, 0, 80)
+    _epoch_sink(spark, path, ckpt, 1, 80, 160)
+    create_agg_view(spark, path, mv, ["grp"], "v", live_checkpoints=[ckpt])
+    # epoch 1 (newest at build) is NOT in the MV yet
+    assert sum(s[0] for s in _mv_state(spark, mv).values()) == 80
+    r = refresh_agg_view(spark, path, mv, live_checkpoints=[ckpt])
+    assert r["status"] == "noop"  # nothing sealed since the build
+    _epoch_sink(spark, path, ckpt, 2, 160, 250)
+    r = refresh_agg_view(spark, path, mv, live_checkpoints=[ckpt])
+    assert r["status"] == "refreshed"  # epoch 1 sealed by epoch 2
+    assert sum(s[0] for s in _mv_state(spark, mv).values()) == 160
+    # stream stopped: drain without the exclusion
+    r = refresh_agg_view(spark, path, mv)
+    assert r["status"] == "refreshed"
+    assert _mv_state(spark, mv) == _expected(spark, path)
+
+
+def test_optimize_before_refresh_raises_epoch_gap(spark, tmp_path):
+    """An OPTIMIZE that compacts epochs the MV has not absorbed makes
+    the next refresh raise the re-create error (the watermark proves
+    the missed appends are no longer enumerable); the benign order —
+    refresh, then optimize, then refresh — stays clean."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        optimize_table,
+    )
+
+    path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    ckpt = "/ckpt/MVOPT"
+    _epoch_sink(spark, path, ckpt, 0, 0, 60)
+    create_agg_view(spark, path, mv, ["grp"], "v")
+    _epoch_sink(spark, path, ckpt, 1, 60, 140)
+    # benign: absorb first, compact second
+    refresh_agg_view(spark, path, mv)
+    optimize_table(spark, path, target_bytes=1 << 30)
+    assert refresh_agg_view(spark, path, mv)["status"] == "noop"
+    # hostile: append, compact BEFORE the MV sees it
+    _epoch_sink(spark, path, ckpt, 2, 140, 200)
+    optimize_table(spark, path, target_bytes=1 << 30)
+    with pytest.raises(ValueError, match="re-create the view"):
+        refresh_agg_view(spark, path, mv)
+
+
+def test_new_lineage_appears_after_create(spark, tmp_path):
+    """A second stream (new checkpoint/lineage) starting AFTER the
+    build absorbs from its first epoch."""
+    path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    _epoch_sink(spark, path, "/ckpt/MVLINA", 0, 0, 90)
+    create_agg_view(spark, path, mv, ["grp"], "v")
+    _epoch_sink(spark, path, "/ckpt/MVLINB", 0, 90, 170)
+    r = refresh_agg_view(spark, path, mv)
+    assert r["status"] == "refreshed"
+    assert r["n_epoch_files_absorbed"] == 1
+    assert _mv_state(spark, mv) == _expected(spark, path)
