@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iot_sensor_data_pipeline_spark.plans.registry import register_extended
+from iot_sensor_data_pipeline_spark.plans.registry import register
 from iot_sensor_data_pipeline_spark.sources.tables import load_table
 
 
@@ -53,7 +53,7 @@ FROM t2 GROUP BY grp
 """
 
 
-@register_extended(
+@register(  # rotated INTO the gate in r12 (third r12 rotation)
     "orders_incremental_mv", oracle=_MV_ORACLE, tags=("matview", "ivm")
 )
 def orders_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:

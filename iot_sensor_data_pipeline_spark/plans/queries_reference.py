@@ -85,7 +85,10 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("events_sliding_window_agg", oracle=_SLIDING_ORACLE, tags=("streaming-parity", "A2"))
+@register_extended(  # rotated OUT of the gate in r12 (third r12 rotation)
+    "events_sliding_window_agg", oracle=_SLIDING_ORACLE,
+    tags=("streaming-parity", "A2"),
+)
 def events_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour window sliding every 30 minutes x event_type."""
     events = load_table(spark, sf_dir, "events")

@@ -118,11 +118,14 @@ def _vsuffixes(value_cols: Sequence[str]) -> dict[str, str]:
     return {c: c for c in value_cols}
 
 
-def _moment_names(value_cols: Sequence[str]) -> list[str]:
+def _moment_names(
+    value_cols: Sequence[str], distinct_cols: Sequence[str] = ()
+) -> list[str]:
     """MV moment columns, in storage order after the keys."""
     out = ["n_rows"]
     for s in _vsuffixes(value_cols).values():
         out += [f"n_{s}", f"sum_{s}", f"sumsq_{s}", f"min_{s}", f"max_{s}"]
+    out += [f"hll_{c}" for c in distinct_cols]
     return out
 
 
@@ -219,7 +222,9 @@ def _compaction_watermarks(spark: SparkSession, path: str) -> dict[str, int]:
     return out
 
 
-def _moment_aggs(value_cols: Sequence[str]) -> list:
+def _moment_aggs(
+    value_cols: Sequence[str], distinct_cols: Sequence[str] = ()
+) -> list:
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, s in _vsuffixes(value_cols).items():
         v = F.col(c).cast("double")
@@ -230,6 +235,11 @@ def _moment_aggs(value_cols: Sequence[str]) -> list:
             F.min(v).alias(f"min_{s}"),
             F.max(v).alias(f"max_{s}"),
         ]
+    # Datasketches HLL: register-state max is lossless under union, so
+    # sketch-of-partials == sketch-of-union EXACTLY (same lgConfigK)
+    aggs += [
+        F.hll_sketch_agg(F.col(c)).alias(f"hll_{c}") for c in distinct_cols
+    ]
     return aggs
 
 
@@ -273,6 +283,7 @@ def _exact_groups(
     dirty_keys: DataFrame,
     broadcast: bool,
     live_checkpoints: Sequence[str] = (),
+    distinct_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact moments for the dirty groups only: a semi-join of the base
     table against the dirty key set, then one GROUP BY. Column-pruned
@@ -293,14 +304,14 @@ def _exact_groups(
             "are out of sync; re-create the view"
         )
     base = _read_files(spark, src_path, files, read_schema).select(
-        *keys, *value_cols
+        *keys, *value_cols, *[c for c in distinct_cols if c not in value_cols]
     )
     dk = (F.broadcast(dirty_keys) if broadcast else dirty_keys).alias("k")
     b = base.alias("b")
     return (
         b.join(dk, _nullsafe_cond(b, dk, keys), "left_semi")
         .groupBy(*keys)
-        .agg(*_moment_aggs(value_cols))
+        .agg(*_moment_aggs(value_cols, distinct_cols))
     )
 
 
@@ -323,6 +334,7 @@ def create_agg_view(
     keep_versions: int = 2,
     single_file: bool = True,
     live_checkpoints: Sequence[str] = (),
+    distinct_cols: Sequence[str] = (),
 ) -> dict:
     """Full build: one ``GROUP BY`` scan of the source table, committed
     as MV ``v1`` with the feed cursor taken BEFORE the scan (a feed
@@ -345,10 +357,20 @@ def create_agg_view(
     uncommitted) epoch of each live lineage is excluded from the scan
     exactly as a live OPTIMIZE excludes it, and absorbs once sealed.
 
+    ``distinct_cols`` adds APPROX-DISTINCT measures: a Datasketches HLL
+    sketch per (group, column), stored as a binary moment — inserts
+    union in (register-state max is lossless, so an incrementally
+    maintained sketch equals a rebuilt one EXACTLY), any removal of a
+    non-NULL value makes the group dirty (sketches cannot subtract) and
+    the group's sketch recomputes with the rest of its moments;
+    ``read_agg_view`` derives ``distinct_<col>`` estimates and unions
+    sketches for coarser grains.
+
     Returns ``{"status", "n_groups", "feed_version",
     "epoch_cursors"}``."""
     keys = list(keys)
     value_cols = _norm_value_cols(value_col)
+    distinct_cols = list(distinct_cols)
     if not keys:
         raise ValueError("create_agg_view: need at least one key column")
     if not value_cols:
@@ -357,7 +379,11 @@ def create_agg_view(
         raise ValueError(
             f"create_agg_view: duplicate value columns in {value_cols}"
         )
-    reserved = set(_moment_names(value_cols))
+    if len(set(distinct_cols)) != len(distinct_cols):
+        raise ValueError(
+            f"create_agg_view: duplicate distinct columns in {distinct_cols}"
+        )
+    reserved = set(_moment_names(value_cols, distinct_cols))
     bad = [k for k in keys if k in reserved]
     if bad:
         raise ValueError(
@@ -365,7 +391,7 @@ def create_agg_view(
             f"generated moment columns {sorted(reserved)} — alias them "
             "first"
         )
-    overlap = [c for c in value_cols if c in keys]
+    overlap = [c for c in [*value_cols, *distinct_cols] if c in keys]
     if overlap:
         raise ValueError(
             f"create_agg_view: value columns {overlap} are also keys"
@@ -391,18 +417,24 @@ def create_agg_view(
     for lin, wm in _compaction_watermarks(spark, src_path).items():
         cursors[lin] = max(cursors.get(lin, -1), wm)
     base = _read_files(spark, src_path, files, read_schema)
-    missing = [c for c in [*keys, *value_cols] if c not in base.columns]
+    missing = [
+        c for c in [*keys, *value_cols, *distinct_cols]
+        if c not in base.columns
+    ]
     if missing:
         raise ValueError(
             f"create_agg_view: source table lacks columns {missing}"
         )
-    partials = base.groupBy(*keys).agg(*_moment_aggs(value_cols))
+    partials = base.groupBy(*keys).agg(
+        *_moment_aggs(value_cols, distinct_cols)
+    )
     _commit_version_in(
         spark, mv_path, partials,
         keep_versions=keep_versions, single_file=single_file,
         meta={
             "keys": keys,
             "value_cols": value_cols,
+            "distinct_cols": distinct_cols,
             "feed_version": cursor,
             "epoch_cursors": cursors,
             "schema": partials.schema.jsonValue(),
@@ -442,6 +474,7 @@ def refresh_agg_view(
     _v, meta = _mv_meta(spark, mv_path)
     keys: list[str] = list(meta["keys"])
     value_cols = _meta_value_cols(meta)
+    distinct_cols = list(meta.get("distinct_cols") or ())
     suf = list(_vsuffixes(value_cols).items())
     cursor: int = int(meta["feed_version"])
     epoch_cursors = {
@@ -491,7 +524,8 @@ def refresh_agg_view(
                 "n_epoch_files_absorbed": 0, "n_groups": None,
                 "n_dirty_recomputed": 0, "feed_version": cursor,
                 "epoch_cursors": epoch_cursors}
-    need = [*keys, *value_cols]
+    need = [*keys, *value_cols,
+            *[c for c in distinct_cols if c not in value_cols]]
     parts = []
     if new_versions:
         parts.append(
@@ -530,6 +564,17 @@ def refresh_agg_view(
             F.max(F.when(sign > 0, v)).alias(f"ins_max_{s}"),
             F.min(F.when(sign < 0, v)).alias(f"rm_min_{s}"),
             F.max(F.when(sign < 0, v)).alias(f"rm_max_{s}"),
+        ]
+    for c in distinct_cols:
+        delta_aggs += [
+            # insert images union into the stored sketch; ANY non-NULL
+            # removal dirties the group (sketches cannot subtract)
+            F.hll_sketch_agg(
+                F.when(sign > 0, F.col(c))
+            ).alias(f"d_hll_{c}"),
+            F.max(
+                F.when((sign < 0) & F.col(c).isNotNull(), 1).otherwise(0)
+            ).alias(f"rm_any_{c}"),
         ]
     delta = feed.groupBy(*keys).agg(*delta_aggs)
 
@@ -605,6 +650,15 @@ def refresh_agg_view(
             F.when(has, cand_min).alias(f"min_{s}"),
             F.when(has, cand_max).alias(f"max_{s}"),
         ]
+    for c in distinct_cols:
+        dirty = dirty | (F.coalesce(d[f"rm_any_{c}"], F.lit(0)) == 1)
+        m_h, d_h = mv[f"hll_{c}"], d[f"d_hll_{c}"]
+        measure_cols.append(
+            F.when(m_h.isNull(), d_h)
+            .when(d_h.isNull(), m_h)
+            .otherwise(F.hll_union(m_h, d_h))
+            .alias(f"hll_{c}")
+        )
     merged = j.select(
         *[F.coalesce(mv[k], d[k]).alias(k) for k in keys],
         n_rows_guarded.alias("n_rows"),
@@ -621,6 +675,7 @@ def refresh_agg_view(
                 spark, src_path, keys, value_cols, dirty_keys,
                 broadcast=n_dirty <= 1_000_000,
                 live_checkpoints=live_checkpoints,
+                distinct_cols=distinct_cols,
             ).alias("x")
             dm = merged.where(F.col("__dirty")).alias("dm")
             # exact recount must agree with the incrementally-merged
@@ -636,8 +691,10 @@ def refresh_agg_view(
                     "change_feed=True?) — re-create the view"
                 ))
             )
-            moment_cols = [c for c in _moment_names(value_cols)
-                           if c != "n_rows"]
+            moment_cols = [
+                c for c in _moment_names(value_cols, distinct_cols)
+                if c != "n_rows"
+            ]
             recomputed = (
                 dm.join(exact, _nullsafe_cond(dm, exact, keys), "left")
                 .select(
@@ -694,6 +751,7 @@ def read_agg_view(
     _ver, meta = _mv_meta(spark, mv_path)
     mv_keys = list(meta["keys"])
     value_cols = _meta_value_cols(meta)
+    distinct_cols = list(meta.get("distinct_cols") or ())
     suffixes = list(_vsuffixes(value_cols).values())
     partials = read_agg_partials(spark, mv_path)
     if group_keys is None:
@@ -716,6 +774,10 @@ def read_agg_view(
                 F.min(f"min_{s}").alias(f"min_{s}"),
                 F.max(f"max_{s}").alias(f"max_{s}"),
             ]
+        aggs += [
+            F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}")
+            for c in distinct_cols
+        ]
         merged = partials.groupBy(*out_keys).agg(*aggs)
     derived: list = []
     for s in suffixes:
@@ -736,4 +798,8 @@ def read_agg_view(
             F.when(has, mean).alias(f"avg_{s}"),
             F.when(has, F.sqrt(var)).alias(f"stddev_pop_{s}"),
         ]
+    derived += [
+        F.hll_sketch_estimate(F.col(f"hll_{c}")).alias(f"distinct_{c}")
+        for c in distinct_cols
+    ]
     return merged.select(*out_keys, "n_rows", *derived)

@@ -130,6 +130,7 @@ class MatviewSpec:
     keys: tuple[str, ...] = ()
     value_col: str | None = None
     single_file: bool = True
+    distinct_cols: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
         if bool(self.keys) != (self.value_col is not None):
@@ -206,6 +207,7 @@ class Pipeline:
         keys: Sequence[str] = (),
         value_col: str | None = None,
         single_file: bool = True,
+        distinct_cols: Sequence[str] = (),
     ) -> "Pipeline":
         """Register an incrementally-maintained aggregate view for
         :meth:`maintain` (see :class:`MatviewSpec`). ``src`` is a name
@@ -218,7 +220,8 @@ class Pipeline:
                 "the maintenance report keys both by name"
             )
         self.matviews[name] = MatviewSpec(
-            src, mv_path, tuple(keys), value_col, single_file
+            src, mv_path, tuple(keys), value_col, single_file,
+            tuple(distinct_cols),
         )
         return self
 
@@ -566,6 +569,7 @@ class Pipeline:
                             list(mspec.keys), mspec.value_col,
                             single_file=mspec.single_file,
                             live_checkpoints=live,
+                            distinct_cols=mspec.distinct_cols,
                         )
                     else:
                         mv_actions["status"] = "absent"

@@ -668,3 +668,78 @@ def test_new_lineage_appears_after_create(spark, tmp_path):
     assert r["status"] == "refreshed"
     assert r["n_epoch_files_absorbed"] == 1
     assert _mv_state(spark, mv) == _expected(spark, path)
+
+
+def test_distinct_measures_incremental_equals_rebuild(spark, tmp_path):
+    """HLL distinct measures: insert-only maintenance yields the EXACT
+    same estimate as a rebuilt sketch (register-state max is lossless
+    under union); any removal recomputes the group and the estimate
+    tracks exact distinct counts within HLL error."""
+    path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    spark.range(0, 300).select(
+        F.col("id"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        (F.col("id") % 41).cast("double").alias("v"),
+        F.concat(F.lit("u"), (F.col("id") % 53).cast("string")).alias("user"),
+    ).repartition(4).write.parquet(path)
+    create_agg_view(
+        spark, path, mv, ["grp"], "v", distinct_cols=["user"]
+    )
+    # insert-only growth: new users + repeat users
+    src = spark.range(0, 80).select(
+        (F.col("id") + 20_000).alias("id"),
+        F.lit("g1").alias("grp"),
+        F.lit(5.0).alias("v"),
+        F.concat(F.lit("u"), (F.col("id") % 120).cast("string"))
+        .alias("user"),
+    )
+    merge_into(spark, path, src, on=["id"], change_feed=True)
+    r = refresh_agg_view(spark, path, mv)
+    assert r["n_dirty_recomputed"] == 0  # inserts never dirty
+    got = {
+        r2["grp"]: r2["distinct_user"]
+        for r2 in read_agg_view(spark, mv).collect()
+    }
+    rebuilt = {
+        r2["grp"]: r2["d"]
+        for r2 in spark.read.parquet(path).groupBy("grp").agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user")).alias("d")
+        ).collect()
+    }
+    assert got == rebuilt  # exact sketch equality, not approx
+
+    # removal dirties and recomputes; estimate follows the shrink
+    delete_where(
+        spark, path, (F.col("grp") == "g0") & (F.col("id") < 150),
+        change_feed=True,
+    )
+    r = refresh_agg_view(spark, path, mv)
+    assert r["n_dirty_recomputed"] >= 1
+    got = {
+        r2["grp"]: r2["distinct_user"]
+        for r2 in read_agg_view(spark, mv).collect()
+    }
+    rebuilt = {
+        r2["grp"]: r2["d"]
+        for r2 in spark.read.parquet(path).groupBy("grp").agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user")).alias("d")
+        ).collect()
+    }
+    assert got == rebuilt
+    # sanity: estimates near exact distincts at this tiny cardinality
+    exact = {
+        r2["grp"]: r2["d"]
+        for r2 in spark.read.parquet(path).groupBy("grp").agg(
+            F.countDistinct("user").alias("d")
+        ).collect()
+    }
+    for g, d in exact.items():
+        assert abs(got[g] - d) <= max(2, 0.05 * d)
+
+    # coarser grain: sketches union across MV rows
+    total = read_agg_view(spark, mv, group_keys=[]).collect()
+    # (empty group_keys -> a single global rollup row)
+    full = spark.read.parquet(path).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user")).alias("d")
+    ).first()["d"]
+    assert len(total) == 1 and total[0]["distinct_user"] == full
