@@ -102,6 +102,7 @@ __all__ = [
     "refresh_agg_view",
     "read_agg_view",
     "read_agg_partials",
+    "read_agg_quantiles",
 ]
 
 
@@ -119,14 +120,50 @@ def _vsuffixes(value_cols: Sequence[str]) -> dict[str, str]:
 
 
 def _moment_names(
-    value_cols: Sequence[str], distinct_cols: Sequence[str] = ()
+    value_cols: Sequence[str], distinct_cols: Sequence[str] = (),
+    histogram_cols=None,
 ) -> list[str]:
     """MV moment columns, in storage order after the keys."""
     out = ["n_rows"]
     for s in _vsuffixes(value_cols).values():
         out += [f"n_{s}", f"sum_{s}", f"sumsq_{s}", f"min_{s}", f"max_{s}"]
     out += [f"hll_{c}" for c in distinct_cols]
+    out += _hist_names(histogram_cols)
     return out
+
+
+def _hist_spec(histogram_cols) -> dict[str, tuple[float, float, int]]:
+    return {
+        c: (float(lo), float(hi), int(n))
+        for c, (lo, hi, n) in dict(histogram_cols or {}).items()
+    }
+
+
+def _hist_names(histogram_cols) -> list[str]:
+    """Per-histogram bin-count columns: bin 0 = underflow (< lo), bins
+    1..n = [lo + (i-1)w, lo + iw), bin n+1 = overflow (>= hi)."""
+    out = []
+    for c, (_lo, _hi, n) in _hist_spec(histogram_cols).items():
+        out += [f"hist_{c}_{i}" for i in range(n + 2)]
+    return out
+
+
+def _bin_expr(c: str, lo: float, hi: float, n: int):
+    """Bin index of a value (NULL for NULL values). The frozen edges
+    are what make the counts exactly subtractable: a delete image bins
+    to the same bin its insert did, forever."""
+    v = F.col(c).cast("double")
+    w = (hi - lo) / n
+    return (
+        F.when(v.isNull(), F.lit(None))
+        .when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n + 1))
+        # least(): float rounding at the top edge must not escape bin n
+        .otherwise(
+            F.least(F.floor((v - F.lit(lo)) / F.lit(w)),
+                    F.lit(n - 1)).cast("int") + F.lit(1)
+        )
+    )
 
 
 def _list_files(
@@ -223,7 +260,8 @@ def _compaction_watermarks(spark: SparkSession, path: str) -> dict[str, int]:
 
 
 def _moment_aggs(
-    value_cols: Sequence[str], distinct_cols: Sequence[str] = ()
+    value_cols: Sequence[str], distinct_cols: Sequence[str] = (),
+    histogram_cols=None,
 ) -> list:
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, s in _vsuffixes(value_cols).items():
@@ -240,6 +278,12 @@ def _moment_aggs(
     aggs += [
         F.hll_sketch_agg(F.col(c)).alias(f"hll_{c}") for c in distinct_cols
     ]
+    for c, (lo, hi, n) in _hist_spec(histogram_cols).items():
+        b = _bin_expr(c, lo, hi, n)
+        aggs += [
+            F.count(F.when(b == i, 1)).alias(f"hist_{c}_{i}")
+            for i in range(n + 2)
+        ]
     return aggs
 
 
@@ -284,6 +328,7 @@ def _exact_groups(
     broadcast: bool,
     live_checkpoints: Sequence[str] = (),
     distinct_cols: Sequence[str] = (),
+    histogram_cols=None,
 ) -> DataFrame:
     """Exact moments for the dirty groups only: a semi-join of the base
     table against the dirty key set, then one GROUP BY. Column-pruned
@@ -303,15 +348,19 @@ def _exact_groups(
             "the table has no data files — the change feed and the MV "
             "are out of sync; re-create the view"
         )
+    extra = [
+        c for c in [*distinct_cols, *_hist_spec(histogram_cols)]
+        if c not in value_cols
+    ]
     base = _read_files(spark, src_path, files, read_schema).select(
-        *keys, *value_cols, *[c for c in distinct_cols if c not in value_cols]
+        *keys, *value_cols, *dict.fromkeys(extra)
     )
     dk = (F.broadcast(dirty_keys) if broadcast else dirty_keys).alias("k")
     b = base.alias("b")
     return (
         b.join(dk, _nullsafe_cond(b, dk, keys), "left_semi")
         .groupBy(*keys)
-        .agg(*_moment_aggs(value_cols, distinct_cols))
+        .agg(*_moment_aggs(value_cols, distinct_cols, histogram_cols))
     )
 
 
@@ -335,6 +384,7 @@ def create_agg_view(
     single_file: bool = True,
     live_checkpoints: Sequence[str] = (),
     distinct_cols: Sequence[str] = (),
+    histogram_cols=None,
 ) -> dict:
     """Full build: one ``GROUP BY`` scan of the source table, committed
     as MV ``v1`` with the feed cursor taken BEFORE the scan (a feed
@@ -366,11 +416,27 @@ def create_agg_view(
     ``read_agg_view`` derives ``distinct_<col>`` estimates and unions
     sketches for coarser grains.
 
+    ``histogram_cols`` ({column: (lo, hi, n_bins)}) adds FIXED-BIN
+    histogram measures: n_bins+2 integer bin counts per group
+    (underflow / in-range / overflow), frozen edges. Integer counts
+    subtract EXACTLY, so histograms stay on the pure incremental path
+    even under deletes — no dirty recompute, no drift — and
+    ``read_agg_quantiles`` answers per-group approximate quantiles
+    from the counts alone (values outside [lo, hi) clamp to the
+    boundary, the standard fixed-histogram caveat).
+
     Returns ``{"status", "n_groups", "feed_version",
     "epoch_cursors"}``."""
     keys = list(keys)
     value_cols = _norm_value_cols(value_col)
     distinct_cols = list(distinct_cols)
+    histogram_cols = _hist_spec(histogram_cols)
+    for c, (lo, hi, n) in histogram_cols.items():
+        if not (lo < hi) or n < 1:
+            raise ValueError(
+                f"create_agg_view: histogram_cols[{c!r}] needs lo < hi "
+                f"and n_bins >= 1, got ({lo}, {hi}, {n})"
+            )
     if not keys:
         raise ValueError("create_agg_view: need at least one key column")
     if not value_cols:
@@ -383,7 +449,7 @@ def create_agg_view(
         raise ValueError(
             f"create_agg_view: duplicate distinct columns in {distinct_cols}"
         )
-    reserved = set(_moment_names(value_cols, distinct_cols))
+    reserved = set(_moment_names(value_cols, distinct_cols, histogram_cols))
     bad = [k for k in keys if k in reserved]
     if bad:
         raise ValueError(
@@ -391,7 +457,10 @@ def create_agg_view(
             f"generated moment columns {sorted(reserved)} — alias them "
             "first"
         )
-    overlap = [c for c in [*value_cols, *distinct_cols] if c in keys]
+    overlap = [
+        c for c in [*value_cols, *distinct_cols, *histogram_cols]
+        if c in keys
+    ]
     if overlap:
         raise ValueError(
             f"create_agg_view: value columns {overlap} are also keys"
@@ -418,7 +487,7 @@ def create_agg_view(
         cursors[lin] = max(cursors.get(lin, -1), wm)
     base = _read_files(spark, src_path, files, read_schema)
     missing = [
-        c for c in [*keys, *value_cols, *distinct_cols]
+        c for c in [*keys, *value_cols, *distinct_cols, *histogram_cols]
         if c not in base.columns
     ]
     if missing:
@@ -426,7 +495,7 @@ def create_agg_view(
             f"create_agg_view: source table lacks columns {missing}"
         )
     partials = base.groupBy(*keys).agg(
-        *_moment_aggs(value_cols, distinct_cols)
+        *_moment_aggs(value_cols, distinct_cols, histogram_cols)
     )
     _commit_version_in(
         spark, mv_path, partials,
@@ -435,6 +504,9 @@ def create_agg_view(
             "keys": keys,
             "value_cols": value_cols,
             "distinct_cols": distinct_cols,
+            "histogram_cols": {
+                c: list(spec) for c, spec in histogram_cols.items()
+            },
             "feed_version": cursor,
             "epoch_cursors": cursors,
             "schema": partials.schema.jsonValue(),
@@ -475,6 +547,7 @@ def refresh_agg_view(
     keys: list[str] = list(meta["keys"])
     value_cols = _meta_value_cols(meta)
     distinct_cols = list(meta.get("distinct_cols") or ())
+    histogram_cols = _hist_spec(meta.get("histogram_cols"))
     suf = list(_vsuffixes(value_cols).items())
     cursor: int = int(meta["feed_version"])
     epoch_cursors = {
@@ -524,8 +597,10 @@ def refresh_agg_view(
                 "n_epoch_files_absorbed": 0, "n_groups": None,
                 "n_dirty_recomputed": 0, "feed_version": cursor,
                 "epoch_cursors": epoch_cursors}
-    need = [*keys, *value_cols,
-            *[c for c in distinct_cols if c not in value_cols]]
+    need = [*keys, *value_cols, *dict.fromkeys(
+        c for c in [*distinct_cols, *histogram_cols]
+        if c not in value_cols
+    )]
     parts = []
     if new_versions:
         parts.append(
@@ -576,6 +651,16 @@ def refresh_agg_view(
                 F.when((sign < 0) & F.col(c).isNotNull(), 1).otherwise(0)
             ).alias(f"rm_any_{c}"),
         ]
+    for c, (lo, hi, n) in histogram_cols.items():
+        b = _bin_expr(c, lo, hi, n)
+        delta_aggs += [
+            # integer bin counts subtract exactly — pure incremental
+            # even under deletes, never a dirty trigger
+            F.coalesce(
+                F.sum(F.when(b == i, sign)), F.lit(0)
+            ).alias(f"d_hist_{c}_{i}")
+            for i in range(n + 2)
+        ]
     delta = feed.groupBy(*keys).agg(*delta_aggs)
 
     mv = read_agg_partials(spark, mv_path).alias("m")
@@ -598,9 +683,16 @@ def refresh_agg_view(
     # ran without change_feed=True) — fail the refresh, loudly, inside
     # the projection (raise_error under when, the apply_cdc/AUC
     # discipline — no extra validation job)
+    hist_new = {
+        name: F.coalesce(mv[name], F.lit(0))
+        + F.coalesce(d[f"d_{name}"], F.lit(0))
+        for name in _hist_names(histogram_cols)
+    }
     all_ok = (n_rows_new >= 0)
     for s in n_new:
         all_ok = all_ok & (n_new[s] >= 0)
+    for expr in hist_new.values():
+        all_ok = all_ok & (expr >= 0)
     n_rows_guarded = F.when(all_ok, n_rows_new).otherwise(
         F.raise_error(F.concat(
             F.lit("refresh_agg_view: negative merged count for group ("),
@@ -659,6 +751,9 @@ def refresh_agg_view(
             .otherwise(F.hll_union(m_h, d_h))
             .alias(f"hll_{c}")
         )
+    measure_cols += [
+        expr.alias(name) for name, expr in hist_new.items()
+    ]
     merged = j.select(
         *[F.coalesce(mv[k], d[k]).alias(k) for k in keys],
         n_rows_guarded.alias("n_rows"),
@@ -676,6 +771,7 @@ def refresh_agg_view(
                 broadcast=n_dirty <= 1_000_000,
                 live_checkpoints=live_checkpoints,
                 distinct_cols=distinct_cols,
+                histogram_cols=histogram_cols,
             ).alias("x")
             dm = merged.where(F.col("__dirty")).alias("dm")
             # exact recount must agree with the incrementally-merged
@@ -692,7 +788,9 @@ def refresh_agg_view(
                 ))
             )
             moment_cols = [
-                c for c in _moment_names(value_cols, distinct_cols)
+                c for c in _moment_names(
+                    value_cols, distinct_cols, histogram_cols
+                )
                 if c != "n_rows"
             ]
             recomputed = (
@@ -752,6 +850,7 @@ def read_agg_view(
     mv_keys = list(meta["keys"])
     value_cols = _meta_value_cols(meta)
     distinct_cols = list(meta.get("distinct_cols") or ())
+    histogram_cols = _hist_spec(meta.get("histogram_cols"))
     suffixes = list(_vsuffixes(value_cols).values())
     partials = read_agg_partials(spark, mv_path)
     if group_keys is None:
@@ -778,6 +877,10 @@ def read_agg_view(
             F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}")
             for c in distinct_cols
         ]
+        aggs += [
+            F.sum(name).alias(name)
+            for name in _hist_names(histogram_cols)
+        ]
         merged = partials.groupBy(*out_keys).agg(*aggs)
     derived: list = []
     for s in suffixes:
@@ -802,4 +905,88 @@ def read_agg_view(
         F.hll_sketch_estimate(F.col(f"hll_{c}")).alias(f"distinct_{c}")
         for c in distinct_cols
     ]
+    derived += [
+        F.array(
+            *[F.col(f"hist_{c}_{i}") for i in range(n + 2)]
+        ).alias(f"hist_{c}")
+        for c, (_lo, _hi, n) in histogram_cols.items()
+    ]
     return merged.select(*out_keys, "n_rows", *derived)
+
+
+def read_agg_quantiles(
+    spark: SparkSession,
+    mv_path: str,
+    col: str,
+    qs: Sequence[float],
+    group_keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-group approximate quantiles of a histogram measure, derived
+    from the stored bin counts alone (no base-table access, no
+    percentile shuffle): linear interpolation inside the covering bin,
+    with under/overflow mass clamped to the lo/hi boundary — the
+    standard fixed-histogram estimate, accurate to one bin width for
+    in-range data. Returns ``(group keys..., q, <col>_q)``; groups
+    whose every value is NULL produce no rows."""
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError(f"read_agg_quantiles: q={q} outside [0, 1]")
+    _ver, meta = _mv_meta(spark, mv_path)
+    spec = _hist_spec(meta.get("histogram_cols"))
+    if col not in spec:
+        raise ValueError(
+            f"read_agg_quantiles: {col!r} is not a histogram measure "
+            f"of this MV ({sorted(spec)})"
+        )
+    lo, hi, n = spec[col]
+    w = (hi - lo) / n
+    base = read_agg_view(spark, mv_path, group_keys)
+    out_keys = (
+        list(group_keys) if group_keys is not None else list(meta["keys"])
+    )
+    arr = base.select(
+        *out_keys,
+        F.posexplode(F.col(f"hist_{col}")).alias("__bin", "__cnt"),
+    )
+    gw = Window.partitionBy(*out_keys)
+    cum = (
+        arr.withColumn(
+            "__cum", F.sum("__cnt").over(gw.orderBy("__bin"))
+        )
+        .withColumn("__total", F.sum("__cnt").over(gw))
+        .where(F.col("__total") > 0)
+        .withColumn(
+            "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+        )
+        .withColumn("__rank", F.col("q") * F.col("__total"))
+    )
+    hit = (
+        cum.where((F.col("__cnt") > 0) & (F.col("__cum") >= F.col("__rank")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*out_keys, "q").orderBy("__bin")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    b = F.col("__bin")
+    left = (
+        F.when(b == 0, F.lit(lo))
+        .when(b == n + 1, F.lit(hi))
+        .otherwise(F.lit(lo) + (b - 1).cast("double") * F.lit(w))
+    )
+    width = F.when((b == 0) | (b == n + 1), F.lit(0.0)).otherwise(F.lit(w))
+    inner = F.least(
+        F.greatest(
+            (F.col("__rank") - (F.col("__cum") - F.col("__cnt")))
+            / F.col("__cnt"),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    return hit.select(
+        *out_keys, "q", (left + width * inner).alias(f"{col}_q")
+    )

@@ -743,3 +743,106 @@ def test_distinct_measures_incremental_equals_rebuild(spark, tmp_path):
         F.hll_sketch_estimate(F.hll_sketch_agg("user")).alias("d")
     ).first()["d"]
     assert len(total) == 1 and total[0]["distinct_user"] == full
+
+
+def test_histogram_measures_subtract_exactly(spark, tmp_path):
+    """Fixed-bin histogram measures: counts match a direct binning
+    after delete + update + insert, the whole mutation chain stays on
+    the pure incremental path (integer counts subtract exactly — zero
+    dirty recomputes when extremes are untouched), and the quantile
+    derivation tracks exact percentile_cont within one bin width."""
+    path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    spark.range(0, 400).select(
+        F.col("id"),
+        F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias("grp"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise((F.col("id") % 100).cast("double"))
+        .alias("v"),
+    ).repartition(4).write.parquet(path)
+    create_agg_view(
+        spark, path, mv, ["grp"], "v",
+        histogram_cols={"v": (0.0, 100.0, 10)},
+    )
+    # interior delete + update (moves values between bins) + inserts,
+    # including out-of-range values for the overflow bins
+    delete_where(
+        spark, path, (F.col("v") >= 43) & (F.col("v") < 57),
+        change_feed=True,
+    )
+    update_where(
+        spark, path, (F.col("v") >= 20) & (F.col("v") < 25),
+        {"v": F.col("v") + 10.0}, change_feed=True,
+    )
+    src = spark.range(0, 30).select(
+        (F.col("id") + 40_000).alias("id"),
+        F.lit("g0").alias("grp"),
+        (F.col("id").cast("double") * 10 - 40.0).alias("v"),  # some < 0, some >= 100
+    )
+    merge_into(spark, path, src, on=["id"], change_feed=True)
+    r = refresh_agg_view(spark, path, mv)
+    assert r["status"] == "refreshed"
+    assert r["n_dirty_recomputed"] == 0  # histograms never dirty
+
+    # counts == direct binning of the current table, bin by bin
+    parts = read_agg_partials(spark, mv)
+    hist_cols = [f"hist_v_{i}" for i in range(12)]
+    got = {r2["grp"]: [r2[c] for c in hist_cols]
+           for r2 in parts.collect()}
+    t = spark.read.parquet(path)
+    v = F.col("v")
+    direct_bin = (
+        F.when(v.isNull(), None).when(v < 0, 0).when(v >= 100, 11)
+        .otherwise(F.least(F.floor(v / 10), F.lit(9)).cast("int") + 1)
+    )
+    exp = {}
+    for row in t.select("grp", direct_bin.alias("b")).groupBy(
+        "grp", "b"
+    ).count().collect():
+        exp.setdefault(row["grp"], [0] * 12)
+        if row["b"] is not None:
+            exp[row["grp"]][row["b"]] = row["count"]
+    assert got == exp
+
+    # read_agg_view exposes the packed array
+    arr = {r2["grp"]: r2["hist_v"]
+           for r2 in read_agg_view(spark, mv).collect()}
+    assert arr == got
+
+    # quantiles within one bin width of exact percentile_cont
+    qdf = {
+        (r2["grp"], r2["q"]): r2["v_q"]
+        for r2 in __import__(
+            "iot_sensor_data_pipeline_spark.sources.matview",
+            fromlist=["read_agg_quantiles"],
+        ).read_agg_quantiles(
+            spark, mv, "v", [0.1, 0.5, 0.9]
+        ).collect()
+    }
+    exact = {
+        (r2["grp"], q): r2[f"p{int(q*100)}"]
+        for r2 in t.groupBy("grp").agg(
+            *[F.expr(
+                f"percentile_cont({q}) WITHIN GROUP (ORDER BY v)"
+            ).alias(f"p{int(q*100)}") for q in (0.1, 0.5, 0.9)]
+        ).collect()
+        for q in (0.1, 0.5, 0.9)
+    }
+    for k, est in qdf.items():
+        assert abs(est - exact[k]) <= 10.0 + 1e-9, (k, est, exact[k])
+
+    # guards
+    with pytest.raises(ValueError, match="outside"):
+        __import__(
+            "iot_sensor_data_pipeline_spark.sources.matview",
+            fromlist=["read_agg_quantiles"],
+        ).read_agg_quantiles(spark, mv, "v", [1.5])
+    with pytest.raises(ValueError, match="not a histogram measure"):
+        __import__(
+            "iot_sensor_data_pipeline_spark.sources.matview",
+            fromlist=["read_agg_quantiles"],
+        ).read_agg_quantiles(spark, mv, "nope", [0.5])
+    with pytest.raises(ValueError, match="lo < hi"):
+        create_agg_view(
+            spark, path, str(tmp_path / "mv2"), ["grp"], "v",
+            histogram_cols={"v": (5.0, 5.0, 4)},
+        )
