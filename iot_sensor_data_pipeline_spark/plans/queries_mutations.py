@@ -172,3 +172,82 @@ def lineitem_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.col("l_returnflag").cast("string").alias("l_returnflag"),
     )
+
+
+_FILT_REPLICA_ORACLE = """
+WITH t1 AS (
+  SELECT doc_id, text,
+         CASE WHEN source = 'src1' AND lang = 'de' THEN 'en'
+              ELSE lang END AS lang,
+         source, n_chars
+  FROM documents
+), t2 AS (
+  SELECT doc_id, text,
+         CASE WHEN lang = 'en' AND n_chars % 10 = 3 THEN 'xx'
+              ELSE lang END AS lang,
+         source, n_chars
+  FROM t1
+), t3 AS (
+  SELECT * FROM t2 WHERE (n_chars < 100) IS NOT TRUE
+), t4 AS (
+  SELECT doc_id, lang, n_chars FROM t3
+  UNION ALL
+  SELECT doc_id + 10000000,
+         CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END,
+         doc_id % 500
+  FROM documents WHERE doc_id % 301 = 0
+)
+SELECT doc_id, lang, n_chars FROM t4 WHERE lang = 'en'
+"""
+
+
+@register_extended(
+    "documents_filtered_replica", oracle=_FILT_REPLICA_ORACLE,
+    tags=("mutation", "cdf", "replica", "ivm"),
+)
+def documents_filtered_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A filtered+projected replica (``SELECT doc_id, lang, n_chars
+    WHERE lang = 'en'``) follows the upstream through its change feed:
+    an UPDATE that moves rows INTO 'en', an UPDATE that moves rows OUT
+    of it, a DELETE, and a MERGE inserting a mix of languages — the
+    replica gains the entrants, loses the leavers, and never sees the
+    non-'en' inserts. The oracle re-derives the final replica as the
+    same SELECT over the relationally-composed mutation chain; hash
+    equality pins the selection-view maintenance exactly."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        delete_where,
+        merge_into,
+        sync_from_change_feed,
+        update_where,
+    )
+
+    src = _scratch("fr_src")
+    dst = _scratch("fr_dst")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(6).write.parquet(src)
+    # baseline: the same filtered/projected SELECT, before any mutation
+    docs.where(F.col("lang") == "en").select(
+        "doc_id", "lang", "n_chars"
+    ).repartition(4).write.parquet(dst)
+
+    update_where(
+        spark, src, (F.col("source") == "src1") & (F.col("lang") == "de"),
+        {"lang": F.lit("en")}, change_feed=True,
+    )
+    update_where(
+        spark, src, (F.col("lang") == "en") & (F.col("n_chars") % 10 == 3),
+        {"lang": F.lit("xx")}, change_feed=True,
+    )
+    delete_where(spark, src, F.col("n_chars") < 100, change_feed=True)
+    inserts = docs.where(F.col("doc_id") % 301 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("doc_id") % 500).alias("n_chars"),
+    )
+    merge_into(spark, src, inserts, on=["doc_id"], change_feed=True)
+
+    sync_from_change_feed(
+        spark, src, dst, on=["doc_id"],
+        where="lang = 'en'", columns=["doc_id", "lang", "n_chars"],
+    )
+    return spark.read.parquet(dst).select("doc_id", "lang", "n_chars")

@@ -1119,6 +1119,8 @@ def sync_from_change_feed(
     on: Sequence[str],
     manifest_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    where: Column | str | None = None,
+    columns: Sequence[str] | None = None,
 ) -> dict:
     """Propagate the source table's change feed into a downstream
     replica incrementally — the consumer half of the feed contract: a
@@ -1138,12 +1140,39 @@ def sync_from_change_feed(
     a no-op; an upsert to the already-post state rewrites to the same
     values), so replay converges instead of corrupting.
 
+    FILTERED / PROJECTED replicas (``where`` / ``columns``): the
+    replica maintains ``SELECT columns FROM upstream WHERE where``
+    incrementally — the selection-view case of incremental view
+    maintenance. Per version, post-images that SATISFY the predicate
+    upsert (projected to ``columns``); ``delete`` images AND
+    post-images that FAIL the predicate (NULL = fail, standard WHERE
+    semantics) delete by key — so an UPDATE that moves a row across
+    the predicate boundary enters or exits the replica exactly, and a
+    key never in the view deletes as a no-op (idempotent). The
+    predicate evaluates on the FULL row image before projection, so it
+    may use columns the replica does not keep. ``columns`` must
+    include the keys; baseline the replica as the same
+    filtered/projected SELECT of the upstream before the first sync.
+
     The replica must be keyed the same way the upstream's mutations
     are (``on``). Returns ``{"applied_versions", "n_upserted",
     "n_deleted", "from_version", "to_version"}``."""
     import json
 
     on = list(on)
+    pred = (
+        None if where is None
+        else (F.expr(where) if isinstance(where, str) else where)
+        .cast("boolean")
+    )
+    cols = None if columns is None else list(dict.fromkeys(columns))
+    if cols is not None:
+        missing = [k for k in on if k not in cols]
+        if missing:
+            raise ValueError(
+                f"sync_from_change_feed: columns must include the keys; "
+                f"missing {missing}"
+            )
     fs, _root, jvm = _fs_for(spark, dst_path)
     state_p = jvm.org.apache.hadoop.fs.Path(f"{dst_path}/_sync_state.json")
     last = 0
@@ -1165,7 +1194,13 @@ def sync_from_change_feed(
     n_up = n_del = 0
     for v in versions:
         feed = spark.read.parquet(f"{src_path}/{CHANGES_DIR}/v{v}")
-        deletes = feed.where(F.col(_OP) == "delete").select(*on).distinct()
+        doomed = F.col(_OP) == "delete"
+        if pred is not None:
+            # a post-image failing the predicate EXITS the view
+            doomed = doomed | (
+                (F.col(_OP) == "update_post") & ~F.coalesce(pred, F.lit(False))
+            )
+        deletes = feed.where(doomed).select(*on).distinct()
         if deletes.limit(1).count():
             r = merge_into(
                 spark, dst_path, deletes, on=on,
@@ -1173,9 +1208,12 @@ def sync_from_change_feed(
                 manifest_cols=manifest_cols, bloom_cols=bloom_cols,
             )
             n_del += r["n_rows_deleted"]
-        upserts = feed.where(
-            F.col(_OP).isin("update_post", "insert")
-        ).drop(_OP)
+        keep = F.col(_OP).isin("update_post", "insert")
+        if pred is not None:
+            keep = keep & F.coalesce(pred, F.lit(False))
+        upserts = feed.where(keep).drop(_OP)
+        if cols is not None:
+            upserts = upserts.select(*cols)
         if upserts.limit(1).count():
             r = merge_into(
                 spark, dst_path, upserts, on=on,

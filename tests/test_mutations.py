@@ -906,3 +906,62 @@ def test_table_checksum_and_verify_replica(spark, tmp_path):
     assert table_checksum(spark, purged) == (0, 0)
     r = verify_replica(spark, src, purged)
     assert not r["in_sync"] and r["dst_rows"] == 0
+
+
+def test_sync_filtered_replica_replay_and_guards(spark, tmp_path):
+    """Filtered/projected replica sync: state loss replays the whole
+    feed and CONVERGES (exits delete as no-ops, entrants re-upsert to
+    identical values); the keys-in-columns guard raises before any
+    write."""
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        sync_from_change_feed,
+        update_where,
+    )
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    df = spark.range(0, 120).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("id") * 2).alias("n"),
+        F.lit("padding").alias("extra"),
+    )
+    df.repartition(4).write.parquet(src)
+    df.where("lang = 'en'").select("id", "lang", "n") \
+        .repartition(2).write.parquet(dst)
+
+    # entrants (de -> en for id % 5 == 1) and leavers (en -> fr for
+    # id % 9 == 0); the predicate uses 'extra', which the replica drops
+    update_where(
+        spark, src, (F.col("id") % 5 == 1) & (F.col("lang") == "de"),
+        {"lang": F.lit("en")}, change_feed=True,
+    )
+    update_where(
+        spark, src, (F.col("id") % 9 == 0) & (F.col("lang") == "en"),
+        {"lang": F.lit("fr")}, change_feed=True,
+    )
+    kw = dict(on=["id"], where="lang = 'en' AND extra IS NOT NULL",
+              columns=["id", "lang", "n"])
+    r = sync_from_change_feed(spark, src, dst, **kw)
+    assert r["applied_versions"] == [1, 2]
+
+    expected = sorted(
+        (row.id, row.lang, row.n)
+        for row in spark.read.parquet(src)
+        .where("lang = 'en'").select("id", "lang", "n").collect()
+    )
+    got = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert got == expected
+
+    # state loss -> full replay -> same replica
+    os.remove(os.path.join(dst, "_sync_state.json"))
+    r = sync_from_change_feed(spark, src, dst, **kw)
+    assert r["applied_versions"] == [1, 2]
+    got = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert got == expected
+
+    with _pytest.raises(ValueError, match="must include the keys"):
+        sync_from_change_feed(
+            spark, src, dst, on=["id"], columns=["lang", "n"]
+        )
