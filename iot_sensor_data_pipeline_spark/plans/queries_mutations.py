@@ -251,3 +251,63 @@ def documents_filtered_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         where="lang = 'en'", columns=["doc_id", "lang", "n_chars"],
     )
     return spark.read.parquet(dst).select("doc_id", "lang", "n_chars")
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       round(o_totalprice, 2) AS price
+FROM orders
+WHERE (o_orderstatus = 'O' AND o_totalprice > 250000) IS NOT TRUE
+"""
+
+
+@register_extended(
+    "orders_time_travel", oracle=_TIME_TRAVEL_ORACLE,
+    tags=("mutation", "cdf", "time-travel"),
+)
+def orders_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-based time travel: three feed-carried mutations land
+    (DELETE, then a price UPDATE, then a MERGE with update + insert
+    arms), and ``read_table_as_of(version=1)`` reconstructs the state
+    after ONLY the delete — the oracle is the delete's relational
+    meaning over the original table, so a hash match proves the later
+    two mutations were inverted exactly (update pre-images restored,
+    merged updates reverted, inserts dropped) from the feed alone."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        delete_where,
+        merge_into,
+        read_table_as_of,
+        update_where,
+    )
+
+    path = _scratch("tt")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    orders.repartition(6).write.parquet(path)
+    delete_where(
+        spark, path,
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 250000),
+        change_feed=True,
+    )
+    update_where(
+        spark, path, F.col("o_orderkey") % 7 == 0,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(111.0)},
+        change_feed=True,
+    )
+    upd = orders.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", F.lit("9-TT").alias("o_orderpriority")
+    )
+    ins = orders.where(F.col("o_orderkey") % 501 == 0).select(
+        (F.col("o_orderkey") + F.lit(20_000_000)).alias("o_orderkey"),
+        F.lit("9-TTNEW").alias("o_orderpriority"),
+    )
+    merge_into(
+        spark, path, upd.unionByName(ins), on=["o_orderkey"],
+        change_feed=True,
+    )
+    t = read_table_as_of(spark, path, ["o_orderkey"], 1)
+    return t.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+    )

@@ -80,6 +80,7 @@ __all__ = [
     "drop_partitions",
     "partition_values",
     "read_change_feed",
+    "read_table_as_of",
     "change_feed_versions",
     "expire_change_feed",
     "sync_from_change_feed",
@@ -1381,3 +1382,77 @@ def verify_replica(
     sn, sc = _sum(sdf)
     dn, dc = _sum(ddf)
     return {"in_sync": (sn, sc) == (dn, dc), "src_rows": sn, "dst_rows": dn}
+
+
+def read_table_as_of(
+    spark: SparkSession,
+    path: str,
+    on: Sequence[str],
+    version: int,
+) -> DataFrame:
+    """The table's rows AS OF change-feed ``version`` (0 = before any
+    feed-carried mutation), reconstructed from the CURRENT state plus
+    the retained feed — no extra storage, no retained file copies: the
+    feed's row images ARE the undo log.
+
+    The inversion is one window over the feed slice ``> version``: for
+    each row identity (``on`` — a stable, unique, non-NULL key, the
+    same contract as ``merge_into``), the OLDEST image in the slice
+    tells the state at the target version exactly — ``delete`` and
+    ``update_pre`` images ARE that state (the row existed and this was
+    its content); ``insert`` and ``update_post`` images mean the
+    identity did not exist yet (born later — including the new key of
+    a key-changing UPDATE, whose old key restores through its own
+    ``update_pre``). Identities absent from the slice pass through
+    from the current table unchanged. Cost: one feed-slice window at
+    changed-key grain + one anti-join — independent of table history.
+
+    LOUD edges, never silent wrong answers: a slice that was partially
+    expired raises ``read_change_feed``'s re-baseline error (the undo
+    log is incomplete); mutations that ran WITHOUT ``change_feed=True``
+    and epoch-sink APPENDS are invisible to the feed, so this
+    reconstructs mutation history only — epoch-scoped time travel for
+    sink appends is ``sinks.read_sink_as_of``'s job. Run on a table
+    whose every mutation carried the feed."""
+    on = list(on)
+    if not on:
+        raise ValueError("read_table_as_of: empty key list")
+    recover_optimize(spark, path)
+    part_cols, files_canon, _rel_of = _layout(spark, path)
+    _data, read_schema = _read_schema_for(
+        spark, path, files_canon, part_cols
+    )
+    current = _read_files(spark, path, files_canon, read_schema)
+    missing = [c for c in on if c not in read_schema.fieldNames()]
+    if missing:
+        raise ValueError(f"read_table_as_of: table lacks key columns "
+                         f"{missing}")
+    feed = read_change_feed(spark, path, since_version=version)
+    from pyspark.sql import Window
+
+    cols = read_schema.fieldNames()
+    # within one version a key carries at most (update_pre,
+    # update_post); the PRE image is the older state
+    op_rank = (
+        F.when(F.col(_OP) == "update_pre", 0)
+        .when(F.col(_OP) == "update_post", 1)
+        .otherwise(0)
+    )
+    oldest = (
+        feed.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*on).orderBy(
+                    F.col("__commit_version").asc(), op_rank.asc()
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    by_name = {f.name: f for f in read_schema.fields}
+    revived = oldest.where(
+        F.col(_OP).isin("delete", "update_pre")
+    ).select(*[F.col(c).cast(by_name[c].dataType).alias(c) for c in cols])
+    touched = oldest.select(*on).distinct()
+    untouched = current.join(touched, on, "left_anti")
+    return untouched.select(*cols).unionByName(revived)
