@@ -329,6 +329,7 @@ def _exact_groups(
     live_checkpoints: Sequence[str] = (),
     distinct_cols: Sequence[str] = (),
     histogram_cols=None,
+    where: str | None = None,
 ) -> DataFrame:
     """Exact moments for the dirty groups only: a semi-join of the base
     table against the dirty key set, then one GROUP BY. Column-pruned
@@ -352,9 +353,12 @@ def _exact_groups(
         c for c in [*distinct_cols, *_hist_spec(histogram_cols)]
         if c not in value_cols
     ]
-    base = _read_files(spark, src_path, files, read_schema).select(
-        *keys, *value_cols, *dict.fromkeys(extra)
-    )
+    base = _read_files(spark, src_path, files, read_schema)
+    if where is not None:
+        base = base.where(
+            F.coalesce(F.expr(where).cast("boolean"), F.lit(False))
+        )
+    base = base.select(*keys, *value_cols, *dict.fromkeys(extra))
     dk = (F.broadcast(dirty_keys) if broadcast else dirty_keys).alias("k")
     b = base.alias("b")
     return (
@@ -385,6 +389,7 @@ def create_agg_view(
     live_checkpoints: Sequence[str] = (),
     distinct_cols: Sequence[str] = (),
     histogram_cols=None,
+    where: str | None = None,
 ) -> dict:
     """Full build: one ``GROUP BY`` scan of the source table, committed
     as MV ``v1`` with the feed cursor taken BEFORE the scan (a feed
@@ -424,6 +429,15 @@ def create_agg_view(
     ``read_agg_quantiles`` answers per-group approximate quantiles
     from the counts alone (values outside [lo, hi) clamp to the
     boundary, the standard fixed-histogram caveat).
+
+    ``where`` (an SQL predicate string, persisted in the MV's meta)
+    makes the view FILTERED: it aggregates ``WHERE where`` only. The
+    delta fold needs no special casing — row images failing the
+    predicate are simply not in the view, so an UPDATE that moves a
+    row across the boundary contributes only its in-view image (pre-in
+    post-out nets -1, pre-out post-in nets +1), appends filter before
+    absorbing, and the dirty recompute scans ``WHERE where``. NULL
+    predicate = not in view (standard WHERE semantics).
 
     Returns ``{"status", "n_groups", "feed_version",
     "epoch_cursors"}``."""
@@ -494,6 +508,9 @@ def create_agg_view(
         raise ValueError(
             f"create_agg_view: source table lacks columns {missing}"
         )
+    if where is not None:
+        base = base.where(F.coalesce(F.expr(where).cast("boolean"),
+                                     F.lit(False)))
     partials = base.groupBy(*keys).agg(
         *_moment_aggs(value_cols, distinct_cols, histogram_cols)
     )
@@ -507,6 +524,7 @@ def create_agg_view(
             "histogram_cols": {
                 c: list(spec) for c, spec in histogram_cols.items()
             },
+            "where": where,
             "feed_version": cursor,
             "epoch_cursors": cursors,
             "schema": partials.schema.jsonValue(),
@@ -548,6 +566,7 @@ def refresh_agg_view(
     value_cols = _meta_value_cols(meta)
     distinct_cols = list(meta.get("distinct_cols") or ())
     histogram_cols = _hist_spec(meta.get("histogram_cols"))
+    where = meta.get("where")
     suf = list(_vsuffixes(value_cols).items())
     cursor: int = int(meta["feed_version"])
     epoch_cursors = {
@@ -601,10 +620,22 @@ def refresh_agg_view(
         c for c in [*distinct_cols, *histogram_cols]
         if c not in value_cols
     )]
+
+    def _in_view(df: DataFrame) -> DataFrame:
+        # only in-view images contribute: a boundary-crossing UPDATE
+        # keeps exactly its in-view side (pre-in post-out nets -1).
+        # Applied BEFORE projection — the predicate may use columns
+        # the MV does not keep.
+        if where is None:
+            return df
+        return df.where(
+            F.coalesce(F.expr(where).cast("boolean"), F.lit(False))
+        )
+
     parts = []
     if new_versions:
         parts.append(
-            read_change_feed(spark, src_path, since_version=cursor)
+            _in_view(read_change_feed(spark, src_path, since_version=cursor))
             .select(*need, F.col(_OP))
         )
     if new_epoch_files:
@@ -612,7 +643,9 @@ def refresh_agg_view(
             spark, src_path, new_epoch_files, part_cols
         )
         parts.append(
-            _read_files(spark, src_path, new_epoch_files, append_schema)
+            _in_view(
+                _read_files(spark, src_path, new_epoch_files, append_schema)
+            )
             .select(*need)
             .withColumn(_OP, F.lit("insert"))
         )
@@ -772,6 +805,7 @@ def refresh_agg_view(
                 live_checkpoints=live_checkpoints,
                 distinct_cols=distinct_cols,
                 histogram_cols=histogram_cols,
+                where=where,
             ).alias("x")
             dm = merged.where(F.col("__dirty")).alias("dm")
             # exact recount must agree with the incrementally-merged

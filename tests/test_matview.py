@@ -846,3 +846,86 @@ def test_histogram_measures_subtract_exactly(spark, tmp_path):
             spark, path, str(tmp_path / "mv2"), ["grp"], "v",
             histogram_cols={"v": (5.0, 5.0, 4)},
         )
+
+
+def test_filtered_view_boundary_crossing(spark, tmp_path):
+    """A filtered MV (WHERE lang = 'en') follows boundary-crossing
+    updates exactly — entrants add, leavers subtract, out-of-view
+    churn is invisible — through feed mutations AND epoch appends; the
+    predicate may use a column the MV does not keep."""
+    from iot_sensor_data_pipeline_spark.sources.sinks import (
+        parquet_batch_sink,
+    )
+
+    path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    ckpt = "/ckpt/MVFILT"
+    sink = parquet_batch_sink(path, checkpoint=ckpt)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.concat(F.lit("g"), (F.col("id") % 3).cast("string"))
+            .alias("grp"),
+            F.when(F.col("id") % 4 == 0, "en").otherwise("de").alias("lang"),
+            (F.col("id") % 37).cast("double").alias("v"),
+        )
+
+    sink(batch(0, 200).coalesce(1), 0)
+    create_agg_view(
+        spark, path, mv, ["grp"], "v", where="lang = 'en'"
+    )
+
+    def expected():
+        return {
+            r["grp"]: (r["n"], round(r["s"], 6))
+            for r in spark.read.parquet(path).where("lang = 'en'")
+            .groupBy("grp").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("v"), F.lit(0.0)).alias("s"),
+            ).collect()
+        }
+
+    def got():
+        return {
+            r["grp"]: (r["n_rows"], round(r["sum_v"], 6))
+            for r in read_agg_partials(spark, mv).collect()
+        }
+
+    assert got() == expected()
+
+    # appends: only the 'en' slice absorbs
+    sink(batch(200, 320).coalesce(1), 1)
+    sink(batch(320, 400).coalesce(1), 2)
+    refresh_agg_view(spark, path, mv)
+    assert got() == expected()
+
+    # entrants (de -> en) and leavers (en -> fr), plus out-of-view
+    # churn (de value changes must be invisible to the view)
+    update_where(
+        spark, path, (F.col("lang") == "de") & (F.col("id") % 5 == 1),
+        {"lang": F.lit("en")}, change_feed=True,
+    )
+    update_where(
+        spark, path, (F.col("lang") == "en") & (F.col("id") % 8 == 0),
+        {"lang": F.lit("fr")}, change_feed=True,
+    )
+    update_where(
+        spark, path, F.col("lang") == "de", {"v": F.col("v") + 1000.0},
+        change_feed=True,
+    )
+    r = refresh_agg_view(spark, path, mv)
+    assert r["status"] == "refreshed"
+    assert got() == expected()
+
+    # delete that takes a view-member minimum -> filtered recompute
+    en_min = (
+        spark.read.parquet(path).where("lang = 'en'")
+        .agg(F.min("v")).first()[0]
+    )
+    delete_where(
+        spark, path, (F.col("lang") == "en") & (F.col("v") == en_min),
+        change_feed=True,
+    )
+    r = refresh_agg_view(spark, path, mv)
+    assert r["n_dirty_recomputed"] >= 1
+    assert got() == expected()
