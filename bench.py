@@ -327,8 +327,18 @@ def bench_maintenance(spark) -> dict[str, float]:
                 "CAST(id % 997 AS DOUBLE) AS v",
             ).coalesce(1).write.mode("append").parquet(mv_tbl)
         mv_dir = os.path.join(tmp, "mv_view")
+        # the full measure algebra in one view: moments + HLL distinct
+        # + a 16-bin histogram, so the refresh anchor prices what a
+        # real dashboard MV pays per fold — including the dirty-group
+        # recompute the delete forces on every distinct-bearing group
+        # it touches (sketches cannot subtract; this is the documented
+        # worst case, not the steady-state insert fold)
         t0 = time.perf_counter()
-        cres = create_agg_view(spark, mv_tbl, mv_dir, ["g"], "v")
+        cres = create_agg_view(
+            spark, mv_tbl, mv_dir, ["g"], "v",
+            distinct_cols=["k"],
+            histogram_cols={"v": (0.0, 997.0, 16)},
+        )
         mv_build_sec = time.perf_counter() - t0
         assert cres["n_groups"] == 50
         delete_where(

@@ -128,9 +128,11 @@ class MatviewSpec:
     src: str
     mv_path: str
     keys: tuple[str, ...] = ()
-    value_col: str | None = None
+    value_col: str | tuple[str, ...] | None = None
     single_file: bool = True
     distinct_cols: tuple[str, ...] = ()
+    histogram_cols: dict | None = None
+    where: str | None = None
 
     def __post_init__(self) -> None:
         if bool(self.keys) != (self.value_col is not None):
@@ -205,9 +207,11 @@ class Pipeline:
         src: str,
         mv_path: str,
         keys: Sequence[str] = (),
-        value_col: str | None = None,
+        value_col: str | Sequence[str] | None = None,
         single_file: bool = True,
         distinct_cols: Sequence[str] = (),
+        histogram_cols: dict | None = None,
+        where: str | None = None,
     ) -> "Pipeline":
         """Register an incrementally-maintained aggregate view for
         :meth:`maintain` (see :class:`MatviewSpec`). ``src`` is a name
@@ -220,8 +224,10 @@ class Pipeline:
                 "the maintenance report keys both by name"
             )
         self.matviews[name] = MatviewSpec(
-            src, mv_path, tuple(keys), value_col, single_file,
-            tuple(distinct_cols),
+            src, mv_path, tuple(keys),
+            tuple(value_col) if isinstance(value_col, (list, tuple))
+            else value_col,
+            single_file, tuple(distinct_cols), histogram_cols, where,
         )
         return self
 
@@ -566,10 +572,15 @@ class Pipeline:
                     if mspec.keys:
                         mv_actions["mv_create"] = create_agg_view(
                             spark, src_path, mspec.mv_path,
-                            list(mspec.keys), mspec.value_col,
+                            list(mspec.keys),
+                            list(mspec.value_col)
+                            if isinstance(mspec.value_col, tuple)
+                            else mspec.value_col,
                             single_file=mspec.single_file,
                             live_checkpoints=live,
                             distinct_cols=mspec.distinct_cols,
+                            histogram_cols=mspec.histogram_cols,
+                            where=mspec.where,
                         )
                     else:
                         mv_actions["status"] = "absent"
