@@ -1241,8 +1241,44 @@ def sync_from_change_feed(
     }
 
 
+def _consumer_cursor(spark: SparkSession, consumer_path: str) -> int:
+    """A feed consumer's applied-through cursor, read from whatever
+    state the consumer keeps: a replica's ``_sync_state.json``
+    (``sync_from_change_feed``) or a materialized view's newest
+    ``_meta.json`` (``matview``). Raises for a path that is neither —
+    a typo'd consumer list must not silently protect nothing."""
+    fs, _root, jvm = _fs_for(spark, consumer_path)
+    sync_p = jvm.org.apache.hadoop.fs.Path(
+        f"{consumer_path}/_sync_state.json"
+    )
+    if fs.exists(sync_p):
+        from iot_sensor_data_pipeline_spark.sources.manifest import (
+            _read_json_file,
+        )
+
+        return int(_read_json_file(fs, jvm, sync_p).get("version", 0))
+    from iot_sensor_data_pipeline_spark.sources.manifest import _versions_in
+
+    if _versions_in(spark, consumer_path):
+        from iot_sensor_data_pipeline_spark.sources.matview import _mv_meta
+
+        _v, meta = _mv_meta(spark, consumer_path)
+        return int(meta["feed_version"])
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(consumer_path)):
+        # the consumer exists but has never consumed (a freshly
+        # baselined replica before its first sync) — cursor 0 protects
+        # the whole feed for it
+        return 0
+    raise ValueError(
+        f"expire_change_feed: consumer {consumer_path} does not exist "
+        "— cannot read its cursor, refusing to expire blind (typo'd "
+        "consumer paths must fail, not silently protect nothing)"
+    )
+
+
 def expire_change_feed(
-    spark: SparkSession, path: str, keep_versions: int
+    spark: SparkSession, path: str, keep_versions: int,
+    consumers: Sequence[str] = (),
 ) -> dict:
     """Drop the oldest committed change-feed versions, keeping the
     newest ``keep_versions`` — the feed's own retention (each version
@@ -1251,21 +1287,41 @@ def expire_change_feed(
     the oldest retained version get a LOUD gap error from
     :func:`read_change_feed` / :func:`sync_from_change_feed` instead
     of a silent skip — run expiry on a cadence slower than the slowest
-    consumer's sync cadence. Returns ``{"n_expired",
-    "oldest_retained"}``."""
+    consumer's sync cadence, or better: pass ``consumers`` (replica
+    destination paths and/or materialized-view paths) and the expiry
+    CLAMPS itself to the slowest registered cursor — every version a
+    registered consumer still needs survives, so expiry can run on any
+    cadence without ever stranding them. (Time-travel depth is still
+    bounded by what expiry keeps: ``read_table_as_of`` below the
+    oldest retained version raises its re-baseline error — retention
+    and history depth are the same dial.) Returns ``{"n_expired",
+    "oldest_retained", "clamped_by"}``."""
     if keep_versions < 1:
         raise ValueError("expire_change_feed: keep_versions must be >= 1")
     versions = change_feed_versions(spark, path)
     doomed = versions[: max(0, len(versions) - keep_versions)]
+    clamped_by = None
+    if consumers and doomed:
+        cursors = {c: _consumer_cursor(spark, c) for c in consumers}
+        slowest = min(cursors, key=cursors.get)
+        # a consumer at cursor N has applied everything <= N and still
+        # needs every version > N
+        survivors = [v for v in doomed if v > cursors[slowest]]
+        if survivors:
+            clamped_by = {"consumer": slowest,
+                          "cursor": cursors[slowest],
+                          "n_protected": len(survivors)}
+            doomed = [v for v in doomed if v <= cursors[slowest]]
     fs, _root, jvm = _fs_for(spark, path)
     for v in doomed:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{path}/{CHANGES_DIR}/v{v}"), True
         )
-    retained = versions[len(doomed):]
+    retained = [v for v in versions if v not in set(doomed)]
     return {
         "n_expired": len(doomed),
         "oldest_retained": retained[0] if retained else None,
+        "clamped_by": clamped_by,
     }
 
 

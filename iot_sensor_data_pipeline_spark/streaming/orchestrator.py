@@ -160,6 +160,14 @@ class TableSpec:
     cluster_by: tuple[str, ...] = ()
     sink_maintains_indexes: bool = False
     retention: RetentionSpec | None = None
+    #: keep this many newest change-feed versions; each maintain tick
+    #: expires older ones, CLAMPED to the slowest consumer cursor —
+    #: the tick's own tracked matviews on this table are protected
+    #: automatically (they refresh FIRST in the tick), and
+    #: ``feed_consumers`` registers external replica/MV paths the
+    #: expiry must also never strand. None = never expire.
+    feed_keep: int | None = None
+    feed_consumers: tuple[str, ...] = ()
 
 
 class Pipeline:
@@ -185,6 +193,8 @@ class Pipeline:
         cluster_by: Sequence[str] = (),
         sink_maintains_indexes: bool = False,
         retention: RetentionSpec | None = None,
+        feed_keep: int | None = None,
+        feed_consumers: Sequence[str] = (),
     ) -> "Pipeline":
         """Register a sink table for :meth:`maintain` — call it where
         the sink is built, so the orchestrator knows each table's
@@ -198,6 +208,8 @@ class Pipeline:
             tuple(cluster_by),
             sink_maintains_indexes,
             retention,
+            feed_keep,
+            tuple(feed_consumers),
         )
         return self
 
@@ -511,6 +523,12 @@ class Pipeline:
            newest-epoch exclusion, and refreshing BEFORE the table
            actions guarantees this tick's own OPTIMIZE never compacts
            an epoch the view has not absorbed.
+        7. **feed expiry** (r12): a spec with ``feed_keep`` expires
+           change-feed versions beyond it each tick, clamped to the
+           slowest consumer cursor — this tick's own tracked matviews
+           (already refreshed, step 6 runs first) plus any
+           ``feed_consumers`` paths — so feed retention runs on the
+           maintenance cadence without ever stranding a consumer.
 
         Per-table isolation throughout: one table's failure reports as
         ``{"error": ...}`` and the rest still maintain. Returns
@@ -721,6 +739,28 @@ class Pipeline:
                             live_checkpoints=spec.checkpoints,
                             on_live="skip", **idx_kw,
                         )
+                if spec.feed_keep is not None:
+                    from iot_sensor_data_pipeline_spark.sources.mutations import (
+                        change_feed_versions,
+                        expire_change_feed,
+                    )
+
+                    n_feed = len(change_feed_versions(spark, spec.path))
+                    if n_feed > spec.feed_keep:
+                        # tracked matviews on this table refreshed at
+                        # the top of THIS tick, so their cursors are
+                        # fresh; external consumers register via
+                        # feed_consumers
+                        consumers = list(spec.feed_consumers) + [
+                            m.mv_path for m in self.matviews.values()
+                            if m.src == name or m.src == spec.path
+                        ]
+                        exp = expire_change_feed(
+                            spark, spec.path, spec.feed_keep,
+                            consumers=consumers,
+                        )
+                        if exp["n_expired"] or exp["clamped_by"]:
+                            actions["feed_expiry"] = exp
                 out[name] = {"health": h, "actions": actions}
             except Exception as e:  # noqa: BLE001 — per-table isolation
                 log.warning(

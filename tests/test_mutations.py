@@ -815,7 +815,8 @@ def test_expire_change_feed_and_gap_guard(spark, tmp_path):
     assert change_feed_versions(spark, path) == [1, 2, 3, 4]
 
     res = expire_change_feed(spark, path, keep_versions=2)
-    assert res == {"n_expired": 2, "oldest_retained": 3}
+    assert res == {"n_expired": 2, "oldest_retained": 3,
+                   "clamped_by": None}
     assert change_feed_versions(spark, path) == [3, 4]
 
     # cursor at 2: v3 onward is contiguous -> fine
@@ -1035,3 +1036,57 @@ def test_read_table_as_of_reconstructs_every_version(spark, tmp_path):
             .select("id", "v", "tag").collect())
     )
     assert got == snaps[2]
+
+
+def test_expire_change_feed_consumer_clamp(spark, tmp_path):
+    """Consumer-aware expiry: the clamp keeps every version the
+    slowest registered consumer (replica cursor or MV cursor) still
+    needs, a caught-up consumer releases them, and an unknown consumer
+    path refuses loudly."""
+    from iot_sensor_data_pipeline_spark.sources.matview import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        expire_change_feed,
+        sync_from_change_feed,
+    )
+
+    src = str(tmp_path / "s")
+    dst = str(tmp_path / "d")
+    mv = str(tmp_path / "mv")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 9).cast("double").alias("v"),
+    )
+    df.repartition(3).write.parquet(src)
+    df.repartition(2).write.parquet(dst)
+    create_agg_view(spark, src, mv, ["g"], "v")
+    for lo in (0, 10, 20, 30):
+        delete_where(
+            spark, src, (F.col("v") * 10 + F.col("id") * 0).isNotNull()
+            & (F.col("id") >= lo) & (F.col("id") < lo + 3),
+            change_feed=True,
+        )
+    # replica applies versions 1-2 only (feed has 4)
+    sync_from_change_feed(spark, src, dst, on=["id"])
+    # ... actually applies all; rewind by applying MV to v0 only: the
+    # MV has NOT refreshed (cursor 0) -> it is the slowest consumer
+    r = expire_change_feed(spark, src, keep_versions=1, consumers=[dst, mv])
+    assert r["n_expired"] == 0
+    assert r["clamped_by"]["consumer"] == mv
+    assert r["clamped_by"]["cursor"] == 0
+    # unknown consumer path refuses loudly (while expiry is live)
+    with pytest.raises(ValueError, match="does not exist"):
+        expire_change_feed(
+            spark, src, keep_versions=1,
+            consumers=[str(tmp_path / "nothing")],
+        )
+    # MV catches up -> the clamp releases everything but keep_versions
+    refresh_agg_view(spark, src, mv)
+    r = expire_change_feed(spark, src, keep_versions=1, consumers=[dst, mv])
+    assert r["n_expired"] == 3 and r["oldest_retained"] == 4
+    assert r["clamped_by"] is None
+    # both consumers still read/refresh cleanly after expiry
+    assert refresh_agg_view(spark, src, mv)["status"] == "noop"
+    sync_from_change_feed(spark, src, dst, on=["id"])

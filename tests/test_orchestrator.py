@@ -763,3 +763,65 @@ def test_pipeline_maintain_refreshes_matviews(spark, tmp_path):
         pl.track_matview("t", "t", mv)
     with _pytest.raises(ValueError, match="come together"):
         MatviewSpec("t", mv, keys=("grp",), value_col=None)
+
+
+def test_pipeline_maintain_expires_feed_with_consumer_clamp(spark, tmp_path):
+    """The maintain tick expires the change feed down to feed_keep,
+    but never past the tick's own tracked matview (which refreshes
+    first, so expiry usually proceeds) or an external feed_consumers
+    path; steady state reports no feed action."""
+    from pyspark.sql import functions as F
+
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        change_feed_versions,
+        delete_where,
+        sync_from_change_feed,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.orchestrator import (
+        MaintenancePolicy,
+        Pipeline,
+    )
+
+    path = str(tmp_path / "t")
+    mv = str(tmp_path / "mv")
+    replica = str(tmp_path / "rep")
+    df = spark.range(0, 120).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 11).cast("double").alias("v"),
+    )
+    df.repartition(3).write.parquet(path)
+    df.repartition(2).write.parquet(replica)
+
+    pl = (
+        Pipeline()
+        .track_table("t", path, feed_keep=1, feed_consumers=[replica])
+        .track_matview("t_mv", "t", mv, keys=["g"], value_col="v")
+    )
+    pol = MaintenancePolicy(target_bytes=1 << 30, min_files=1000)
+    pl.maintain(spark, pol)  # creates the MV (cursor 0, no feed yet)
+
+    for lo in (0, 20, 40):
+        delete_where(
+            spark, path, (F.col("id") >= lo) & (F.col("id") < lo + 2),
+            change_feed=True,
+        )
+    # the REPLICA has not synced (cursor 0): expiry must clamp to it
+    # even though the tick's matview refreshes first
+    tick = pl.maintain(spark, pol)
+    assert tick["t_mv"]["actions"]["mv_refresh"]["feed_version"] == 3
+    exp = tick["t"]["actions"]["feed_expiry"]
+    assert exp["n_expired"] == 0
+    assert exp["clamped_by"]["consumer"] == replica
+    assert change_feed_versions(spark, path) == [1, 2, 3]
+
+    # replica catches up -> the next tick expires down to feed_keep
+    sync_from_change_feed(spark, path, replica, on=["id"])
+    tick = pl.maintain(spark, pol)
+    exp = tick["t"]["actions"]["feed_expiry"]
+    assert exp["n_expired"] == 2 and exp["oldest_retained"] == 3
+    assert change_feed_versions(spark, path) == [3]
+
+    # steady state: nothing to expire, no action reported
+    tick = pl.maintain(spark, pol)
+    assert tick["t"]["actions"] == {}
+    assert tick["t_mv"]["actions"] == {}
