@@ -64,6 +64,20 @@ Design (Spark-first):
   ``change_feed=True`` is the usual culprit; the MV contract is that
   EVERY mutation on the source carries the feed).
 
+Beyond the core moments, a view can carry (all maintained by the SAME
+fold): **HLL count-distinct** measures (``distinct_cols`` — insert
+unions are lossless so incremental == rebuilt exactly; removals ride
+the dirty recompute, sketches cannot subtract), **fixed-bin histogram**
+measures (``histogram_cols`` — frozen edges make integer bin counts
+exactly subtractable, so deletes stay pure-incremental and
+``read_agg_quantiles`` derives per-group quantiles from counts alone),
+a **filter** (``where`` — out-of-view images drop before the fold, so
+boundary-crossing updates net exactly their in-view side), and
+**streaming appends** (per-lineage epoch cursors absorb newly sealed
+``e<N>-<lineage>-`` sink files as insert deltas under the live
+OPTIMIZE's newest-epoch exclusion — no feed required for append-only
+flow; a compaction watermark above the cursor raises re-create).
+
 The reference pipeline has no materialized-view story (its aggregates
 are recomputed per window by the streaming job,
 ``/root/reference/spark_processing/data_agregator.py:74-95``); this is
