@@ -929,3 +929,39 @@ def test_filtered_view_boundary_crossing(spark, tmp_path):
     r = refresh_agg_view(spark, path, mv)
     assert r["n_dirty_recomputed"] >= 1
     assert got() == expected()
+
+
+def test_quantiles_at_coarser_grain(spark, tmp_path):
+    """read_agg_quantiles over a COARSER grouping merges bin counts
+    across MV rows before interpolating — the global median of a
+    two-key MV tracks the exact percentile within one bin width."""
+    from iot_sensor_data_pipeline_spark.sources.matview import (
+        read_agg_quantiles,
+    )
+
+    path, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    spark.range(0, 600).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("a"),
+        (F.col("id") % 2).cast("string").alias("b"),
+        (F.col("id") % 200).cast("double").alias("v"),
+    ).repartition(3).write.parquet(path)
+    create_agg_view(
+        spark, path, mv, ["a", "b"], "v",
+        histogram_cols={"v": (0.0, 200.0, 20)},
+    )
+    got = {
+        (r["a"], r["q"]): r["v_q"]
+        for r in read_agg_quantiles(
+            spark, mv, "v", [0.5], group_keys=["a"]
+        ).collect()
+    }
+    exact = {
+        r["a"]: r["p50"]
+        for r in spark.read.parquet(path).groupBy("a").agg(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY v)")
+            .alias("p50")
+        ).collect()
+    }
+    for a, p50 in exact.items():
+        assert abs(got[(a, 0.5)] - p50) <= 10.0 + 1e-9
