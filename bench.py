@@ -1,5 +1,9 @@
 """Benchmark: run the registry's headline queries at $SPARK_GRAFT_SF_DIR
-(default sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+(default sf0.1) on local[$SPARK_GRAFT_CPUS]; print the headline record
+as the FINAL JSON line (compact — the driver tail-captures ~2.2 KB of
+stdout and parses the last line; VERDICT r12 task 1), preceded by a
+separate ``maintenance_anchors`` JSON line carrying the maintenance
+micro-benchmarks.
 
 Methodology: each query runs to a ``write.format("noop")`` terminal
 action, which executes the complete physical plan (scan, shuffle, agg)
@@ -402,6 +406,14 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     timings_min: dict[str, float] = {}
     for name in names:
+        # per-query warmup action (VERDICT r12 task 8): the FIRST run of
+        # a query pays one-off costs the later runs don't (plan
+        # compilation, shuffle-file page cache, Python worker reuse) —
+        # with only a suite-global warmup those costs land inside the
+        # first timed sample and the median of 3 reports the middle of a
+        # contaminated sample. One untimed run per query first, then the
+        # timed repeats, so queries_min tracks queries within noise.
+        fns[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -430,21 +442,47 @@ def main() -> None:
         sum(v for n, v in timings_min.items() if n in r1_set), 3
     )
     maintenance = bench_maintenance(spark)
+    # the maintenance anchors print as their OWN preceding line
+    # (VERDICT r12 task 1): the driver captures only the tail of stdout
+    # (~2.2 KB) and parses the FINAL line as the round's bench record —
+    # r12's single line grew past that buffer once the maintenance
+    # section hit 27 keys and the round recorded `parsed: null`. The
+    # final line now carries the headline keys only, with a hard
+    # self-check that it stays under the driver's capture window.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
+                "metric": "maintenance_anchors",
                 "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
                 "sf": sf,
-                "r1_anchored_subtotal": legacy_total,
-                "r1_anchored_subtotal_min": legacy_total_min,
                 "maintenance": maintenance,
             }
         )
     )
+    final = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": timings_min,
+        "sf": sf,
+        "r1_anchored_subtotal": legacy_total,
+        "r1_anchored_subtotal_min": legacy_total_min,
+    }
+    line = json.dumps(final)
+    if len(line) > 1800:
+        # degrade gracefully instead of breaking the parser again: move
+        # the per-query mins to their own line, keep the medians
+        print(json.dumps({"metric": "headline_queries_min",
+                          "queries_min": timings_min, "sf": sf}))
+        final.pop("queries_min")
+        line = json.dumps(final)
+    assert len(line) <= 1800, (
+        f"bench emit grew to {len(line)} bytes — it would outgrow the "
+        "driver's tail capture; trim the headline set or move a section "
+        "to its own line"
+    )
+    print(line)
     spark.stop()
 
 

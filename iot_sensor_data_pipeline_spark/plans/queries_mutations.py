@@ -201,7 +201,7 @@ SELECT doc_id, lang, n_chars FROM t4 WHERE lang = 'en'
 """
 
 
-@register_extended(
+@register(  # rotated INTO the gate in r13 (VERDICT r12 task 3): the selection-view maintenance claim gets the driver's independent stamp
     "documents_filtered_replica", oracle=_FILT_REPLICA_ORACLE,
     tags=("mutation", "cdf", "replica", "ivm"),
 )
@@ -253,6 +253,53 @@ def documents_filtered_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dst).select("doc_id", "lang", "n_chars")
 
 
+_SCHEMA_EVO_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 97 = 0 THEN 'web' END AS o_channel
+FROM orders
+UNION ALL
+SELECT o_orderkey + 10000000, CAST(NULL AS VARCHAR), 'api'
+FROM orders WHERE o_orderkey % 501 = 0
+"""
+
+
+@register_extended(
+    "orders_merge_schema_evolution", oracle=_SCHEMA_EVO_ORACLE,
+    tags=("mutation", "merge", "schema-evolution"),
+)
+def orders_merge_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE with ``allow_new_columns=True`` (r13): the source carries
+    ``o_channel``, a column the table lacks — matched keys (%97) gain
+    'web', inserted keys (+10M for %501) land with 'api', every
+    untouched row reads the column as NULL through the union-schema
+    read. The oracle is the additive ALTER TABLE's relational meaning
+    over the original table; a hash match pins that widening touched
+    exactly the merged rows and dropped nothing."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import merge_into
+
+    path = _scratch("evo")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    orders.repartition(6).write.parquet(path)
+    updates = orders.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", F.lit("web").alias("o_channel")
+    )
+    inserts = orders.where(F.col("o_orderkey") % 501 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        F.lit("api").alias("o_channel"),
+    )
+    merge_into(
+        spark, path, updates.unionByName(inserts), on=["o_orderkey"],
+        allow_new_columns=True,
+    )
+    return spark.read.option("mergeSchema", "true").parquet(path).select(
+        "o_orderkey", "o_orderstatus", "o_channel"
+    )
+
+
 _TIME_TRAVEL_ORACLE = """
 SELECT o_orderkey, o_orderstatus, o_orderpriority,
        round(o_totalprice, 2) AS price
@@ -261,7 +308,7 @@ WHERE (o_orderstatus = 'O' AND o_totalprice > 250000) IS NOT TRUE
 """
 
 
-@register_extended(
+@register(  # rotated INTO the gate in r13 (VERDICT r12 task 3): the feed-inversion claim gets the driver's independent stamp
     "orders_time_travel", oracle=_TIME_TRAVEL_ORACLE,
     tags=("mutation", "cdf", "time-travel"),
 )

@@ -222,7 +222,10 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
-@register("orders_window_functions", oracle=_WINDOW_FN_ORACLE, tags=("relational", "window"), bench=True)
+@register_extended(  # rotated OUT of the gate in r13 (hash-green since r02; mutation/IVM flagships in) — two-SF extended sweep keeps the oracle; still benched under its r1 anchor
+    "orders_window_functions", oracle=_WINDOW_FN_ORACLE,
+    tags=("relational", "window"), bench=True,
+)
 def orders_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -285,7 +288,10 @@ ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.p_ts
 """
 
 
-@register("events_asof_join", oracle=_ASOF_ORACLE, tags=("relational", "asof"), bench=True)
+@register_extended(  # rotated OUT of the gate in r13 (hash-green since r02; mutation/IVM flagships in) — two-SF extended sweep keeps the oracle (plus events_asof_directions); still benched under its r1 anchor
+    "events_asof_join", oracle=_ASOF_ORACLE,
+    tags=("relational", "asof"), bench=True,
+)
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join composed from union + ordered window (operators/joins.py):
     one shuffle, no Python — Spark's answer to DuckDB's native ASOF."""

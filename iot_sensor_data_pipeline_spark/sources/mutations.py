@@ -570,6 +570,7 @@ def merge_into(
     bloom_cols: Sequence[str] | None = None,
     live_checkpoints: Sequence[str] = (),
     change_feed: bool = False,
+    allow_new_columns: bool = False,
 ) -> dict:
     """MERGE INTO <table> USING <source> ON <keys> — copy-on-write
     upsert: matched target rows update to the source's values (or
@@ -592,8 +593,26 @@ def merge_into(
     source (a duplicate key makes "the source's values" ambiguous —
     RAISES, the standard MERGE cardinality error, checked before any
     write); non-key source columns must be a subset of the table's
-    columns (never schema evolution); missing table columns insert as
-    NULL and keep their target value on update. On a partitioned table
+    columns UNLESS ``allow_new_columns=True`` (below); missing table
+    columns insert as NULL and keep their target value on update.
+
+    ADDITIVE SCHEMA EVOLUTION (``allow_new_columns=True``, VERDICT r12
+    task 6): source columns the table lacks WIDEN the table schema
+    instead of raising — real corpora gain label/provenance columns
+    mid-life, and "delete + rewrite the table" is a non-answer at 100
+    TB. The new columns take the SOURCE's types; matched-file rewrites
+    and inserts carry them, while every untouched file simply lacks
+    them on disk — this module's union-schema readers
+    (:func:`_read_schema_for` mergeSchema) then read the column as NULL
+    there, which is exactly the relational meaning of an additive ALTER
+    TABLE. Nothing in the untouched bulk is read or rewritten. The
+    OPTIMIZE family's lossy-rewrite guard
+    (``manifest._guard_lossy_rewrite_schema``) still refuses a
+    default-footer compaction of the now-mixed-schema table, so the
+    column cannot be silently dropped later. New columns must not
+    collide with the engine's reserved names or the partition columns.
+
+    On a partitioned table
     the partition columns must appear in the source for inserts (their
     values spell the directory names verbatim) and, like
     :func:`update_where`, cannot change for matched rows — a source row
@@ -636,12 +655,33 @@ def merge_into(
             f"{[c for c in on if c not in table_cols]}"
         )
     extra = [c for c in src_cols if c not in table_cols]
-    if extra:
+    if extra and not allow_new_columns:
         raise ValueError(
             f"merge_into: source columns {extra} do not exist in the "
-            "table (mutations never evolve the schema) — drop or rename "
-            "them first"
+            "table — drop or rename them first, or pass "
+            "allow_new_columns=True to widen the table schema additively"
         )
+    if extra:
+        bad = [c for c in extra if c in (_SRC, _OP)]
+        if bad:
+            raise ValueError(
+                f"merge_into: new columns {bad} collide with the "
+                "engine's reserved column names — rename them first"
+            )
+        # widen: new columns take the SOURCE's types and join the data
+        # schema; untouched files lack them on disk and the union-schema
+        # readers fill NULL there (see docstring). Rebuilt exactly the
+        # way _read_schema_for builds it, partition columns last.
+        src_by = {f.name: f for f in source.schema.fields}
+        data_schema = StructType(
+            list(data_schema.fields)
+            + [StructField(c, src_by[c].dataType) for c in extra]
+        )
+        read_schema = StructType(
+            list(data_schema.fields)
+            + [StructField(c, StringType()) for c in part_cols]
+        )
+        table_cols = read_schema.fieldNames()
     if insert and part_cols:
         need = [c for c in part_cols if c not in src_cols]
         if need:

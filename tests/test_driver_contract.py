@@ -35,8 +35,15 @@ def test_entry_returns_dataframe(spark):
     assert df.count() > 0
 
 
-def test_bench_emits_one_json_line():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="8")
+def test_bench_final_line_is_compact_headline_json():
+    """The driver tail-captures ~2.2 KB of stdout and parses the LAST
+    line as the round's bench record (r12 recorded ``parsed: null``
+    when the single line outgrew that buffer — VERDICT r12 task 1).
+    Contract now: the FINAL line is the compact headline record (hard
+    size bound), preceded by a separate ``maintenance_anchors`` JSON
+    line carrying the maintenance micro-benchmarks."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="8", BENCH_REPEATS="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -47,8 +54,17 @@ def test_bench_emits_one_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    assert len(json_lines) == 1
-    payload = json.loads(json_lines[0])
-    assert payload["metric"] and payload["unit"] == "sec"
+    assert len(json_lines) >= 2  # maintenance line + headline line
+    final = json_lines[-1]
+    assert len(final) <= 1800, len(final)  # fits the driver's capture
+    payload = json.loads(final)
+    assert payload["metric"] == "headline_queries_total"
+    assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["queries"] and all(v >= 0 for v in payload["queries"].values())
+    maint = json.loads(json_lines[-2])
+    # the maintenance anchors moved to their own line, not dropped
+    if maint["metric"] == "headline_queries_min":
+        maint = json.loads(json_lines[-3])
+    assert maint["metric"] == "maintenance_anchors"
+    assert maint["maintenance"]["mv_refresh_noop_sec"] >= 0
