@@ -1169,17 +1169,24 @@ def sync_from_change_feed(
     input staging table) follows the upstream's mutations WITHOUT ever
     re-scanning or re-diffing the upstream.
 
-    Each unapplied feed version applies IN ORDER as at most two
-    key-grain merges into the replica: ``delete`` images delete by
-    key, ``update_post`` + ``insert`` images upsert (``update_pre``
-    images are audit data — a keyed replica needs only the post state).
-    The last-applied version persists in a write-then-rename sidecar
-    (``_sync_state.json`` in the DESTINATION — one upstream per
-    replica; fan-in from several upstreams needs one replica each), so
-    a crash mid-sync re-applies from the interrupted version — every
-    per-version application is idempotent (delete of a missing key is
-    a no-op; an upsert to the already-post state rewrites to the same
-    values), so replay converges instead of corrupting.
+    The ENTIRE unapplied feed slice nets to ONE merge pair (r13,
+    VERDICT r12 task 4): a window takes the NEWEST image per key across
+    the slice (the same changed-key-grain window ``read_table_as_of``
+    uses, facing forward), and last-writer-wins per key is exactly what
+    sequential per-version application converges to — so a replica that
+    slept through N versions of a hot table pays one delete-merge plus
+    one upsert-merge instead of up to 2N file rewrites. ``delete``
+    images delete by key, the newest ``update_post``/``insert`` image
+    upserts (``update_pre`` images are audit data — a keyed replica
+    needs only the post state, and within a version the post image
+    outranks its pre image in the window). The cursor persists in a
+    write-then-rename sidecar (``_sync_state.json`` in the DESTINATION
+    — one upstream per replica; fan-in from several upstreams needs one
+    replica each) AFTER the netted slice fully applied, so a crash
+    mid-sync re-applies the whole slice — the netted application is
+    idempotent (delete of a missing key is a no-op; an upsert to the
+    already-post state rewrites to the same values), so replay
+    converges instead of corrupting.
 
     FILTERED / PROJECTED replicas (``where`` / ``columns``): the
     replica maintains ``SELECT columns FROM upstream WHERE where``
@@ -1197,7 +1204,7 @@ def sync_from_change_feed(
 
     The replica must be keyed the same way the upstream's mutations
     are (``on``). Returns ``{"applied_versions", "n_upserted",
-    "n_deleted", "from_version", "to_version"}``."""
+    "n_deleted", "n_merges", "from_version", "to_version"}``."""
     import json
 
     on = list(on)
@@ -1232,41 +1239,70 @@ def sync_from_change_feed(
             "from the upstream table, then resume"
         )
     versions = [v for v in all_versions if v > last]
-    n_up = n_del = 0
-    for v in versions:
-        feed = spark.read.parquet(f"{src_path}/{CHANGES_DIR}/v{v}")
-        doomed = F.col(_OP) == "delete"
-        if pred is not None:
-            # a post-image failing the predicate EXITS the view
-            doomed = doomed | (
-                (F.col(_OP) == "update_post") & ~F.coalesce(pred, F.lit(False))
+    n_up = n_del = n_merges = 0
+    if versions:
+        from pyspark.sql import Window
+
+        # net the slice to the NEWEST image per key: within one version
+        # a key carries at most (update_pre, update_post) — the POST
+        # image is the newer state, so it outranks; delete/insert images
+        # stand alone in their version. Same key-grain window shape as
+        # read_table_as_of, facing forward.
+        feed = read_change_feed(spark, src_path, since_version=last)
+        op_rank = F.when(F.col(_OP) == "update_post", 1).otherwise(0)
+        newest = (
+            feed.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(*on).orderBy(
+                        F.col("__commit_version").desc(), op_rank.desc()
+                    )
+                ),
             )
-        deletes = feed.where(doomed).select(*on).distinct()
-        if deletes.limit(1).count():
-            r = merge_into(
-                spark, dst_path, deletes, on=on,
-                when_matched="delete", insert=False,
-                manifest_cols=manifest_cols, bloom_cols=bloom_cols,
-            )
-            n_del += r["n_rows_deleted"]
-        keep = F.col(_OP).isin("update_post", "insert")
-        if pred is not None:
-            keep = keep & F.coalesce(pred, F.lit(False))
-        upserts = feed.where(keep).drop(_OP)
-        if cols is not None:
-            upserts = upserts.select(*cols)
-        if upserts.limit(1).count():
-            r = merge_into(
-                spark, dst_path, upserts, on=on,
-                manifest_cols=manifest_cols, bloom_cols=bloom_cols,
-            )
-            n_up += r["n_rows_updated"] + r["n_rows_inserted"]
-        # state AFTER the version fully applied: a crash re-applies
-        # this version (idempotent), never skips it
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__commit_version")
+            .persist()
+        )
+        try:
+            doomed = F.col(_OP) == "delete"
+            if pred is not None:
+                # a newest post-image failing the predicate EXITS the view
+                doomed = doomed | (
+                    F.col(_OP).isin("update_post", "insert")
+                    & ~F.coalesce(pred, F.lit(False))
+                )
+            deletes = newest.where(doomed).select(*on).distinct()
+            if deletes.limit(1).count():
+                r = merge_into(
+                    spark, dst_path, deletes, on=on,
+                    when_matched="delete", insert=False,
+                    manifest_cols=manifest_cols, bloom_cols=bloom_cols,
+                )
+                n_del += r["n_rows_deleted"]
+                n_merges += 1
+            keep = F.col(_OP).isin("update_post", "insert")
+            if pred is not None:
+                keep = keep & F.coalesce(pred, F.lit(False))
+            upserts = newest.where(keep).drop(_OP)
+            if cols is not None:
+                upserts = upserts.select(*cols)
+            if upserts.limit(1).count():
+                r = merge_into(
+                    spark, dst_path, upserts, on=on,
+                    manifest_cols=manifest_cols, bloom_cols=bloom_cols,
+                )
+                n_up += r["n_rows_updated"] + r["n_rows_inserted"]
+                n_merges += 1
+        finally:
+            newest.unpersist()
+        # state AFTER the netted slice fully applied: a crash
+        # re-applies the whole slice (idempotent), never skips any of it
         tmp = jvm.org.apache.hadoop.fs.Path(str(state_p) + ".tmp")
         out = fs.create(tmp, True)
         try:
-            out.write(json.dumps({"version": v}).encode("utf-8"))
+            out.write(
+                json.dumps({"version": versions[-1]}).encode("utf-8")
+            )
         finally:
             out.close()
         fs.delete(state_p, False)
@@ -1276,6 +1312,7 @@ def sync_from_change_feed(
         "applied_versions": versions,
         "n_upserted": n_up,
         "n_deleted": n_del,
+        "n_merges": n_merges,
         "from_version": last,
         "to_version": versions[-1] if versions else last,
     }

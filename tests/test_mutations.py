@@ -1049,6 +1049,67 @@ def test_sync_filtered_replica_replay_and_guards(spark, tmp_path):
         )
 
 
+def test_sync_nets_slice_to_one_merge_pair(spark, tmp_path):
+    """A lagging replica catching up on 5 feed versions with
+    OVERLAPPING keys (update→delete→re-insert→update→delete chains)
+    pays AT MOST one delete-merge + one upsert-merge — and the netted
+    result equals sequential per-version application, whose final state
+    for an unfiltered replica is exactly the upstream (VERDICT r12
+    task 4: last-writer-wins per key == sequential apply)."""
+    from iot_sensor_data_pipeline_spark.sources import mutations as M
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        sync_from_change_feed,
+        update_where,
+        verify_replica,
+    )
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    base = spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id").cast("string"))
+        .alias("val"),
+    )
+    base.repartition(4).write.parquet(src)
+    base.repartition(2).write.parquet(dst)
+
+    # 5 versions, deliberately overlapping: id 0 is updated, deleted,
+    # re-inserted, and updated again; ids 5-9 are deleted then re-born
+    update_where(spark, src, "id < 10", {"val": F.lit("u1")},
+                 change_feed=True)                                   # v1
+    delete_where(spark, src, "id >= 5 AND id < 15", change_feed=True)  # v2
+    reborn = spark.createDataFrame(
+        [(i, f"reborn{i}") for i in range(5, 10)], "id long, val string"
+    )
+    merge_into(spark, src, reborn, on=["id"], change_feed=True)      # v3
+    update_where(spark, src, "id = 0 OR id = 7", {"val": F.lit("u4")},
+                 change_feed=True)                                   # v4
+    delete_where(spark, src, "id = 0", change_feed=True)             # v5
+
+    calls = []
+    real_merge = M.merge_into
+
+    def counting_merge(*a, **kw):
+        calls.append(kw.get("when_matched", "update"))
+        return real_merge(*a, **kw)
+
+    M.merge_into, orig = counting_merge, real_merge
+    try:
+        res = sync_from_change_feed(spark, src, dst, on=["id"])
+    finally:
+        M.merge_into = orig
+    assert res["applied_versions"] == [1, 2, 3, 4, 5]
+    assert res["n_merges"] == 2 and len(calls) == 2  # the whole slice
+    assert sorted(calls) == ["delete", "update"]
+    assert verify_replica(spark, src, dst)["in_sync"]
+    # spot-check the chains' last-writer state
+    got = {r.id: r.val for r in spark.read.parquet(dst).collect()}
+    assert 0 not in got and 10 not in got and 14 not in got
+    assert got[7] == "u4" and got[5] == "reborn5" and got[1] == "u1"
+    assert got[50] == "v50"
+    # steady state: no merge at all
+    res2 = sync_from_change_feed(spark, src, dst, on=["id"])
+    assert res2["applied_versions"] == [] and res2["n_merges"] == 0
+
+
 def test_read_table_as_of_reconstructs_every_version(spark, tmp_path):
     """Feed-based time travel: as-of each version equals a snapshot
     taken at that moment — through a delete, a key-changing update,
