@@ -1145,7 +1145,10 @@ def _commit_cdf_staging(fs, jvm, path: str, staging_name: str) -> int | None:
     return nxt
 
 
-def _live_epoch_exclude_fn(spark, path: str, live_checkpoints: Sequence[str]):
+def _live_epoch_exclude_fn(
+    spark, path: str, live_checkpoints: Sequence[str],
+    epoch_caps: Mapping[str, int] | None = None,
+):
     """Exclusion derived from the SAME listing the planner uses — the
     race-free form of ``exclude=sinks.newest_epoch_files(...)``: an
     epoch committed between a caller-side listing and the plan's
@@ -1154,13 +1157,31 @@ def _live_epoch_exclude_fn(spark, path: str, live_checkpoints: Sequence[str]):
     re-add its rows as permanent duplicates. Evaluating the max epoch
     per lineage against the planner's own candidate names closes that
     window (files committed after the plan's listing are not
-    candidates at all)."""
+    candidates at all).
+
+    ``epoch_caps`` (r13, ADVICE r12): ``{lineage: max compactable
+    epoch}`` — epoch-named files ABOVE a lineage's cap are excluded
+    too, and a lineage the caps dict does not know is excluded
+    entirely (cap -1). This is how a maintenance tick keeps OPTIMIZE
+    from compacting an epoch its materialized views have not absorbed
+    yet: the MV refresh and the OPTIMIZE take separate listings, so an
+    epoch sealing between them would otherwise compact with the
+    ``compacted_through`` watermark landing ABOVE the MV's cursor —
+    permanently failing every later refresh with the epoch-gap error.
+    Capping candidacy at the views' post-refresh cursors closes that
+    window; the skipped epochs compact on a later tick, after the
+    views absorb them."""
     from iot_sensor_data_pipeline_spark.sources.sinks import (
         _lineage_of,
+        parse_epoch_file,
         parse_epoch_name,
     )
 
     lineages = [_lineage_of(c) for c in live_checkpoints]
+    caps = (
+        None if epoch_caps is None
+        else {k: int(v) for k, v in epoch_caps.items()}
+    )
 
     def exclude_fn(base_names: Sequence[str]) -> set[str]:
         drop: set[str] = set()
@@ -1176,6 +1197,11 @@ def _live_epoch_exclude_fn(spark, path: str, live_checkpoints: Sequence[str]):
             if epochs:
                 newest = max(epochs.values())
                 drop.update(n for n, e in epochs.items() if e == newest)
+        if caps is not None:
+            for n in base_names:
+                parsed = parse_epoch_file(n)
+                if parsed is not None and parsed[0] > caps.get(parsed[1], -1):
+                    drop.add(n)
         return drop
 
     return exclude_fn
@@ -1252,6 +1278,7 @@ def optimize_table(
     min_bin_files: int = 2,
     exclude: Sequence[str] = (),
     live_checkpoints: Sequence[str] = (),
+    epoch_caps: Mapping[str, int] | None = None,
 ) -> dict:
     """The full OPTIMIZE loop, IN PLACE: plan small-file bins, rewrite
     them (optionally range-clustered — the ``OPTIMIZE ZORDER BY``
@@ -1288,6 +1315,11 @@ def optimize_table(
     stale index in between is conservative, never wrong).
     Readers during the swap may see duplicate rows (add+retire window)
     — the same brief-inconsistency contract every logless OPTIMIZE has.
+    ``epoch_caps`` bounds candidacy further: epoch-named files above a
+    lineage's cap (or of a lineage the caps dict does not know) are
+    not compacted — how a maintenance tick keeps this swap from
+    absorbing epochs its materialized views have not folded yet (see
+    ``_live_epoch_exclude_fn``).
 
     COMPACTION ENDS TIME TRAVEL for the epochs it retires: when the
     retire list contains ``e<N>-<lineage>-`` files, the max retired
@@ -1312,8 +1344,8 @@ def optimize_table(
     token = uuid.uuid4().hex[:8]
     staging = f"{path}/.compact_{token}"
     exclude_fn = (
-        _live_epoch_exclude_fn(spark, path, live_checkpoints)
-        if live_checkpoints
+        _live_epoch_exclude_fn(spark, path, live_checkpoints, epoch_caps)
+        if live_checkpoints or epoch_caps is not None
         else None
     )
 
@@ -1395,6 +1427,7 @@ def optimize_table_partitioned(
     live_checkpoints: Sequence[str] = (),
     manifest_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    epoch_caps: Mapping[str, int] | None = None,
 ) -> dict:
     """:func:`optimize_table` for HIVE-PARTITIONED layouts — the common
     100 TB case: a date-partitioned streaming sink accumulates one
@@ -1421,8 +1454,10 @@ def optimize_table_partitioned(
     listing (the shared ``_live_epoch_exclude_fn`` discipline; a
     caller-side precomputed list would race an epoch committed between
     two listings). ``exclude`` removes explicit base names from
-    candidacy. Without either, the maintenance-window rule applies
-    unchanged (``streaming.orchestrator.plan_maintenance``).
+    candidacy; ``epoch_caps`` caps compactable epochs per lineage (the
+    matview-cursor fence — see :func:`optimize_table`). Without any,
+    the maintenance-window rule applies unchanged
+    (``streaming.orchestrator.plan_maintenance``).
 
     Every listed file must carry the SAME partition-column key sequence
     — a mixed-depth or reordered layout (``dt=a/f.parquet`` next to
@@ -1485,8 +1520,10 @@ def optimize_table_partitioned(
     if exclude:
         skip = set(exclude)
         files = [t for t in files if t[0].rsplit("/", 1)[-1] not in skip]
-    if live_checkpoints:
-        exclude_fn = _live_epoch_exclude_fn(spark, path, live_checkpoints)
+    if live_checkpoints or epoch_caps is not None:
+        exclude_fn = _live_epoch_exclude_fn(
+            spark, path, live_checkpoints, epoch_caps
+        )
         names = [t[0].rsplit("/", 1)[-1] for t in files]
         skip2 = exclude_fn(names)
         files = [t for t in files if t[0].rsplit("/", 1)[-1] not in skip2]

@@ -344,6 +344,7 @@ def _exact_groups(
     distinct_cols: Sequence[str] = (),
     histogram_cols=None,
     where: str | None = None,
+    listing: tuple[Sequence[str], Sequence[str]] | None = None,
 ) -> DataFrame:
     """Exact moments for the dirty groups only: a semi-join of the base
     table against the dirty key set, then one GROUP BY. Column-pruned
@@ -352,11 +353,24 @@ def _exact_groups(
     semi-join's dynamic partition pruning restricts the scan to the
     dirty partitions. ``broadcast=False`` for a mutation that dirtied
     millions of groups: the semi-join degrades to a shuffle instead of
-    a driver/executor OOM on the broadcast build. The live-lineage
-    newest-epoch exclusion matches the caller's delta scan, so the
-    recount cross-check compares like with like."""
+    a driver/executor OOM on the broadcast build.
+
+    ``listing`` is the caller's already-taken ``(part_cols, files)``
+    snapshot (ADVICE r12): the refresh passes ITS OWN listing so this
+    scan covers exactly the files the incremental fold saw — a second
+    listing here would race an epoch sealing between the two, putting
+    rows in the exact scan the fold never absorbed and failing the
+    recount cross-check spuriously. Absent a listing (direct callers),
+    one is taken under the same live-lineage newest-epoch exclusion."""
     value_cols = _norm_value_cols(value_cols)
-    files, read_schema = _file_scan(spark, src_path, live_checkpoints)
+    if listing is not None:
+        part_cols, files = list(listing[0]), list(listing[1])
+        read_schema = (
+            _read_schema_for(spark, src_path, files, part_cols)[1]
+            if files else None
+        )
+    else:
+        files, read_schema = _file_scan(spark, src_path, live_checkpoints)
     if not files:
         raise ValueError(
             "refresh_agg_view: dirty groups need an exact recompute but "
@@ -406,11 +420,15 @@ def create_agg_view(
     where: str | None = None,
 ) -> dict:
     """Full build: one ``GROUP BY`` scan of the source table, committed
-    as MV ``v1`` with the feed cursor taken BEFORE the scan (a feed
-    version committed mid-scan is partially visible to the scan; taking
-    the cursor first means refresh re-applies it, and re-applying to
-    the groups it touched is healed by the dirty recompute — under the
-    documented single-writer discipline the case never arises).
+    as MV ``v1`` with the feed cursor taken BEFORE the scan — then
+    VERIFIED unchanged after the commit (ADVICE r12): a feed version
+    committing mid-scan is partially visible to the scan and
+    re-applying it would NOT always heal (a delete re-application
+    raises or recomputes via the dirty path, but an insert-only version
+    dirties no group and would silently double-count), so a moved
+    cursor deletes the just-committed view and raises — the documented
+    single-writer discipline makes the case unreachable in normal
+    operation; this makes violating it loud instead of corrupting.
 
     ``value_col`` may be ONE column name or a LIST — several measures
     share the MV and every later refresh maintains all of them in one
@@ -544,6 +562,23 @@ def create_agg_view(
             "schema": partials.schema.jsonValue(),
         },
     )
+    # build-integrity check (ADVICE r12): the scan executed inside the
+    # commit above — if a feed version landed since the cursor was
+    # taken, the scan may have seen that mutation PARTIALLY, and an
+    # insert-only version re-applied by refresh would double-count
+    # (no dirty group to heal through). Delete the view, fail loudly.
+    after = change_feed_versions(spark, src_path)
+    if after and after[-1] > cursor:
+        fs, root, _jvm = _fs_for(spark, mv_path)
+        fs.delete(root, True)
+        raise RuntimeError(
+            f"create_agg_view: feed version(s) "
+            f"{[v for v in after if v > cursor]} committed on {src_path} "
+            "DURING the build scan — the view may have seen them "
+            "partially and was deleted; rebuild under the single-"
+            "maintenance-writer discipline (no concurrent mutation "
+            "while a create runs)"
+        )
     # count from the committed MV (group-grain), not a second base scan
     n_groups = read_agg_partials(spark, mv_path).count()
     return {"status": "created", "n_groups": n_groups,
@@ -820,6 +855,9 @@ def refresh_agg_view(
                 distinct_cols=distinct_cols,
                 histogram_cols=histogram_cols,
                 where=where,
+                # the refresh's OWN listing: the recount compares
+                # against exactly the files the fold saw (ADVICE r12)
+                listing=(part_cols, files),
             ).alias("x")
             dm = merged.where(F.col("__dirty")).alias("dm")
             # exact recount must agree with the incrementally-merged

@@ -200,6 +200,11 @@ class Pipeline:
         the sink is built, so the orchestrator knows each table's
         checkpoint(s) (the live-OPTIMIZE newest-epoch exclusion) and
         index columns without re-deriving them at maintenance time."""
+        if name in self.matviews:
+            raise ValueError(
+                f"track_table: {name!r} is already a tracked matview — "
+                "the maintenance report keys both by name"
+            )
         self.tables[name] = TableSpec(
             path,
             tuple(checkpoints),
@@ -520,15 +525,26 @@ class Pipeline:
            missing view whose spec declares ``keys``/``value_col`` is
            created instead (self-healing after a re-baseline). The
            tracked source's checkpoints pass through as the live
-           newest-epoch exclusion, and refreshing BEFORE the table
-           actions guarantees this tick's own OPTIMIZE never compacts
-           an epoch the view has not absorbed.
+           newest-epoch exclusion; refreshing BEFORE the table actions
+           plus passing each view's POST-REFRESH epoch cursors to the
+           OPTIMIZE as ``epoch_caps`` (r13, ADVICE r12) guarantees this
+           tick's OPTIMIZE never compacts an epoch a tracked view has
+           not absorbed — even when an epoch seals BETWEEN the
+           refresh's listing and the OPTIMIZE's (the two-listing race);
+           the capped epochs compact on a later tick. A failed refresh
+           contributes an empty cap (nothing of that source's epochs
+           compacts this tick — conservative). A ``tables`` subset
+           scopes this loop too, by tracked-table name or path.
         7. **feed expiry** (r12): a spec with ``feed_keep`` expires
            change-feed versions beyond it each tick, clamped to the
            slowest consumer cursor — this tick's own tracked matviews
-           (already refreshed, step 6 runs first) plus any
-           ``feed_consumers`` paths — so feed retention runs on the
-           maintenance cadence without ever stranding a consumer.
+           (already refreshed, step 6 runs first; an ABSENT view
+           awaiting re-baseline is skipped) plus any ``feed_consumers``
+           paths (strict: a typo'd path fails loudly) — so feed
+           retention runs on the maintenance cadence without ever
+           stranding a consumer. Expiry runs in its OWN try: its
+           failure reports as ``feed_expiry_error`` without aborting
+           the table's other actions or stamping the optimize cooldown.
 
         Per-table isolation throughout: one table's failure reports as
         ``{"error": ...}`` and the rest still maintain. Returns
@@ -554,19 +570,41 @@ class Pipeline:
 
         log = logging.getLogger(__name__)
         out: dict[str, dict] = {}
+        table_set = tables or self.tables
+        table_paths = {s.path for s in table_set.values()}
         # materialized views FIRST: they must absorb the sealed sink
         # epochs BEFORE this tick's OPTIMIZE can compact those epochs
-        # into epoch-less files (the compaction watermark then stays at
-        # or below every view's epoch cursor, so the refresh-raising
-        # epoch-gap guard never trips on the loop's own maintenance).
+        # into epoch-less files. Because the refresh and the OPTIMIZE
+        # take SEPARATE listings, an epoch sealing between them could
+        # still compact above the view's cursor — so each view's
+        # post-refresh epoch cursors are collected here and passed to
+        # the OPTIMIZE as ``epoch_caps`` (ADVICE r12): epochs a tracked
+        # view has not absorbed are not compactable this tick, period.
         # Feed-carrying mutations are never run by maintain itself, so
         # nothing is lost by running the views early; retention's
         # drop_partitions is deliberately feed-less either way (an MV
         # over a retention-expired table needs delete_where-based
         # retention or a re-create after drops). Noop polls keep the
-        # steady-state all-empty-actions invariant.
+        # steady-state all-empty-actions invariant. A ``tables`` subset
+        # scopes the view loop too (by tracked-table name or path).
+        mv_cursor_contribs: dict[str, list[dict[str, int]]] = {}
         for name, mspec in self.matviews.items():
+            if tables is not None and not (
+                mspec.src in table_set or mspec.src in table_paths
+            ):
+                continue
             mv_actions: dict[str, object] = {}
+            cursors: dict[str, int] | None = None
+            if mspec.src in self.tables:
+                src_spec = self.tables[mspec.src]
+                src_path = src_spec.path
+                # the tracked table knows its live streams — the
+                # MV applies the same newest-epoch exclusion a
+                # live OPTIMIZE does, so appends absorb only once
+                # sealed
+                live = src_spec.checkpoints
+            else:
+                src_path, live = mspec.src, ()
             try:
                 from iot_sensor_data_pipeline_spark.sources.manifest import (
                     _versions_in,
@@ -576,19 +614,9 @@ class Pipeline:
                     refresh_agg_view,
                 )
 
-                if mspec.src in self.tables:
-                    src_spec = self.tables[mspec.src]
-                    src_path = src_spec.path
-                    # the tracked table knows its live streams — the
-                    # MV applies the same newest-epoch exclusion a
-                    # live OPTIMIZE does, so appends absorb only once
-                    # sealed
-                    live = src_spec.checkpoints
-                else:
-                    src_path, live = mspec.src, ()
                 if not _versions_in(spark, mspec.mv_path):
                     if mspec.keys:
-                        mv_actions["mv_create"] = create_agg_view(
+                        res = create_agg_view(
                             spark, src_path, mspec.mv_path,
                             list(mspec.keys),
                             list(mspec.value_col)
@@ -600,7 +628,12 @@ class Pipeline:
                             histogram_cols=mspec.histogram_cols,
                             where=mspec.where,
                         )
+                        mv_actions["mv_create"] = res
+                        cursors = dict(res["epoch_cursors"])
                     else:
+                        # absent refresh-only view: constrains nothing
+                        # (a later re-create baselines from the table,
+                        # compacted files included)
                         mv_actions["status"] = "absent"
                 else:
                     res = refresh_agg_view(
@@ -608,6 +641,7 @@ class Pipeline:
                         single_file=mspec.single_file,
                         live_checkpoints=live,
                     )
+                    cursors = dict(res["epoch_cursors"])
                     if res["status"] == "refreshed":
                         mv_actions["mv_refresh"] = res
             except Exception as e:  # noqa: BLE001 — per-view isolation
@@ -617,8 +651,25 @@ class Pipeline:
                     mspec.mv_path, exc_info=True,
                 )
                 mv_actions["error"] = str(e)
+                # a view in an unknown state caps EVERYTHING on its
+                # source: an empty contribution intersects to no
+                # compactable epochs this tick — conservative
+                cursors = {}
+            if cursors is not None:
+                mv_cursor_contribs.setdefault(src_path, []).append(cursors)
             out[name] = {"health": None, "actions": mv_actions}
-        for name, spec in (tables or self.tables).items():
+        # per-source cap = the SLOWEST tracked view: a lineage is
+        # compactable through epoch N only when EVERY contributing view
+        # has absorbed through N (intersection of lineages, min cursor)
+        epoch_caps_by_path: dict[str, dict[str, int]] = {}
+        for p, contribs in mv_cursor_contribs.items():
+            shared = set(contribs[0])
+            for c in contribs[1:]:
+                shared &= set(c)
+            epoch_caps_by_path[p] = {
+                lin: min(c[lin] for c in contribs) for lin in shared
+            }
+        for name, spec in table_set.items():
             actions: dict[str, object] = {}
             try:
                 h = table_health(
@@ -656,16 +707,19 @@ class Pipeline:
                             "bloom_cols": spec.bloom_cols or None,
                         }
                     )
+                    caps = epoch_caps_by_path.get(spec.path)
                     if h["partitioned"]:
                         res = optimize_table_partitioned(
                             spark, spec.path, policy.target_bytes,
-                            live_checkpoints=spec.checkpoints, **idx_kw,
+                            live_checkpoints=spec.checkpoints,
+                            epoch_caps=caps, **idx_kw,
                         )
                     else:
                         res = optimize_table(
                             spark, spec.path, policy.target_bytes,
                             cluster_by=spec.cluster_by or None,
-                            live_checkpoints=spec.checkpoints, **idx_kw,
+                            live_checkpoints=spec.checkpoints,
+                            epoch_caps=caps, **idx_kw,
                         )
                     actions["optimize"] = res
                     optimized = True
@@ -740,27 +794,49 @@ class Pipeline:
                             on_live="skip", **idx_kw,
                         )
                 if spec.feed_keep is not None:
-                    from iot_sensor_data_pipeline_spark.sources.mutations import (
-                        change_feed_versions,
-                        expire_change_feed,
-                    )
-
-                    n_feed = len(change_feed_versions(spark, spec.path))
-                    if n_feed > spec.feed_keep:
-                        # tracked matviews on this table refreshed at
-                        # the top of THIS tick, so their cursors are
-                        # fresh; external consumers register via
-                        # feed_consumers
-                        consumers = list(spec.feed_consumers) + [
-                            m.mv_path for m in self.matviews.values()
-                            if m.src == name or m.src == spec.path
-                        ]
-                        exp = expire_change_feed(
-                            spark, spec.path, spec.feed_keep,
-                            consumers=consumers,
+                    # its OWN try (ADVICE r12): an expiry failure must
+                    # not tag the whole table's report with an error or
+                    # stamp the optimize cooldown for an unrelated step
+                    try:
+                        from iot_sensor_data_pipeline_spark.sources.manifest import (
+                            _versions_in,
                         )
-                        if exp["n_expired"] or exp["clamped_by"]:
-                            actions["feed_expiry"] = exp
+                        from iot_sensor_data_pipeline_spark.sources.mutations import (
+                            change_feed_versions,
+                            expire_change_feed,
+                        )
+
+                        n_feed = len(
+                            change_feed_versions(spark, spec.path)
+                        )
+                        if n_feed > spec.feed_keep:
+                            # tracked matviews on this table refreshed
+                            # at the top of THIS tick, so their cursors
+                            # are fresh; an ABSENT tracked view (deleted
+                            # for re-baseline) is skipped — its re-create
+                            # baselines from the table, not the feed —
+                            # while explicit feed_consumers stay strict
+                            # (a typo'd path must fail, not silently
+                            # protect nothing). External consumers
+                            # register via feed_consumers.
+                            consumers = list(spec.feed_consumers) + [
+                                m.mv_path for m in self.matviews.values()
+                                if (m.src == name or m.src == spec.path)
+                                and _versions_in(spark, m.mv_path)
+                            ]
+                            exp = expire_change_feed(
+                                spark, spec.path, spec.feed_keep,
+                                consumers=consumers,
+                            )
+                            if exp["n_expired"] or exp["clamped_by"]:
+                                actions["feed_expiry"] = exp
+                    except Exception as e:  # noqa: BLE001
+                        log.warning(
+                            "maintain: feed expiry failed for %s (%s); "
+                            "the feed keeps its versions", name,
+                            spec.path, exc_info=True,
+                        )
+                        actions["feed_expiry_error"] = str(e)
                 out[name] = {"health": h, "actions": actions}
             except Exception as e:  # noqa: BLE001 — per-table isolation
                 log.warning(

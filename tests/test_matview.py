@@ -330,6 +330,80 @@ def test_recompute_all_heals_drift(spark, tmp_path):
     assert refresh_agg_view(spark, path, mv)["status"] == "noop"
 
 
+def test_create_detects_mid_build_feed_commit(spark, tmp_path):
+    """ADVICE r12: a feed version committing DURING the build scan may
+    be partially visible to it — and an insert-only version re-applied
+    by refresh would silently double-count (no dirty group heals an
+    insert). create_agg_view re-checks the feed after the commit,
+    deletes the suspect view, and raises."""
+    from iot_sensor_data_pipeline_spark.sources import matview as MV
+
+    path = str(tmp_path / "t")
+    mv = str(tmp_path / "mv")
+    _mk(spark, path)
+    delete_where(spark, path, "id = 0", change_feed=True)  # feed exists
+
+    real_commit = MV._commit_version_in
+
+    def mutate_then_commit(spark_, mv_path, df, **kw):
+        # the concurrent writer the single-writer discipline forbids: an
+        # INSERT-ONLY merge lands while the build scan runs — the
+        # nastiest case, because it rewrites no file (nothing crashes),
+        # dirties no group (nothing heals), and re-application would
+        # just double-count silently
+        ins = spark.createDataFrame([(9_000_001, "g0", 1.0)],
+                                    "id long, grp string, v double")
+        merge_into(spark, path, ins, on=["id"], change_feed=True)
+        return real_commit(spark_, mv_path, df, **kw)
+
+    MV._commit_version_in = mutate_then_commit
+    try:
+        with pytest.raises(RuntimeError, match="DURING the build"):
+            create_agg_view(spark, path, mv, ["grp"], "v")
+    finally:
+        MV._commit_version_in = real_commit
+    import os
+
+    assert not os.path.exists(mv)  # the suspect view was deleted
+    # a clean rebuild afterwards works and matches ground truth
+    create_agg_view(spark, path, mv, ["grp"], "v")
+    assert _mv_state(spark, mv) == _expected(spark, path)
+
+
+def test_dirty_recompute_reuses_refresh_listing(spark, tmp_path):
+    """ADVICE r12: the dirty-group exact recompute scans EXACTLY the
+    files the refresh's incremental fold saw — one listing per refresh,
+    not a second one that could race an epoch sealing in between (the
+    recount cross-check would then raise spuriously)."""
+    from iot_sensor_data_pipeline_spark.sources import matview as MV
+
+    path = str(tmp_path / "t")
+    mv = str(tmp_path / "mv")
+    _mk(spark, path)
+    create_agg_view(spark, path, mv, ["grp"], "v")
+    # delete a group minimum -> the refresh MUST take the dirty path
+    victim = spark.read.parquet(path).where("v IS NOT NULL") \
+        .orderBy("v").first()
+    delete_where(spark, path, F.col("id") == victim.id, change_feed=True)
+
+    listings = []
+    real_list = MV._list_files
+
+    def counting_list(*a, **kw):
+        out = real_list(*a, **kw)
+        listings.append(out)
+        return out
+
+    MV._list_files = counting_list
+    try:
+        res = refresh_agg_view(spark, path, mv)
+    finally:
+        MV._list_files = real_list
+    assert res["n_dirty_recomputed"] >= 1  # the dirty path actually ran
+    assert len(listings) == 1  # refresh listed once; recompute reused it
+    assert _mv_state(spark, mv) == _expected(spark, path)
+
+
 def test_coarser_grain_read_merges_partials(spark, tmp_path):
     """A two-key MV answers a one-key rollup from partials alone
     (merge_aggregates discipline), matching a direct aggregate."""
@@ -929,6 +1003,58 @@ def test_filtered_view_boundary_crossing(spark, tmp_path):
     r = refresh_agg_view(spark, path, mv)
     assert r["n_dirty_recomputed"] >= 1
     assert got() == expected()
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_quantiles_error_contract_vs_duckdb(spark, tmp_path, sf_dir):
+    """VERDICT r12 task 5 — the matview quantile's error CONTRACT,
+    pinned cross-engine at two SFs (the HLL-floor pattern): for every
+    (group, q), |read_agg_quantiles − DuckDB percentile_cont| <= one
+    bin width, on real testdata (lineitem.l_quantity per return flag).
+    The estimate interpolates inside frozen bins (documented accuracy:
+    one bin width for in-range data); percentile_cont is the exact
+    oracle an analyst would reach for."""
+    import duckdb
+
+    from iot_sensor_data_pipeline_spark.sources.matview import (
+        read_agg_quantiles,
+    )
+    from iot_sensor_data_pipeline_spark.sources.tables import load_table
+
+    path, mv = str(tmp_path / "li"), str(tmp_path / "mv")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    ).repartition(4).write.parquet(path)
+    lo, hi, nbins = 0.0, 51.0, 64  # l_quantity spans 1..50
+    width = (hi - lo) / nbins
+    create_agg_view(
+        spark, path, mv, ["l_returnflag"], "l_quantity",
+        histogram_cols={"l_quantity": (lo, hi, nbins)},
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = {
+        (r["l_returnflag"], r["q"]): r["l_quantity_q"]
+        for r in read_agg_quantiles(spark, mv, "l_quantity", qs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW li AS SELECT * FROM read_parquet("
+        f"'{sf_dir}/lineitem.parquet')"
+    )
+    exact = {}
+    for q in qs:
+        for flag, val in con.execute(
+            f"SELECT l_returnflag, percentile_cont({q}) WITHIN GROUP "
+            "(ORDER BY l_quantity) FROM li GROUP BY 1"
+        ).fetchall():
+            exact[(flag, q)] = val
+    assert set(got) == set(exact)
+    for key, est in got.items():
+        assert abs(est - exact[key]) <= width + 1e-9, (
+            key, est, exact[key], width
+        )
 
 
 def test_quantiles_at_coarser_grain(spark, tmp_path):

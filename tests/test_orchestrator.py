@@ -765,6 +765,290 @@ def test_pipeline_maintain_refreshes_matviews(spark, tmp_path):
         MatviewSpec("t", mv, keys=("grp",), value_col=None)
 
 
+def test_maintain_epoch_caps_fence_mv_cursor(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (medium): an epoch sealing BETWEEN the tick's MV
+    refresh and its OPTIMIZE must not get compacted past the view's
+    cursor — pre-fix, the watermark would land above the cursor and
+    every later refresh would raise the epoch-gap error permanently.
+    The fix caps OPTIMIZE's compactable epochs at the view's
+    post-refresh cursor; the fenced epoch compacts on a later tick."""
+    from iot_sensor_data_pipeline_spark.sources import matview as MV
+    from iot_sensor_data_pipeline_spark.sources.matview import (
+        read_agg_partials,
+    )
+    from iot_sensor_data_pipeline_spark.sources.sinks import parse_epoch_file
+    from iot_sensor_data_pipeline_spark.streaming.orchestrator import (
+        MaintenancePolicy,
+        Pipeline,
+    )
+
+    path = str(tmp_path / "t")
+    mv = str(tmp_path / "mv")
+    ckpt = "/ckpt/EPOCH_CAPS"
+    sink = parquet_batch_sink(path, checkpoint=ckpt)
+
+    def batch(e):
+        return spark.range(e * 100, (e + 1) * 100).select(
+            F.col("id"),
+            (F.col("id") % 5).cast("string").alias("g"),
+            (F.col("id") % 13).cast("double").alias("v"),
+        ).coalesce(1)
+
+    sink(batch(0), 0)
+    sink(batch(1), 1)  # newest live epoch at tick 1
+    # extra plain small files so the optimize trigger has a bin to pack
+    for i in range(3):
+        spark.range(1000 + i, 1001 + i).select(
+            F.col("id"), F.lit("x").alias("g"), F.lit(0.0).alias("v")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    pl = (
+        Pipeline()
+        .track_table("t", path, checkpoints=[ckpt])
+        .track_matview("t_mv", "t", mv, keys=["g"], value_col="v")
+    )
+    lazy_pol = MaintenancePolicy(target_bytes=1 << 30, min_files=1000)
+    tick = pl.maintain(spark, lazy_pol)  # create: absorbs e0 only
+    assert list(
+        tick["t_mv"]["actions"]["mv_create"]["epoch_cursors"].values()
+    ) == [0]
+
+    # the race: e2 seals e1 AFTER the refresh returns, BEFORE OPTIMIZE
+    real_refresh = MV.refresh_agg_view
+
+    def refresh_then_seal(*a, **kw):
+        res = real_refresh(*a, **kw)
+        sink(batch(2), 2)
+        return res
+
+    monkeypatch.setattr(MV, "refresh_agg_view", refresh_then_seal)
+    eager_pol = MaintenancePolicy(target_bytes=1 << 30, min_files=2)
+    tick = pl.maintain(spark, eager_pol)
+    monkeypatch.undo()
+    assert tick["t"]["actions"]["optimize"]["status"] == "optimized"
+    # e1 survived the compaction (MV cursor 0 fenced it); e2 too (newest)
+    names = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    epochs_left = {(parse_epoch_file(f) or (None,))[0] for f in names}
+    assert 1 in epochs_left and 2 in epochs_left
+    assert 0 not in epochs_left  # absorbed epoch e0 DID compact
+
+    # next tick: the refresh absorbs e1 WITHOUT the epoch-gap error
+    tick = pl.maintain(spark, lazy_pol)
+    ref = tick["t_mv"]["actions"]["mv_refresh"]
+    assert ref["status"] == "refreshed"
+    assert ref["n_epoch_files_absorbed"] == 1
+    assert list(ref["epoch_cursors"].values()) == [1]
+    # the view matches a rebuild over what it should cover (e0+e1+plain)
+    got = sum(r.n_rows for r in read_agg_partials(spark, mv).collect())
+    assert got == 203
+
+
+def test_maintain_scopes_matviews_and_symmetric_name_collision(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: maintain(tables=...) scopes the MATVIEW loop too
+    (an out-of-scope view is not even polled), and track_table rejects
+    a name already used by track_matview."""
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.sources import matview as MV
+    from iot_sensor_data_pipeline_spark.streaming.orchestrator import (
+        MaintenancePolicy,
+        Pipeline,
+    )
+
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    for p in (t1, t2):
+        spark.range(0, 50).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id").cast("double").alias("v"),
+        ).coalesce(1).write.parquet(p)
+    pl = (
+        Pipeline()
+        .track_table("t1", t1)
+        .track_table("t2", t2)
+        .track_matview("mv1", "t1", str(tmp_path / "mv1"),
+                       keys=["g"], value_col="v")
+        .track_matview("mv2", "t2", str(tmp_path / "mv2"),
+                       keys=["g"], value_col="v")
+    )
+    pol = MaintenancePolicy(target_bytes=1 << 30, min_files=1000)
+    calls = []
+    real_create = MV.create_agg_view
+
+    def spy_create(spark_, src_path, *a, **kw):
+        calls.append(src_path)
+        return real_create(spark_, src_path, *a, **kw)
+
+    monkeypatch.setattr(MV, "create_agg_view", spy_create)
+    tick = pl.maintain(spark, pol, tables={"t2": pl.tables["t2"]})
+    assert calls == [t2]  # mv1 was not polled at all
+    assert "mv1" not in tick and "mv_create" in tick["mv2"]["actions"]
+
+    with _pytest.raises(ValueError, match="already a tracked matview"):
+        pl.track_table("mv1", t1)
+
+
+def test_maintain_feed_expiry_isolated_and_skips_absent_matview(
+    spark, tmp_path
+):
+    """ADVICE r12: feed expiry runs in its own try — a typo'd
+    feed_consumers path reports feed_expiry_error without polluting the
+    table's other actions or its optimize cooldown — and an ABSENT
+    tracked matview (deleted for re-baseline) is skipped as a consumer
+    instead of raising every tick."""
+    import shutil
+
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        change_feed_versions,
+        delete_where,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.orchestrator import (
+        MaintenancePolicy,
+        Pipeline,
+    )
+
+    path = str(tmp_path / "t")
+    mv = str(tmp_path / "mv")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    ).coalesce(1).write.parquet(path)
+
+    pl = (
+        Pipeline()
+        .track_table("t", path, feed_keep=1,
+                     feed_consumers=[str(tmp_path / "TYPO")])
+        .track_matview("t_mv", "t", mv)  # refresh-only spec
+    )
+    pol = MaintenancePolicy(target_bytes=1 << 30, min_files=1000)
+    for i in range(3):
+        delete_where(spark, path, f"id = {i}", change_feed=True)
+
+    # the typo'd explicit consumer fails LOUDLY but only in its slot
+    tick = pl.maintain(spark, pol)
+    a = tick["t"]["actions"]
+    assert "feed_expiry_error" in a and "does not exist" in a["feed_expiry_error"]
+    assert "error" not in a  # the table's other steps were not polluted
+    assert pl._maint_state.get("t") is None  # no cooldown stamped
+    assert change_feed_versions(spark, path) == [1, 2, 3]
+
+    # fix the consumer list; the ABSENT tracked matview must be skipped
+    # (mv was never created — a refresh-only spec on a missing view)
+    import dataclasses
+
+    pl.tables["t"] = dataclasses.replace(pl.tables["t"], feed_consumers=())
+    tick = pl.maintain(spark, pol)
+    exp = tick["t"]["actions"]["feed_expiry"]
+    assert exp["n_expired"] == 2
+    assert change_feed_versions(spark, path) == [3]
+    shutil.rmtree(mv, ignore_errors=True)
+
+
+def test_maintain_interleaved_stream_mutation_matview(spark, tmp_path):
+    """VERDICT r12 task 7 — the interleaving where IVM systems rot: a
+    LIVE epoch sink keeps appending, feed-carried mutations land on
+    already-absorbed epochs, and maintain() ticks (matview refresh +
+    OPTIMIZE + feed expiry) run between them. At EVERY tick the view
+    must equal a from-scratch rebuild over exactly the files the view
+    should cover (everything but the live lineage's newest epoch), and
+    the tick's own compaction must never strand the view's cursors."""
+    from iot_sensor_data_pipeline_spark.sources import matview as MV
+    from iot_sensor_data_pipeline_spark.sources import mutations as MU
+    from iot_sensor_data_pipeline_spark.sources.matview import (
+        read_agg_partials,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        delete_where,
+        update_where,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.orchestrator import (
+        MaintenancePolicy,
+        Pipeline,
+    )
+
+    path = str(tmp_path / "t")
+    mv = str(tmp_path / "mv")
+    ckpt = "/ckpt/INTERLEAVE"
+    sink = parquet_batch_sink(path, checkpoint=ckpt)
+
+    def batch(e):
+        return spark.range(e * 100, (e + 1) * 100).select(
+            F.col("id"),
+            (F.col("id") % 5).cast("string").alias("g"),
+            (F.col("id") % 13).cast("double").alias("v"),
+        ).repartition(2)
+
+    def rebuild():
+        """From-scratch aggregate over the files the MV should cover."""
+        part_cols, files = MV._list_files(spark, path, [ckpt])
+        _ds, schema = MU._read_schema_for(spark, path, files, part_cols)
+        df = MU._read_files(spark, path, files, schema)
+        return {
+            r.g: (r.n, round(r.s, 6))
+            for r in df.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+            ).collect()
+        }
+
+    def view():
+        return {
+            r.g: (r.n_rows, round(r.sum_v, 6))
+            for r in read_agg_partials(spark, mv).collect()
+        }
+
+    pl = (
+        Pipeline()
+        .track_table("t", path, checkpoints=[ckpt], feed_keep=2)
+        .track_matview("t_mv", "t", mv, keys=["g"], value_col="v")
+    )
+    pol = MaintenancePolicy(target_bytes=1 << 30, min_files=3)
+
+    sink(batch(0), 0)
+    sink(batch(1), 1)
+    pl.maintain(spark, pol)  # creates the view over e0 (e1 is newest)
+    assert view() == rebuild()
+
+    for e in range(2, 6):
+        sink(batch(e), e)
+        # mutations touch only epochs the view has ALREADY absorbed
+        # (<= its cursor, e-2): mutating an unabsorbed epoch-named file
+        # would legitimately raise the epoch-gap guard — that contract
+        # is pinned in test_matview; here the loop stays inside it
+        hi = (e - 1) * 100
+        if e % 2 == 0:
+            update_where(
+                spark, path,
+                (F.col("id") % 17 == 0) & (F.col("id") < hi),
+                {"v": F.col("v") + F.lit(100.0)},
+                change_feed=True, live_checkpoints=[ckpt],
+            )
+        else:
+            delete_where(
+                spark, path,
+                (F.col("id") % 23 == 0) & (F.col("id") < hi),
+                change_feed=True, live_checkpoints=[ckpt],
+            )
+        tick = pl.maintain(spark, pol)
+        assert "error" not in tick["t_mv"]["actions"], tick
+        assert "error" not in tick["t"]["actions"], tick
+        assert view() == rebuild(), f"diverged at epoch {e}"
+
+    # seal the last epoch and converge: view == FULL table aggregate
+    sink(batch(6), 6)
+    tick = pl.maintain(spark, pol)
+    assert view() == rebuild()
+    full = {
+        r.g: (r.n, round(r.s, 6))
+        for r in spark.read.parquet(path)
+        .where(~F.input_file_name().rlike("/e6-"))
+        .groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()
+    }
+    assert view() == full
+
+
 def test_pipeline_maintain_expires_feed_with_consumer_clamp(spark, tmp_path):
     """The maintain tick expires the change feed down to feed_keep,
     but never past the tick's own tracked matview (which refreshes
