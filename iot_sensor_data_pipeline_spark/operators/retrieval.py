@@ -1,0 +1,213 @@
+"""BM25 ranked keyword retrieval over a document corpus — the lexical
+half of a retrieval stack (the ANN operators in ``similarity.py`` /
+``quantization.py`` are the dense half; production systems run both and
+fuse).
+
+Why this exists: a training-data pipeline constantly answers "which
+documents mention these terms, ranked" — decontamination forensics
+("where did this benchmark phrase come from"), corpus exploration,
+hard-negative mining for retrievers, and hybrid search all reduce to
+BM25 over an inverted index. The reference pipeline has no text
+retrieval at all; this is the standard Robertson/Spärck Jones BM25
+(the ``k1``/``b`` form used by Lucene and every search engine since),
+expressed as three relational steps Spark executes without a single
+Python row:
+
+1. **inverted index** — ``build_inverted_index``: one explode + one
+   (term, doc) GROUP BY produces ``(term, doc_id, tf, dl)`` posting
+   rows. At 100 TB persist it BUCKETED BY term
+   (``.write.bucketBy(n, "term").sortBy("term").saveAsTable(...)``) —
+   probes then join posting lists with zero exchange on the index side,
+   the same layout argument as the IVF posting table and the near-dup
+   band index.
+2. **probe** — the query terms are a tiny relation (a search is a few
+   words); they BROADCAST into the posting join, so a query never
+   reshuffles the index. Document-frequency statistics for idf come
+   from the matched postings alone (one term-grain aggregation over
+   the semi-joined slice, never a full-vocabulary pass).
+3. **score + top-k** — the BM25 sum is a (query, doc) GROUP BY;
+   ranking is the standard per-query window with scores ROUNDED before
+   ranking and (score desc, doc_id) tie-breaks, so results are
+   deterministic and engine-portable.
+
+Tokenization is deliberately minimal and ENGINE-PORTABLE (lowercase,
+split on non-alphanumeric runs, drop empties): the DuckDB oracle
+re-derives the exact same terms with ``regexp_split_to_array``, which
+is what lets the whole scoring pipeline be hash-checked cross-engine
+(``documents_bm25_topk``). Plug a real analyzer in by pre-tokenizing
+and passing ``already_tokenized=True``.
+
+Skew guard: natural-language term frequencies are Zipfian — the
+posting list of "the" is a hot key that would dominate every probe
+touching it. ``max_df_frac`` drops terms whose document frequency
+exceeds the fraction (a dynamic stopword list, standard IR practice);
+it applies IDENTICALLY at index build time so the dropped terms never
+even ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["tokenize_terms", "build_inverted_index", "bm25_topk"]
+
+
+def tokenize_terms(col: Column) -> Column:
+    """``array<string>`` of lowercase alphanumeric terms — the minimal
+    portable analyzer (see module docstring). Pure codegen: lower +
+    split on non-alphanumeric runs + drop the empty strings a leading/
+    trailing separator produces."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    already_tokenized: bool = False,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """``(term, doc_id, tf, dl)`` posting rows: term frequency per
+    (term, document) plus the document's token length (carried on every
+    posting so scoring never joins back to the corpus). One explode +
+    one GROUP BY; NULL/empty documents contribute nothing.
+
+    ``max_df_frac`` drops terms appearing in more than that fraction of
+    documents (dynamic stopwords — the Zipf-head guard; df is counted
+    against the full corpus size BEFORE the drop). Persist bucketed by
+    term for exchange-free probes (module docstring)."""
+    toks = (
+        F.col(text_col) if already_tokenized
+        else tokenize_terms(F.col(text_col))
+    )
+    # coalesce: a NULL document tokenizes to an empty array (dl 0, no
+    # postings), not a NULL array (whose size is -1)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("__toks"),
+    ).withColumn("dl", F.size("__toks"))
+    postings = (
+        base.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+    if max_df_frac is not None:
+        if not 0.0 < max_df_frac <= 1.0:
+            raise ValueError(
+                f"build_inverted_index: max_df_frac must be in (0, 1], "
+                f"got {max_df_frac}"
+            )
+        n_docs = docs.select(F.col(id_col)).distinct().count()
+        df_rel = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("__df")
+        ).where(F.col("__df") <= max_df_frac * n_docs)
+        postings = postings.join(df_rel.select("term"), "term", "left_semi")
+    return postings
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: DataFrame | None = None,
+    max_df_frac: float | None = None,
+    round_score: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 — returns ``(query_id,
+    doc_id, score, rn)``. ``queries`` is a (query_id, query_text)
+    relation (driver-small by nature — a search is a few words; it
+    broadcasts into the posting join). Pass a persisted
+    :func:`build_inverted_index` output as ``index`` to skip the
+    index build (the production path: build once, probe forever);
+    otherwise the index derives from ``docs`` inline.
+
+    Scoring is the classic BM25:
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the Lucene
+    +1-inside-the-log form — never negative, even for df > N/2),
+    ``w(t, d) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))``
+    summed over the query's DISTINCT terms (duplicate terms in one
+    query count once, the standard bag-of-query simplification). ``N``
+    and ``avgdl`` are corpus statistics (one tiny aggregate over the
+    corpus ids/lengths); ``df`` comes from the matched postings only —
+    a term-grain count over the probe's own slice, never a
+    full-vocabulary pass. Scores round BEFORE ranking and ties break
+    by doc_id, so the top-k is deterministic and engine-portable.
+    Documents sharing no term with a query simply don't appear
+    (standard sparse-retrieval semantics)."""
+    if k < 1:
+        raise ValueError("bm25_topk: k must be >= 1")
+    if index is None:
+        index = build_inverted_index(
+            docs, id_col, text_col, max_df_frac=max_df_frac
+        )
+    # corpus stats: N docs + average token length, one scalar row.
+    # Derived from the corpus (not the index): a max_df_frac'd index
+    # has dropped postings, but N/avgdl are properties of the corpus.
+    toks = tokenize_terms(F.col(text_col))
+    stats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.coalesce(toks, F.array().cast("array<string>"))
+        ).alias("dl"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).first()
+    n_docs, avgdl = int(stats.n_docs), float(stats.avgdl or 0.0)
+    if n_docs == 0:
+        raise ValueError("bm25_topk: empty corpus")
+
+    q_terms = queries.select(
+        F.col(query_id).alias("qid"),
+        F.explode(
+            F.array_distinct(tokenize_terms(F.col(query_text)))
+        ).alias("term"),
+    )
+    # postings matched by ANY query term (left-semi keeps the slice
+    # minimal before df counting); query relation broadcasts — the
+    # index side never reshuffles
+    matched = index.join(
+        F.broadcast(q_terms.select("term").distinct()), "term", "left_semi"
+    )
+    dfreq = matched.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf") * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(q_terms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), round_score).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias(query_id), "doc_id", "score", "rn"
+        )
+    )

@@ -1112,3 +1112,71 @@ def lineitem_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_quantiles_exact(
         li, ["l_returnflag"], "l_extendedprice", list(_QUANTILE_QS)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (r13) — the lexical half of the retrieval stack
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         coalesce(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> ''), []) AS toks
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+post AS (
+  SELECT t.term, d.doc_id, count(*) AS tf, len(d.toks) AS dl
+  FROM d, unnest(d.toks) AS t(term)
+  GROUP BY 1, 2, 4
+),
+q AS (SELECT * FROM (VALUES (1, 'spark window join'),
+                            (2, 'slow merge sort batch'),
+                            (3, 'customer table scan'))
+      AS q(query_id, query_text)),
+qt AS (
+  SELECT query_id, t.term
+  FROM q, unnest(list_distinct(list_filter(regexp_split_to_array(
+           lower(query_text), '[^a-z0-9]+'), x -> x <> ''))) AS t(term)
+),
+m AS (SELECT p.* FROM post p WHERE p.term IN (SELECT DISTINCT term FROM qt)),
+dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, m.doc_id,
+         round(sum( ln(1 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl)) ), 6)
+           AS score
+  FROM m JOIN dfreq f USING (term) JOIN qt USING (term) CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rn
+FROM scored
+QUALIFY rn <= 10
+"""
+
+
+@register_extended(
+    "documents_bm25_topk", oracle=_BM25_ORACLE,
+    tags=("pipeline", "retrieval", "bm25"),
+)
+def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query over the documents corpus
+    (operators/retrieval.py, r13): inverted-index postings, broadcast
+    query-term probe, Lucene-form idf, (score desc, doc_id) ranking on
+    the ROUNDED score. The oracle re-derives the entire pipeline —
+    portable tokenizer, df from the matched slice, identical BM25
+    algebra — so a hash match pins tokenization, tf/df counting, the
+    corpus stats, and the ranking contract cross-engine."""
+    from iot_sensor_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "spark window join"), (2, "slow merge sort batch"),
+         (3, "customer table scan")],
+        "query_id int, query_text string",
+    )
+    return bm25_topk(docs, queries, k=10)

@@ -1,0 +1,183 @@
+"""BM25 ranked retrieval (operators/retrieval.py): hand-computed
+golden, python-mirror differential, stopword cap, prebuilt-index
+parity, guards, and the broadcast-probe plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_sensor_data_pipeline_spark.operators.retrieval import (
+    bm25_topk,
+    build_inverted_index,
+    tokenize_terms,
+)
+
+K1, B = 1.2, 0.75
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog chased the cat"),
+            (3, "dogs and cats living together"),
+            (4, "a completely unrelated document about spark"),
+            (5, None),  # NULL text: dl 0, no postings, still counted in N
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _py_bm25(docs, query_terms, k1=K1, b=B):
+    """Independent python mirror of the documented BM25 algebra."""
+    import re
+
+    toks = {
+        d: [t for t in re.split(r"[^a-z0-9]+", (txt or "").lower()) if t]
+        for d, txt in docs
+    }
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    scores = {}
+    for term in set(query_terms):
+        df = sum(1 for t in toks.values() if term in t)
+        if not df:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf:
+                w = idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl)
+                )
+                scores[d] = scores.get(d, 0.0) + w
+    return {d: round(s, 6) for d, s in scores.items()}
+
+
+def test_tokenizer_portable_semantics(spark):
+    got = spark.range(1).select(
+        tokenize_terms(F.lit(" The  CAT, sat-on 2 mats!! ")).alias("t")
+    ).first().t
+    assert got == ["the", "cat", "sat", "on", "2", "mats"]
+    # NULL propagates as NULL (build_inverted_index coalesces it)
+    assert spark.range(1).select(
+        tokenize_terms(F.lit(None).cast("string")).alias("t")
+    ).first().t is None
+
+
+def test_inverted_index_postings(spark):
+    idx = {
+        (r.term, r.doc_id): (r.tf, r.dl)
+        for r in build_inverted_index(_docs(spark)).collect()
+    }
+    assert idx[("the", 1)] == (2, 6)  # tf counts repeats, dl is tokens
+    assert idx[("cat", 2)] == (1, 5)
+    assert ("cats", 3) in idx and ("cat", 3) not in idx  # no stemming
+    assert not any(d == 5 for _t, d in idx)  # NULL doc: no postings
+
+
+def test_bm25_matches_python_mirror(spark):
+    docs = _docs(spark)
+    queries = spark.createDataFrame(
+        [(10, "cat dog"), (11, "spark"), (12, "the cat the")],
+        "query_id int, query_text string",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rn)
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    raw = [(r.doc_id, r.text) for r in docs.collect()]
+    for qid, terms in ((10, ["cat", "dog"]), (11, ["spark"]),
+                       (12, ["the", "cat"])):  # distinct query terms
+        exp = _py_bm25(raw, terms)
+        ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rn, (d, s) in enumerate(ranked, start=1):
+            assert got[(qid, d)] == (pytest.approx(s, abs=1e-6), rn)
+        # no extra docs beyond those sharing a term
+        assert {d for (q, d) in got if q == qid} == set(exp)
+
+
+def test_rarer_term_outranks_common_term(spark):
+    """idf sanity on the synthetic corpus shape: a doc matching the
+    rare term beats a doc matching only the ubiquitous one."""
+    docs = spark.createDataFrame(
+        [(i, "common filler words here") for i in range(20)]
+        + [(100, "common rare")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "common rare")], "query_id int, query_text string"
+    )
+    top = bm25_topk(docs, qs, k=3).where("rn = 1").first()
+    assert top.doc_id == 100
+
+
+def test_max_df_frac_drops_stopwords(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog ran"),
+            (3, "the bird flew"),
+            (4, "the fish swam and the cat watched"),
+            (5, "spark shuffle"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'the' is in 4/5 docs = 0.8; 'cat' in 2/5 = 0.4; cap at 0.5
+    idx = build_inverted_index(docs, max_df_frac=0.5)
+    assert idx.where("term = 'the'").count() == 0
+    assert idx.where("term = 'cat'").count() == 2
+    # scoring with the capped index simply never sees the stopword
+    qs = spark.createDataFrame(
+        [(1, "the cat")], "query_id int, query_text string"
+    )
+    got = bm25_topk(docs, qs, k=10, index=idx)
+    raw = [(r.doc_id, r.text) for r in docs.collect()]
+    exp = _py_bm25(raw, ["cat"])  # 'the' contributes nothing
+    assert {
+        r.doc_id: r.score for r in got.collect()
+    } == {d: pytest.approx(s, abs=1e-6) for d, s in exp.items()}
+    with pytest.raises(ValueError, match="max_df_frac"):
+        build_inverted_index(docs, max_df_frac=0.0)
+
+
+def test_prebuilt_index_equals_inline(spark):
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [(1, "cat dog spark")], "query_id int, query_text string"
+    )
+    inline = sorted(map(tuple, bm25_topk(docs, qs, k=10).collect()))
+    prebuilt = sorted(map(tuple, bm25_topk(
+        docs, qs, k=10, index=build_inverted_index(docs)
+    ).collect()))
+    assert inline == prebuilt
+
+
+def test_guards(spark):
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [(1, "cat")], "query_id int, query_text string"
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(docs, qs, k=0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        bm25_topk(docs.limit(0), qs, k=5)
+
+
+def test_probe_plan_broadcasts_queries_never_reshuffles_index(spark):
+    """The posting joins must broadcast the (tiny) query-term side —
+    a SortMergeJoin there would reshuffle the whole index per query."""
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [(1, "cat dog")], "query_id int, query_text string"
+    )
+    plan = (
+        bm25_topk(docs, qs, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
