@@ -50,7 +50,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tokenize_terms", "build_inverted_index", "bm25_topk"]
+__all__ = [
+    "tokenize_terms",
+    "build_inverted_index",
+    "bm25_topk",
+    "rrf_fuse",
+]
 
 
 def tokenize_terms(col: Column) -> Column:
@@ -209,5 +214,78 @@ def bm25_topk(
         .where(F.col("rn") <= k)
         .select(
             F.col("qid").alias(query_id), "doc_id", "score", "rn"
+        )
+    )
+
+
+def rrf_fuse(
+    rankings,
+    k: int,
+    rrf_k: int = 60,
+    query_id: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rn",
+    round_score: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009) — the
+    standard score-free way to combine heterogeneous rankers into
+    hybrid search: ``fused(q, d) = sum over lists of 1 / (rrf_k +
+    rank)``, summed over every input ranking where the document
+    appears for that query. Using RANKS (not scores) sidesteps the
+    incomparable-score problem entirely — BM25 sums and cosine
+    similarities fuse without calibration, which is why RRF is the
+    default hybrid fusion in production search engines.
+
+    ``rankings`` is a sequence of DataFrames each carrying
+    ``(query_id, doc_col, rank_col)`` — e.g. :func:`bm25_topk` output
+    and ``similarity.cosine_topk``/``ivf_probe`` output (rename the id
+    columns to match; extra columns are ignored). Inputs are already
+    per-query top-k relations, so fusion is a UNION + one (query, doc)
+    GROUP BY over a few hundred rows per query — trivially cheap at
+    any corpus scale; the heavy lifting stayed in the rankers.
+
+    Returns ``(query_id, doc_col, score, n_lists, rn)`` with the fused
+    score ROUNDED before ranking and (score desc, doc) tie-breaks —
+    deterministic and engine-portable (the hybrid oracle re-derives it
+    in SQL). ``n_lists`` = how many rankers surfaced the doc (a useful
+    confidence signal: 2-of-2 beats a lone high rank at equal score
+    only through the score itself — RRF's documented behavior)."""
+    rankings = list(rankings)
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 1:
+        raise ValueError("rrf_fuse: k must be >= 1")
+    if rrf_k < 1:
+        raise ValueError("rrf_fuse: rrf_k must be >= 1")
+    parts = [
+        r.select(
+            F.col(query_id).alias("qid"),
+            F.col(doc_col).alias("doc"),
+            F.col(rank_col).alias("r"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = allr.groupBy("qid", "doc").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r"))),
+            round_score,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("doc").alias(doc_col),
+            "score",
+            "n_lists",
+            "rn",
         )
     )

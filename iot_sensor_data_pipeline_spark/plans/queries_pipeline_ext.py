@@ -1180,3 +1180,112 @@ def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, query_text string",
     )
     return bm25_topk(docs, queries, k=10)
+
+
+_HYBRID_RRF_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         coalesce(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> ''), []) AS toks
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+post AS (
+  SELECT t.term, d.doc_id, count(*) AS tf, len(d.toks) AS dl
+  FROM d, unnest(d.toks) AS t(term)
+  GROUP BY 1, 2, 4
+),
+q AS (SELECT * FROM (VALUES (0, 'spark window join'),
+                            (100, 'slow merge sort batch'),
+                            (200, 'customer table scan'))
+      AS q(query_id, query_text)),
+qt AS (
+  SELECT query_id, t.term
+  FROM q, unnest(list_distinct(list_filter(regexp_split_to_array(
+           lower(query_text), '[^a-z0-9]+'), x -> x <> ''))) AS t(term)
+),
+m AS (SELECT p.* FROM post p WHERE p.term IN (SELECT DISTINCT term FROM qt)),
+dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+bm25s AS (
+  SELECT qt.query_id, m.doc_id,
+         round(sum( ln(1 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl)) ), 6)
+           AS score
+  FROM m JOIN dfreq f USING (term) JOIN qt USING (term) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+bm25r AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM bm25s QUALIFY rn <= 20
+),
+qv AS (
+  SELECT q.query_id, e.embedding AS qvec
+  FROM q JOIN embeddings e ON e.vec_id = q.query_id
+),
+coss AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(qv.qvec, e.embedding), 6) AS score
+  FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id
+),
+cosr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM coss QUALIFY rn <= 20
+),
+unioned AS (
+  SELECT * FROM bm25r UNION ALL SELECT * FROM cosr
+),
+fused AS (
+  SELECT query_id, doc_id,
+         round(sum(1.0 / (60 + rn)), 6) AS score,
+         count(*) AS n_lists
+  FROM unioned GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, CAST(n_lists AS BIGINT) AS n_lists,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rn
+FROM fused
+QUALIFY rn <= 10
+"""
+
+
+@register_extended(
+    "documents_hybrid_rrf", oracle=_HYBRID_RRF_ORACLE,
+    tags=("pipeline", "retrieval", "hybrid", "rrf"),
+)
+def documents_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (r13): BM25 top-20 (lexical) and exact-cosine
+    top-20 (dense, query vectors = the query docs' own embeddings)
+    fused by Reciprocal Rank Fusion into a top-10 per query
+    (operators/retrieval.py:rrf_fuse). The oracle re-derives BOTH
+    rankers and the fusion in SQL (DuckDB list_cosine_similarity for
+    the dense half), so a hash match pins the rank-grain fusion
+    contract — RRF consumes ranks, not scores, which is exactly what
+    makes heterogeneous rankers composable without calibration."""
+    from iot_sensor_data_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from iot_sensor_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(0, "spark window join"), (100, "slow merge sort batch"),
+         (200, "customer table scan")],
+        "query_id int, query_text string",
+    )
+    lexical = bm25_topk(docs, queries, k=20)
+    qvecs = emb.join(
+        queries.select(F.col("query_id").alias("vec_id")), "vec_id"
+    )
+    dense = cosine_topk(qvecs, emb, k=20).select(
+        F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rn"
+    )
+    return rrf_fuse([lexical, dense], k=10)

@@ -181,3 +181,47 @@ def test_probe_plan_broadcasts_queries_never_reshuffles_index(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_fuse_matches_python_mirror(spark):
+    from iot_sensor_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id int, doc_id long, rn int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id int, doc_id long, rn int",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.n_lists, r.rn)
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    exp_scores = {}
+    for rel in ([(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+                [(1, 11, 1), (1, 13, 2), (2, 20, 1), (2, 21, 2)]):
+        for q, d, r in rel:
+            s, n = exp_scores.get((q, d), (0.0, 0))
+            exp_scores[(q, d)] = (s + 1.0 / (60 + r), n + 1)
+    for q in (1, 2):
+        ranked = sorted(
+            ((d, v) for (qq, d), v in exp_scores.items() if qq == q),
+            key=lambda kv: (-round(kv[1][0], 6), kv[0]),
+        )
+        for rn, (d, (s, n)) in enumerate(ranked, start=1):
+            assert got[(q, d)] == (pytest.approx(round(s, 6)), n, rn)
+    # doc 11 appears in both lists for q1 and must outrank everything
+    assert got[(1, 11)][2] == 1 and got[(1, 11)][1] == 2
+
+
+def test_rrf_fuse_guards(spark):
+    from iot_sensor_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 10, 1)], "query_id int, doc_id long, rn int")
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([], k=5)
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([a], k=0)
+    with pytest.raises(ValueError, match="rrf_k"):
+        rrf_fuse([a], k=5, rrf_k=0)
