@@ -1162,6 +1162,7 @@ def sync_from_change_feed(
     bloom_cols: Sequence[str] | None = None,
     where: Column | str | None = None,
     columns: Sequence[str] | None = None,
+    allow_new_columns: bool = False,
 ) -> dict:
     """Propagate the source table's change feed into a downstream
     replica incrementally — the consumer half of the feed contract: a
@@ -1201,6 +1202,17 @@ def sync_from_change_feed(
     may use columns the replica does not keep. ``columns`` must
     include the keys; baseline the replica as the same
     filtered/projected SELECT of the upstream before the first sync.
+
+    SCHEMA EVOLUTION (r13): when the upstream widened additively
+    (``merge_into(allow_new_columns=True)`` with the feed on), the
+    feed's newer versions carry the new column and the netted upsert
+    source does too — pass ``allow_new_columns=True`` here to let the
+    replica widen the same way (forwarded to the upsert merge). Keys
+    whose newest image PREdates the evolution upsert the new column as
+    NULL, which is exactly their post-evolution state in the upstream
+    (untouched rows read NULL through the union schema). Projected
+    replicas (``columns``) are unaffected — they never select the new
+    column unless asked to.
 
     The replica must be keyed the same way the upstream's mutations
     are (``on``). Returns ``{"applied_versions", "n_upserted",
@@ -1290,6 +1302,7 @@ def sync_from_change_feed(
                 r = merge_into(
                     spark, dst_path, upserts, on=on,
                     manifest_cols=manifest_cols, bloom_cols=bloom_cols,
+                    allow_new_columns=allow_new_columns,
                 )
                 n_up += r["n_rows_updated"] + r["n_rows_inserted"]
                 n_merges += 1

@@ -1110,6 +1110,54 @@ def test_sync_nets_slice_to_one_merge_pair(spark, tmp_path):
     assert res2["applied_versions"] == [] and res2["n_merges"] == 0
 
 
+def test_sync_follows_upstream_schema_evolution(spark, tmp_path):
+    """An upstream that widened additively mid-slice syncs into the
+    replica with allow_new_columns=True: the replica gains the column,
+    keys whose newest image predates the evolution land it as NULL
+    (their true post-evolution upstream state), and the checksum over
+    the shared columns agrees end to end."""
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        sync_from_change_feed,
+        update_where,
+        verify_replica,
+    )
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    base = spark.range(0, 60).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id").cast("string"))
+        .alias("val"),
+    )
+    base.repartition(3).write.parquet(src)
+    base.repartition(2).write.parquet(dst)
+
+    # v1: plain update (pre-evolution image, no 'tier' column)
+    update_where(spark, src, "id < 5", {"val": F.lit("u1")},
+                 change_feed=True)
+    # v2: the widening merge — only id 10/11 gain a tier
+    evo = spark.createDataFrame(
+        [(10, "v10", "gold"), (11, "v11", "silver")],
+        "id long, val string, tier string",
+    )
+    merge_into(spark, src, evo, on=["id"], allow_new_columns=True,
+               change_feed=True)
+
+    # without the opt-in the sync fails loudly (replica lacks 'tier')
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        sync_from_change_feed(spark, src, dst, on=["id"])
+    res = sync_from_change_feed(spark, src, dst, on=["id"],
+                                allow_new_columns=True)
+    assert res["applied_versions"] == [1, 2] and res["n_merges"] <= 2
+    got = {
+        r.id: (r.val, r.tier)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(dst).collect()
+    }
+    assert got[10] == ("v10", "gold") and got[11] == ("v11", "silver")
+    assert got[0] == ("u1", None)  # pre-evolution newest image: NULL tier
+    assert got[50] == ("v50", None)  # untouched: NULL through union read
+    assert verify_replica(spark, src, dst)["in_sync"]
+
+
 def test_read_table_as_of_reconstructs_every_version(spark, tmp_path):
     """Feed-based time travel: as-of each version equals a snapshot
     taken at that moment — through a delete, a key-changing update,
