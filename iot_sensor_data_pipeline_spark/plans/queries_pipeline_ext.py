@@ -1162,6 +1162,7 @@ QUALIFY rn <= 10
 @register_extended(
     "documents_bm25_topk", oracle=_BM25_ORACLE,
     tags=("pipeline", "retrieval", "bm25"),
+    bench=True,  # r13 anchor: the retrieval family's wall-time trace
 )
 def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 per query over the documents corpus

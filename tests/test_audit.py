@@ -118,11 +118,13 @@ def test_extended_registry_queries_have_no_blocking_findings(spark):
     block."""
     from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
 
-    # same documented exception as the gate's brute-force kNN: the
-    # ranking-metrics query scores the exact cosine_topk ranking, whose
+    # same documented exception as the gate's brute-force kNN: these
+    # queries score an exact cosine_topk ranking, whose
     # broadcast-queries x corpus-scan cross-score is a BNLJ by design
-    # (build side = the driver-small query set)
-    sanctioned_bnlj = {"embeddings_ranking_metrics"}
+    # (build side = the driver-small query set). documents_hybrid_rrf
+    # (r13) fuses that exact dense ranking with BM25 via RRF — its
+    # lexical half and the fusion itself audit clean.
+    sanctioned_bnlj = {"embeddings_ranking_metrics", "documents_hybrid_rrf"}
     for name, q in EXTENDED_REGISTRY.items():
         f = blocking(audit_plan(q.fn(spark, SF)))
         if name in sanctioned_bnlj:
