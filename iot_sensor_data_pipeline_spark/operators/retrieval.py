@@ -55,6 +55,7 @@ __all__ = [
     "build_inverted_index",
     "bm25_topk",
     "rrf_fuse",
+    "sync_inverted_index",
 ]
 
 
@@ -289,3 +290,150 @@ def rrf_fuse(
             "rn",
         )
     )
+
+
+def sync_inverted_index(
+    spark,
+    src_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    manifest_cols=None,
+    bloom_cols=None,
+) -> dict:
+    """Keep a PERSISTED inverted index in step with a mutable corpus
+    through its change data feed (``mutations.read_change_feed``) —
+    the retrieval layer joining the engine's IVM story: a GDPR delete,
+    a text correction, or a backfill lands on the corpus table, and the
+    searchable index follows at O(changed documents), never a corpus
+    re-tokenization.
+
+    Baseline once (``build_inverted_index(corpus).write.parquet(
+    index_path)``), then call this on a cadence. Each sync nets the
+    unapplied feed slice to the NEWEST image per document (the
+    ``sync_from_change_feed`` netting — last-writer-wins per key), then
+    applies exactly two steps:
+
+    1. **retire**: one key-grain ``merge_into(when_matched='delete')``
+       removes EVERY posting of every touched document (a bloom index
+       on the postings' doc_id makes the probe open a handful of
+       files; pass ``bloom_cols=['doc_id']`` after
+       ``write_bloom_index``).
+    2. **re-post**: surviving newest images (insert/update_post)
+       re-tokenize through :func:`build_inverted_index` and APPEND as
+       new posting files. Appends are safe to replay because step 1
+       always precedes them over the same doc set — a crash anywhere
+       re-nets the slice, the retire sweeps any half-appended postings
+       of touched docs, and the re-post restores them exactly
+       (convergent, same discipline as the replica sync).
+
+    The cursor persists in the index directory's ``_sync_state.json``
+    (write-then-rename, AFTER the slice fully applied) — the SAME
+    sidecar format the replica sync uses, so the index registers
+    directly as a feed consumer: ``expire_change_feed(consumers=
+    [index_path])`` clamps expiry to the slowest index exactly as it
+    does for replicas, and a feed gap past the cursor raises the
+    re-baseline error instead of silently diverging.
+
+    The incremental path maintains the UNFILTERED index only: a
+    ``max_df_frac`` stopword cap is a corpus-GLOBAL property (one new
+    document can push a term over the cap everywhere), so df-capped
+    indexes rebuild — apply the cap at query time instead when the
+    corpus mutates. Returns ``{"applied_versions", "n_docs_retired",
+    "n_postings_added", "from_version", "to_version"}``."""
+    import json
+
+    from pyspark.sql import Window as W
+
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        _fs_for,
+        _read_json_file,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        _OP,
+        change_feed_versions,
+        merge_into,
+        read_change_feed,
+    )
+
+    fs, _root, jvm = _fs_for(spark, index_path)
+    state_p = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/_sync_state.json"
+    )
+    last = 0
+    if fs.exists(state_p):
+        last = int(_read_json_file(fs, jvm, state_p).get("version", 0))
+    all_versions = change_feed_versions(spark, src_path)
+    if all_versions and last + 1 < all_versions[0]:
+        raise ValueError(
+            f"change feed gap: the index's cursor is {last} but the "
+            f"oldest retained feed version is {all_versions[0]} — "
+            "re-baseline the index from the corpus, then resume"
+        )
+    versions = [v for v in all_versions if v > last]
+    n_retired = n_added = 0
+    if versions:
+        feed = read_change_feed(spark, src_path, since_version=last)
+        op_rank = F.when(F.col(_OP) == "update_post", 1).otherwise(0)
+        newest = (
+            feed.withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy(id_col).orderBy(
+                        F.col("__commit_version").desc(), op_rank.desc()
+                    )
+                ),
+            )
+            .where(F.col("__rn") == 1)
+            .persist()
+        )
+        try:
+            touched = newest.select(
+                F.col(id_col).alias("doc_id")
+            ).distinct()
+            if touched.limit(1).count():
+                try:
+                    r = merge_into(
+                        spark, index_path, touched, on=["doc_id"],
+                        when_matched="delete", insert=False,
+                        manifest_cols=manifest_cols,
+                        bloom_cols=bloom_cols,
+                    )
+                    n_retired = r["n_rows_deleted"]
+                except ValueError as e:
+                    # a fully-emptied index (every doc deleted earlier)
+                    # has no data files to probe; nothing to retire
+                    if "no parquet data files" not in str(e):
+                        raise
+            survivors = newest.where(
+                F.col(_OP).isin("insert", "update_post")
+            ).select(id_col, text_col)
+            new_postings = build_inverted_index(
+                survivors, id_col=id_col, text_col=text_col
+            ).persist()
+            try:
+                n_added = new_postings.count()
+                if n_added:
+                    new_postings.write.mode("append").parquet(index_path)
+            finally:
+                new_postings.unpersist()
+        finally:
+            newest.unpersist()
+        tmp = jvm.org.apache.hadoop.fs.Path(str(state_p) + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(
+                json.dumps({"version": versions[-1]}).encode("utf-8")
+            )
+        finally:
+            out.close()
+        fs.delete(state_p, False)
+        if not fs.rename(tmp, state_p):
+            raise RuntimeError(f"sync state commit failed: {state_p}")
+    return {
+        "applied_versions": versions,
+        "n_docs_retired": n_retired,
+        "n_postings_added": n_added,
+        "from_version": last,
+        "to_version": versions[-1] if versions else last,
+    }

@@ -1290,3 +1290,120 @@ def documents_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rn"
     )
     return rrf_fuse([lexical, dense], k=10)
+
+
+_BM25_INCR_ORACLE = """
+WITH cur0 AS (
+  SELECT doc_id, text FROM documents WHERE (n_chars < 150) IS NOT TRUE
+),
+cur1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'spark spark ' || text
+              ELSE text END AS text
+  FROM cur0
+),
+cur AS (
+  SELECT * FROM cur1
+  UNION ALL
+  SELECT doc_id + 20000000,
+         'fresh retrieval document number ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 151 = 0
+),
+d AS (
+  SELECT doc_id,
+         coalesce(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> ''), []) AS toks
+  FROM cur
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+post AS (
+  SELECT t.term, d.doc_id, count(*) AS tf, len(d.toks) AS dl
+  FROM d, unnest(d.toks) AS t(term)
+  GROUP BY 1, 2, 4
+),
+q AS (SELECT * FROM (VALUES (1, 'spark retrieval'),
+                            (2, 'window merge batch'))
+      AS q(query_id, query_text)),
+qt AS (
+  SELECT query_id, t.term
+  FROM q, unnest(list_distinct(list_filter(regexp_split_to_array(
+           lower(query_text), '[^a-z0-9]+'), x -> x <> ''))) AS t(term)
+),
+m AS (SELECT p.* FROM post p WHERE p.term IN (SELECT DISTINCT term FROM qt)),
+dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, m.doc_id,
+         round(sum( ln(1 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl)) ), 6)
+           AS score
+  FROM m JOIN dfreq f USING (term) JOIN qt USING (term) CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rn
+FROM scored
+QUALIFY rn <= 10
+"""
+
+
+@register_extended(
+    "documents_bm25_incremental", oracle=_BM25_INCR_ORACLE,
+    tags=("pipeline", "retrieval", "bm25", "cdf", "ivm"),
+)
+def documents_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval layer joining the IVM story (r13): a scratch
+    corpus copy takes a DELETE, a text UPDATE, and an inserting MERGE
+    (all feed-carried); ``sync_inverted_index`` follows the feed at
+    O(changed docs) — never re-tokenizing the corpus — and BM25 runs
+    over the SYNCED index. The oracle recomputes BM25 from scratch over
+    the relationally-composed mutation chain, so a hash match pins that
+    the incrementally-maintained index is EXACTLY the rebuilt one,
+    scores included, with DuckDB as the referee."""
+    import tempfile
+
+    from iot_sensor_data_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+        build_inverted_index,
+        sync_inverted_index,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        delete_where,
+        merge_into,
+        update_where,
+    )
+
+    root = tempfile.mkdtemp(prefix="mutq_bm25i_")
+    corpus, idx = f"{root}/corpus", f"{root}/idx"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text",
+                                                         "n_chars")
+    docs.repartition(4).write.parquet(corpus)
+    build_inverted_index(
+        spark.read.parquet(corpus)
+    ).write.parquet(idx)
+
+    delete_where(spark, corpus, F.col("n_chars") < 150, change_feed=True)
+    update_where(
+        spark, corpus, F.col("doc_id") % 11 == 0,
+        {"text": F.concat(F.lit("spark spark "), F.col("text"))},
+        change_feed=True,
+    )
+    inserts = docs.where(F.col("doc_id") % 151 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("fresh retrieval document number "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    merge_into(spark, corpus, inserts, on=["doc_id"], change_feed=True)
+    sync_inverted_index(spark, corpus, idx)
+
+    queries = spark.createDataFrame(
+        [(1, "spark retrieval"), (2, "window merge batch")],
+        "query_id int, query_text string",
+    )
+    return bm25_topk(
+        spark.read.parquet(corpus), queries, k=10,
+        index=spark.read.parquet(idx),
+    )

@@ -225,3 +225,129 @@ def test_rrf_fuse_guards(spark):
         rrf_fuse([a], k=0)
     with pytest.raises(ValueError, match="rrf_k"):
         rrf_fuse([a], k=5, rrf_k=0)
+
+
+def test_sync_inverted_index_follows_mutations(spark, tmp_path):
+    """The persisted inverted index follows the corpus through its
+    change feed: after delete + text-update + insert mutations, one
+    sync makes the index EQUAL a from-scratch rebuild of the current
+    corpus; a steady-state sync is a no-op; losing the cursor replays
+    the slice and still converges; BM25 over the synced index matches
+    BM25 over the rebuilt one."""
+    from iot_sensor_data_pipeline_spark.operators.retrieval import (
+        sync_inverted_index,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        delete_where,
+        merge_into,
+        update_where,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog chased the cat"),
+            (3, "dogs and cats living together"),
+            (4, "spark shuffles the data"),
+        ],
+        "doc_id long, text string",
+    ).repartition(2).write.parquet(corpus)
+    build_inverted_index(spark.read.parquet(corpus)) \
+        .write.parquet(idx)
+
+    delete_where(spark, corpus, "doc_id = 3", change_feed=True)
+    update_where(spark, corpus, "doc_id = 1",
+                 {"text": F.lit("the cat naps quietly")},
+                 change_feed=True)
+    merge_into(
+        spark, corpus,
+        spark.createDataFrame([(9, "fresh spark document")],
+                              "doc_id long, text string"),
+        on=["doc_id"], change_feed=True,
+    )
+
+    def idx_rows():
+        return sorted(map(tuple, spark.read.parquet(idx)
+                          .select("term", "doc_id", "tf", "dl").collect()))
+
+    def rebuilt():
+        return sorted(map(tuple, build_inverted_index(
+            spark.read.parquet(corpus)
+        ).select("term", "doc_id", "tf", "dl").collect()))
+
+    res = sync_inverted_index(spark, corpus, idx)
+    assert res["applied_versions"] == [1, 2, 3]
+    assert res["n_docs_retired"] > 0 and res["n_postings_added"] > 0
+    assert idx_rows() == rebuilt()
+
+    # steady state
+    res2 = sync_inverted_index(spark, corpus, idx)
+    assert res2["applied_versions"] == [] and res2["to_version"] == 3
+
+    # cursor loss -> full replay converges (retire sweeps re-appends)
+    import os
+
+    os.remove(os.path.join(idx, "_sync_state.json"))
+    res3 = sync_inverted_index(spark, corpus, idx)
+    assert res3["applied_versions"] == [1, 2, 3]
+    assert idx_rows() == rebuilt()
+
+    # BM25 through the synced index == through a fresh rebuild
+    qs = spark.createDataFrame(
+        [(1, "cat spark")], "query_id int, query_text string"
+    )
+    docs_now = spark.read.parquet(corpus)
+    via_synced = sorted(map(tuple, bm25_topk(
+        docs_now, qs, k=10, index=spark.read.parquet(idx)
+    ).collect()))
+    via_rebuilt = sorted(map(tuple, bm25_topk(docs_now, qs, k=10).collect()))
+    assert via_synced == via_rebuilt
+
+
+def test_sync_inverted_index_gap_and_consumer_clamp(spark, tmp_path):
+    """The index's cursor sidecar makes it a first-class feed consumer:
+    expire_change_feed clamps to it, and expiry past it raises the
+    re-baseline error on the next sync."""
+    from iot_sensor_data_pipeline_spark.operators.retrieval import (
+        sync_inverted_index,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        change_feed_versions,
+        expire_change_feed,
+        update_where,
+    )
+
+    corpus = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    spark.createDataFrame(
+        [(i, f"doc number {i} words") for i in range(10)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(corpus)
+    build_inverted_index(spark.read.parquet(corpus)).write.parquet(idx)
+
+    for i in range(3):
+        update_where(spark, corpus, f"doc_id = {i}",
+                     {"text": F.lit(f"revised doc {i}")}, change_feed=True)
+    sync_inverted_index(spark, corpus, idx)  # cursor -> 3
+    update_where(spark, corpus, "doc_id = 5",
+                 {"text": F.lit("revised doc 5")}, change_feed=True)
+    update_where(spark, corpus, "doc_id = 7",
+                 {"text": F.lit("revised doc 7")}, change_feed=True)
+
+    # clamp: keep_versions=1 would doom v1..v4, but the index (cursor
+    # 3) still needs v4 — expiry protects it
+    exp = expire_change_feed(spark, corpus, keep_versions=1,
+                             consumers=[idx])
+    assert exp["clamped_by"]["consumer"] == idx
+    assert exp["clamped_by"]["n_protected"] == 1
+    assert 4 in change_feed_versions(spark, corpus)
+
+    # force a gap (no consumers registered) -> next sync raises
+    expire_change_feed(spark, corpus, keep_versions=1)
+    update_where(spark, corpus, "doc_id = 6",
+                 {"text": F.lit("revised doc 6")}, change_feed=True)
+    expire_change_feed(spark, corpus, keep_versions=1)
+    with pytest.raises(ValueError, match="re-baseline"):
+        sync_inverted_index(spark, corpus, idx)
