@@ -56,6 +56,8 @@ __all__ = [
     "bm25_topk",
     "rrf_fuse",
     "sync_inverted_index",
+    "positional_index",
+    "phrase_search",
 ]
 
 
@@ -437,3 +439,90 @@ def sync_inverted_index(
         "from_version": last,
         "to_version": versions[-1] if versions else last,
     }
+
+
+def positional_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(term, doc_id, pos)`` — one row per token OCCURRENCE with its
+    0-based position; the positional sibling of
+    :func:`build_inverted_index` and the substrate phrase queries run
+    on. Same portable tokenizer, same bucket-by-term persistence
+    advice. Bigger than the tf index by design (it keeps every
+    occurrence), which is exactly the classic positional-index space
+    trade every search engine makes for phrase support."""
+    toks = tokenize_terms(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.coalesce(toks, F.array().cast("array<string>"))
+        ).alias("pos", "term"),
+    ).select("term", "doc_id", "pos")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id: str = "phrase_id",
+    phrase_text: str = "phrase_text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact phrase matching over the corpus — ``(phrase_id, doc_id,
+    n_occurrences)`` for every document containing the phrase's tokens
+    CONSECUTIVELY (overlapping occurrences each count: 'a a' occurs
+    twice in 'a a a'). The workhorse of decontamination forensics
+    ("which documents contain this benchmark sentence verbatim") and
+    quote tracking, where BM25's bag-of-words is too loose.
+
+    One relational step, any phrase length, no per-length plan: the
+    phrase explodes to ``(pid, i, term)`` tokens (tiny — broadcasts),
+    joins the positional postings on ``term``, and each joined row
+    proposes an ANCHOR ``pos - i`` (where the phrase would have to
+    start for this token to be its i-th word). A (pid, doc, anchor)
+    group where EVERY phrase offset checked in — ``count(*) ==
+    phrase_len``, exact because (doc, pos) is unique per token — is
+    one occurrence. Duplicate terms inside a phrase need no special
+    case: each occurrence slot is a distinct ``i``.
+
+    Pass a persisted :func:`positional_index` as ``index`` for the
+    build-once path. Phrases with no alphanumeric token raise (an
+    empty phrase matches everything or nothing — force the caller to
+    decide). Cost: |postings of the phrases' terms| — the broadcast
+    semi-join prunes everything else before the anchor grouping."""
+    if index is None:
+        index = positional_index(docs, id_col, text_col)
+    q = phrases.select(
+        F.col(phrase_id).alias("pid"),
+        F.posexplode(
+            tokenize_terms(F.col(phrase_text))
+        ).alias("i", "term"),
+    )
+    q_len = phrases.select(
+        F.col(phrase_id).alias("pid"),
+        F.size(tokenize_terms(F.col(phrase_text))).alias("plen"),
+    )
+    bad = q_len.where(
+        F.col("plen").isNull() | (F.col("plen") < 1)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"phrase_search: phrase {bad[0].pid!r} has no alphanumeric "
+            "tokens — an empty phrase is ambiguous; drop it or fix it"
+        )
+    hits = (
+        index.join(F.broadcast(q), "term")
+        .select("pid", "doc_id", (F.col("pos") - F.col("i")).alias("anchor"))
+        .groupBy("pid", "doc_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_aligned"))
+        .join(F.broadcast(q_len), "pid")
+        .where(F.col("n_aligned") == F.col("plen"))
+        .groupBy("pid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return hits.select(
+        F.col("pid").alias(phrase_id), "doc_id", "n_occurrences"
+    )

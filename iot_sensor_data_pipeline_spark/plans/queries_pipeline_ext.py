@@ -1407,3 +1407,65 @@ def documents_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus), queries, k=10,
         index=spark.read.parquet(idx),
     )
+
+
+_PHRASE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         coalesce(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> ''), []) AS t
+  FROM documents
+),
+p AS (SELECT * FROM (VALUES (1, 'batch batch batch'),
+                            (2, 'the fast key'),
+                            (3, 'merge part window'))
+      AS p(phrase_id, phrase_text)),
+pt AS (
+  SELECT phrase_id,
+         list_filter(regexp_split_to_array(lower(phrase_text),
+                     '[^a-z0-9]+'), x -> x <> '') AS pt
+  FROM p
+),
+hits AS (
+  SELECT pt.phrase_id, d.doc_id,
+         (SELECT count(*)
+          FROM unnest(generate_series(1, len(d.t) - len(pt.pt) + 1))
+            AS g(i)
+          WHERE list_slice(d.t, g.i, g.i + len(pt.pt) - 1) = pt.pt) AS n
+  FROM d CROSS JOIN pt
+  WHERE len(d.t) >= len(pt.pt)
+)
+SELECT phrase_id, doc_id, CAST(n AS BIGINT) AS n_occurrences
+FROM hits WHERE n > 0
+"""
+
+
+@register_extended(
+    "documents_phrase_search", oracle=_PHRASE_ORACLE,
+    tags=("pipeline", "retrieval", "phrase"),
+)
+def documents_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase occurrence counting (r13,
+    operators/retrieval.py:phrase_search): the positional index joins
+    the broadcast phrase tokens once, each match proposes an anchor
+    (pos - i), and a (phrase, doc, anchor) group where every offset
+    checked in is one occurrence — one plan for any phrase length,
+    overlaps counted. The oracle re-derives occurrences by sliding
+    list_slice comparison over the same portable tokens, so a hash
+    match pins tokenization, the anchor algebra, and overlap
+    semantics cross-engine — the verbatim-containment primitive
+    decontamination forensics needs."""
+    from iot_sensor_data_pipeline_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [(1, "batch batch batch"), (2, "the fast key"),
+         (3, "merge part window")],
+        "phrase_id int, phrase_text string",
+    )
+    return phrase_search(docs, phrases).select(
+        "phrase_id", "doc_id",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )

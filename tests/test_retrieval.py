@@ -351,3 +351,78 @@ def test_sync_inverted_index_gap_and_consumer_clamp(spark, tmp_path):
     expire_change_feed(spark, corpus, keep_versions=1)
     with pytest.raises(ValueError, match="re-baseline"):
         sync_inverted_index(spark, corpus, idx)
+
+
+def test_phrase_search_goldens_and_mirror(spark):
+    """Exact consecutive matching incl. OVERLAPPING occurrences and
+    duplicate terms inside the phrase; differential vs an independent
+    python scan."""
+    from iot_sensor_data_pipeline_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 'a a' occurs twice (overlap)
+            (2, "the cat sat on the cat mat"),
+            (3, "cat the sat"),       # tokens present, order wrong
+            (4, "batch batch batch stream batch batch"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(10, "a a"), (11, "the cat"), (12, "cat sat"),
+         (13, "batch batch"), (14, "Missing-Phrase!")],
+        "phrase_id int, phrase_text string",
+    )
+    got = {
+        (r.phrase_id, r.doc_id): r.n_occurrences
+        for r in phrase_search(docs, phrases).collect()
+    }
+
+    import re
+
+    def py_count(text, phrase):
+        t = [x for x in re.split(r"[^a-z0-9]+", (text or "").lower()) if x]
+        p = [x for x in re.split(r"[^a-z0-9]+", phrase.lower()) if x]
+        return sum(
+            1 for i in range(len(t) - len(p) + 1) if t[i:i + len(p)] == p
+        )
+
+    exp = {}
+    for pid, phrase in [(10, "a a"), (11, "the cat"), (12, "cat sat"),
+                        (13, "batch batch"), (14, "Missing-Phrase!")]:
+        for r in docs.collect():
+            n = py_count(r.text, phrase)
+            if n:
+                exp[(pid, r.doc_id)] = n
+    assert got == exp
+    assert got[(10, 1)] == 2          # overlap counts
+    assert got[(13, 4)] == 3          # 'batch batch' in b b b + b b
+    assert (12, 3) not in got         # order matters
+    assert not any(p == 14 for p, _d in got)  # absent phrase: no rows
+
+
+def test_phrase_search_prebuilt_index_and_empty_phrase_guard(spark):
+    from iot_sensor_data_pipeline_spark.operators.retrieval import (
+        phrase_search,
+        positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y")], "doc_id long, text string"
+    )
+    phrases = spark.createDataFrame(
+        [(1, "x y")], "phrase_id int, phrase_text string"
+    )
+    idx = positional_index(docs)
+    inline = sorted(map(tuple, phrase_search(docs, phrases).collect()))
+    prebuilt = sorted(map(tuple, phrase_search(
+        docs, phrases, index=idx
+    ).collect()))
+    assert inline == prebuilt == [(1, 1, 2)]
+    with pytest.raises(ValueError, match="no alphanumeric"):
+        phrase_search(docs, spark.createDataFrame(
+            [(9, "!!!")], "phrase_id int, phrase_text string"
+        ))
