@@ -56,6 +56,8 @@ __all__ = [
     "bm25_topk",
     "rrf_fuse",
     "sync_inverted_index",
+    "sync_positional_index",
+    "baseline_search_index",
     "positional_index",
     "phrase_search",
 ]
@@ -341,8 +343,59 @@ def sync_inverted_index(
     ``max_df_frac`` stopword cap is a corpus-GLOBAL property (one new
     document can push a term over the cap everywhere), so df-capped
     indexes rebuild — apply the cap at query time instead when the
-    corpus mutates. Returns ``{"applied_versions", "n_docs_retired",
+    corpus mutates. :func:`sync_positional_index` maintains a
+    :func:`positional_index` the same way (phrase search stays fresh
+    under mutations) — identical retire+re-post discipline, different
+    row builder. Returns ``{"applied_versions", "n_docs_retired",
     "n_postings_added", "from_version", "to_version"}``."""
+    return _sync_index(
+        spark, src_path, index_path, id_col, text_col,
+        manifest_cols, bloom_cols,
+        builder=lambda df: build_inverted_index(
+            df, id_col=id_col, text_col=text_col
+        ),
+    )
+
+
+def sync_positional_index(
+    spark,
+    src_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    manifest_cols=None,
+    bloom_cols=None,
+) -> dict:
+    """:func:`sync_inverted_index` for a persisted
+    :func:`positional_index` — exact phrase search stays fresh as the
+    corpus mutates, at O(changed documents). Same netting, same
+    key-grain retire merge, same replay-convergent re-post append,
+    same ``_sync_state.json`` consumer cursor (feed expiry clamps to
+    the positional index too)."""
+    return _sync_index(
+        spark, src_path, index_path, id_col, text_col,
+        manifest_cols, bloom_cols,
+        builder=lambda df: positional_index(
+            df, id_col=id_col, text_col=text_col
+        ),
+    )
+
+
+def _sync_index(
+    spark,
+    src_path: str,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    manifest_cols,
+    bloom_cols,
+    builder,
+) -> dict:
+    """Shared feed-follow core of the index syncs (see
+    :func:`sync_inverted_index` for the full contract): net the slice
+    to newest-image-per-doc, retire every touched doc's rows with one
+    key-grain delete merge, re-derive rows for surviving images via
+    ``builder`` and append, commit the cursor last."""
     import json
 
     from pyspark.sql import Window as W
@@ -410,9 +463,7 @@ def sync_inverted_index(
             survivors = newest.where(
                 F.col(_OP).isin("insert", "update_post")
             ).select(id_col, text_col)
-            new_postings = build_inverted_index(
-                survivors, id_col=id_col, text_col=text_col
-            ).persist()
+            new_postings = builder(survivors).persist()
             try:
                 n_added = new_postings.count()
                 if n_added:
@@ -526,3 +577,82 @@ def phrase_search(
     return hits.select(
         F.col("pid").alias(phrase_id), "doc_id", "n_occurrences"
     )
+
+
+def baseline_search_index(
+    spark,
+    src_path: str,
+    index_path: str,
+    kind: str = "tf",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Build a search index's FIRST version from the corpus table and
+    stamp its feed cursor — the baseline the sync functions resume
+    from. ``kind``: ``"tf"`` (:func:`build_inverted_index`, BM25) or
+    ``"positional"`` (:func:`positional_index`, phrase search). Reads
+    the corpus under the mutation layer's rules (crash recovery first,
+    union schema, verbatim partition strings) so the baseline sees
+    exactly the relation the feed describes. The cursor is taken
+    BEFORE the scan and VERIFIED unchanged after it (the
+    ``create_agg_view`` discipline: an insert-only feed version
+    committing mid-build would re-apply as silent double postings — a
+    moved cursor deletes the suspect index and raises)."""
+    import json
+
+    from iot_sensor_data_pipeline_spark.sources.manifest import _fs_for
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        _layout,
+        _read_files,
+        _read_schema_for,
+        change_feed_versions,
+        recover_optimize,
+    )
+
+    if kind not in ("tf", "positional"):
+        raise ValueError(
+            f"baseline_search_index: kind must be 'tf' or 'positional', "
+            f"got {kind!r}"
+        )
+    fs, root, jvm = _fs_for(spark, index_path)
+    if fs.exists(root):
+        raise ValueError(
+            f"baseline_search_index: {index_path} already exists — "
+            "sync_*_index maintains it; delete it to re-baseline"
+        )
+    recover_optimize(spark, src_path)
+    feed = change_feed_versions(spark, src_path)
+    cursor = feed[-1] if feed else 0
+    part_cols, files, _rel = _layout(spark, src_path)
+    _ds, schema = _read_schema_for(spark, src_path, files, part_cols)
+    corpus = _read_files(spark, src_path, files, schema).select(
+        id_col, text_col
+    )
+    builder = (
+        build_inverted_index if kind == "tf" else positional_index
+    )
+    builder(corpus, id_col=id_col, text_col=text_col) \
+        .write.parquet(index_path)
+    after = change_feed_versions(spark, src_path)
+    if after and after[-1] > cursor:
+        fs.delete(root, True)
+        raise RuntimeError(
+            f"baseline_search_index: feed version(s) "
+            f"{[v for v in after if v > cursor]} committed on "
+            f"{src_path} DURING the build scan — the index may have "
+            "seen them partially and was deleted; rebuild under the "
+            "single-maintenance-writer discipline"
+        )
+    state_p = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/_sync_state.json"
+    )
+    tmp = jvm.org.apache.hadoop.fs.Path(str(state_p) + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps({"version": cursor}).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(state_p, False)
+    if not fs.rename(tmp, state_p):
+        raise RuntimeError(f"sync state commit failed: {state_p}")
+    return {"status": "created", "kind": kind, "feed_version": cursor}

@@ -143,6 +143,37 @@ class MatviewSpec:
 
 
 @dataclass(frozen=True)
+class SearchIndexSpec:
+    """A persisted search index (``operators/retrieval.py``) the
+    maintenance loop keeps in step with its mutable source corpus
+    through the change feed: each :meth:`Pipeline.maintain` tick runs
+    ``sync_inverted_index`` (``kind="tf"`` — BM25) or
+    ``sync_positional_index`` (``kind="positional"`` — phrase search)
+    — a cursor-check no-op when the feed is quiet, an
+    O(changed-documents) retire+re-post when mutations landed. A
+    MISSING index baselines itself via ``baseline_search_index``
+    (self-healing after a re-baseline delete, same pattern as
+    :class:`MatviewSpec`). The index's ``_sync_state.json`` cursor
+    also registers it as a feed consumer, so the tick's feed expiry
+    clamps to it automatically. ``src`` is a tracked-table name or a
+    raw path."""
+
+    src: str
+    index_path: str
+    kind: str = "tf"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    bloom_cols: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("tf", "positional"):
+            raise ValueError(
+                f"SearchIndexSpec: kind must be 'tf' or 'positional', "
+                f"got {self.kind!r}"
+            )
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """A maintained table: where it lives, which live streams feed it
     (their checkpoints gate the newest-epoch exclusion during a live
@@ -177,6 +208,7 @@ class Pipeline:
         self.queries: dict[str, StreamingQuery] = {}
         self.tables: dict[str, TableSpec] = {}
         self.matviews: dict[str, MatviewSpec] = {}
+        self.search_indexes: dict[str, SearchIndexSpec] = {}
         #: per-table OPTIMIZE hysteresis: post-optimize listing
         #: signature + monotonic timestamp of the last attempt
         self._maint_state: dict[str, dict] = {}
@@ -200,10 +232,10 @@ class Pipeline:
         the sink is built, so the orchestrator knows each table's
         checkpoint(s) (the live-OPTIMIZE newest-epoch exclusion) and
         index columns without re-deriving them at maintenance time."""
-        if name in self.matviews:
+        if name in self.matviews or name in self.search_indexes:
             raise ValueError(
-                f"track_table: {name!r} is already a tracked matview — "
-                "the maintenance report keys both by name"
+                f"track_table: {name!r} is already a tracked matview or "
+                "search index — the maintenance report keys all by name"
             )
         self.tables[name] = TableSpec(
             path,
@@ -235,16 +267,41 @@ class Pipeline:
         previously given to :meth:`track_table` or a raw table path;
         the name must not collide with a tracked table (both share the
         maintenance report's keyspace)."""
-        if name in self.tables:
+        if name in self.tables or name in self.search_indexes:
             raise ValueError(
-                f"track_matview: {name!r} is already a tracked table — "
-                "the maintenance report keys both by name"
+                f"track_matview: {name!r} is already a tracked table or "
+                "search index — the maintenance report keys all by name"
             )
         self.matviews[name] = MatviewSpec(
             src, mv_path, tuple(keys),
             tuple(value_col) if isinstance(value_col, (list, tuple))
             else value_col,
             single_file, tuple(distinct_cols), histogram_cols, where,
+        )
+        return self
+
+    def track_search_index(
+        self,
+        name: str,
+        src: str,
+        index_path: str,
+        kind: str = "tf",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        bloom_cols: Sequence[str] = (),
+    ) -> "Pipeline":
+        """Register a persisted search index for :meth:`maintain` (see
+        :class:`SearchIndexSpec`): the tick keeps it synced with its
+        source's change feed, baselines it when missing, and counts it
+        as a feed consumer for expiry clamping."""
+        if name in self.tables or name in self.matviews:
+            raise ValueError(
+                f"track_search_index: {name!r} is already a tracked "
+                "table or matview — the maintenance report keys all "
+                "by name"
+            )
+        self.search_indexes[name] = SearchIndexSpec(
+            src, index_path, kind, id_col, text_col, tuple(bloom_cols)
         )
         return self
 
@@ -535,16 +592,25 @@ class Pipeline:
            contributes an empty cap (nothing of that source's epochs
            compacts this tick — conservative). A ``tables`` subset
            scopes this loop too, by tracked-table name or path.
+        6b. **search indexes** (r13): every :meth:`track_search_index`
+           entry syncs from its source's change feed
+           (``operators/retrieval.py`` — a cursor-check no-op when the
+           feed is quiet, an O(changed-docs) retire+re-post when
+           mutations landed); a missing index baselines itself. Runs
+           with the views, before the table actions, so the expiry
+           clamp below sees fresh cursors. Indexes consume the feed
+           only, so they impose no epoch cap on OPTIMIZE.
         7. **feed expiry** (r12): a spec with ``feed_keep`` expires
            change-feed versions beyond it each tick, clamped to the
            slowest consumer cursor — this tick's own tracked matviews
-           (already refreshed, step 6 runs first; an ABSENT view
-           awaiting re-baseline is skipped) plus any ``feed_consumers``
-           paths (strict: a typo'd path fails loudly) — so feed
-           retention runs on the maintenance cadence without ever
-           stranding a consumer. Expiry runs in its OWN try: its
-           failure reports as ``feed_expiry_error`` without aborting
-           the table's other actions or stamping the optimize cooldown.
+           AND search indexes (already refreshed/synced; an ABSENT
+           artifact awaiting re-baseline is skipped) plus any
+           ``feed_consumers`` paths (strict: a typo'd path fails
+           loudly) — so feed retention runs on the maintenance cadence
+           without ever stranding a consumer. Expiry runs in its OWN
+           try: its failure reports as ``feed_expiry_error`` without
+           aborting the table's other actions or stamping the optimize
+           cooldown.
 
         Per-table isolation throughout: one table's failure reports as
         ``{"error": ...}`` and the rest still maintain. Returns
@@ -658,6 +724,57 @@ class Pipeline:
             if cursors is not None:
                 mv_cursor_contribs.setdefault(src_path, []).append(cursors)
             out[name] = {"health": None, "actions": mv_actions}
+        # search indexes next (r13): same feed-follow discipline as the
+        # views — sync BEFORE feed expiry so the cursors are fresh; a
+        # missing index baselines itself (self-healing). Indexes
+        # consume the FEED only (never epoch file names), so they
+        # need no epoch cap on the tick's OPTIMIZE.
+        for name, ispec in self.search_indexes.items():
+            if tables is not None and not (
+                ispec.src in table_set or ispec.src in table_paths
+            ):
+                continue
+            ix_actions: dict[str, object] = {}
+            src_path = (
+                self.tables[ispec.src].path
+                if ispec.src in self.tables else ispec.src
+            )
+            try:
+                from iot_sensor_data_pipeline_spark.operators.retrieval import (
+                    baseline_search_index,
+                    sync_inverted_index,
+                    sync_positional_index,
+                )
+                from iot_sensor_data_pipeline_spark.sources.manifest import (
+                    _fs_for,
+                )
+
+                fs, iroot, _jvm = _fs_for(spark, ispec.index_path)
+                if not fs.exists(iroot):
+                    ix_actions["index_create"] = baseline_search_index(
+                        spark, src_path, ispec.index_path, ispec.kind,
+                        ispec.id_col, ispec.text_col,
+                    )
+                else:
+                    sync = (
+                        sync_inverted_index if ispec.kind == "tf"
+                        else sync_positional_index
+                    )
+                    res = sync(
+                        spark, src_path, ispec.index_path,
+                        ispec.id_col, ispec.text_col,
+                        bloom_cols=ispec.bloom_cols or None,
+                    )
+                    if res["applied_versions"]:
+                        ix_actions["index_sync"] = res
+            except Exception as e:  # noqa: BLE001 — per-index isolation
+                log.warning(
+                    "maintain: search-index sync failed for %s (%s); "
+                    "the index keeps its last state", name,
+                    ispec.index_path, exc_info=True,
+                )
+                ix_actions["error"] = str(e)
+            out[name] = {"health": None, "actions": ix_actions}
         # per-source cap = the SLOWEST tracked view: a lineage is
         # compactable through epoch N only when EVERY contributing view
         # has absorbed through N (intersection of lineages, min cursor)
@@ -819,10 +936,23 @@ class Pipeline:
                             # (a typo'd path must fail, not silently
                             # protect nothing). External consumers
                             # register via feed_consumers.
+                            from iot_sensor_data_pipeline_spark.sources.manifest import (  # noqa: E501
+                                _fs_for,
+                            )
+
+                            def _exists(p: str) -> bool:
+                                fs2, r2, _j2 = _fs_for(spark, p)
+                                return bool(fs2.exists(r2))
+
                             consumers = list(spec.feed_consumers) + [
                                 m.mv_path for m in self.matviews.values()
                                 if (m.src == name or m.src == spec.path)
                                 and _versions_in(spark, m.mv_path)
+                            ] + [
+                                ix.index_path
+                                for ix in self.search_indexes.values()
+                                if (ix.src == name or ix.src == spec.path)
+                                and _exists(ix.index_path)
                             ]
                             exp = expire_change_feed(
                                 spark, spec.path, spec.feed_keep,

@@ -1049,6 +1049,87 @@ def test_maintain_interleaved_stream_mutation_matview(spark, tmp_path):
     assert view() == full
 
 
+def test_maintain_syncs_search_indexes(spark, tmp_path):
+    """r13: the maintenance tick keeps tracked search indexes (BM25 tf
+    + positional) in step with the corpus feed — first tick baselines
+    both, mutations land, the next tick syncs them to equal
+    from-scratch rebuilds, a steady-state tick reports empty actions,
+    and feed expiry clamps to the slower index cursor."""
+    import pytest as _pytest
+
+    from iot_sensor_data_pipeline_spark.operators.retrieval import (
+        build_inverted_index,
+        positional_index,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        change_feed_versions,
+        delete_where,
+        update_where,
+    )
+    from iot_sensor_data_pipeline_spark.streaming.orchestrator import (
+        MaintenancePolicy,
+        Pipeline,
+        SearchIndexSpec,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    tf_idx = str(tmp_path / "tf")
+    pos_idx = str(tmp_path / "pos")
+    spark.createDataFrame(
+        [(i, f"doc number {i} has words and words") for i in range(20)],
+        "doc_id long, text string",
+    ).repartition(2).write.parquet(corpus)
+
+    pl = (
+        Pipeline()
+        .track_table("corpus", corpus, feed_keep=1)
+        .track_search_index("bm25", "corpus", tf_idx, kind="tf")
+        .track_search_index("phrases", "corpus", pos_idx,
+                            kind="positional")
+    )
+    pol = MaintenancePolicy(target_bytes=1 << 30, min_files=1000)
+
+    tick = pl.maintain(spark, pol)
+    assert tick["bm25"]["actions"]["index_create"]["kind"] == "tf"
+    assert tick["phrases"]["actions"]["index_create"]["kind"] == "positional"
+
+    delete_where(spark, corpus, "doc_id = 3", change_feed=True)
+    update_where(spark, corpus, "doc_id = 5",
+                 {"text": F.lit("rewritten fifth document")},
+                 change_feed=True)
+    tick = pl.maintain(spark, pol)
+    assert tick["bm25"]["actions"]["index_sync"]["applied_versions"] == [1, 2]
+    assert tick["phrases"]["actions"]["index_sync"]["applied_versions"] == [1, 2]
+
+    cur = spark.read.parquet(corpus)
+    assert sorted(map(tuple, spark.read.parquet(tf_idx).select(
+        "term", "doc_id", "tf", "dl").collect())) == sorted(map(
+        tuple, build_inverted_index(cur).select(
+            "term", "doc_id", "tf", "dl").collect()))
+    assert sorted(map(tuple, spark.read.parquet(pos_idx).select(
+        "term", "doc_id", "pos").collect())) == sorted(map(
+        tuple, positional_index(cur).select(
+            "term", "doc_id", "pos").collect()))
+    # feed expiry ran in the same tick and the synced indexes (cursor
+    # 2) let it expire v1 down to feed_keep=1
+    assert change_feed_versions(spark, corpus) == [2]
+
+    # steady state: nothing to do anywhere
+    tick = pl.maintain(spark, pol)
+    assert tick["bm25"]["actions"] == {}
+    assert tick["phrases"]["actions"] == {}
+
+    # name collisions are symmetric across all three registries
+    with _pytest.raises(ValueError, match="already a tracked"):
+        pl.track_table("bm25", corpus)
+    with _pytest.raises(ValueError, match="already a tracked"):
+        pl.track_matview("phrases", "corpus", str(tmp_path / "mv"))
+    with _pytest.raises(ValueError, match="already a tracked"):
+        pl.track_search_index("corpus", "corpus", str(tmp_path / "x"))
+    with _pytest.raises(ValueError, match="kind must be"):
+        SearchIndexSpec("corpus", tf_idx, kind="vector")
+
+
 def test_pipeline_maintain_expires_feed_with_consumer_clamp(spark, tmp_path):
     """The maintain tick expires the change feed down to feed_keep,
     but never past the tick's own tracked matview (which refreshes
