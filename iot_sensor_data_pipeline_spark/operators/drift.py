@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -183,14 +183,37 @@ def _report_from_counts(
     given) and categorical (key='bucket', no escaped column) reports —
     the PSI/TVD formulas, the coalesce-to-0 merge, and the
     undefined-is-NULL guard must never drift between the two."""
-    merged = ref_counts.join(cur_counts, ["col", key_col], "full_outer").select(
+    # union + re-aggregate instead of a FULL OUTER join: each side is
+    # (col, key)-unique (groupBy outputs), so summing the zero-padded
+    # union is exactly the coalesce-to-0 outer merge — but it is ONE
+    # hash aggregate instead of a sort-merge join (full outer cannot
+    # broadcast), and the per-col totals come from a window over the
+    # already-merged rows instead of a second aggregate + join back
+    # (r14: 2 SortMergeJoins + 3 Exchanges -> 2 Exchanges on this path)
+    zero = F.lit(0).cast("long")
+    merged = (
+        ref_counts.select(
+            "col", key_col, F.col("n_ref_bin"), zero.alias("n_cur_bin")
+        )
+        .unionByName(
+            cur_counts.select(
+                "col", key_col, zero.alias("n_ref_bin"), F.col("n_cur_bin")
+            )
+        )
+        .groupBy("col", key_col)
+        .agg(
+            F.sum("n_ref_bin").alias("n_ref_bin"),
+            F.sum("n_cur_bin").alias("n_cur_bin"),
+        )
+    )
+    w_col = Window.partitionBy("col")
+    merged = merged.select(
         "col",
         key_col,
-        F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
-        F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
-    )
-    totals = merged.groupBy("col").agg(
-        F.sum("n_ref_bin").alias("n_ref"), F.sum("n_cur_bin").alias("n_cur")
+        "n_ref_bin",
+        "n_cur_bin",
+        F.sum("n_ref_bin").over(w_col).alias("n_ref"),
+        F.sum("n_cur_bin").over(w_col).alias("n_cur"),
     )
     # try_divide: either side may be empty and ANSI mode rejects /0;
     # the guard below turns the metrics NULL anyway
@@ -227,7 +250,9 @@ def _report_from_counts(
             ).alias("escaped_share")
         )
         metrics.append("escaped_share")
-    out = merged.join(totals, "col").groupBy("col").agg(*aggs)
+    # the window above hash-partitioned merged by col, so this final
+    # aggregate reuses that partitioning (no new Exchange)
+    out = merged.groupBy("col").agg(*aggs)
     # an empty side has no distribution to compare: metrics are NULL
     # (undefined), never 0 (stable) — the ranking_metrics
     # NULL-semantics discipline
@@ -383,8 +408,14 @@ def drift_report_categorical(
         raise ValueError("drift_report_categorical: cols must be non-empty")
     if top_k < 1:
         raise ValueError("drift_report_categorical: top_k must be >= 1")
-    ref_counts = _cat_long_counts(reference, cols)
-    cur_counts = _cat_long_counts(current, cols)
+    # each side's vocabulary-grain count relation is referenced 2-3x
+    # downstream (top ranking, bucket fold, unseen check) — checkpoint
+    # lazily so the full-table scan+aggregate runs ONCE per side, not
+    # per reference (r14: 5 table scans -> 2; lazy RDD storage is
+    # reclaimed by the ContextCleaner, the minhash/span-dedup
+    # discipline). The relation itself is vocabulary-sized.
+    ref_counts = _cat_long_counts(reference, cols).localCheckpoint(eager=False)
+    cur_counts = _cat_long_counts(current, cols).localCheckpoint(eager=False)
     top = _cat_top(
         ref_counts,
         ref_counts.select("col").unionByName(cur_counts.select("col")),
@@ -436,10 +467,16 @@ def _cat_top(ref_counts: DataFrame, col_source: DataFrame, top_k: int) -> DataFr
 
 def _cat_bucketed(counts: DataFrame, top: DataFrame, n_col: str) -> DataFrame:
     """Fold vocabulary counts into bucket counts: top values keep
-    their own bucket, everything else sums into '<OTHER>'."""
+    their own bucket, everything else sums into '<OTHER>'.
+
+    ``top`` is at most (top_k + 1) rows per column by construction, so
+    it broadcasts — the counts side (vocabulary-grain, unbounded for a
+    high-cardinality column) never reshuffles for this join."""
     return (
         counts.join(
-            top.withColumn("__is_top", F.lit(True)), ["col", "val"], "left"
+            F.broadcast(top.withColumn("__is_top", F.lit(True))),
+            ["col", "val"],
+            "left",
         )
         .select(
             "col",
@@ -468,7 +505,8 @@ def _cat_finalize(
         .agg(F.sum("n").alias("__unseen"))
     )
     guard = (F.col("n_cur") > 0) & (F.col("n_ref") > 0)
-    return report.join(unseen, "col", "left").select(
+    # unseen is one row per column — always broadcastable
+    return report.join(F.broadcast(unseen), "col", "left").select(
         "col",
         "n_ref",
         "n_cur",
@@ -556,7 +594,9 @@ def _categorical_against_reference(
         )
     ref = ref.where(F.col("col").isin(cols))
     top = ref.where(F.col("is_top")).select("col", "val")
-    cur_counts = _cat_long_counts(current, cols)
+    # referenced twice (bucket fold + unseen check): checkpoint so the
+    # current batch is scanned once per monitor tick, not twice
+    cur_counts = _cat_long_counts(current, cols).localCheckpoint(eager=False)
     report = _report_from_counts(
         _cat_bucketed(ref.select("col", "val", "n"), top, "n_ref_bin"),
         _cat_bucketed(cur_counts, top, "n_cur_bin"),
