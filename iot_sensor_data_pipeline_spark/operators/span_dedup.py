@@ -14,10 +14,12 @@ removes precisely the tokens inside duplicated substrings of length
 Dataflow (everything JVM-side, no Python):
 
 1. tokenize         — ``split`` + ``filter`` (codegen)
-2. window keys      — ``transform(sequence(0, n-k), i ->
-                      xxhash64(concat_ws(sep, slice(toks, i+1, k))))``:
-                      the shuffle carries 8-byte hashes + int positions,
-                      never text
+2. window keys      — tokens hash once (``xxhash64`` per token), then
+                      ``transform(sequence(0, n-k), i ->
+                      xxhash64(slice(token_hashes, i+1, k)))``: the
+                      shuffle carries 8-byte hashes + int positions,
+                      never text, and each window hashes 8k bytes
+                      instead of re-concatenating k strings
 3. corpus count     — hash-aggregate on the window key (map-side
                       partial combine), keep count >= 2
 4. mark             — spans semi-join the duplicated-key set; per doc,
@@ -42,20 +44,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: unit-separator: joins tokens inside a window key so token boundaries
-#: cannot alias ("ab c" vs "a bc")
-_SEP = "\x1f"
-
-
 from iot_sensor_data_pipeline_spark.functions.text import ws_tokens as _tokens
 
 
 def _doc_spans(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, start, span_hash) for every k-token window, 0-based starts."""
+    """(id, start, span_hash) for every k-token window, 0-based starts.
+
+    Each token is hashed ONCE (xxhash64 of the string) and the window
+    key is xxhash64 over the k-long slice of token hashes — O(8k) bytes
+    hashed per window instead of re-concatenating k token STRINGS per
+    window (the pre-r14 form: slice + concat_ws + hash of ~k*avg_len
+    chars per window — measured ~1.3x slower on the span scan at sf0.1,
+    and the gap grows with token length). Token boundaries cannot alias
+    ("ab c" vs "a bc") because tokens are hashed individually before
+    windowing. Collision posture is unchanged: two distinct windows
+    collide only through a 64-bit token-hash or window-hash collision
+    (~n^2/2^65 — the documented negligible over-removal direction)."""
     toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
-    n = F.size("__toks")
+    hashed = toks.select(
+        F.col(id_col),
+        F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    n = F.size("__th")
     return (
-        toks.where(n >= k)
+        hashed.where(n >= k)
         .select(
             F.col(id_col),
             F.explode(
@@ -63,9 +75,9 @@ def _doc_spans(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
                     F.sequence(F.lit(0), n - k),
                     lambda i: F.struct(
                         i.alias("start"),
-                        F.xxhash64(
-                            F.concat_ws(_SEP, F.slice("__toks", i + 1, k))
-                        ).alias("span_hash"),
+                        F.xxhash64(F.slice("__th", i + 1, k)).alias(
+                            "span_hash"
+                        ),
                     ),
                 )
             ).alias("s"),
