@@ -146,19 +146,27 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # the forward lookup runs as a RUNNING frame over the REVERSED
+    # order (first over [current, +inf) ascending == last over
+    # [-inf, current] descending — identical values): Spark executes
+    # [unboundedPreceding, current] frames as an O(n) accumulating
+    # scan per partition, while a [current, unboundedFollowing] frame
+    # re-aggregates the tail PER ROW — O(n^2) in the hottest key's
+    # row count (the gapfill operator hit 12 s vs 0.4 s on exactly
+    # this frame shape at sf0.1).
     wf = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = tagged_left.unionByName(tagged_right)
     if direction == "backward":
         rv = F.last("__rvals", ignorenulls=True).over(wb)
     elif direction == "forward":
-        rv = F.first("__rvals", ignorenulls=True).over(wf)
+        rv = F.last("__rvals", ignorenulls=True).over(wf)
     else:  # nearest
         b = F.last("__rvals", ignorenulls=True).over(wb)
-        fw = F.first("__rvals", ignorenulls=True).over(wf)
+        fw = F.last("__rvals", ignorenulls=True).over(wf)
         dts = F.col("__ts").cast("double")
         rv = (
             F.when(b.isNull(), fw)
@@ -437,11 +445,42 @@ def fuzzy_join(
         )
         ga = ga.join(F.broadcast(bad), "g", "left_anti")
         gb = gb.join(F.broadcast(bad), "g", "left_anti")
+    # PREFIX FILTERING (the Ed-Join principle, Xiao/Wang/Lin VLDB'08):
+    # one edit disturbs at most q distinct grams, so within distance d
+    # the right string shares a gram with the left among ANY
+    # q*d + 1 of its grams — in particular its q*d + 1 RAREST under a
+    # global frequency order. The right side therefore emits only that
+    # prefix into the candidate join (the left side stays full — the
+    # asymmetric form needs no prefix-vs-prefix theorem). EXACT: no
+    # pair within max_distance can be lost. This is what keeps
+    # low-entropy corpora (shared prefixes/templates: 'Customer#0000…')
+    # from degenerating to an all-pairs gram join — every gram of such
+    # strings is corpus-hot, and hot x hot was quadratic (measured 33 s
+    # -> 2.8 s on the 3k-name fuzzy branch at sf0.1); the rarest-gram
+    # prefix joins through the DISCRIMINATIVE grams only.
+    prefix_n = q * max_distance + 1
+    gfreq = (
+        ga.select("g")
+        .unionAll(gb.select("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__gf"))
+    )
+    # one partition per right-side string: right_id in id mode (unique
+    # by construction), the text itself otherwise (distinct'd above)
+    w_rare = Window.partitionBy(pair_cols[1]).orderBy(
+        F.col("__gf").asc(), F.col("g").asc()
+    )
+    gb_pref = (
+        gb.join(gfreq, "g")
+        .withColumn("__gr", F.row_number().over(w_rare))
+        .where(F.col("__gr") <= prefix_n)
+        .drop("__gf", "__gr")
+    )
     # no distinct here: the union's final distinct dedups gram
     # collisions with map-side partial aggregation — an inner distinct
     # would exchange the largest intermediate twice
     cand = (
-        ga.join(gb, "g")
+        ga.join(gb_pref, "g")
         .where(F.abs(F.length("a") - F.length("b")) <= max_distance)
         .select(*pair_cols)
     )

@@ -441,7 +441,17 @@ def grouped_quantiles_exact(
     base = df.where(v.isNotNull()).select(*group_cols, v.alias("__v"))
     w = Window.partitionBy(*group_cols).orderBy(F.col("__v"))
     ranked = base.withColumn("__rn", F.row_number().over(w))
-    counts = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    # per-group n from the SAME window partitioning (an unordered
+    # count-over-partition rides the ranking exchange) instead of a
+    # second full input scan + aggregate — the rank-1 row carries the
+    # group's count, so the group-grain relation needs no extra pass
+    counts = (
+        ranked.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+        )
+        .where(F.col("__rn") == 1)
+        .select(*group_cols, "__n")
+    )
     # target position pos = 1 + q*(n-1); the quantile spec is a literal
     # array exploded onto the group-grain counts — a projection, not a
     # join, so no nested-loop shape exists anywhere in the plan
@@ -577,6 +587,7 @@ def robust_outliers(
     value_col: str,
     z_threshold: float = 3.5,
     round_out: int = 6,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Rows whose MODIFIED z-score (Iglewicz-Hoaglin:
     ``0.6745 * (v - median) / MAD``) exceeds ``z_threshold`` within
@@ -594,7 +605,12 @@ def robust_outliers(
     cleanly instead of hitting an ambiguous-column AnalysisException
     (ADVICE r11); only the ``robust_z`` OUTPUT name must be free —
     collision raises loudly, same discipline as the ``__violated`` /
-    ``__src_file`` guards elsewhere."""
+    ``__src_file`` guards elsewhere.
+
+    ``stats`` optionally passes a precomputed
+    :func:`grouped_robust_stats` output (the ``candidates``/``hits``
+    reuse pattern): a caller that also reports the stats then pays the
+    median/MAD quantile machinery ONCE instead of twice."""
     reserved = {"robust_z", "__rs_median", "__rs_mad"}
     clash = sorted(reserved & set(df.columns))
     if clash:
@@ -602,7 +618,9 @@ def robust_outliers(
             f"robust_outliers: input columns {clash} collide with the "
             "output/internal columns — rename them first"
         )
-    stats = grouped_robust_stats(df, group_cols, value_col, round_out).select(
+    if stats is None:
+        stats = grouped_robust_stats(df, group_cols, value_col, round_out)
+    stats = stats.select(
         *group_cols,
         F.col("median").alias("__rs_median"),
         F.col("mad").alias("__rs_mad"),

@@ -400,13 +400,30 @@ def time_bucket_gapfill(
         )
     w = int(bucket_width)
     bucket = (F.floor(F.col(time_col) / w) * w).cast("long")
+    # checkpointed: the bucket aggregation is the ONE corpus-scale
+    # shuffle and it feeds BOTH the spine range-agg and the dense join
+    # below — without it the full input scan+aggregate executes twice
+    # per call. The relation itself is bucket-grain (range/width rows
+    # per key — bounded), so the lazy RDD storage is trivial.
     aggd = (
         df.groupBy(*key_cols, bucket.alias("bucket"))
         .agg(_GAPFILL_AGGS[agg](F.col(value_col)).cast("double").alias("__v"))
-    )
+    ).localCheckpoint(eager=False)
+    # the per-key range relation is a few BYTES per key, so AQE's
+    # byte-based coalescing collapses it to ONE partition — and the
+    # row-EXPANDING explode below plus the fill windows then run in a
+    # single task (measured 11.8 s serial for a ~0.5M-bucket spine at
+    # sf0.1). Re-hash by key with an explicit partition count (AQE
+    # never coalesces a fixed-n repartition) so each key's spine
+    # explode and sequential fill scan runs in its own task — the
+    # parallel-across-keys shape the docstring promises; hash(key)
+    # partitioning also satisfies the dense join's and the windows'
+    # clustering requirement, so no further exchange downstream.
+    n_part = aggd.sparkSession.sparkContext.defaultParallelism
     spine = (
         aggd.groupBy(*key_cols)
         .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+        .repartition(n_part, *key_cols)
         .select(
             *key_cols,
             F.explode(
@@ -431,18 +448,26 @@ def time_bucket_gapfill(
             .orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+        # "nearest observation AFTER current" as a RUNNING frame over
+        # the REVERSED order: first(x) over [current, +inf) ascending
+        # == last(x) over [-inf, current] descending. Identical values,
+        # but Spark executes [unboundedPreceding, current] frames as an
+        # O(n) accumulating scan while [current, unboundedFollowing]
+        # frames re-aggregate the remaining rows PER ROW — O(n^2) per
+        # key partition (measured: 12 s single-task vs 0.4 s for an
+        # 8.6k-bucket-per-key spine at sf0.1).
         wf_ = (
             Window.partitionBy(*key_cols)
-            .orderBy("bucket")
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col("bucket").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
         # paired (bucket, value) of the nearest observation on each
         # side — the two columns stay consistent because both are
         # gated by the SAME has-condition on the SAME row
         pb = F.last(F.when(has, F.col("bucket")), ignorenulls=True).over(wb)
         pv = F.last(F.when(has, F.col("__v")), ignorenulls=True).over(wb)
-        nb = F.first(F.when(has, F.col("bucket")), ignorenulls=True).over(wf_)
-        nv = F.first(F.when(has, F.col("__v")), ignorenulls=True).over(wf_)
+        nb = F.last(F.when(has, F.col("bucket")), ignorenulls=True).over(wf_)
+        nv = F.last(F.when(has, F.col("__v")), ignorenulls=True).over(wf_)
         # on gap rows pb < bucket < nb strictly, so nb - pb >= 2w > 0
         val = F.when(has, F.col("__v")).when(
             pb.isNotNull() & nb.isNotNull(),

@@ -928,9 +928,16 @@ def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    stats = grouped_robust_stats(ev, ["event_type"], "value")
+    # the stats relation is group-grain (tiny) and feeds BOTH the
+    # report and the outlier pass — checkpoint + pass it in so the
+    # rank-wise quantile machinery runs once, not twice (r14)
+    stats = grouped_robust_stats(ev, ["event_type"], "value").localCheckpoint(
+        eager=False
+    )
     out_counts = (
-        robust_outliers(ev, ["event_type"], "value", z_threshold=_ROBUST_Z)
+        robust_outliers(
+            ev, ["event_type"], "value", z_threshold=_ROBUST_Z, stats=stats
+        )
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("__o"))
     )
