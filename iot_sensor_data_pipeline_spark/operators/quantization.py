@@ -420,10 +420,9 @@ def ivfpq_topk_blocked(
     code table only a pruned no-collect path survives; this is it.
 
     Plan shape: the query relation is assigned to its ``n_probe``
-    nearest cells DISTRIBUTIVELY (broadcast-centroid assignment kernel
-    shared with ``ivf_build``/``ivf_probe`` — literal JVM expression
-    for small quantizers, Arrow GEMM above ``IVF_LITERAL_CEILING``;
-    deterministic (distance, cid) ties either way), then hash-blocked
+    nearest cells DISTRIBUTIVELY (the broadcast-centroid Arrow GEMM
+    assignment kernel shared with ``ivf_build``/``ivf_probe``;
+    deterministic (distance, cid) ties), then hash-blocked
     into ``q_blocks`` slices per cell. The code side replicates each
     cell's posting list to the ``q_blocks`` slices, and each
     ``cogroup((cid, qb)).applyInPandas`` tile builds the tile-local

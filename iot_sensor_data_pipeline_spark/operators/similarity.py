@@ -191,18 +191,12 @@ def cosine_near_dup_pairs(
     )
 
 
-#: above this many centroids the all-literal JVM assignment expression
-#: is replaced by the Arrow GEMM kernel (the expression tree grows as
-#: n_centroids x dim literals — fine at 16, codegen poison at 256+)
-IVF_LITERAL_CEILING = 32
-
-
 def _nearest_centroids_udf(centroids, n: int):
-    """Arrow-vectorized centroid assignment for LARGE quantizers: the
-    (n_centroids x dim) matrix ships ONCE per task inside the closure
-    (no per-row literals, no shuffle), and each Arrow batch is one
-    numpy GEMM: d = |x|^2 - 2 x.C^T + |c|^2. Stable argsort ties break
-    by centroid id, matching the literal path's (distance, cid) sort."""
+    """Arrow-vectorized centroid assignment: the (n_centroids x dim)
+    matrix ships ONCE per task inside the closure (no per-row
+    literals, no shuffle), and each Arrow batch is one numpy GEMM:
+    d = |x|^2 - 2 x.C^T + |c|^2. Stable argsort ties break by centroid
+    id — the module's documented (distance, cid) contract."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -223,40 +217,22 @@ def _nearest_centroids_udf(centroids, n: int):
 
 def _centroid_assigners(centroids: list[list[float]], n_probe: int):
     """(assign_one, assign_probe) Column builders for a trained
-    quantizer: nearest-centroid id / n_probe nearest ids. Literal JVM
-    expressions up to IVF_LITERAL_CEILING centroids (constant-folded,
-    whole-stage codegen), Arrow GEMM kernel above it — either way the
-    centroids ship to executors without a shuffle. Shared by build and
-    probe so a persisted index and a fresh query plan can never use
-    different assignment semantics."""
+    quantizer: nearest-centroid id / n_probe nearest ids, both the
+    Arrow GEMM kernel — the centroids ship to executors in the task
+    closure, never through a shuffle. Shared by build and probe so a
+    persisted index and a fresh query plan can never use different
+    assignment semantics.
 
-    def nearest_centroids_expr(vec: Column, n: int) -> Column:
-        """Array of the n closest centroid ids (squared L2), as one
-        JVM expression — small-quantizer path only."""
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(x) for x in ctr]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, ctr in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n).getField("cid")
-
-    if len(centroids) <= IVF_LITERAL_CEILING:
-        return (
-            lambda vec: nearest_centroids_expr(vec, 1)[0],
-            lambda vec: nearest_centroids_expr(vec, n_probe),
-        )
+    Until r15 quantizers at or below 32 centroids used an all-literal
+    JVM expression (16 structs of zip_with/aggregate folds) on the
+    theory that codegen beats the Python boundary. Measured the other
+    way around (r15, sf0.1, 50k x dim-64, 16 centroids): the
+    higher-order folds are INTERPRETED, not codegen'd, and the literal
+    assignment scan took 2.55 s vs 0.34 s for the GEMM kernel — 7.6x.
+    The numeric results agree on every SF fixture (0 mismatching
+    assignments across sf0.001/0.01/0.1 at 8 and 16 centroids, probe
+    widths 3 and 4; exact FP ties would break by cid under both
+    formulations)."""
     one_udf = _nearest_centroids_udf(centroids, 1)
     probe_udf = _nearest_centroids_udf(centroids, n_probe)
     return (lambda vec: one_udf(vec)[0], probe_udf)

@@ -316,17 +316,13 @@ def test_lsh_self_bucket_sanity(spark):
 
 
 def test_ivf_recall_large_quantizer(spark, sf_dir_mid):
-    """n_centroids=256 > IVF_LITERAL_CEILING exercises the Arrow GEMM
-    assignment path (closure-shipped centroid matrix, no literal
-    expression blowup); recall must still clear the scanned-fraction
-    floor. 256 centroids over 500 vectors makes most lists singletons,
-    so probe wide to keep the scanned fraction comparable."""
-    from iot_sensor_data_pipeline_spark.operators.similarity import (
-        IVF_LITERAL_CEILING,
-        ivf_topk,
-    )
-
-    assert 256 > IVF_LITERAL_CEILING
+    """A 256-centroid quantizer exercises the Arrow GEMM assignment
+    at the width that killed the old literal-expression path
+    (closure-shipped centroid matrix, no literal expression blowup);
+    recall must still clear the scanned-fraction floor. 256 centroids
+    over 500 vectors makes most lists singletons, so probe wide to
+    keep the scanned fraction comparable."""
+    from iot_sensor_data_pipeline_spark.operators.similarity import ivf_topk
     emb = load_table(spark, sf_dir_mid, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     e = {(r.qid, r.nid) for r in cosine_topk(queries, emb, k=10).collect()}
