@@ -43,6 +43,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _staged_cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the per-side norms STAGED: every pair-scoring
+    site in this module attaches ``l2_norm`` to each side's projection
+    (one interpreted fold per input row) and scores pairs with a
+    single dot fold plus one multiply/divide — instead of re-walking
+    both arrays three times per pair. Bit-identical to :func:`cosine`
+    (same folds in the same order, evaluated once and reused), so
+    every hash-checked consumer is unchanged; higher-order folds are
+    interpreted, which is why per-pair re-evaluation is the dominant
+    cost of the brute-force scorers (r15: 3 folds -> 1 per pair)."""
+    return dot(va, vb) / (na * nb)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -65,17 +78,22 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(query_id).alias("qid"), as_double_array(F.col(vec_col)).alias("qv")
-    )
+    ).select("qid", "qv", l2_norm(F.col("qv")).alias("__qn"))
     c = corpus.select(
         F.col(corpus_id).alias("nid"), as_double_array(F.col(vec_col)).alias("cv")
-    )
+    ).select("nid", "cv", l2_norm(F.col("cv")).alias("__cn"))
     pairs = (
         (c.crossJoin(F.broadcast(q)) if broadcast_queries else q.crossJoin(c))
         .where(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_score).alias("score"),
+            F.round(
+                _staged_cosine(
+                    F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+                ),
+                round_score,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
@@ -124,11 +142,28 @@ def cosine_near_dup_pairs(
     """
     e = df.select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    ).select("id", "v", l2_norm(F.col("v")).alias("n"))
+    a = e.select(
+        F.col("id").alias("i"), F.col("v").alias("va"), F.col("n").alias("na")
     )
-    a = e.select(F.col("id").alias("i"), F.col("v").alias("va"))
-    b = e.select(F.col("id").alias("j"), F.col("v").alias("vb"))
+    b = e.select(
+        F.col("id").alias("j"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     if n_planes is None:
-        pairs = a.crossJoin(b).where(F.col("i") < F.col("j"))
+        # spread the quadratic pair work: the streamed side of the
+        # broadcast nested-loop join inherits the SCAN's partitioning,
+        # and a small corpus (one parquet row group) otherwise scores
+        # every |C|^2/2 pair in ONE task (measured 11.7 s single-task
+        # at 2k x 2k, dim 64). Hash-repartitioning |C| id-keyed rows is
+        # noise next to the pair work it parallelizes; never shrink a
+        # scan that is already wider than the session's parallelism.
+        n_part = max(
+            a.sparkSession.sparkContext.defaultParallelism,
+            a.rdd.getNumPartitions(),
+        )
+        pairs = a.repartition(n_part, "i").crossJoin(b).where(
+            F.col("i") < F.col("j")
+        )
     else:
         if dim is None:
             raise ValueError(
@@ -181,11 +216,28 @@ def cosine_near_dup_pairs(
             .distinct()
         )
         pairs = cand.join(
-            e.select(F.col("id").alias("i"), F.col("v").alias("va")), "i"
-        ).join(e.select(F.col("id").alias("j"), F.col("v").alias("vb")), "j")
+            e.select(
+                F.col("id").alias("i"), F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
+            "i",
+        ).join(
+            e.select(
+                F.col("id").alias("j"), F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
+            "j",
+        )
     return (
         pairs.select(
-            "i", "j", F.round(cosine(F.col("va"), F.col("vb")), round_score).alias("score")
+            "i",
+            "j",
+            F.round(
+                _staged_cosine(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                round_score,
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )
@@ -333,16 +385,28 @@ def ivf_probe(
         queries.select(
             F.col(query_id).alias("qid"), as_double_array(F.col(vec_col)).alias("qv")
         )
-        .select("qid", "qv", F.explode(assign_probe(F.col("qv"))).alias("cid"))
+        .select(
+            "qid", "qv", l2_norm(F.col("qv")).alias("__qn"),
+            F.explode(assign_probe(F.col("qv"))).alias("cid"),
+        )
         .withColumn("cid", F.col("cid").cast("int"))
     )
+    # the posting-side norm stages ONCE PER POSTING ROW (a projection
+    # over the — possibly bucketed — assignments scan preserves its
+    # partitioning), instead of once per (query, posting) pair
+    postings = assignments.withColumn("__cn", l2_norm(F.col("cv")))
     pairs = (
-        q.join(assignments, "cid")
+        q.join(postings, "cid")
         .where(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_score).alias("score"),
+            F.round(
+                _staged_cosine(
+                    F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+                ),
+                round_score,
+            ).alias("score"),
         )
         .distinct()
     )
@@ -574,15 +638,26 @@ def rp_lsh_probe(
         )
     else:
         probes = F.array(F.col("q_bucket"))
-    q = q.select("qid", "qv", F.explode(probes).alias("bucket"))
+    q = q.select(
+        "qid", "qv", l2_norm(F.col("qv")).alias("__qn"),
+        F.explode(probes).alias("bucket"),
+    )
 
+    # norm staged once per index row (projection preserves a bucketed
+    # table's partitioning), not once per colliding pair
+    idx = index.withColumn("__cn", l2_norm(F.col("cv")))
     pairs = (
-        q.join(index, "bucket")
+        q.join(idx, "bucket")
         .where(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_score).alias("score"),
+            F.round(
+                _staged_cosine(
+                    F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+                ),
+                round_score,
+            ).alias("score"),
         )
         .distinct()
     )
@@ -771,11 +846,14 @@ def semantic_dedup(
             sizes = assignments.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
             ok = sizes.where(F.col("__n") <= max_cluster_size).select("cid")
             assignments = assignments.join(F.broadcast(ok), "cid", "left_semi")
-        a = assignments.select(
-            "cid", F.col("nid").alias("i"), F.col("cv").alias("va")
+        normed = assignments.withColumn("__n", l2_norm(F.col("cv")))
+        a = normed.select(
+            "cid", F.col("nid").alias("i"), F.col("cv").alias("va"),
+            F.col("__n").alias("na"),
         )
-        b = assignments.select(
-            "cid", F.col("nid").alias("j"), F.col("cv").alias("vb")
+        b = normed.select(
+            "cid", F.col("nid").alias("j"), F.col("cv").alias("vb"),
+            F.col("__n").alias("nb"),
         )
         pairs = (
             a.join(b, "cid")
@@ -783,7 +861,12 @@ def semantic_dedup(
             .select(
                 "i",
                 "j",
-                F.round(cosine(F.col("va"), F.col("vb")), round_score).alias("score"),
+                F.round(
+                    _staged_cosine(
+                        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                    ),
+                    round_score,
+                ).alias("score"),
             )
             .where(F.col("score") >= threshold)
         )
@@ -844,9 +927,20 @@ def semdedup_incremental(
     corpus = postings.join(
         batch_ids, postings.nid == batch_ids.__bid, "left_anti"
     )
-    b_i = delta.select("cid", F.col("nid").alias("i"), F.col("cv").alias("va"))
-    c_j = corpus.select("cid", F.col("nid").alias("j"), F.col("cv").alias("vb"))
-    b_j = delta.select("cid", F.col("nid").alias("j"), F.col("cv").alias("vb"))
+    delta_n = delta.withColumn("__n", l2_norm(F.col("cv")))
+    corpus_n = corpus.withColumn("__n", l2_norm(F.col("cv")))
+    b_i = delta_n.select(
+        "cid", F.col("nid").alias("i"), F.col("cv").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    c_j = corpus_n.select(
+        "cid", F.col("nid").alias("j"), F.col("cv").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    b_j = delta_n.select(
+        "cid", F.col("nid").alias("j"), F.col("cv").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
     vs_corpus = b_i.join(c_j, "cid")
     vs_batch = b_i.join(b_j, "cid").where(F.col("i") < F.col("j"))
     pairs = (
@@ -854,7 +948,12 @@ def semdedup_incremental(
         .select(
             "i",
             "j",
-            F.round(cosine(F.col("va"), F.col("vb")), round_score).alias("score"),
+            F.round(
+                _staged_cosine(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                round_score,
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
         .distinct()
