@@ -75,7 +75,10 @@ def _cpu_counters() -> list[int]:
     discount environmental outliers instead of chasing plan ghosts."""
     try:
         with open("/proc/stat") as fh:
-            return list(map(int, fh.readline().split()[1:9]))
+            vals = list(map(int, fh.readline().split()[1:9]))
+        # kernels/containers without steal accounting emit fewer than
+        # 8 cpu fields — pad so _steal_pct's d[7] never IndexErrors
+        return (vals + [0] * 8)[:8]
     except (OSError, ValueError):
         return [0] * 8
 
@@ -417,8 +420,38 @@ def bench_maintenance(spark) -> dict[str, float]:
             probe_samples.append(time.perf_counter() - t0)
         bm25_probe_sec = statistics.median(probe_samples)
 
+        # operator anchors the r14 verdict flagged as shipped without
+        # evidence: the prefix-filtered fuzzy_join build (the
+        # tokens_heavy_hitters_fuzzy fuzzy branch, VERDICT r14 task 3)
+        # and the spine-exploding time_bucket_gapfill (events_gapfill,
+        # LOCF + linear branches). Both run the registered query
+        # construction from the SF parquet inputs, noop sink, median
+        # of 3 after one warmup — nothing persists across invocations.
+        from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
+        from iot_sensor_data_pipeline_spark.plans.queries_analytics import (
+            fuzzy_name_pairs,
+        )
+
+        def _median_noop(build) -> float:
+            build().write.format("noop").mode("overwrite").save()
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            return statistics.median(samples)
+
+        fuzzy_join_sec = _median_noop(
+            lambda: fuzzy_name_pairs(spark, SF_DIR)
+        )
+        gapfill_sec = _median_noop(
+            lambda: EXTENDED_REGISTRY["events_gapfill"].fn(spark, SF_DIR)
+        )
+
         return {
             "bm25_probe_sec": round(bm25_probe_sec, 3),
+            "fuzzy_join_sec": round(fuzzy_join_sec, 3),
+            "gapfill_sec": round(gapfill_sec, 3),
             "optimize_flat_sec": round(optimize_flat_sec, 3),
             "optimize_flat_files": 40,
             "optimize_flat_table_mb": round(tbl_bytes / 1e6, 2),

@@ -214,6 +214,14 @@ def bm25_topk(
     # build; prebuilt: the posting scan + semi-join) executes twice
     # (r14: the inline plan scanned documents 3x per probe — 2
     # index-build subtrees + the stats pass; now once each).
+    # CONSUME-ONCE CONTRACT: localCheckpoint pins the slice to
+    # non-replicated executor-local blocks, so the returned DataFrame
+    # should be executed promptly and not re-executed after the
+    # underlying index parquet mutates (it would serve the
+    # checkpointed postings, and on a multi-executor cluster an
+    # executor loss fails the action instead of recomputing). Build
+    # the plan per probe — it is cheap — rather than holding one
+    # long-lived result handle.
     matched = index.join(
         F.broadcast(q_terms.select("term").distinct()), "term", "left_semi"
     ).localCheckpoint(eager=False)
@@ -550,32 +558,34 @@ def _sync_index(
                     )
                     .where(F.col("__rn1") == 1)
                 )
-                retired_docs = first_op.where(
-                    F.col(_OP) != "insert"
-                ).count()
-                # dl mass leaving the index: the touched docs' current
-                # (doc_id, dl) pairs — bounded by |touched| postings'
-                # doc set, read BEFORE the retire merge rewrites them
-                from iot_sensor_data_pipeline_spark.sources.mutations import (
-                    _layout,
-                    _read_files,
-                    _read_schema_for,
-                )
-
-                _pc, idx_files, _rel = _layout(spark, index_path)
-                if idx_files:
-                    _ds, idx_schema = _read_schema_for(
-                        spark, index_path, idx_files, _pc
-                    )
-                    row = (
-                        _read_files(spark, index_path, idx_files, idx_schema)
-                        .select("doc_id", "dl")
-                        .join(touched, "doc_id", "left_semi")
-                        .distinct()
-                        .agg(F.sum("dl").alias("s"))
-                        .first()
-                    )
-                    retired_dl = int(row["s"] or 0)
+                # dl mass leaving the index comes from the feed
+                # slice's PRE-IMAGES, not from the live index: the
+                # earliest non-insert event per doc (delete /
+                # update_pre) carries the row exactly as it stood at
+                # the cursor version, and the feed is immutable — so a
+                # crash between the retire merge (or append) and the
+                # cursor commit replays to the SAME retired mass,
+                # where a read of the by-then-mutated postings would
+                # see 0 (after retire) or the new dl (after append)
+                # and skew sum_dl/avgdl for every future stats probe.
+                # Re-tokenizing the pre-image equals the stored dl by
+                # construction (the postings were built by the same
+                # tokenizer from the same text), costs no index scan,
+                # and zero-token docs contribute 0 either way.
+                pre = first_op.where(F.col(_OP) != "insert")
+                row = pre.agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum(
+                        F.size(
+                            F.coalesce(
+                                tokenize_terms(F.col(text_col)),
+                                F.array().cast("array<string>"),
+                            )
+                        )
+                    ).alias("s"),
+                ).first()
+                retired_docs = int(row["c"] or 0)
+                retired_dl = int(row["s"] or 0)
             if touched.limit(1).count():
                 try:
                     r = merge_into(

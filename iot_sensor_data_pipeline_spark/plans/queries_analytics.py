@@ -318,6 +318,36 @@ WHERE abs(len(l.c_name) - len(r.nm)) <= 1
 """
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy branch of :func:`tokens_heavy_hitters_fuzzy` as a
+    standalone relation — (left_id, right_id, a, b, distance) from the
+    id-keyed q-gram-blocked edit-distance join of customer names
+    against a deterministically corrupted copy. Factored out so
+    bench.py can anchor the fuzzy_join operator's wall time (its r14
+    prefix-filter rewrite shipped without a bench anchor) without
+    duplicating the query's construction."""
+    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % _FUZZY_MOD == 0
+    )
+    corrupted = cust.select(
+        "c_custkey",
+        F.concat(
+            F.substring("c_name", 1, 8), F.substring("c_name", 10, 1 << 20)
+        ).alias("c_name_typo"),
+    )
+    return fuzzy_join(
+        cust,
+        corrupted,
+        "c_name",
+        "c_name_typo",
+        max_distance=1,
+        left_id="c_custkey",
+        right_id="c_custkey",
+    )
+
+
 @register(
     "tokens_heavy_hitters_fuzzy",
     oracle=_HH_FUZZY_ORACLE,
@@ -339,7 +369,6 @@ def tokens_heavy_hitters_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
       n = levenshtein distance. The oracle is the naive length-
       filtered cross join; the operator must agree exactly.
     """
-    from iot_sensor_data_pipeline_spark.operators.joins import fuzzy_join
     from iot_sensor_data_pipeline_spark.operators.sketches import heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
@@ -353,24 +382,7 @@ def tokens_heavy_hitters_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
 
-    cust = load_table(spark, sf_dir, "customer").where(
-        F.col("c_custkey") % _FUZZY_MOD == 0
-    )
-    corrupted = cust.select(
-        "c_custkey",
-        F.concat(
-            F.substring("c_name", 1, 8), F.substring("c_name", 10, 1 << 20)
-        ).alias("c_name_typo"),
-    )
-    fuzzy = fuzzy_join(
-        cust,
-        corrupted,
-        "c_name",
-        "c_name_typo",
-        max_distance=1,
-        left_id="c_custkey",
-        right_id="c_custkey",
-    ).select(
+    fuzzy = fuzzy_name_pairs(spark, sf_dir).select(
         F.lit("fuzzy").alias("kind"),
         F.col("left_id").cast("string").alias("a"),
         F.col("right_id").cast("string").alias("b"),

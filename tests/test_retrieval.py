@@ -510,3 +510,68 @@ def test_index_corpus_stats_maintained_and_probe_without_corpus(spark, tmp_path)
         bm25_topk(None, qs, k=10, index=spark.read.parquet(idx))
     with pytest.raises(ValueError, match="docs"):
         bm25_topk(None, qs, k=10)
+
+
+def test_sync_stats_replay_convergent_after_crash(spark, tmp_path):
+    """Crash-replay discipline for the stats sidecar: the retired dl
+    mass is derived from the feed slice's PRE-IMAGES (immutable), not
+    from the live postings — so a sync that crashed after the retire
+    merge and append but BEFORE the cursor commit replays to exactly
+    the same (n_docs, sum_dl). Simulated by restoring the pre-sync
+    _sync_state.json over an index whose postings the first sync
+    already mutated, then syncing again."""
+    import os
+
+    from iot_sensor_data_pipeline_spark.operators.retrieval import (
+        baseline_search_index,
+        index_corpus_stats,
+        sync_inverted_index,
+    )
+    from iot_sensor_data_pipeline_spark.sources.mutations import (
+        delete_where,
+        update_where,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "delta epsilon"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    ).repartition(2).write.parquet(corpus)
+    baseline_search_index(spark, corpus, idx, kind="tf")
+    state_p = os.path.join(idx, "_sync_state.json")
+    with open(state_p) as fh:
+        pre_state = fh.read()
+
+    delete_where(spark, corpus, "doc_id = 3", change_feed=True)
+    update_where(
+        spark, corpus, "doc_id = 1",
+        {"text": F.lit("alpha rewritten much longer text here")},
+        change_feed=True,
+    )
+    sync_inverted_index(spark, corpus, idx)
+    good = index_corpus_stats(spark, idx)
+
+    # ground truth from the corpus itself
+    rows = spark.read.parquet(corpus).select("text").collect()
+    dls = [
+        len([t for t in __import__("re").split(
+            r"[^a-z0-9]+", (r.text or "").lower()) if t])
+        for r in rows
+    ]
+    assert good == (len(dls), sum(dls) / len(dls))
+
+    # crash replay: postings already mutated, cursor + stats rolled
+    # back as if _write_sync_state never ran (drop the Hadoop local-FS
+    # checksum sidecar — a plain rewrite would fail its CRC)
+    with open(state_p, "w") as fh:
+        fh.write(pre_state)
+    crc = os.path.join(idx, "._sync_state.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    sync_inverted_index(spark, corpus, idx)
+    assert index_corpus_stats(spark, idx) == good
