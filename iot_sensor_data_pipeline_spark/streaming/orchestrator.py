@@ -599,7 +599,14 @@ class Pipeline:
            mutations landed); a missing index baselines itself. Runs
            with the views, before the table actions, so the expiry
            clamp below sees fresh cursors. Indexes consume the feed
-           only, so they impose no epoch cap on OPTIMIZE.
+           only, so they impose no epoch cap on OPTIMIZE. Because
+           every sync APPENDS posting files, the tick also runs the
+           table policy's health→OPTIMIZE on the index directory
+           itself (r15) — same trigger, signature hysteresis and
+           cooldown as step 1; the swap preserves the
+           ``_sync_state.json`` cursor/stats sidecar and refreshes the
+           postings' bloom index, keeping file count bounded under
+           indefinite sync cadence.
         7. **feed expiry** (r12): a spec with ``feed_keep`` expires
            change-feed versions beyond it each tick, clamped to the
            slowest consumer cursor — this tick's own tracked matviews
@@ -767,6 +774,49 @@ class Pipeline:
                     )
                     if res["applied_versions"]:
                         ix_actions["index_sync"] = res
+                # compaction (r15, VERDICT r14 task 6): every sync
+                # APPENDS posting files, so a followed index fragments
+                # without bound — the table loop's health->OPTIMIZE
+                # policy (trigger + signature hysteresis + cooldown)
+                # runs here too. The journaled in-place swap never
+                # touches the `_`-prefixed _sync_state.json sidecar
+                # (cursor + corpus stats survive), and the postings'
+                # bloom index refreshes incrementally over the swap,
+                # so probes (incl. sidecar-stats probes) are
+                # hash-identical before and after.
+                ih = table_health(
+                    spark, ispec.index_path, policy.target_bytes,
+                    vacuum_min_age_seconds=policy.vacuum_min_age_seconds,
+                )
+                isig = (ih["n_files"], ih["total_bytes"])
+                istate = self._maint_state.get(name)
+                itrigger = (
+                    ih.get("small_file_fraction", 0.0)
+                    >= policy.small_file_fraction
+                    and ih["n_files"] >= policy.min_files
+                )
+                iquiet = istate is not None and isig == istate["post_sig"]
+                icooling = (
+                    istate is not None
+                    and time.monotonic() - istate["t"]
+                    < policy.cooldown_seconds
+                )
+                if itrigger and not iquiet and not icooling:
+                    ix_actions["optimize"] = optimize_table(
+                        spark, ispec.index_path, policy.target_bytes,
+                        bloom_cols=ispec.bloom_cols or None,
+                    )
+                    walked = _walk_data_files(spark, ispec.index_path)
+                    self._maint_state[name] = {
+                        "post_sig": (
+                            len(walked), sum(s for _f, s in walked),
+                        ),
+                        "t": time.monotonic(),
+                    }
+                elif ih["pending_journal"]:
+                    ix_actions["recover"] = recover_optimize(
+                        spark, ispec.index_path
+                    )
             except Exception as e:  # noqa: BLE001 — per-index isolation
                 log.warning(
                     "maintain: search-index sync failed for %s (%s); "
