@@ -165,15 +165,34 @@ def bm25_topk(
     |postings of the query's terms|. Without ``stats`` the corpus is
     scanned once per call for N/avgdl — fine inline, a scale flaw for
     a persisted index (the r13 verdict's finding this parameter
-    closes)."""
+    closes).
+
+    ``max_df_frac`` drops query terms whose document frequency exceeds
+    that fraction of N (dynamic stopwords). It applies at QUERY TIME
+    on the probe's own df slice (r15), so it works identically over an
+    inline build, a prebuilt unfiltered index, and the sidecar-stats
+    path — equal to a build-time ``build_inverted_index(max_df_frac=)``
+    cap for every scoring purpose, without its extra full-vocabulary
+    pass."""
     if k < 1:
         raise ValueError("bm25_topk: k must be >= 1")
+    if max_df_frac is not None and not 0.0 < max_df_frac <= 1.0:
+        raise ValueError(
+            f"bm25_topk: max_df_frac must be in (0, 1], got {max_df_frac}"
+        )
     if index is None:
         if docs is None:
             raise ValueError("bm25_topk: need docs when index is None")
-        index = build_inverted_index(
-            docs, id_col, text_col, max_df_frac=max_df_frac
-        )
+        # the df cap applies at QUERY TIME (below, on the probe's own
+        # dfreq) rather than at build time: scoring only ever sees the
+        # query's terms, and for those the matched slice carries their
+        # full document frequency — so `df <= frac * N` over the probe
+        # slice equals the build-time cap, without the build cap's
+        # extra full-vocabulary df pass + distinct-id count, and it
+        # works identically on a PERSISTED unfiltered index (which is
+        # the only kind the incremental sync can maintain — the r13
+        # docstring's "apply the cap at query time" promise).
+        index = build_inverted_index(docs, id_col, text_col)
     if stats is not None:
         n_docs, avgdl = int(stats[0]), float(stats[1])
     else:
@@ -228,6 +247,11 @@ def bm25_topk(
     dfreq = matched.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
+    if max_df_frac is not None:
+        # dynamic-stopword cap on the probe's own term slice: inner
+        # joins below drop a capped term's postings from scoring —
+        # probe-time cap == build-time cap (parity pinned in tests)
+        dfreq = dfreq.where(F.col("df") <= max_df_frac * n_docs)
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))

@@ -575,3 +575,52 @@ def test_sync_stats_replay_convergent_after_crash(spark, tmp_path):
         os.remove(crc)
     sync_inverted_index(spark, corpus, idx)
     assert index_corpus_stats(spark, idx) == good
+
+
+def test_query_time_df_cap_equals_build_time_cap(spark):
+    """r15 (VERDICT r14 task 9): `bm25_topk(max_df_frac=...)` applies
+    the dynamic-stopword cap at query time on the probe's own df
+    slice — over a static corpus it must equal probing a BUILD-time
+    capped index, in all three probe shapes (inline, prebuilt
+    unfiltered index, prebuilt index + sidecar-style stats)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog ran"),
+            (3, "the bird flew"),
+            (4, "the fish swam and the cat watched"),
+            (5, "spark shuffle"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the spark")],
+        "query_id int, query_text string",
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    capped_idx = build_inverted_index(docs, max_df_frac=0.5)
+    expected = rows(bm25_topk(docs, qs, k=10, index=capped_idx))
+
+    # inline build with the query-time cap
+    assert rows(bm25_topk(docs, qs, k=10, max_df_frac=0.5)) == expected
+    # prebuilt UNFILTERED index (the only kind the sync maintains)
+    unfiltered = build_inverted_index(docs)
+    assert rows(
+        bm25_topk(docs, qs, k=10, index=unfiltered, max_df_frac=0.5)
+    ) == expected
+    # stats path: no corpus relation at all
+    n = docs.count()
+    avgdl = sum(
+        len(r.text.split()) for r in docs.collect()
+    ) / n
+    assert rows(
+        bm25_topk(None, qs, k=10, index=unfiltered, stats=(n, avgdl),
+                  max_df_frac=0.5)
+    ) == expected
+    assert expected  # the comparison is not vacuous
+
+    with pytest.raises(ValueError, match="max_df_frac"):
+        bm25_topk(docs, qs, k=10, max_df_frac=1.5)
