@@ -3,6 +3,7 @@ has the defect and stay silent on the engine's own clean plans."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -111,11 +112,12 @@ def test_full_relation_bnlj_blocks_even_with_scalar_allowance(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+@pytest.mark.extended
 def test_extended_registry_queries_have_no_blocking_findings(spark):
     """The extended registry (TPC-H full suite, span dedup, graph,
     interval join) must audit clean too — scalar-threshold BNLJs
     (q11/q15/q22) downgrade to warn by the build-side check, never
-    block."""
+    block. ``extended`` tier: whole-non-gate-registry plan sweep."""
     from iot_sensor_data_pipeline_spark.plans import EXTENDED_REGISTRY
 
     # same documented exception as the gate's brute-force kNN: these

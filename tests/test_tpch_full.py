@@ -34,11 +34,16 @@ def test_suite_is_complete():
     assert "tpch_q9_product_profit" in EXTENDED_REGISTRY
 
 
+@pytest.mark.extended
 @pytest.mark.parametrize("sf", [SF, SF_SMALL])
 @pytest.mark.parametrize("name", EXTENDED_WITH_ORACLE)
 def test_matches_duckdb_oracle(spark, name, sf):
     """Two scale points: a query that only matches at one SF has a
-    scale-dependent constant baked in."""
+    scale-dependent constant baked in.
+
+    ``extended`` tier (pytest.ini): 68 queries x 2 SFs is the bulk of
+    the suite's wall time and re-verifies the NON-gate registry — run
+    in-session per round, not inside the driver's budget."""
     q = EXTENDED_REGISTRY[name]
     ok, msg = compare_query(spark, sf, q.fn, q.oracle)
     assert ok, f"{name}@{sf}: {msg}"
