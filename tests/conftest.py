@@ -22,7 +22,7 @@ def spark():
 
     spark = get_spark(
         "tests",
-        shuffle_partitions=8,
+        shuffle_partitions=4,
         extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")},
     )
     yield spark
