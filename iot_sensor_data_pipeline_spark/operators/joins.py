@@ -414,6 +414,18 @@ def fuzzy_join(
         a = left.select(F.col(left_text).alias("a")).distinct()
         b = right.select(F.col(right_text).alias("b")).distinct()
         pair_cols = ["a", "b"]
+    # checkpointed (lazily) because each deduped side fans out to 3-4
+    # consumers (long/short strata, the optional frequency cap, the
+    # id-mode rejoin) and each gram relation to 2 (the rarity count
+    # and the candidate join): without the cut the source scan +
+    # dedup replays per consumer — the r15 before-plan carried 24
+    # parquet scans / 44 exchanges of the same tiny relations, and
+    # plan fan-out, not data, dominated the operator (guide §3.3 wide
+    # plans; same fail-fast localCheckpoint trade as minhash's
+    # shingle/candidate cuts). Relations are input-bounded: |L|+|R|
+    # rows and their q-gram explosions.
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
     a_long = a.where(F.length("a") >= floor)
     b_long = b.where(F.length("b") >= floor)
     ga = a_long.select("*", F.explode(F.array_distinct(char_grams(F.col("a"), q))).alias("g"))
