@@ -574,24 +574,25 @@ def duplicate_clusters(
             .groupBy("a")
             .agg(F.min("cluster").alias("n_min"))
         )
+        nxt = F.least(
+            F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
+        )
+        # the convergence flag is computed IN the round's projection —
+        # the old label sits on the same row pre-least, so a
+        # did-anything-change probe needs no old-vs-new re-join (one
+        # shuffle join per round saved; the probe is a filter over the
+        # just-checkpointed relation)
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
-                ).alias("cluster"),
+                nxt.alias("cluster"),
+                (nxt != F.col("cluster")).alias("__chg"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.select("id", "cluster")
         if changed == 0:
             break
     if changed != 0:
